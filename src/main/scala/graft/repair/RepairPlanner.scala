@@ -1,0 +1,145 @@
+package graft.repair
+
+import graft.config.Settings
+import graft.reconcile.MvReconciler
+import graft.schema.TableSchema
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Turns a classified reconciliation DataFrame into a *mutation plan* — a
+ * pure, testable DataFrame of repair operations, decoupled from the sink
+ * that applies them (plan/apply split; the reference interleaves both
+ * inside one mapPartitions loop, MvSync.java:380-414).
+ *
+ * Reference semantics reproduced:
+ *  - DELETE for MISSING_IN_BASE_TABLE when `fixorphanmv`
+ *    (MvSync.java:382-395; db/DBOperations.java:58-94);
+ *  - one UPSERT **per non-PK MV column** for MISSING_IN_MV_TABLE
+ *    (`fixmissingmv`) / INCONSISTENT (`fixinconsistentmv`), skipping
+ *    columns already equal (`shouldSkipField`, DBOperations.java:230-238),
+ *    values always taken from the BASE row (DBOperations.java:240-387);
+ *  - per-column statement flavor from writetime/ttl presence
+ *    (UpsertFlavors.java:3-8): NO_TIMESTAMP_TTL / TIMESTAMP / TTL /
+ *    TIMESTAMP_TTL; `mutation.uselatestts=true` suppresses the timestamp
+ *    but not the TTL (DBOperations.java:250-262).
+ *
+ * Plan schema: MV-PK columns, then
+ *   op        "DELETE" | "UPSERT"
+ *   column    upserted column name (null for DELETE)
+ *   value     string-rendered value from the base row
+ *   writetime microseconds (null unless flavor carries TIMESTAMP)
+ *   ttl       seconds (null unless flavor carries TTL)
+ *   flavor    upsert flavor name (null for DELETE)
+ *
+ * Scale note: the explode multiplies rows by |columns| only for the
+ * (typically tiny) non-consistent fraction — the plan filters on problem
+ * BEFORE exploding, so at 100 TB this stays proportional to the damage,
+ * not the table.
+ */
+object RepairPlanner {
+
+  val NoTimestampTtl = "NO_TIMESTAMP_TTL"
+  val Timestamp = "TIMESTAMP"
+  val Ttl = "TTL"
+  val TimestampTtl = "TIMESTAMP_TTL"
+
+  def plan(
+      classified: DataFrame,
+      baseSchema: TableSchema,
+      mvSchema: TableSchema,
+      settings: Settings): DataFrame = {
+    val pk = mvSchema.sortedPk
+    val pkCols = pk.map(col)
+    val problem = col(MvReconciler.ProblemCol)
+
+    val deletes: Option[DataFrame] =
+      if (!settings.fixOrphanMv) None
+      else Some(
+        classified
+          .filter(problem === MvReconciler.MissingInBase)
+          .select(pkCols ++ Seq(
+            lit("DELETE").as("op"),
+            lit(null: String).as("column"),
+            lit(null: String).as("value"),
+            lit(null: java.lang.Long).as("writetime"),
+            lit(null: java.lang.Integer).as("ttl"),
+            lit(null: String).as("flavor")): _*))
+
+    val upsertProblems: Seq[String] =
+      (if (settings.fixMissingMv) Seq(MvReconciler.MissingInMv) else Nil) ++
+        (if (settings.fixInconsistentMv) Seq(MvReconciler.Inconsistent) else Nil)
+
+    val upserts: Option[DataFrame] =
+      if (upsertProblems.isEmpty) None
+      else {
+        // One struct per MV non-PK column; explode AFTER the problem
+        // filter. Values come from the base row.
+        val perCol: Seq[Column] = mvSchema.sortedRegular.map { c =>
+          val cql = mvSchema.cqlType(c)
+          val baseVal = col(s"base_$c")
+          val mvVal = col(s"mv_$c")
+          val wtName = s"base_${mvSchema.writetimeCol(c)}"
+          val ttlName = s"base_${mvSchema.ttlCol(c)}"
+          val hasWtCol = classified.columns.contains(wtName)
+          val hasTtlCol = classified.columns.contains(ttlName)
+          val wt: Column =
+            if (settings.useLatestTs || !hasWtCol) lit(null: java.lang.Long)
+            else col(wtName)
+          val ttl: Column =
+            if (!hasTtlCol) lit(null: java.lang.Integer) else col(ttlName)
+          // shouldSkipField: both rows present and values deep-equal
+          // (DBOperations.java:230-238). Canonicalize sets/maps first.
+          val skip = col("mv_present").isNotNull &&
+            (MvReconciler.canonical(baseVal, cql) <=> MvReconciler.canonical(mvVal, cql))
+          val flavor =
+            when(wt.isNotNull && ttl.isNotNull, TimestampTtl)
+              .when(wt.isNotNull, Timestamp)
+              .when(ttl.isNotNull, Ttl)
+              .otherwise(NoTimestampTtl)
+          struct(
+            lit(c).as("column"),
+            MvReconciler.renderValue(baseVal, cql).as("value"),
+            wt.as("writetime"),
+            ttl.as("ttl"),
+            flavor.as("flavor"),
+            skip.as("skip"))
+        }
+        Some(
+          classified
+            .filter(problem.isin(upsertProblems: _*))
+            .select(pkCols :+ explode(array(perCol: _*)).as("m"): _*)
+            .filter(!col("m.skip"))
+            .select(pkCols ++ Seq(
+              lit("UPSERT").as("op"),
+              col("m.column").as("column"),
+              col("m.value").as("value"),
+              col("m.writetime").as("writetime"),
+              col("m.ttl").as("ttl"),
+              col("m.flavor").as("flavor")): _*))
+      }
+
+    (deletes, upserts) match {
+      case (Some(d), Some(u)) => d.unionByName(u)
+      case (Some(d), None) => d
+      case (None, Some(u)) => u
+      case (None, None) =>
+        classified.filter(lit(false)).select(pkCols ++ Seq(
+          lit("").as("op"), lit("").as("column"), lit("").as("value"),
+          lit(0L).as("writetime"), lit(0).as("ttl"), lit("").as("flavor")): _*)
+    }
+  }
+
+  /**
+   * Offline analogue of the reference's read-before-delete race guard
+   * (operator K, db/DBOperations.java:196-228: point-SELECT of the base
+   * table before each orphan delete): drop planned DELETEs whose key
+   * appears in a fresh read of the base table. A broadcast-able anti-join
+   * at plan time instead of a per-row point read at apply time.
+   */
+  def verifyDeletesAgainst(plan: DataFrame, freshBase: DataFrame, pk: Seq[String]): DataFrame = {
+    val dels = plan.filter(col("op") === "DELETE")
+      .join(freshBase.select(pk.map(col): _*), pk, "left_anti")
+    plan.filter(col("op") =!= "DELETE").unionByName(dels)
+  }
+}
