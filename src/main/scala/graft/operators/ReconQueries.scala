@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.MvSyncDemo
+import graft.config.Settings
+import graft.reconcile.MvReconciler
+import graft.repair.RepairPlanner
+import graft.report.StatsCollector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The reconciliation engine exposed as oracle-checkable queries over the
+ * driver testdata. The base/MV pair is derived deterministically from
+ * `orders` (see MvSyncDemo: %97 orphans, %89 missing-in-MV, %13 price
+ * perturbation) so the DuckDB oracle can recreate both sides with plain
+ * SQL CTEs and reproduce the classification semantics with a FULL OUTER
+ * JOIN — a line-by-line independent check of operators C, E, F, G, H, I,
+ * J, M of SURVEY §2.
+ */
+object ReconQueries {
+
+  /** Shared oracle CTE prelude: the derived base/MV pair. */
+  private val Cte =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+      |         CAST(epoch(o_orderdate) AS BIGINT) * 1000000 AS wt
+      |  FROM orders WHERE o_orderkey % 97 <> 0),
+      |mv AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+      |              ELSE o_totalprice END AS o_totalprice,
+      |         o_orderpriority,
+      |         CAST(epoch(o_orderdate) AS BIGINT) * 1000000 AS wt
+      |  FROM orders WHERE o_orderkey % 89 <> 0),
+      |joined AS (
+      |  SELECT COALESCE(b.o_custkey, m.o_custkey) AS o_custkey,
+      |         COALESCE(b.o_orderkey, m.o_orderkey) AS o_orderkey,
+      |         b.o_orderkey IS NOT NULL AS in_base,
+      |         m.o_orderkey IS NOT NULL AS in_mv,
+      |         b.o_orderpriority AS b_pri, m.o_orderpriority AS m_pri,
+      |         b.o_orderstatus AS b_st, m.o_st AS m_st,
+      |         b.o_totalprice AS b_tp, m.o_totalprice AS m_tp,
+      |         b.wt AS b_wt, m.wt AS m_wt
+      |  FROM base b FULL OUTER JOIN (SELECT o_orderkey, o_custkey,
+      |         o_orderstatus AS o_st, o_totalprice, o_orderpriority, wt FROM mv) m
+      |    ON b.o_orderkey = m.o_orderkey AND b.o_custkey = m.o_custkey),
+      |classified AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         CASE WHEN NOT in_base THEN 'MISSING_IN_BASE_TABLE'
+      |              WHEN NOT in_mv THEN 'MISSING_IN_MV_TABLE'
+      |              WHEN b_pri IS DISTINCT FROM m_pri
+      |                OR b_st IS DISTINCT FROM m_st
+      |                OR b_tp IS DISTINCT FROM m_tp THEN 'INCONSISTENT'
+      |              ELSE 'CONSISTENT' END AS problem,
+      |         CASE WHEN in_base AND in_mv THEN
+      |           CASE WHEN b_pri IS DISTINCT FROM m_pri THEN 'o_orderpriority'
+      |                WHEN b_st IS DISTINCT FROM m_st THEN 'o_orderstatus'
+      |                WHEN b_tp IS DISTINCT FROM m_tp THEN 'o_totalprice' END
+      |         END AS mismatch_col,
+      |         b_pri, m_pri, b_st, m_st, b_tp, m_tp, b_wt
+      |  FROM joined)
+      |""".stripMargin
+
+  private def classified(spark: SparkSession, dir: String,
+      settings: Settings = Settings()): DataFrame =
+    MvReconciler.reconcile(
+      MvSyncDemo.baseDf(spark, dir), MvSyncDemo.mvDf(spark, dir),
+      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, settings)
+
+  /** Per-key consistency classification + first mismatching column. */
+  def reconClassify(spark: SparkSession, dir: String): DataFrame =
+    classified(spark, dir)
+      .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
+
+  /** Stats aggregation (operator J): category counts. */
+  def reconStats(spark: SparkSession, dir: String): DataFrame =
+    StatsCollector.byProblem(classified(spark, dir))
+      .select(col("problem"), col("count").as("n"))
+
+  /** Time-scope filter (operator F): only writetimes within
+   * [1996-01-01, 1999-01-01) stay in scope. */
+  def reconTimescope(spark: SparkSession, dir: String): DataFrame =
+    classified(spark, dir,
+      Settings(startTsEpochSec = 820454400L, endTsEpochSec = 915148800L))
+      .groupBy("problem").agg(count(lit(1)).as("n"))
+
+  /** Repair mutation plan (operators L/M): per-column upserts + orphan
+   * deletes, with flavor selection. */
+  def reconRepairPlan(spark: SparkSession, dir: String): DataFrame =
+    RepairPlanner.plan(
+      classified(spark, dir,
+        Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)),
+      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema,
+      Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true))
+      .select("o_custkey", "o_orderkey", "op", "column", "value", "writetime", "ttl", "flavor")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "recon_classify" -> reconClassify,
+    "recon_stats" -> reconStats,
+    "recon_timescope" -> reconTimescope,
+    "recon_repair_plan" -> reconRepairPlan)
+
+  val oracleSql: Map[String, String] = Map(
+    "recon_classify" ->
+      (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
+    "recon_stats" ->
+      (Cte + "SELECT problem, CAST(count(*) AS BIGINT) AS n FROM classified GROUP BY problem"),
+    "recon_timescope" ->
+      (Cte +
+        """SELECT CASE WHEN (b_wt < 820454400000000 OR b_wt > 915148800000000)
+          |         OR (m_wt2 < 820454400000000 OR m_wt2 > 915148800000000)
+          |       THEN 'NOT_IN_SCOPE' ELSE problem END AS problem,
+          |       CAST(count(*) AS BIGINT) AS n
+          |FROM (SELECT c.*, j.m_wt AS m_wt2 FROM classified c
+          |      JOIN joined j USING (o_custkey, o_orderkey))
+          |GROUP BY 1""".stripMargin),
+    "recon_repair_plan" ->
+      (Cte +
+        """, upserts AS (
+          |  SELECT o_custkey, o_orderkey, 'UPSERT' AS op, u.col AS "column",
+          |         u.val AS value, b_wt AS writetime,
+          |         CAST(NULL AS INTEGER) AS ttl, 'TIMESTAMP' AS flavor
+          |  FROM classified,
+          |  LATERAL (VALUES ('o_orderpriority', b_pri, m_pri),
+          |                  ('o_orderstatus', b_st, m_st),
+          |                  ('o_totalprice', CAST(b_tp AS VARCHAR), CAST(m_tp AS VARCHAR)))
+          |    AS u(col, val, mval)
+          |  WHERE problem IN ('MISSING_IN_MV_TABLE', 'INCONSISTENT')
+          |    AND (problem = 'MISSING_IN_MV_TABLE' OR u.val IS DISTINCT FROM u.mval)),
+          |deletes AS (
+          |  SELECT o_custkey, o_orderkey, 'DELETE' AS op,
+          |         CAST(NULL AS VARCHAR) AS "column", CAST(NULL AS VARCHAR) AS value,
+          |         CAST(NULL AS BIGINT) AS writetime, CAST(NULL AS INTEGER) AS ttl,
+          |         CAST(NULL AS VARCHAR) AS flavor
+          |  FROM classified WHERE problem = 'MISSING_IN_BASE_TABLE')
+          |SELECT * FROM upserts UNION ALL SELECT * FROM deletes""".stripMargin))
+}

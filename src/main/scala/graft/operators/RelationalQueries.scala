@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Generic relational operator layer over the driver testdata tables.
+ *
+ * The reference job needs only scan/project/filter/full-outer-join/
+ * classify (SURVEY §2) — everything here is the "comes for free from
+ * Catalyst" surface (SURVEY §2 closing note) made explicit and oracle-
+ * checked: aggregation, joins of every flavor, windows, sort/limit,
+ * distinct, set ops, rollup, scalar/date functions, time-bucketed event
+ * aggregation.
+ *
+ * Every query is written scale-first:
+ *  - filters/projections sit directly on the scan (parquet pushdown),
+ *  - small dimensions are broadcast explicitly,
+ *  - aggregates are partial-aggregated map-side by Catalyst,
+ *  - floating aggregates are rounded in BOTH engines (oracle parity —
+ *    sum order differs across partitions, last-ulp noise is expected).
+ */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q1-style pricing summary: the canonical partial-agg shuffle.
+   * At 100 TB this is map-side combine into 6 groups — shuffle bytes are
+   * O(partitions), not O(rows). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2).cast("double").as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(sum(col("l_discount").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Q6-style single-row aggregate with tight scan-level predicates —
+   * every filter lands in parquet PushedFilters. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+
+  /** Q3-style shipping priority: two shuffled joins + agg + top-k.
+   * customer is small relative to lineitem → broadcast. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+  }
+
+  /** Q4-style: EXISTS via left-semi join (no row multiplication, the
+   * planner's cheapest existence check). */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val late = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"))
+    ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q5-style: the 6-table star join. region/nation/supplier broadcast;
+   * orders⋈lineitem is the only big shuffle. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+    val supp = t(spark, dir, "supplier")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+  }
+
+  /** Window functions: per-supplier top-3 line items by price.
+   * Deterministic total order via (price desc, orderkey, linenumber). */
+  def qWindowTopPerSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Running (cumulative) aggregate window over a yearly frame. */
+  def qWindowRunningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy("o_year")
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").as("year_total"))
+    o.withColumn("running_total",
+      round(sum("year_total").over(
+        Window.orderBy("o_year").rowsBetween(Window.unboundedPreceding, 0)), 2))
+  }
+
+  /** Global sort + limit with a total tie-break order (top-k is a
+   * TakeOrderedAndProject — no full sort at scale). */
+  def qTopKExpensive(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** Distinct projection (shuffle dedup). */
+  def qDistinctSegments(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+  /** Set operation: UNION (distinct) of two key sets. */
+  def qUnionKeys(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+    val b = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000).select(col("o_custkey").as("custkey"))
+    a.union(b).distinct()
+  }
+
+  /** NOT EXISTS via left-anti join: customers who never ordered. */
+  def qAntiNoOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** ROLLUP over segment × nation (grouping-set aggregation). */
+  def qRollupSegmentNation(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .rollup("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal").cast("decimal(18,4)")), 2).cast("double").as("total_bal"))
+
+  /** Scalar function battery: string/math/conditional, row-level. */
+  def qScalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+      length(col("p_name")).as("name_len"),
+      when(col("p_size") < 10, "small")
+        .when(col("p_size") < 30, "medium")
+        .otherwise("large").as("size_class"),
+      round(col("p_retailprice") * 1.1, 2).as("inflated_price"),
+      abs(col("p_size") - 25).as("size_dist"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+
+  /** Date-part extraction + aggregation. */
+  def qDateParts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").as("total"))
+
+  /** Event timestamps: the parquet carries TIMESTAMP(NANOS), which the
+   * session reads as an exact nanosecond LongType
+   * (spark.sql.legacy.parquet.nanosAsLong). Integer division to µs —
+   * never through double, 1.7e18 ns exceeds a double's 53-bit mantissa. */
+  private def tsMicros = expr("ts DIV 1000")
+
+  /** Event-stream time bucketing: hourly tumbling aggregation (batch
+   * form of the streaming pipeline — same plan shape as the watermarked
+   * groupBy(window(...)) in streaming/EventPipeline). */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", timestamp_micros(tsMicros)),
+          "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(18,4)")), 2).cast("double").as("total_value"))
+
+  /** Sessionization via lag(): session starts when the gap to the
+   * previous event of the same user exceeds 30 minutes. All time math on
+   * truncated epoch µs (ns-vs-µs parity with the oracle). */
+  def qEventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), tsMicros.as("us"))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          col("us") - col("prev_us") > 30L * 60 * 1000000).cast("int"))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** All queries of this layer, keyed for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q4_order_priority" -> q4OrderPriority,
+    "q5_local_supplier" -> q5LocalSupplier,
+    "q_window_top_per_supplier" -> qWindowTopPerSupplier,
+    "q_window_running_revenue" -> qWindowRunningRevenue,
+    "q_topk_expensive" -> qTopKExpensive,
+    "q_distinct_segments" -> qDistinctSegments,
+    "q_union_keys" -> qUnionKeys,
+    "q_anti_no_orders" -> qAntiNoOrders,
+    "q_rollup_segment_nation" -> qRollupSegmentNation,
+    "q_scalar_functions" -> qScalarFunctions,
+    "q_date_parts" -> qDateParts,
+    "q_events_hourly" -> qEventsHourly,
+    "q_events_sessions" -> qEventsSessions)
+
+  /** DuckDB oracle SQL, column-name aligned with the Spark plans. */
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate > TIMESTAMP '1998-03-15'
+         GROUP BY l_orderkey, o_orderpriority""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate < TIMESTAMP '1998-01-01')
+         GROUP BY o_orderpriority""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
+    "q_window_top_per_supplier" ->
+      """SELECT * FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn <= 3""",
+    "q_window_running_revenue" ->
+      """SELECT o_year, year_total,
+           round(sum(year_total) OVER (ORDER BY o_year
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS year_total
+               FROM orders GROUP BY 1)""",
+    "q_topk_expensive" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+    "q_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q_union_keys" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""",
+    "q_anti_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_rollup_segment_nation" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+         CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+         FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)""",
+    "q_scalar_functions" ->
+      """SELECT p_partkey,
+         upper(substring(p_name, 1, 8)) AS name_prefix,
+         length(p_name) AS name_len,
+         CASE WHEN p_size < 10 THEN 'small'
+              WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
+         round(p_retailprice * 1.1, 2) AS inflated_price,
+         abs(p_size - 25) AS size_dist,
+         p_brand || '|' || p_type AS brand_type
+         FROM part""",
+    "q_date_parts" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         EXTRACT(QUARTER FROM o_orderdate) AS o_quarter,
+         count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2""",
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "q_events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT user_id, us,
+                 lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+               FROM e)
+         SELECT user_id,
+           sum(CASE WHEN prev_us IS NULL OR us - prev_us > 30*60*1000000
+                    THEN 1 ELSE 0 END) AS n_sessions,
+           count(*) AS n_events
+         FROM g GROUP BY user_id""")
+}
