@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators over the `documents` table — the first stage
+ * of any LLM training-data pipeline, each written as a pure DataFrame
+ * transform with an explicit 100 TB scale path:
+ *
+ *  - exact:       hash-groupBy on a content digest (one shuffle of
+ *                 (digest, id) pairs, never the text itself)
+ *  - minhash+LSH: shingle → minhash signature (row-local) → band →
+ *                 bucket self-join (shuffle on band hash only) →
+ *                 exact-Jaccard rerank of candidates
+ *  - simhash:     64-bit signature (native Expression), bucket by
+ *                 signature bands for Hamming-near candidates
+ *  - n-gram Jaccard: exact pairwise verify (the rerank kernel; also
+ *                 exposed brute-force as the small-SF oracle baseline)
+ *  - embedding near-dup: cosine over the embeddings table (see
+ *                 Similarity for the ANN scale path)
+ */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private val toks = tokens(col("text"))
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup groups: one row per distinct content digest with the
+   * canonical (min) doc_id and the duplicate count. At scale: shuffle
+   * carries (16-byte digest, id) — O(rows) tiny records, then the text
+   * itself never moves. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep-first exact dedup: the surviving rows (doc_id = min per
+   * digest). Window over the digest — same single shuffle. */
+  def dedupExactKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    docs(spark, dir)
+      .withColumn("keep_id", min("doc_id").over(w))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  // ------------------------------------------------------------- jaccard
+
+  /** Exact n-gram (word 3-shingle) Jaccard near-dup pairs, brute-force —
+   * the rerank kernel, oracle-checked at small SF. Jaccard is integer
+   * arithmetic (|∩|/|∪|) so engines agree exactly. At 100 TB this runs
+   * only WITHIN LSH buckets (see dedupMinhashLsh), never all-pairs. */
+  def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), array_distinct(shingles(toks, 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union",
+        size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+      .filter(col("n_inter") * 2 >= col("n_union")) // jaccard >= 0.5
+      .select(col("id_a"), col("id_b"),
+        col("n_inter").cast("bigint").as("n_inter"),
+        col("n_union").cast("bigint").as("n_union"),
+        round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** Per-document minhash signature: h_i(doc) = min over shingles of a
+   * seed-parameterized 64-bit hash — xxhash64(i, shingle) acts as the
+   * i-th independent permutation (no affine arithmetic, no ANSI overflow,
+   * stays codegen'd). Row-local (no shuffle). */
+  def minhashSignature(sh: Column): Column =
+    array((0 until NumHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /**
+   * MinHash+LSH near-dup pairs — the 100 TB path:
+   *  1. signature per doc (scan-local);
+   *  2. explode into NumBands band keys: (band_id, hash(band slice));
+   *  3. self-join per bucket → candidate pairs (shuffle carries only
+   *     (band_hash, id, signature), AQE handles hot buckets);
+   *  4. exact Jaccard rerank of candidates ≥ threshold.
+   * Banding (4 bands × 4 rows) makes P(candidate) ≈ 1-(1-j^4)^4 — steep
+   * around j≈0.7, so ≥0.8-similar pairs are found w.h.p. while unrelated
+   * pairs rarely collide.
+   */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), array_distinct(shingles(toks, 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh")))
+    val banded = d.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until NumBands).map { bandId =>
+        struct(lit(bandId).as("band"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), bandId * RowsPerBand + 1, RowsPerBand)))
+            .as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct() // dedupe multi-band hits
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union",
+        size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+      .filter(col("n_inter") * 2 >= col("n_union"))
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** SimHash near-dup candidates: 64-bit signature (native Expression),
+   * bucketed by each of four 16-bit bands — two docs within Hamming
+   * distance 3 share at least one exact band (pigeonhole). Deterministic
+   * output: candidate pairs + Hamming distance ≤ 3. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), simhash64(toks).as("sig"))
+    val banded = d.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
+  }
+
+  // ----------------------------------------------------- embedding cosine
+
+  /** Embedding-cosine near-dup pairs (brute force at small SF; the ANN
+   * path lives in Similarity). Cosine in double precision via a
+   * sequential left fold — same evaluation order as the oracle. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_exact_keep_first" -> dedupExactKeepFirst,
+    "dedup_jaccard_pairs" -> dedupJaccardPairs,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding)
+
+  private val ShSql =
+    """list_distinct(list_transform(
+      |  range(0, greatest(len(toks) - 2, 0)),
+      |  i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS canonical_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY 1""",
+    "dedup_exact_keep_first" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+           FROM documents) WHERE doc_id = keep_id""",
+    "dedup_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS toks
+          FROM documents),
+          s AS (SELECT doc_id, $ShSql AS sh FROM t),
+          f AS (SELECT * FROM s WHERE len(sh) > 0)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+            CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
+            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+          FROM f a, f b
+          WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.sh, b.sh)) * 2 >=
+                len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))""",
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5""")
+}

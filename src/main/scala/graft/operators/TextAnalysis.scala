@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators over the `documents` table — the scalar layer
+ * of a training-data pipeline: token statistics, quality scoring,
+ * language identification, document fingerprinting.
+ *
+ * All of these are single-pass row-local scans (no shuffle), which is
+ * exactly what a 100 TB corpus wants: each is a narrow projection the
+ * parquet reader can feed straight into whole-stage codegen.
+ */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private val toks = tokens(col("text"))
+
+  /** Token counting: whitespace tokens + a BPE-ish subword proxy (4 chars
+   * per token ≈ the usual bytes-per-token heuristic, exact arithmetic so
+   * the oracle matches bit-for-bit). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      expr("CAST((length(text) + 3) DIV 4 AS BIGINT)").as("est_bpe_tokens"))
+
+  /** Quality scoring: length/punctuation/stopword/mean-word-length
+   * heuristics (the C4/Gopher-style filters, deterministic form). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text"))
+    val nTokens = size(toks)
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stop = size(filter(toks, t =>
+      t.isin("the", "a", "and", "of", "to", "in", "is")))
+    docs(spark, dir).select(
+      col("doc_id"),
+      nChars.cast("bigint").as("n_chars"),
+      nTokens.cast("bigint").as("n_tokens"),
+      punct.cast("bigint").as("n_punct"),
+      stop.cast("bigint").as("n_stopwords"),
+      // ratios: double division of identical integers — engine-exact
+      round(punct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(stop.cast("double") / nTokens, 6).as("stopword_ratio"),
+      round((nChars - nTokens + 1).cast("double") / nTokens, 6).as("mean_word_len"),
+      (nTokens.between(20, 100000) && (punct.cast("double") / nChars) < 0.1)
+        .as("passes_quality"))
+  }
+
+  /** Language identification: stopword-marker n-gram heuristic. Scores
+   * per language = marker-token hits; argmax with a fixed tie-break
+   * order. (The synthetic corpus is English word salad, so the point is
+   * the deterministic scoring operator, not label recovery.) */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "a"),
+      "de" -> Seq("der", "die", "und", "das"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "es" -> Seq("el", "los", "y", "de"),
+      "zh" -> Seq("的", "是", "了"))
+    val scores: Seq[Column] = markers.map { case (lang, words) =>
+      size(filter(toks, t => t.isin(words: _*))).cast("bigint").as(s"score_$lang")
+    }
+    val best = markers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"score_$lang") > 0 &&
+        markers.filter(_._1 != lang).foldLeft(lit(true)) { (c, o) =>
+          c && col(s"score_$lang") >= col(s"score_${o._1}")
+        }, lang).otherwise(acc)
+    }
+    docs(spark, dir)
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +: scores: _*)
+      .withColumn("predicted_lang", best)
+  }
+
+  /** Document fingerprints, oracle-checkable half: md5 content hash (the
+   * exact-dedup key both engines share). */
+  def textFingerprintMd5(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), md5(col("text")).as("fp_md5"))
+
+  /** Document fingerprints, native-expression half: Karp–Rabin rolling
+   * hash + 64-bit SimHash signature (both custom codegen'd Catalyst
+   * Expressions — see graft.functions). Deterministic, rows-only check. */
+  def textFingerprintRolling(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      rolling_hash(col("text")).as("fp_rolling"),
+      simhash64(toks).as("fp_simhash"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangId,
+    "text_fingerprint_md5" -> textFingerprintMd5,
+    "text_fingerprint_rolling" -> textFingerprintRolling)
+
+  private val TokSql = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+          CAST(len($TokSql) AS BIGINT) AS n_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST((length(text) + 3) // 4 AS BIGINT) AS est_bpe_tokens
+          FROM documents""",
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $TokSql AS toks,
+            length(text) AS n_chars,
+            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+          FROM documents),
+          s AS (SELECT *, len(toks) AS n_tokens,
+            len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS n_stop
+          FROM t)
+          SELECT doc_id,
+            CAST(n_chars AS BIGINT) AS n_chars,
+            CAST(n_tokens AS BIGINT) AS n_tokens,
+            CAST(n_punct AS BIGINT) AS n_punct,
+            CAST(n_stop AS BIGINT) AS n_stopwords,
+            round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+            round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+            round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6) AS mean_word_len,
+            (n_tokens BETWEEN 20 AND 100000
+              AND CAST(n_punct AS DOUBLE) / n_chars < 0.1) AS passes_quality
+          FROM s""",
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $TokSql AS toks FROM documents),
+          s AS (SELECT doc_id, labeled_lang,
+            CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','a'))) AS BIGINT) AS score_en,
+            CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS BIGINT) AS score_de,
+            CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS BIGINT) AS score_fr,
+            CAST(len(list_filter(toks, x -> x IN ('el','los','y','de'))) AS BIGINT) AS score_es,
+            CAST(len(list_filter(toks, x -> x IN ('的','是','了'))) AS BIGINT) AS score_zh
+          FROM t)
+          SELECT *,
+            CASE
+              WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr
+                AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+              WHEN score_de > 0 AND score_de >= score_en AND score_de >= score_fr
+                AND score_de >= score_es AND score_de >= score_zh THEN 'de'
+              WHEN score_fr > 0 AND score_fr >= score_en AND score_fr >= score_de
+                AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+              WHEN score_es > 0 AND score_es >= score_en AND score_es >= score_de
+                AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+              WHEN score_zh > 0 AND score_zh >= score_en AND score_zh >= score_de
+                AND score_zh >= score_fr AND score_zh >= score_es THEN 'zh'
+              ELSE 'und' END AS predicted_lang
+          FROM s""",
+    "text_fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents")
+}

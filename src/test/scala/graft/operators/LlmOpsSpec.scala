@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the LLM-pipeline operators on planted fixtures
+ * (the oracle layer separately checks them against DuckDB on testdata). */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words =
+    "the quick brown fox jumps over a lazy dog near the river bank and beyond".split(" ")
+  private def doc(seed: Int, n: Int = 60): String = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+  }
+
+  test("minhash LSH finds planted near-duplicates with full recall at high sim") {
+    val base = doc(1)
+    val near = base.split(" ").updated(2, "XX").mkString(" ") // ~95% shingle overlap
+    val docsDf = (Seq((0L, base), (1L, near)) ++
+      (2 to 40).map(i => (i.toLong, doc(i + 100)))).toDF("doc_id", "text")
+
+    val d = docsDf
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh")))
+    // planted pair must collide in at least one LSH band
+    val sigs = d.filter(col("doc_id") < 2).orderBy("doc_id")
+      .select("sig").collect().map(_.getSeq[Long](0))
+    val bands = (0 until Dedup.NumBands).map { b =>
+      (sigs(0).slice(b * Dedup.RowsPerBand, (b + 1) * Dedup.RowsPerBand),
+        sigs(1).slice(b * Dedup.RowsPerBand, (b + 1) * Dedup.RowsPerBand))
+    }
+    assert(bands.exists { case (x, y) => x == y },
+      "planted near-dup pair should share a minhash band")
+  }
+
+  test("exact dedup collapses identical texts to min doc_id") {
+    val df = Seq((5L, "same text"), (9L, "same text"), (7L, "other")).toDF("doc_id", "text")
+    val grouped = df.select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(grouped == Map(5L -> 2L, 7L -> 1L))
+  }
+
+  test("ANN LSH bucket recall on planted near-duplicate vectors") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.02f * rnd.nextGaussian().toFloat) // cos ≈ 0.999
+    val base = (0 until 30).map(_ => vec())
+    // ids 0..29 originals; 100+i = near-duplicate of i
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v.toSeq), ((100 + i).toLong, perturb(v).toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("bucket", Similarity.lshBucket(col("embedding")))
+    val buckets = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // near-duplicate must land in the same bucket or within 1 bit (multi-probe)
+    val hits = (0 until 30).count { i =>
+      java.lang.Long.bitCount(buckets(i.toLong) ^ buckets((100 + i).toLong)) <= 1
+    }
+    assert(hits >= 27, s"ANN multi-probe recall too low: $hits/30")
+  }
+
+  test("cosine column matches a driver-side computation") {
+    val a = Seq(1.0f, 2.0f, 3.0f)
+    val b = Seq(-1.0f, 0.5f, 2.0f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expected = dot / (math.sqrt(a.map(x => x * x.toDouble).sum) *
+      math.sqrt(b.map(x => x * x.toDouble).sum))
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("multimodal extractFeatures: deterministic stub decode through mapPartitions") {
+    val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.width == 64 + (f.n_bytes % 64) && f.height == 64 + (f.n_bytes % 48))
+      assert(f.channels == 3 && f.mime == "text/plain")
+    }
+    // determinism across runs
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
+  }
+
+  test("language scores count marker tokens") {
+    val df = Seq((1L, "der und die der", "de"), (2L, "the cat and the hat", "en"))
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("langid").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.textLangId(spark, tmp).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("predicted_lang") == "de")
+    assert(r(0).getAs[Long]("score_de") == 4L)
+    assert(r(1).getAs[String]("predicted_lang") == "en")
+    assert(r(1).getAs[Long]("score_en") == 3L)
+  }
+}
