@@ -1,26 +1,53 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark entry: headline queries at the bench scale factor, one JSON
+ * line on stdout (driver contract).
+ *
+ * Headline set = the scale-representative operators: the reconciliation
+ * pipeline (classify + repair plan), the heavy relational shapes (agg,
+ * star join, window, top-k), and the LLM scale paths (LSH dedup/ANN,
+ * text scan ops). The O(n²) brute-force baselines (dedup_jaccard_pairs,
+ * dedup_embedding, sim_topk_bruteforce) are correctness oracles, not
+ * bench targets — their LSH counterparts are what would run at 100 TB —
+ * so they are excluded here (BASELINE.md: bench measures the unthrottled
+ * compare/classify pipeline).
+ */
 object Bench {
+
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q_window_top_per_supplier", "q_topk_expensive",
+    "q_events_hourly", "q_events_sessions",
+    "recon_classify", "recon_repair_plan",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_ann_lsh", "text_quality", "text_fingerprint_rolling")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

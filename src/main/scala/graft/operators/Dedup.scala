@@ -104,23 +104,29 @@ object Dedup {
     val d = docs(spark, dir)
       .select(col("doc_id"), array_distinct(shingles(toks, 3)).as("sh"))
       .filter(size(col("sh")) > 0)
+    // Banding shuffles ONLY (doc_id, band, bucket) — the shingle arrays
+    // never ride the self-join; candidate pairs are deduped as bare id
+    // pairs, then the (few) survivors re-join the shingles for rerank.
+    // At 100 TB that's the difference between shuffling 3 long columns
+    // and shuffling the corpus.
+    val banded = d
       .withColumn("sig", minhashSignature(col("sh")))
-    val banded = d.select(
-      col("doc_id"), col("sh"),
-      explode(array((0 until NumBands).map { bandId =>
-        struct(lit(bandId).as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("sig"), bandId * RowsPerBand + 1, RowsPerBand)))
-            .as("bucket"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("doc_id"),
+        explode(array((0 until NumBands).map { bandId =>
+          struct(lit(bandId).as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), bandId * RowsPerBand + 1, RowsPerBand)))
+              .as("bucket"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+    val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct() // dedupe multi-band hits
+      .select("id_a", "id_b").distinct() // dedupe multi-band hits
+    pairs
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union",
         size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming pipeline over the `events` table: the streaming
+ * form of the batch event queries (RelationalQueries.qEventsHourly /
+ * qEventsSessions), built on `readStream` → event-time transforms →
+ * windowed aggregation with watermarks, plus native session windows.
+ *
+ * The reference has no streaming surface (SURVEY §2: "no watermarks/
+ * windows/stateful streaming"); this is part of the beyond-reference
+ * training-data-pipeline layer. Design notes for scale:
+ *  - file source + watermark → bounded state; late events beyond 1 hour
+ *    are dropped deterministically;
+ *  - `session_window` is Spark's native stateful session operator —
+ *    state is per (user, open-session), merged incrementally, no
+ *    driver-side state;
+ *  - parity: the batch queries are the oracle for the streaming output
+ *    (checked in EventPipelineSpec).
+ */
+object EventPipeline {
+
+  /** events.parquet schema with ts as exact nanosecond epoch (read under
+   * spark.sql.legacy.parquet.nanosAsLong). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source with a proper event-time column. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      // file-stream sources take a directory; select just the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Hourly tumbling-window counts per event type (streaming form of
+   * qEventsHourly). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Per-user sessions via native session windows (30-minute gap; the
+   * streaming form of qEventsSessions' lag-based sessionization). One
+   * stateful aggregation only — streaming disallows chaining them; the
+   * per-user rollup happens batch-side on the sink (sessionsPerUser). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ets", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Batch rollup of the session-level sink into per-user counts. */
+  def sessionsPerUser(sessions: DataFrame): DataFrame =
+    sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+
+  /** Drive a streaming aggregation to completion against the (static)
+   * file source and return the final result from a memory sink. */
+  def runToMemory(agg: DataFrame, name: String): DataFrame = {
+    val spark = agg.sparkSession
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

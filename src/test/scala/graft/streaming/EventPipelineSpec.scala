@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.RelationalQueries
+import org.apache.spark.sql.functions._
+
+/** Streaming pipelines must agree with their batch counterparts — the
+ * batch queries are DuckDB-oracle-checked, so transitively the streaming
+ * path is too. */
+class EventPipelineSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly aggregation equals the batch query") {
+    val streaming = EventPipeline.runToMemory(
+      EventPipeline.hourlyAgg(EventPipeline.eventsStream(spark, dir)), "hourly_out")
+    val batch = RelationalQueries.qEventsHourly(spark, dir)
+    assert(streaming.count() == batch.count())
+    assert(streaming.except(batch).isEmpty && batch.except(streaming).isEmpty)
+  }
+
+  test("streaming session windows equal the batch lag-based sessionization") {
+    val sessions = EventPipeline.runToMemory(
+      EventPipeline.sessionAgg(EventPipeline.eventsStream(spark, dir)), "sessions_out")
+    val perUser = EventPipeline.sessionsPerUser(sessions)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+    val batch = RelationalQueries.qEventsSessions(spark, dir)
+      .select(col("user_id"), col("n_sessions").cast("bigint").as("n_sessions"),
+        col("n_events"))
+    assert(perUser.except(batch).isEmpty && batch.except(perUser).isEmpty)
+  }
+}
