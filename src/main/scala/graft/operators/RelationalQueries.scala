@@ -326,8 +326,8 @@ object RelationalQueries {
                  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
                FROM e)
          SELECT user_id,
-           sum(CASE WHEN prev_us IS NULL OR us - prev_us > 30*60*1000000
-                    THEN 1 ELSE 0 END) AS n_sessions,
+           CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 30*60*1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            count(*) AS n_events
          FROM g GROUP BY user_id""")
 }

@@ -67,7 +67,12 @@ object MvReconciler {
     // then prefix every non-PK column. First-element-per-key cogroup
     // semantics (MvSync.java:325-338) ≡ dropDuplicates on the PK.
     def prep(df: DataFrame, schema: TableSchema, side: String): DataFrame = {
-      val wtCols = schema.timestampedRegular
+      // Reference shouldSkip receives commonNonPrimaryKeyColumns only
+      // (MvSync.java:327-346, 452-479) — min/max writetime is computed over
+      // the COMMON regular columns, not each side's full schema, so scoping
+      // agrees even when base/MV schemas differ.
+      val wtCols = common
+        .filterNot(schema.isCollection)
         .filter(c => df.columns.contains(schema.writetimeCol(c)))
         .map(c => col(schema.writetimeCol(c)))
       val minWt = if (wtCols.isEmpty) lit(null: java.lang.Long) else least(wtCols: _*)
@@ -85,8 +90,11 @@ object MvReconciler {
 
     val joined = b.join(m, pk, "full_outer")
 
-    // Time-scope: a row is out of scope iff min(writetime) < start*1e6 or
-    // max(writetime) > end*1e6 (seconds → microseconds, MvSync.java:436-444).
+    // Time-scope: the reference compares SECOND-truncated writetimes —
+    // minWt/1_000_000 < startSec or maxWt/1_000_000 > endSec with integer
+    // division (MvSync.java:436-444) — so a row whose max cell writetime
+    // falls anywhere inside the end second stays in scope. floor(m/1e6) < lo
+    // ⟺ m < lo·1e6, and floor(m/1e6) > hi ⟺ m ≥ (hi+1)·1e6, for m ≥ 0.
     // The reference skips the whole KEY if the base row is out of scope,
     // else if the MV row is (MvSync.java:327-346).
     def outOfScope(side: String): Column = {
@@ -95,7 +103,7 @@ object MvReconciler {
       val minWt = col(s"${side}_min_wt")
       val maxWt = col(s"${side}_max_wt")
       val loViol = if (lo >= 0) minWt < lit(lo * 1000000L) else lit(false)
-      val hiViol = if (hi >= 0) maxWt > lit(hi * 1000000L) else lit(false)
+      val hiViol = if (hi >= 0) maxWt >= lit((hi + 1) * 1000000L) else lit(false)
       coalesce(loViol || hiViol, lit(false))
     }
     val skipped: Column =
@@ -113,8 +121,8 @@ object MvReconciler {
         val mc = canonical(col(s"mv_$c"), mvSchema.cqlType(c))
         when(!(bc <=> mc), struct(
           lit(c).as("col"),
-          renderValue(col(s"base_$c"), baseSchema.cqlType(c)).as("b"),
-          renderValue(col(s"mv_$c"), mvSchema.cqlType(c)).as("m")))
+          renderValueOrNull(col(s"base_$c"), baseSchema.cqlType(c)).as("b"),
+          renderValueOrNull(col(s"mv_$c"), mvSchema.cqlType(c)).as("m")))
       }: _*)
 
     // 4-way classification (MvSync.java:349-378) + the skip category.
@@ -155,14 +163,19 @@ object MvReconciler {
    * `DBOperations.convertToString` (DBOperations.java:446-460):
    * timestamps as epoch millis, blobs UTF-8 decoded, null → "null".
    */
-  def renderValue(c: Column, cqlType: String): Column = {
+  def renderValue(c: Column, cqlType: String): Column =
+    coalesce(renderValueOrNull(c, cqlType), lit("null"))
+
+  /** Like [[renderValue]] but keeps SQL NULL for a null input — the
+   * reference's mismatch tuple carries Java null for the one-sided-null
+   * case (MvSync.java:499-507), and RecordColumnInfo renders null-valued
+   * infos without the ":value" suffix (RecordColumnInfo.java:37-46). */
+  def renderValueOrNull(c: Column, cqlType: String): Column = {
     val t = cqlType.toUpperCase
-    val s =
-      if (t.startsWith("TIMESTAMP")) (unix_micros(c) / 1000L).cast("string")
-      else if (t.startsWith("BLOB")) c.cast("string") // BinaryType → UTF-8
-      else if (t.startsWith("MAP")) to_json(c)
-      else if (t.startsWith("LIST") || t.startsWith("SET")) to_json(c)
-      else c.cast("string")
-    coalesce(s, lit("null"))
+    if (t.startsWith("TIMESTAMP")) (unix_micros(c) / 1000L).cast("string")
+    else if (t.startsWith("BLOB")) c.cast("string") // BinaryType → UTF-8
+    else if (t.startsWith("MAP")) to_json(c)
+    else if (t.startsWith("LIST") || t.startsWith("SET")) to_json(c)
+    else c.cast("string")
   }
 }

@@ -77,7 +77,13 @@ object RepairPlanner {
         // filter. Values come from the base row.
         val perCol: Seq[Column] = mvSchema.sortedRegular.map { c =>
           val cql = mvSchema.cqlType(c)
-          val baseVal = col(s"base_$c")
+          // An MV regular column absent from the base schema reads null
+          // from the base row in the reference upsert (DBOperations.java
+          // bindHelper on a missing cell) — substitute a typed null rather
+          // than referencing a column the classified frame doesn't have.
+          val baseVal: Column =
+            if (classified.columns.contains(s"base_$c")) col(s"base_$c")
+            else lit(null).cast(classified.schema(s"mv_$c").dataType)
           val mvVal = col(s"mv_$c")
           val wtName = s"base_${mvSchema.writetimeCol(c)}"
           val ttlName = s"base_${mvSchema.ttlCol(c)}"

@@ -69,13 +69,17 @@ object ReportFormatter {
         concat(lit("CassandraRow{"), body, lit("}"))).otherwise(lit("null"))
     }
 
+    // RecordColumnInfo.toString appends ":value" only when value is
+    // non-null (RecordColumnInfo.java:37-46) — a one-sided-null mismatch
+    // renders as bare "col:TYPE", not "col:TYPE:null".
+    def colInfo(v: Column): Column = concat(
+      col("mismatch_col"), lit(":"), typeOf(mvSchema),
+      when(v.isNotNull, concat(lit(":"), v)).otherwise(lit("")))
     val mismatchLines =
       when(col(ProblemCol) === Inconsistent,
         concat(
-          lit("\nBaseColumn: "), col("mismatch_col"), lit(":"),
-          typeOf(mvSchema), lit(":"), coalesce(col("mismatch_base"), lit("null")),
-          lit("\nMvColumn: "), col("mismatch_col"), lit(":"),
-          typeOf(mvSchema), lit(":"), coalesce(col("mismatch_mv"), lit("null"))))
+          lit("\nBaseColumn: "), colInfo(col("mismatch_base")),
+          lit("\nMvColumn: "), colInfo(col("mismatch_mv"))))
         .otherwise(lit(""))
 
     concat(

@@ -83,7 +83,10 @@ object StatsCollector {
       notRepairRecords = (missingBase + missingMv + inconsistent) - delAttempted - upsertAttempted,
       delAttemptedRecords = delAttempted,
       delSuccessRecords = delAttempted, // LogSink never fails; Cassandra sink patches
-      notDelRecords = missingBase - delAttempted,
+      // Reference increments notDelRecords only inside the delete-attempted
+      // branch (MvSync.java:388-395); with fixOrphanMv off the counter stays
+      // 0 and the rows land in notRepairRecords instead.
+      notDelRecords = if (fixOrphanMv) missingBase - delAttempted else 0L,
       upsertAttemptedRecords = upsertAttempted,
       upsertSuccessRecords = upsertAttempted)
   }

@@ -99,13 +99,15 @@ class MvReconcilerSpec extends SparkSpec {
     // base c2=null vs mv c2=null → consistent
     val both = MvReconciler.reconcile(mk(null), mvSide, s, s, Settings())
     assert(both.filter(col("problem") === "CONSISTENT").count() == 1)
-    // base c2=20 vs mv c2=null → inconsistent, null side rendered "null"
+    // base c2=20 vs mv c2=null → inconsistent; the null side stays SQL
+    // null (reference carries Java null in the mismatch tuple,
+    // MvSync.java:499-507, so RecordColumnInfo renders bare "col:TYPE")
     val oneSided = MvReconciler.reconcile(mk(20), mvSide, s, s, Settings())
     val r = oneSided.collect()(0)
     assert(r.getAs[String]("problem") == "INCONSISTENT")
     assert(r.getAs[String]("mismatch_col") == "c2")
     assert(r.getAs[String]("mismatch_base") == "20")
-    assert(r.getAs[String]("mismatch_mv") == "null")
+    assert(r.getAs[String]("mismatch_mv") == null)
   }
 
   test("duplicate keys: first-element-per-key cogroup parity") {
