@@ -168,7 +168,13 @@ object TextFunctions {
     filter(split(c, "\\s+"), t => length(t) > 0)
 
   /** Word n-gram shingles as space-joined strings; empty when the doc has
-   * fewer than n tokens. */
+   * fewer than n tokens.
+   *
+   * IMPORTANT: pass a *materialized* token column (an attribute from a
+   * prior select), not a raw `tokens(...)` expression. `toks` appears
+   * inside the transform lambda, and an inlined expression subtree there
+   * is re-evaluated per output element — for a raw tokenizer that means
+   * re-running the regex split once per shingle (measured 50× slowdown). */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

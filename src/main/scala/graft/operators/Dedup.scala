@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.ShingleFunctions._
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -27,7 +28,21 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  private val toks = tokens(col("text"))
+  /** (doc_id, sh): distinct word-3-shingle sets. Tokens are materialized
+   * as a column BEFORE shingling so the transform lambda slices a bound
+   * attribute — inlining the tokenizer into the lambda re-runs the regex
+   * split per shingle (measured ~50× slower at sf0.1). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      // Tokenize/shingle is the CPU-bound stage (higher-order functions
+      // evaluate interpreted, ~1ms/doc): spread it across all cores even
+      // when the scan yields few partitions (one small file locally; a
+      // handful of hot row-groups at scale). The reshard moves only
+      // (doc_id, text) — cheap relative to the compute it parallelizes.
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   // ---------------------------------------------------------------- exact
 
@@ -58,9 +73,7 @@ object Dedup {
    * arithmetic (|∩|/|∪|) so engines agree exactly. At 100 TB this runs
    * only WITHIN LSH buckets (see dedupMinhashLsh), never all-pairs. */
   def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-      .select(col("doc_id"), array_distinct(shingles(toks, 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val d = shingled(spark, dir)
     val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -80,45 +93,33 @@ object Dedup {
   val NumBands = 4
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** Per-document minhash signature: h_i(doc) = min over shingles of a
-   * seed-parameterized 64-bit hash — xxhash64(i, shingle) acts as the
-   * i-th independent permutation (no affine arithmetic, no ANSI overflow,
-   * stays codegen'd). Row-local (no shuffle). */
-  def minhashSignature(sh: Column): Column =
-    array((0 until NumHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }: _*)
-
   /**
    * MinHash+LSH near-dup pairs — the 100 TB path:
-   *  1. signature per doc (scan-local);
-   *  2. explode into NumBands band keys: (band_id, hash(band slice));
+   *  1. hashed shingle set per doc, one codegen'd UTF-8 pass
+   *     (ShingleHashes — no token/shingle strings materialized);
+   *  2. 16-permutation minhash folded into NumBands band buckets inside
+   *     the same scan (MinHashBands), posexploded to (band, bucket);
    *  3. self-join per bucket → candidate pairs (shuffle carries only
-   *     (band_hash, id, signature), AQE handles hot buckets);
-   *  4. exact Jaccard rerank of candidates ≥ threshold.
+   *     (band, bucket, id) rows, AQE handles hot buckets);
+   *  4. exact Jaccard rerank of candidates over the hashed shingle sets
+   *     (64-bit hashes: collision odds ~ |sh|²/2⁶⁴, immaterial).
    * Banding (4 bands × 4 rows) makes P(candidate) ≈ 1-(1-j^4)^4 — steep
    * around j≈0.7, so ≥0.8-similar pairs are found w.h.p. while unrelated
-   * pairs rarely collide.
+   * pairs rarely collide. The shingle arrays never ride the self-join;
+   * candidate pairs are deduped as bare id pairs, then the (few)
+   * survivors re-join the shingle sets for rerank — at 100 TB that's the
+   * difference between shuffling 3 long columns and shuffling the corpus.
    */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .select(col("doc_id"), array_distinct(shingles(toks, 3)).as("sh"))
+      // spread the CPU-bound hashing scan across cores even when the
+      // input has few partitions (one small file locally)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-    // Banding shuffles ONLY (doc_id, band, bucket) — the shingle arrays
-    // never ride the self-join; candidate pairs are deduped as bare id
-    // pairs, then the (few) survivors re-join the shingles for rerank.
-    // At 100 TB that's the difference between shuffling 3 long columns
-    // and shuffling the corpus.
-    val banded = d
-      .withColumn("sig", minhashSignature(col("sh")))
-      .select(col("doc_id"),
-        explode(array((0 until NumBands).map { bandId =>
-          struct(lit(bandId).as("band"),
-            xxhash64(concat_ws(",",
-              slice(col("sig"), bandId * RowsPerBand + 1, RowsPerBand)))
-              .as("bucket"))
-        }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+    val banded = d.select(col("doc_id"),
+      posexplode(minhash_bands(col("sh"), NumBands, RowsPerBand)))
+      .toDF("doc_id", "band", "bucket")
     val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
         Seq("band", "bucket"))
@@ -143,7 +144,7 @@ object Dedup {
    * output: candidate pairs + Hamming distance ≤ 3. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .select(col("doc_id"), simhash64(toks).as("sig"))
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
     val banded = d.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.functions.ShingleFunctions._
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
 import org.apache.spark.sql.SparkSession
@@ -22,15 +23,17 @@ object Profile {
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     time("read")(docs.count())
-    val toks = tokens(col("text"))
-    time("tokens")(docs.select(size(toks).as("n")).agg(sum("n")).head().getLong(0))
-    val d = docs.select(col("doc_id"), array_distinct(shingles(toks, 3)).as("sh"))
+    val d = docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-    time("shingles")(d.count())
-    val sig = d.withColumn("sig", Dedup.minhashSignature(col("sh")))
-    time("shingles+sig")(sig.count())
-    val dc = d.cache()
-    time("cache d")(dc.count())
+    time("shingle_hashes")(d.count())
+    val banded = d.select(col("doc_id"),
+      posexplode(minhash_bands(col("sh"), Dedup.NumBands, Dedup.RowsPerBand)))
+      .toDF("doc_id", "band", "bucket")
+    time("banded")(banded.count())
+    time("full minhash query")(Dedup.dedupMinhashLsh(spark, dir).count())
+    time("full minhash query again")(Dedup.dedupMinhashLsh(spark, dir).count())
+    time("jaccard string path")(Dedup.dedupJaccardPairs(spark, dir).count())
     spark.stop()
   }
 }

@@ -17,23 +17,38 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("minhash LSH finds planted near-duplicates with full recall at high sim") {
+    import graft.functions.ShingleFunctions._
     val base = doc(1)
     val near = base.split(" ").updated(2, "XX").mkString(" ") // ~95% shingle overlap
     val docsDf = (Seq((0L, base), (1L, near)) ++
       (2 to 40).map(i => (i.toLong, doc(i + 100)))).toDF("doc_id", "text")
 
-    val d = docsDf
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-      .withColumn("sig", Dedup.minhashSignature(col("sh")))
-    // planted pair must collide in at least one LSH band
-    val sigs = d.filter(col("doc_id") < 2).orderBy("doc_id")
-      .select("sig").collect().map(_.getSeq[Long](0))
-    val bands = (0 until Dedup.NumBands).map { b =>
-      (sigs(0).slice(b * Dedup.RowsPerBand, (b + 1) * Dedup.RowsPerBand),
-        sigs(1).slice(b * Dedup.RowsPerBand, (b + 1) * Dedup.RowsPerBand))
-    }
-    assert(bands.exists { case (x, y) => x == y },
+    val d = docsDf.select(col("doc_id"),
+      minhash_bands(shingle_hashes(col("text"), 3),
+        Dedup.NumBands, Dedup.RowsPerBand).as("bands"))
+    // planted pair must collide in at least one LSH band bucket
+    val bands = d.filter(col("doc_id") < 2).orderBy("doc_id")
+      .select("bands").collect().map(_.getSeq[Long](0))
+    assert((0 until Dedup.NumBands).exists(b => bands(0)(b) == bands(1)(b)),
       "planted near-dup pair should share a minhash band")
+  }
+
+  test("shingle_hashes matches the composable string-shingle pipeline") {
+    val docsDf = (0 to 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    import graft.functions.ShingleFunctions._
+    // same cardinality as array_distinct(string shingles): the hash is a
+    // bijection modulo 64-bit collisions, so set sizes agree
+    val both = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        shingle_hashes(col("text"), 3).as("hs"))
+      .select(size(array_distinct(shingles(col("toks"), 3))).as("n_str"),
+        size(col("hs")).as("n_hash"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // deterministic and sorted ascending
+    val hs = docsDf.select(shingle_hashes(col("text"), 3).as("hs"))
+      .head().getSeq[Long](0)
+    assert(hs == hs.sorted)
   }
 
   test("exact dedup collapses identical texts to min doc_id") {
