@@ -1,8 +1,6 @@
 package graft.tools
 
-import graft.functions.ShingleFunctions._
-import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.RelationalQueries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -21,19 +19,40 @@ object Profile {
       val n = f
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
     }
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    time("read")(docs.count())
-    val d = docs.repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    time("shingle_hashes")(d.count())
-    val banded = d.select(col("doc_id"),
-      posexplode(minhash_bands(col("sh"), Dedup.NumBands, Dedup.RowsPerBand)))
-      .toDF("doc_id", "band", "bucket")
-    time("banded")(banded.count())
-    time("full minhash query")(Dedup.dedupMinhashLsh(spark, dir).count())
-    time("full minhash query again")(Dedup.dedupMinhashLsh(spark, dir).count())
-    time("jaccard string path")(Dedup.dedupJaccardPairs(spark, dir).count())
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    time("read count")(li.count())
+    time("q1 cold")(RelationalQueries.q1PricingSummary(spark, dir).count())
+    time("q1 warm")(RelationalQueries.q1PricingSummary(spark, dir).count())
+    val rep = li
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .repartition(32)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2).cast("double").as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(sum(col("l_discount").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+    time("q1 repartitioned")(rep.count())
+    time("q1 repartitioned again")(rep.count())
+    val longSum = li
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"),
+        (col("l_extendedprice") * 100).cast("long").as("price_c"),
+        ((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000).cast("long").as("disc_price_dm"),
+        (col("l_discount") * 100).cast("long").as("disc_c"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("price_c")) / 100.0, 2).as("sum_base_price"),
+        round(sum(col("disc_price_dm")) / 10000.0, 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round((sum(col("disc_c")) / 100.0) / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+    time("q1 long-scaled")(longSum.count())
+    time("q1 long-scaled again")(longSum.count())
     spark.stop()
   }
 }
