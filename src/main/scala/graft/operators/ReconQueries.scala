@@ -3,7 +3,7 @@ package graft.operators
 import graft.MvSyncDemo
 import graft.config.Settings
 import graft.reconcile.MvReconciler
-import graft.repair.RepairPlanner
+import graft.repair.{RepairApplier, RepairPlanner}
 import graft.report.StatsCollector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -94,11 +94,29 @@ object ReconQueries {
       Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true))
       .select("o_custkey", "o_orderkey", "op", "column", "value", "writetime", "ttl", "flavor")
 
+  /** Full repair round-trip (operators L/M applied): plan the mutations,
+   * apply them to the MV (RepairApplier), reconcile AGAIN — the repaired
+   * MV must be keystroke-identical to the base, so the second pass
+   * classifies every surviving key CONSISTENT. The oracle states that
+   * invariant independently: exactly the non-orphan base keys remain. */
+  def reconPostRepair(spark: SparkSession, dir: String): DataFrame = {
+    val fix = Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
+    val plan = RepairPlanner.plan(classified(spark, dir, fix),
+      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, fix)
+    val repaired = RepairApplier.applyPlan(
+      MvSyncDemo.mvDf(spark, dir), plan, MvSyncDemo.mvSchema)
+    MvReconciler.reconcile(
+      MvSyncDemo.baseDf(spark, dir), repaired,
+      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema)
+      .groupBy("problem").agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recon_classify" -> reconClassify,
     "recon_stats" -> reconStats,
     "recon_timescope" -> reconTimescope,
-    "recon_repair_plan" -> reconRepairPlan)
+    "recon_repair_plan" -> reconRepairPlan,
+    "recon_post_repair" -> reconPostRepair)
 
   val oracleSql: Map[String, String] = Map(
     "recon_classify" ->
@@ -114,6 +132,9 @@ object ReconQueries {
           |FROM (SELECT c.*, j.m_wt AS m_wt2 FROM classified c
           |      JOIN joined j USING (o_custkey, o_orderkey))
           |GROUP BY 1""".stripMargin),
+    "recon_post_repair" ->
+      """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
     "recon_repair_plan" ->
       (Cte +
         """, upserts AS (

@@ -1,0 +1,76 @@
+package graft.repair
+
+import graft.schema.TableSchema
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/**
+ * Applies a [[RepairPlanner]] mutation plan to an MV DataFrame — the
+ * offline analogue of the reference's executor-side CQL writes
+ * (DBOperations.java:58-94 deletes, :240-387 per-column upserts), kept as
+ * a pure transform so repair round-trips are testable end-to-end without
+ * a live cluster: reconcile → plan → apply → reconcile must converge to
+ * all-CONSISTENT.
+ *
+ * Mechanics (one shuffle of the plan on the MV PK + one full-outer merge):
+ *  - DELETE rows drop their MV key (left-anti join; the reference's
+ *    point-delete);
+ *  - UPSERT rows pivot back to wide via map_from_entries, then each MV
+ *    regular column takes the upserted value (with its writetime/ttl)
+ *    when present, else keeps the existing cell — exactly the reference's
+ *    per-column INSERT semantics, including untouched columns surviving
+ *    on INCONSISTENT rows (shouldSkipField skips equal columns, so they
+ *    never appear in the plan).
+ *
+ * At 100 TB the plan is proportional to the damage, not the table — the
+ * merge joins a (typically tiny, broadcast-able) upsert side against the
+ * MV.
+ */
+object RepairApplier {
+
+  /** Inverse of [[graft.reconcile.MvReconciler.renderValue]] for the
+   * repairable types: plan values travel as rendered strings (the report
+   * encoding); cast them back to the MV column's Spark type. */
+  private def unrender(c: Column, cqlType: String, target: DataType): Column = {
+    val t = cqlType.toUpperCase
+    if (t.startsWith("TIMESTAMP")) timestamp_millis(c.cast("long"))
+    else if (t.startsWith("BLOB")) c.cast("binary")
+    else if (t.startsWith("LIST") || t.startsWith("SET") || t.startsWith("MAP"))
+      from_json(c, target)
+    else c.cast(target)
+  }
+
+  def applyPlan(mv: DataFrame, plan: DataFrame, mvSchema: TableSchema): DataFrame = {
+    val pk = mvSchema.sortedPk
+    val pkCols = pk.map(col)
+
+    val deletes = plan.filter(col("op") === "DELETE").select(pkCols: _*)
+    val upserts = plan.filter(col("op") === "UPSERT")
+      .groupBy(pkCols: _*)
+      .agg(map_from_entries(collect_list(struct(
+        col("column"),
+        struct(col("value"), col("writetime"), col("ttl"))))).as("_mut"))
+
+    val kept = mv.join(deletes, pk, "left_anti")
+    val merged = kept.join(upserts, pk, "full_outer")
+
+    val outCols: Seq[Column] = pkCols ++ mvSchema.sortedRegular.flatMap { c =>
+      val mut = col("_mut").getItem(c)
+      val dataCol = when(mut.isNotNull,
+        unrender(mut.getField("value"), mvSchema.cqlType(c),
+          mv.schema(c).dataType))
+        .otherwise(col(c)).as(c)
+      if (mvSchema.isCollection(c)) Seq(dataCol)
+      else Seq(
+        dataCol,
+        when(mut.isNotNull, mut.getField("writetime"))
+          .otherwise(col(mvSchema.writetimeCol(c)))
+          .as(mvSchema.writetimeCol(c)),
+        when(mut.isNotNull, mut.getField("ttl"))
+          .otherwise(col(mvSchema.ttlCol(c)))
+          .as(mvSchema.ttlCol(c)))
+    }
+    merged.select(outCols: _*)
+  }
+}

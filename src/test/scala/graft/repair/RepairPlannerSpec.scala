@@ -72,4 +72,45 @@ class RepairPlannerSpec extends SparkSpec {
     val guarded = RepairPlanner.verifyDeletesAgainst(plan, baseBoth(spark), mvSchema.sortedPk)
     assert(guarded.filter(col("op") === "DELETE").count() == 0)
   }
+
+  test("applyPlan round-trips every damage scenario to CONSISTENT") {
+    val s = Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
+    // Damage: row2 price mismatched in MV + an orphan MV row (Driver3,
+    // absent from base). Base row2 also missing from... keep mvMismatch +
+    // orphan by using base with only row1+row2 and MV missing row2:
+    val base = baseBoth(spark)
+    val mv = mvMismatchRow2(spark) // row2 c4=441 → INCONSISTENT
+    val plan = RepairPlanner.plan(classified(base, mv, s), baseSchema, mvSchema, s)
+    val repaired = RepairApplier.applyPlan(mv, plan, mvSchema)
+    val again = classified(base, repaired, s)
+    assert(again.filter(col("problem") =!= MvReconciler.Consistent).count() == 0)
+    assert(again.count() == 2)
+    // the untouched equal columns kept their original cells (writetime intact)
+    val r2 = repaired.filter(col("pk") === "Driver2").collect()(0)
+    assert(r2.getAs[Int]("c4") == 44)
+    assert(r2.getAs[Long]("writetime_c2") == Wt2)
+  }
+
+  test("applyPlan deletes orphans and inserts missing rows") {
+    val s = Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
+    // base lacks row2 (orphan in MV); MV lacks row1's... construct:
+    // base = row1 only, mv = row1+row2 → row2 is MISSING_IN_BASE → delete.
+    val base = baseMissingRow2(spark)
+    val mv = mvBoth(spark)
+    val plan = RepairPlanner.plan(classified(base, mv, s), baseSchema, mvSchema, s)
+    val repaired = RepairApplier.applyPlan(mv, plan, mvSchema)
+    assert(repaired.count() == 1)
+    assert(repaired.collect()(0).getAs[String]("pk") == "Driver1")
+    // and the reverse: mv lacks row2 → upserted back with base cells
+    val mv2 = mvMissingRow2(spark)
+    val plan2 = RepairPlanner.plan(classified(baseBoth(spark), mv2, s), baseSchema, mvSchema, s)
+    val repaired2 = RepairApplier.applyPlan(mv2, plan2, mvSchema)
+    assert(repaired2.count() == 2)
+    val row2 = repaired2.filter(col("pk") === "Driver2").collect()(0)
+    assert(row2.getAs[Int]("c2") == 22 && row2.getAs[Int]("c3") == 33 &&
+      row2.getAs[Int]("c4") == 44)
+    assert(row2.getAs[Long]("writetime_c3") == Wt2)
+    val again = classified(baseBoth(spark), repaired2, s)
+    assert(again.filter(col("problem") =!= MvReconciler.Consistent).count() == 0)
+  }
 }
