@@ -206,8 +206,32 @@ object RelationalQueries {
       .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** As-of join (operator Spark lacks natively — see AsOfJoin): each
+   * click event matched to that user's most recent prior-or-simultaneous
+   * purchase. Oracle is DuckDB's native ASOF JOIN. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), tsMicros.as("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "us")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"),
+        col("event_id").as("p_event_id"), col("us").as("p_us"),
+        col("value").as("p_value"))
+    AsOfJoin.backward(clicks, purchases,
+      keys = Seq("user_id"), tsCol = "us",
+      carry = Seq("p_event_id", "p_us", "p_value"))
+      .select(col("user_id"), col("event_id"), col("us").as("click_us"),
+        col("r_p_event_id").as("purch_event_id"),
+        col("r_p_us").as("purch_us"),
+        col("r_p_value").as("purch_value"),
+        (col("us") - col("r_p_us")).as("lag_us"))
+  }
+
   /** All queries of this layer, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> qAsofJoin,
     "q1_pricing_summary" -> q1PricingSummary,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -320,6 +344,14 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
          event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q_asof_join" ->
+      """SELECT c.user_id, c.event_id, epoch_us(c.ts) AS click_us,
+           p.event_id AS purch_event_id, epoch_us(p.ts) AS purch_us,
+           p.value AS purch_value,
+           epoch_us(c.ts) - epoch_us(p.ts) AS lag_us
+         FROM (SELECT * FROM events WHERE event_type='click') c
+         ASOF JOIN (SELECT * FROM events WHERE event_type='purchase') p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          g AS (SELECT user_id, us,
