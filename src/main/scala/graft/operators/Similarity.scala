@@ -18,17 +18,14 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity over `array<float>` — a native codegen'd kernel
+   * (graft.functions.CosineSim) reproducing the sequential left-fold
+   * double-precision order of `aggregate(zip_with(...))` and of DuckDB's
+   * `list_cosine_similarity`, so the oracle matches to the last bit while
+   * the hot loop stays inside WholeStageCodegen (the composable HOF form
+   * evaluates interpreted and allocates a zipped array per pair). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
 
   /**
    * Brute-force cosine top-k: every query vector (vec_id < 5) against
@@ -55,26 +52,13 @@ object Similarity {
 
   val NumPlanes = 6
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-   * a hash-derived value in [-1, 1). Seeds are constants so signatures
-   * are reproducible across runs/engines. */
-  private def planeComponent(plane: Int, d: Column): Column =
-    (pmod(xxhash64(concat_ws(":", lit("plane"), lit(plane), d)), lit(2000001L))
-      .cast("double") / 1000000.0) - 1.0
-
-  /** Random-hyperplane LSH bucket signature: bit p = sign(v · h_p).
-   * Row-local; at 100 TB the table is written bucketed by this key so
-   * probes touch one partition per bucket. */
-  def lshBucket(v: Column): Column = {
-    val bits: Seq[Column] = (0 until NumPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Random-hyperplane LSH bucket signature: bit p = sign(v · h_p), with
+   * hash-derived deterministic plane components (reproducible across
+   * runs/engines). Native codegen'd kernel — one pass over the vector for
+   * all planes. Row-local; at 100 TB the table is written bucketed by
+   * this key so probes touch one partition per bucket. */
+  def lshBucket(v: Column): Column =
+    graft.functions.VectorFunctions.hyperplane_bucket(v, NumPlanes)
 
   /**
    * ANN top-k, LSH-bucketed scale path: candidates = vectors sharing the
