@@ -92,8 +92,83 @@ object Multimodal {
         col("width").cast("bigint").as("width"),
         col("height").cast("bigint").as("height"))
 
+  /**
+   * STUB resize — a real deployment swaps the body for an actual
+   * rescale (e.g. Graphics2D / libswscale); the plumbing is final: the
+   * payload is regenerated at the target dimensions inside the same
+   * per-partition decode boundary, deterministically derived from the
+   * source bytes so tests reproduce.
+   */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte]((w * h * 3).toInt)
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (bytes.isEmpty) 0 else bytes(i % bytes.length)
+      i += 1
+    }
+    out
+  }
+
+  /** Resize every media payload to (w, h); output stays a media table so
+   * resize composes with any downstream media op. */
+  def resizeTo(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(r => r.copy(media = resizeStub(r.media, w, h)))
+    }
+  }
+
+  final case class Frame(
+      doc_id: Long,
+      frame_idx: Long,
+      n_bytes: Long,
+      checksum: Long)
+
+  /**
+   * Frame sampling: the payload viewed as consecutive fixed-size frames
+   * (a stand-in for video GOP structure); emit every `everyN`-th complete
+   * frame as its own row — the one-row→many-rows media shape (flatMap,
+   * no driver involvement, output proportional to sampled frames only).
+   */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, everyN: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val nFrames = r.media.length / frameBytes
+      (0 until nFrames).iterator
+        .filter(_ % everyN == 0)
+        .map { k =>
+          var checksum = 0L
+          var i = k * frameBytes
+          val end = i + frameBytes
+          while (i < end) {
+            checksum = (checksum * 131 + (r.media(i) & 0xff)) & 0xFFFFFFFFL
+            i += 1
+          }
+          Frame(r.doc_id, k.toLong, frameBytes.toLong, checksum)
+        }
+    }
+  }
+
+  val FrameBytes = 64
+  val SampleEvery = 3
+
+  /** Oracle-checkable frame-sampling slice: frame indices and sizes are
+   * octet arithmetic, reproducible in SQL. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir), FrameBytes, SampleEvery).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_bytes"))
+
+  /** Oracle-checkable resize slice: every payload lands at w*h*3 bytes. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(resizeTo(mediaTable(spark, dir), 32, 16)).toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_features" -> mmFeatures)
+    "mm_features" -> mmFeatures,
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_resize" -> mmResize)
 
   val oracleSql: Map[String, String] = Map(
     "mm_features" ->
@@ -102,5 +177,16 @@ object Multimodal {
            'text/plain' AS mime,
            CAST(64 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
            CAST(64 + octet_length(encode(text)) % 48 AS BIGINT) AS height
+         FROM documents""",
+    "mm_frame_sample" ->
+      """SELECT doc_id, frame_idx, CAST(64 AS BIGINT) AS n_bytes FROM (
+           SELECT doc_id,
+             unnest(range(0, octet_length(encode(text)) // 64)) AS frame_idx
+           FROM documents)
+         WHERE frame_idx % 3 = 0""",
+    "mm_resize" ->
+      """SELECT doc_id, CAST(32*16*3 AS BIGINT) AS n_bytes,
+           CAST(64 + (32*16*3) % 64 AS BIGINT) AS width,
+           CAST(64 + (32*16*3) % 48 AS BIGINT) AS height
          FROM documents""")
 }
