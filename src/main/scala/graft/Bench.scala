@@ -20,7 +20,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q_window_top_per_supplier", "q_topk_expensive",
-    "q_events_hourly", "q_events_sessions",
+    "q_events_hourly", "q_events_sessions", "q_asof_join", "q_range_join",
     "recon_classify", "recon_repair_plan",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "sim_ann_lsh", "text_quality", "text_fingerprint_rolling")

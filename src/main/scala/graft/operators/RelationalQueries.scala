@@ -229,9 +229,28 @@ object RelationalQueries {
         (col("us") - col("r_p_us")).as("lag_us"))
   }
 
+  /** Range join (see RangeJoin): every click inside the 6-hour window
+   * after an error by the same user, via bucketed equi-join — the plan
+   * Spark's own inequality join can't produce (it would nested-loop). */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), tsMicros.as("us"))
+    val windows = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_event_id"),
+        col("us").as("win_start"), (col("us") + 21600000000L).as("win_end"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event_id"), col("us"))
+    RangeJoin.pointsInIntervals(clicks, windows,
+      keys = Seq("user_id"), pointTs = "us",
+      startCol = "win_start", endCol = "win_end", bucketWidth = 21600000000L)
+      .select(col("user_id"), col("err_event_id"), col("click_event_id"),
+        (col("us") - col("win_start")).as("delta_us"))
+  }
+
   /** All queries of this layer, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
     "q1_pricing_summary" -> q1PricingSummary,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -352,6 +371,15 @@ object RelationalQueries {
          FROM (SELECT * FROM events WHERE event_type='click') c
          ASOF JOIN (SELECT * FROM events WHERE event_type='purchase') p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q_range_join" ->
+      """SELECT e.user_id, e.event_id AS err_event_id,
+           c.event_id AS click_event_id,
+           epoch_us(c.ts) - epoch_us(e.ts) AS delta_us
+         FROM events e JOIN events c
+           ON e.user_id = c.user_id
+          AND e.event_type = 'error' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(e.ts)
+          AND epoch_us(c.ts) <= epoch_us(e.ts) + 21600000000""",
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          g AS (SELECT user_id, us,
