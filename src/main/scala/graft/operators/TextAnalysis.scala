@@ -83,12 +83,22 @@ object TextAnalysis {
     docs(spark, dir).select(col("doc_id"), md5(col("text")).as("fp_md5"))
 
   /** Document fingerprints, native-expression half: Karp–Rabin rolling
-   * hash + 64-bit SimHash signature (both custom codegen'd Catalyst
-   * Expressions — see graft.functions). Deterministic, rows-only check. */
+   * hash (custom codegen'd Expression — graft.functions.RollingHash).
+   * Oracle-checked: DuckDB reproduces the byte fold with list_reduce
+   * (the corpus is ASCII, so unicode(char) == byte). */
   def textFingerprintRolling(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      rolling_hash(col("text")).as("fp_rolling"),
+      rolling_hash(col("text")).as("fp_rolling"))
+
+  /** 64-bit SimHash signature (custom Expression, graft.functions
+   * .SimHash64). The 2⁶⁴-wrapping FNV/avalanche arithmetic is not
+   * expressible in DuckDB BIGINTs → deterministic rows-only check;
+   * the signature's semantics are covered by dedup_simhash's banding
+   * and the TextExpressionsSpec unit vectors. */
+  def textFingerprintSimhash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
       simhash64(toks).as("fp_simhash"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -96,7 +106,8 @@ object TextAnalysis {
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
     "text_fingerprint_md5" -> textFingerprintMd5,
-    "text_fingerprint_rolling" -> textFingerprintRolling)
+    "text_fingerprint_rolling" -> textFingerprintRolling,
+    "text_fingerprint_simhash" -> textFingerprintSimhash)
 
   private val TokSql = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
 
@@ -150,5 +161,12 @@ object TextAnalysis {
               ELSE 'und' END AS predicted_lang
           FROM s""",
     "text_fingerprint_md5" ->
-      "SELECT doc_id, md5(text) AS fp_md5 FROM documents")
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "text_fingerprint_rolling" ->
+      """SELECT doc_id, list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(text)+1),
+               i -> CAST(unicode(text[i]) AS BIGINT))),
+           (h, b) -> (h * 257 + b) % 2147483647) AS fp_rolling
+         FROM documents""")
 }
