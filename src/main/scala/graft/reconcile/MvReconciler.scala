@@ -70,11 +70,21 @@ object MvReconciler {
       // Reference shouldSkip receives commonNonPrimaryKeyColumns only
       // (MvSync.java:327-346, 452-479) — min/max writetime is computed over
       // the COMMON regular columns, not each side's full schema, so scoping
-      // agrees even when base/MV schemas differ.
+      // agrees even when base/MV schemas differ. A cell participates only
+      // when its VALUE is non-null (MvSync.java:459), and a non-null cell
+      // with no writetime is an error when scoping is active
+      // (MvSync.java:468-473).
       val wtCols = common
         .filterNot(schema.isCollection)
         .filter(c => df.columns.contains(schema.writetimeCol(c)))
-        .map(c => col(schema.writetimeCol(c)))
+        .map { c =>
+          val wt =
+            if (!settings.timeScoped) col(schema.writetimeCol(c))
+            else coalesce(col(schema.writetimeCol(c)),
+              raise_error(lit(s"Modification time is not present for $c"))
+                .cast("long"))
+          when(col(c).isNotNull, wt)
+        }
       val minWt = if (wtCols.isEmpty) lit(null: java.lang.Long) else least(wtCols: _*)
       val maxWt = if (wtCols.isEmpty) lit(null: java.lang.Long) else greatest(wtCols: _*)
       val withMeta = df.dropDuplicates(pk)

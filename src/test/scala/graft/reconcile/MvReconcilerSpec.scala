@@ -110,6 +110,34 @@ class MvReconcilerSpec extends SparkSpec {
     assert(r.getAs[String]("mismatch_mv") == null)
   }
 
+  test("time-scope: null-valued cells don't contribute writetimes; " +
+      "missing writetime on a non-null cell raises") {
+    import org.apache.spark.sql.Row
+    val s = baseSchema
+    val scoped = Settings(startTsEpochSec = Wt1 / 1000000L - 10)
+    // c2 value null but carrying an ancient writetime: must NOT skip the
+    // row (reference gates on row.getObject != null, MvSync.java:459)
+    val nullCellOldWt = Fixtures.df(spark, s,
+      Row.fromSeq(Seq("Driver1", "SF", 2020) ++ Seq(
+        10, Wt1, null, null, 1L, null, 30, Wt1, null, 40, Wt1, null)))
+    val out = MvReconciler.reconcile(nullCellOldWt, nullCellOldWt, s, s, scoped)
+    assert(out.filter(col("problem") === "NOT_IN_SCOPE").count() == 0)
+    // c2 value present but writetime null → error (MvSync.java:468-473),
+    // but only when scoping is active
+    val missingWt = Fixtures.df(spark, s,
+      Row.fromSeq(Seq("Driver1", "SF", 2020) ++ Seq(
+        10, Wt1, null, 20, null, null, 30, Wt1, null, 40, Wt1, null)))
+    // (bare count() would let Catalyst prune min_wt away — force problem)
+    val ex = intercept[Exception] {
+      MvReconciler.reconcile(missingWt, missingWt, s, s, scoped)
+        .select("problem").collect()
+    }
+    assert(ex.getMessage != null)
+    // no scope bounds → no error (our engine skips the computation)
+    assert(MvReconciler.reconcile(missingWt, missingWt, s, s, Settings())
+      .select("problem").collect().length == 1)
+  }
+
   test("duplicate keys: first-element-per-key cogroup parity") {
     val base = baseBoth(spark).union(baseBoth(spark)) // every key twice
     val out = reconcile(base, mvBoth(spark))
