@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -70,12 +70,47 @@ object EventPipeline {
     sessions.groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
 
+  /** Per-key first-seen record for streaming dedup state. */
+  final case class SeenState(firstEventId: Long, nSeen: Long)
+  final case class DedupOut(dedup_key: Long, event_id: Long, n_dupes: Long)
+
+  /**
+   * Streaming exact dedup with CUSTOM state — `mapGroupsWithState`
+   * (KeyValueGroupedDataset): the first event per key passes through;
+   * later arrivals only bump a duplicate counter in state. The batch
+   * analogue is `groupBy(key).agg(min, count)` (dedup_exact); streaming
+   * needs explicit state because arrival order ≠ key order. State is one
+   * tiny record per distinct key; an unbounded production stream bounds
+   * it with `GroupStateTimeout.ProcessingTimeTimeout` +
+   * `state.setTimeoutDuration` (the 100 TB/day concern) — the replay
+   * harness runs NoTimeout because timeout evaluation keeps triggering
+   * empty micro-batches, which never quiesces a finite source.
+   */
+  def streamingDedup(events: DataFrame): Dataset[DedupOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .selectExpr("user_id AS dedup_key", "event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[SeenState]) =>
+          val ids = rows.map(_._2).toSeq.sorted
+          val prev = state.getOption
+          val first = prev.map(_.firstEventId).getOrElse(ids.head)
+          val n = prev.map(_.nSeen).getOrElse(0L) + ids.size
+          state.update(SeenState(first, n))
+          DedupOut(key, first, n - 1)
+      }
+  }
+
   /** Drive a streaming aggregation to completion against the (static)
    * file source and return the final result from a memory sink. */
-  def runToMemory(agg: DataFrame, name: String): DataFrame = {
+  def runToMemory(agg: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .start()

@@ -29,4 +29,15 @@ class EventPipelineSpec extends SparkSpec {
         col("n_events"))
     assert(perUser.except(batch).isEmpty && batch.except(perUser).isEmpty)
   }
+
+  test("streaming dedup (mapGroupsWithState) equals the batch groupBy form") {
+    val streamed = EventPipeline.runToMemory(
+      EventPipeline.streamingDedup(EventPipeline.eventsStream(spark, dir)).toDF(),
+      "dedup_out", outputMode = "update")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id").as("dedup_key"))
+      .agg(min("event_id").as("event_id"),
+        (count(lit(1)) - 1).as("n_dupes"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
