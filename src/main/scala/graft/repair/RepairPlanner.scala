@@ -53,87 +53,90 @@ object RepairPlanner {
     val pkCols = pk.map(col)
     val problem = col(MvReconciler.ProblemCol)
 
-    val deletes: Option[DataFrame] =
-      if (!settings.fixOrphanMv) None
-      else Some(
-        classified
-          .filter(problem === MvReconciler.MissingInBase)
-          .select(pkCols ++ Seq(
-            lit("DELETE").as("op"),
-            lit(null: String).as("column"),
-            lit(null: String).as("value"),
-            lit(null: java.lang.Long).as("writetime"),
-            lit(null: java.lang.Integer).as("ttl"),
-            lit(null: String).as("flavor")): _*))
-
     val upsertProblems: Seq[String] =
       (if (settings.fixMissingMv) Seq(MvReconciler.MissingInMv) else Nil) ++
         (if (settings.fixInconsistentMv) Seq(MvReconciler.Inconsistent) else Nil)
 
-    val upserts: Option[DataFrame] =
-      if (upsertProblems.isEmpty) None
-      else {
-        // One struct per MV non-PK column; explode AFTER the problem
-        // filter. Values come from the base row.
-        val perCol: Seq[Column] = mvSchema.sortedRegular.map { c =>
-          val cql = mvSchema.cqlType(c)
-          // An MV regular column absent from the base schema reads null
-          // from the base row in the reference upsert (DBOperations.java
-          // bindHelper on a missing cell) — substitute a typed null rather
-          // than referencing a column the classified frame doesn't have.
-          val baseVal: Column =
-            if (classified.columns.contains(s"base_$c")) col(s"base_$c")
-            else lit(null).cast(classified.schema(s"mv_$c").dataType)
-          val mvVal = col(s"mv_$c")
-          val wtName = s"base_${mvSchema.writetimeCol(c)}"
-          val ttlName = s"base_${mvSchema.ttlCol(c)}"
-          val hasWtCol = classified.columns.contains(wtName)
-          val hasTtlCol = classified.columns.contains(ttlName)
-          val wt: Column =
-            if (settings.useLatestTs || !hasWtCol) lit(null: java.lang.Long)
-            else col(wtName)
-          val ttl: Column =
-            if (!hasTtlCol) lit(null: java.lang.Integer) else col(ttlName)
-          // shouldSkipField: both rows present and values deep-equal
-          // (DBOperations.java:230-238). Canonicalize sets/maps first.
-          val skip = col("mv_present").isNotNull &&
-            (MvReconciler.canonical(baseVal, cql) <=> MvReconciler.canonical(mvVal, cql))
-          val flavor =
-            when(wt.isNotNull && ttl.isNotNull, TimestampTtl)
-              .when(wt.isNotNull, Timestamp)
-              .when(ttl.isNotNull, Ttl)
-              .otherwise(NoTimestampTtl)
-          struct(
-            lit(c).as("column"),
-            MvReconciler.renderValue(baseVal, cql).as("value"),
-            wt.as("writetime"),
-            ttl.as("ttl"),
-            flavor.as("flavor"),
-            skip.as("skip"))
-        }
-        Some(
-          classified
-            .filter(problem.isin(upsertProblems: _*))
-            .select(pkCols :+ explode(array(perCol: _*)).as("m"): _*)
-            .filter(!col("m.skip"))
-            .select(pkCols ++ Seq(
-              lit("UPSERT").as("op"),
-              col("m.column").as("column"),
-              col("m.value").as("value"),
-              col("m.writetime").as("writetime"),
-              col("m.ttl").as("ttl"),
-              col("m.flavor").as("flavor")): _*))
-      }
-
-    (deletes, upserts) match {
-      case (Some(d), Some(u)) => d.unionByName(u)
-      case (Some(d), None) => d
-      case (None, Some(u)) => u
-      case (None, None) =>
-        classified.filter(lit(false)).select(pkCols ++ Seq(
-          lit("").as("op"), lit("").as("column"), lit("").as("value"),
-          lit(0L).as("writetime"), lit(0).as("ttl"), lit("").as("flavor")): _*)
+    // One struct per MV non-PK column; values come from the base row.
+    val perCol: Seq[Column] = mvSchema.sortedRegular.map { c =>
+      val cql = mvSchema.cqlType(c)
+      // An MV regular column absent from the base schema reads null
+      // from the base row in the reference upsert (DBOperations.java
+      // bindHelper on a missing cell) — substitute a typed null rather
+      // than referencing a column the classified frame doesn't have.
+      val baseVal: Column =
+        if (classified.columns.contains(s"base_$c")) col(s"base_$c")
+        else lit(null).cast(classified.schema(s"mv_$c").dataType)
+      val mvVal = col(s"mv_$c")
+      val wtName = s"base_${mvSchema.writetimeCol(c)}"
+      val ttlName = s"base_${mvSchema.ttlCol(c)}"
+      val hasWtCol = classified.columns.contains(wtName)
+      val hasTtlCol = classified.columns.contains(ttlName)
+      val wt: Column =
+        if (settings.useLatestTs || !hasWtCol) lit(null: java.lang.Long)
+        else col(wtName)
+      val ttl: Column =
+        if (!hasTtlCol) lit(null: java.lang.Integer) else col(ttlName)
+      // shouldSkipField: both rows present and values deep-equal
+      // (DBOperations.java:230-238). Canonicalize sets/maps first.
+      val skip = col("mv_present").isNotNull &&
+        (MvReconciler.canonical(baseVal, cql) <=> MvReconciler.canonical(mvVal, cql))
+      val flavor =
+        when(wt.isNotNull && ttl.isNotNull, TimestampTtl)
+          .when(wt.isNotNull, Timestamp)
+          .when(ttl.isNotNull, Ttl)
+          .otherwise(NoTimestampTtl)
+      struct(
+        lit("UPSERT").as("op"),
+        lit(c).as("column"),
+        MvReconciler.renderValue(baseVal, cql).as("value"),
+        wt.as("writetime"),
+        ttl.as("ttl"),
+        flavor.as("flavor"),
+        skip.as("skip"))
     }
+
+    val deleteStruct = struct(
+      lit("DELETE").as("op"),
+      lit(null: String).as("column"),
+      lit(null: String).as("value"),
+      lit(null: java.lang.Long).as("writetime"),
+      lit(null: java.lang.Integer).as("ttl"),
+      lit(null: String).as("flavor"),
+      lit(false).as("skip"))
+
+    // ONE pass over the classified frame: each row conditionally expands
+    // to its mutations (a delete, the non-skipped upsert columns, or
+    // nothing). The per-problem filter+union formulation would recompute
+    // the upstream reconcile join once per branch — at 100 TB that's two
+    // extra scans+shuffles for zero information.
+    val mutStructType = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(
+        StructField("op", StringType), StructField("column", StringType),
+        StructField("value", StringType), StructField("writetime", LongType),
+        StructField("ttl", IntegerType), StructField("flavor", StringType),
+        StructField("skip", BooleanType)))
+    }
+    val emptyMuts = array()
+      .cast(org.apache.spark.sql.types.ArrayType(mutStructType))
+    var mutations: Column = emptyMuts
+    if (upsertProblems.nonEmpty)
+      mutations = when(problem.isin(upsertProblems: _*),
+        filter(array(perCol: _*), m => !m.getField("skip"))).otherwise(mutations)
+    if (settings.fixOrphanMv)
+      mutations = when(problem === MvReconciler.MissingInBase,
+        array(deleteStruct)).otherwise(mutations)
+
+    classified
+      .select(pkCols :+ explode(mutations).as("m"): _*)
+      .select(pkCols ++ Seq(
+        col("m.op").as("op"),
+        col("m.column").as("column"),
+        col("m.value").as("value"),
+        col("m.writetime").as("writetime"),
+        col("m.ttl").as("ttl"),
+        col("m.flavor").as("flavor")): _*)
   }
 
   /**
