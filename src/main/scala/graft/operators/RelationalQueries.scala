@@ -247,10 +247,46 @@ object RelationalQueries {
         (col("us") - col("win_start")).as("delta_us"))
   }
 
+  /** Correlated scalar subquery shape: orders worth more than twice
+   * their customer's average. Decorrelated the way Catalyst would —
+   * aggregate-then-join — and the predicate cross-multiplied into exact
+   * decimal arithmetic (price·n > 2·total) so no float-boundary row can
+   * flip between engines. */
+  def qAboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val perCust = o.groupBy("o_custkey").agg(
+      sum(col("o_totalprice").cast("decimal(18,4)")).as("total"),
+      count(lit(1)).as("n"))
+    o.join(perCust, "o_custkey")
+      .filter(col("o_totalprice").cast("decimal(18,4)") * col("n") >
+        col("total") * 2)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  /** CUBE grouping-set aggregation (all four grouping combinations). */
+  def qCubeSegmentNation(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .cube("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal").cast("decimal(18,4)")), 2).cast("double").as("total_bal"))
+
+  /** Exact interpolated percentiles per group (ORDER-BY-ALL determinism;
+   * both engines interpolate over the same sorted doubles). */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+
   /** All queries of this layer, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
+    "q_above_customer_avg" -> qAboveCustomerAvg,
+    "q_cube_segment_nation" -> qCubeSegmentNation,
+    "q_percentiles" -> qPercentiles,
     "q1_pricing_summary" -> q1PricingSummary,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -371,6 +407,24 @@ object RelationalQueries {
          FROM (SELECT * FROM events WHERE event_type='click') c
          ASOF JOIN (SELECT * FROM events WHERE event_type='purchase') p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q_above_customer_avg" ->
+      """WITH pc AS (
+           SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total,
+                  count(*) AS n
+           FROM orders GROUP BY o_custkey)
+         SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+         FROM orders o JOIN pc ON o.o_custkey = pc.o_custkey
+         WHERE CAST(o.o_totalprice AS DECIMAL(18,4)) * n > total * 2""",
+    "q_cube_segment_nation" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+         CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+         FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+         FROM lineitem GROUP BY l_returnflag""",
     "q_range_join" ->
       """SELECT e.user_id, e.event_id AS err_event_id,
            c.event_id AS click_event_id,
