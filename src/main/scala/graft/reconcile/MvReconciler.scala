@@ -182,7 +182,10 @@ object MvReconciler {
    * infos without the ":value" suffix (RecordColumnInfo.java:37-46). */
   def renderValueOrNull(c: Column, cqlType: String): Column = {
     val t = cqlType.toUpperCase
-    if (t.startsWith("TIMESTAMP")) (unix_micros(c) / 1000L).cast("string")
+    // integer epoch-millis (Date.getTime parity) — a bare `/` would
+    // produce a double and render "1.70E12"-style scientific notation
+    if (t.startsWith("TIMESTAMP"))
+      floor(unix_micros(c) / 1000L).cast("long").cast("string")
     else if (t.startsWith("BLOB")) c.cast("string") // BinaryType → UTF-8
     else if (t.startsWith("MAP")) to_json(c)
     else if (t.startsWith("LIST") || t.startsWith("SET")) to_json(c)
