@@ -51,6 +51,41 @@ final case class TableSchema(
 }
 
 object TableSchema {
+
+  /**
+   * Schema discovery for an arbitrary wide table (operator R,
+   * MvSync.java:171-214 — there against cluster metadata, here against
+   * the DataFrame's own StructType): non-PK data columns are the fields
+   * that aren't `writetime_`/`ttl_` siblings; CQL type names derive from
+   * the reverse of the §1.2 Spark-type mapping.
+   */
+  def fromDataFrame(df: org.apache.spark.sql.DataFrame, pk: Seq[String]): TableSchema = {
+    import org.apache.spark.sql.types._
+    def cqlOf(dt: DataType): String = dt match {
+      case StringType => "TEXT"
+      case LongType => "BIGINT"
+      case IntegerType => "INT"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case BooleanType => "BOOLEAN"
+      case BinaryType => "BLOB"
+      case DateType => "DATE"
+      case _: TimestampType => "TIMESTAMP"
+      case d: DecimalType if d.scale == 0 => "VARINT"
+      case _: DecimalType => "DECIMAL"
+      case ArrayType(e, _) => s"LIST<${cqlOf(e)}>"
+      case MapType(k, v, _) => s"MAP<${cqlOf(k)},${cqlOf(v)}>"
+      case other => other.simpleString.toUpperCase
+    }
+    val dataFields = df.schema.fields.filterNot(f =>
+      f.name.startsWith("writetime_") || f.name.startsWith("ttl_"))
+    val missing = pk.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"PK columns absent from the table: $missing")
+    TableSchema(pk, dataFields.map(f => f.name -> cqlOf(f.dataType)).toMap)
+  }
+
   /** Columns compared during reconciliation: regular columns present in
    * BOTH schemas with an equal type (reference MvSync.java:274-285). In
    * TreeMap (sorted) order for first-mismatch parity. */

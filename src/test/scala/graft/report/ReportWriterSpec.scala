@@ -42,6 +42,27 @@ class ReportWriterSpec extends SparkSpec {
     assert(content.contains("MainTableEntry: CassandraRow{"))
   }
 
+  test("one-sided-null mismatch renders bare col:TYPE (no :null suffix)") {
+    import org.apache.spark.sql.Row
+    val outDir = Files.createTempDirectory("graft-report3").toString
+    val settings = Settings(outputDir = outDir)
+    // base c4=44 vs mv c4=null → RecordColumnInfo.toString omits the value
+    // part for the null side (RecordColumnInfo.java:37-46)
+    val mvNullC4 = Fixtures.df(spark, mvSchema,
+      mvRow(mvSchema, Map("pk" -> "Driver1", "ck1" -> "SF", "ck2" -> 2020),
+        10, Seq(20, 30, 40), Wt1),
+      Row.fromSeq(Seq(11, "Driver2", "NY", 2021) ++
+        Seq(22, Wt2, null, 33, Wt2, null, null, null, null)))
+    val classified = MvReconciler.reconcile(
+      baseBoth(spark), mvNullC4, baseSchema, mvSchema, settings)
+    ReportWriter.write(classified, baseSchema, mvSchema, settings)
+    val content = Files.list(Paths.get(s"$outDir/INCONSISTENT")).iterator().asScala
+      .toSeq.map(f => Files.readString(f)).mkString
+    assert(content.contains("BaseColumn: c4:INT:44\n"))
+    assert(content.contains("MvColumn: c4:INT\n"))
+    assert(!content.contains("c4:INT:null"))
+  }
+
   test("missing-in-mv report renders MVTableEntry: null") {
     val outDir = Files.createTempDirectory("graft-report2").toString
     val settings = Settings(outputDir = outDir)
