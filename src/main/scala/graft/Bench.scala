@@ -21,7 +21,7 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q_window_top_per_supplier", "q_topk_expensive",
     "q_events_hourly", "q_events_sessions", "q_asof_join", "q_range_join",
-    "recon_classify", "recon_repair_plan",
+    "recon_classify", "recon_repair_plan", "recon_post_repair",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "sim_ann_lsh", "text_quality", "text_fingerprint_rolling")
 
@@ -42,15 +42,20 @@ object Bench {
     // throughput — the timed pass below measures steady state (the
     // standard JMH-style methodology; first-query cost was ~5s of the
     // old 64s total, all warmup).
+    // noop sink, not count(): count() lets Catalyst prune the final
+    // projection, so expression-heavy queries would be measured as bare
+    // scans; noop materializes every output column.
+    def execute(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     headline.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try execute(SparkEntry.queries(name)(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench-warmup] $name: $e") }
     }
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      try execute(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
