@@ -136,6 +136,47 @@ object Dedup {
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
   }
 
+  // ------------------------------------------------------- clustering
+
+  /**
+   * Connected components by iterative min-label propagation:
+   * label(v) ← min(label(v), min label of neighbors), repeated to
+   * fixpoint (≤ graph diameter rounds, checked by a changed-count
+   * action; near-dup clusters are shallow so this converges in a few).
+   * Each round is one distributed join+groupBy — the standard
+   * MapReduce-CC shape; lineage truncated per round via localCheckpoint
+   * so plans don't nest across iterations.
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val a = col("a"); val b = col("b")
+    val sym = edges.toDF("a", "b")
+      .union(edges.toDF("b", "a").select(col("a"), col("b")))
+      .distinct().localCheckpoint(eager = false)
+    var labels = sym.select(a.as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(a.as("nid")).agg(min("label").as("nlabel"))
+      val merged = labels.join(prop, labels("id") === prop("nid"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .localCheckpoint(eager = false)
+      changed = merged.filter(col("next") < col("label")).count()
+      labels = merged.select(col("id"), col("next").as("label"))
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters over the exact-Jaccard pair graph (oracle: a
+   * recursive-CTE transitive closure in DuckDB). The scale path feeds
+   * [[dedupMinhashLsh]] pairs instead — same component step. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      dedupJaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
+
   // ------------------------------------------------------------- simhash
 
   /** SimHash near-dup candidates: 64-bit signature (native Expression),
@@ -183,6 +224,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_exact_keep_first" -> dedupExactKeepFirst,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
+    "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding)
@@ -217,6 +259,26 @@ object Dedup {
           WHERE a.doc_id < b.doc_id
             AND len(list_intersect(a.sh, b.sh)) * 2 >=
                 len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS toks
+          FROM documents),
+          s AS (SELECT doc_id, $ShSql AS sh FROM t),
+          f AS (SELECT * FROM s WHERE len(sh) > 0),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM f a, f b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.sh, b.sh)) * 2 >=
+                  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          FROM reach GROUP BY a""",
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(
