@@ -51,6 +51,24 @@ object StatsCollector {
     classified.groupBy(ProblemCol).count()
 
   /**
+   * Zero-extra-job counters via `Dataset.observe` (operator U — the
+   * reference's Codahale metrics registry, MvSyncJobMetrics.java:6-24):
+   * piggybacks category counts onto whatever action the caller already
+   * runs, instead of a second aggregation pass over the classified frame.
+   * Read `observation.get` after the action completes.
+   */
+  def observed(classified: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("graft_mvsync")
+    def cnt(problem: String) =
+      count_if(col(ProblemCol) === problem).as(problem)
+    val df = classified.observe(obs,
+      count(lit(1)).as("totRecords"),
+      cnt(Consistent), cnt(Inconsistent), cnt(MissingInBase),
+      cnt(MissingInMv), cnt(NotInScope))
+    (df, obs)
+  }
+
+  /**
    * Collect the reference stats. Repair counters reflect the repair flags
    * the same way the gating logic does (MvSync.java:380-414): with all
    * fix flags off every problem row is "notRepair"/"notDel".
