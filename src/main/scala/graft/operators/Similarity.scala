@@ -91,9 +91,88 @@ object Similarity {
         col("rank").cast("bigint").as("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  val NumCentroids = 16
+  val NumProbes = 3
+  val LloydIters = 3
+
+  private def asFloatArray(c: Column): Column =
+    transform(c, x => x.cast("float"))
+
+  /** Deterministic tie-break argmax: highest sim, then lowest cid. */
+  private def bestCid: Column =
+    max_by(col("cid"), struct(col("sim"), -col("cid")))
+
+  /**
+   * Coarse quantizer fit — Lloyd's k-means entirely as DataFrame ops:
+   * seed centroids = the C lowest-id vectors (deterministic), then
+   * `iters` rounds of (broadcast-join assign → per-dimension average).
+   * Each round: one broadcast join + two aggregations; nothing
+   * driver-side but the (C × dim) centroid table itself.
+   */
+  def fitCentroids(e: DataFrame, c: Int = NumCentroids,
+      iters: Int = LloydIters): DataFrame = {
+    var centroids = e.orderBy("vec_id").limit(c)
+      .select(row_number().over(Window.orderBy("vec_id")).as("cid"),
+        col("embedding").as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = e.join(broadcast(centroids))
+        .withColumn("sim", cosine(col("embedding"), col("cvec")))
+        .groupBy("vec_id", "embedding").agg(bestCid.as("cid"))
+      centroids = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid").agg(
+          asFloatArray(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m"))).as("cvec"))
+        .localCheckpoint(eager = false)
+    }
+    centroids
+  }
+
+  /** Vector → inverted-list id (the IVF index build: one broadcast-join
+   * pass; at 100 TB the table is written partitioned by cid). */
+  def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.join(broadcast(centroids))
+      .withColumn("sim", cosine(col("embedding"), col("cvec")))
+      .groupBy("vec_id", "embedding").agg(bestCid.as("cid"))
+
+  /**
+   * IVF ANN top-k: probe the nprobe highest-similarity centroid lists
+   * per query, exact cosine rerank inside them. Cost O(Q·C + Q·N·
+   * nprobe/C) vs brute force O(Q·N); recall governed by nprobe/C.
+   */
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val centroids = fitCentroids(e)
+    val lists = ivfAssign(e, centroids)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cid"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .join(broadcast(centroids))
+      .withColumn("sim", cosine(col("q"), col("cvec")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NumProbes)
+      .select("query_id", "q", "cid")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    lists.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"), col("cid"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q"), col("v")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), round(col("cos"), 6).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforce,
-    "sim_ann_lsh" -> simAnnLsh)
+    "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_ivf" -> simAnnIvf)
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" ->

@@ -79,6 +79,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits >= 27, s"ANN multi-probe recall too low: $hits/30")
   }
 
+  test("IVF ANN retrieves planted near-duplicates at rank 1") {
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 30).map(_ => vec())
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v.toSeq),
+        ((100 + i).toLong, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat).toSeq))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("ivf").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val top1 = Similarity.simAnnIvf(spark, tmp)
+      .filter(col("rank") === 1).orderBy("query_id").collect()
+    // each query's planted twin (cos ≈ 0.999) must be its nearest hit
+    top1.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == 100 + r.getAs[Long]("query_id"),
+        s"query ${r.getAs[Long]("query_id")} missed its twin")
+    }
+    assert(top1.length == 5)
+  }
+
   test("cosine column matches a driver-side computation") {
     val a = Seq(1.0f, 2.0f, 3.0f)
     val b = Seq(-1.0f, 0.5f, 2.0f)
