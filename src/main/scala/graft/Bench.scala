@@ -23,7 +23,7 @@ object Bench {
     "q_events_hourly", "q_events_sessions", "q_asof_join", "q_range_join",
     "recon_classify", "recon_repair_plan", "recon_post_repair",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_ann_lsh", "text_quality", "text_fingerprint_rolling")
+    "sim_ann_lsh", "sim_ann_ivf", "text_quality", "text_fingerprint_rolling")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
