@@ -36,6 +36,41 @@ object MvSyncJob {
     }
   }
 
+  /**
+   * spark-submit-style entry (reference MvSync.main, MvSync.java:43-45):
+   * settings come from `cass.mv.*` session conf (Settings.fromSession);
+   * the offline-mode table locations and MV key come from args or conf —
+   * `args = [basePath, mvPath, mvPk(comma-sep), basePk(comma-sep)]`, or
+   * `cass.mv.{base.path, mv.path, mv.pk, base.pk}`. Schemas are
+   * discovered from the parquet footers (TableSchema.fromDataFrame),
+   * mirroring the reference's cluster-metadata discovery.
+   */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-mvsync")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def conf(k: String): Option[String] =
+      spark.conf.getOption(s"cass.mv.$k").orElse(spark.conf.getOption(s"spark.cass.mv.$k"))
+    def need(i: Int, k: String): String =
+      args.lift(i).orElse(conf(k)).getOrElse(
+        sys.error(s"missing arg ${i + 1} / conf cass.mv.$k"))
+    val basePath = need(0, "base.path")
+    val mvPath = need(1, "mv.path")
+    val mvPk = need(2, "mv.pk").split(",").toSeq
+    val basePk = args.lift(3).orElse(conf("base.pk"))
+      .map(_.split(",").toSeq).getOrElse(mvPk.tail)
+    val settings = Settings.fromSession(spark)
+    val baseSchema = TableSchema.fromDataFrame(spark.read.parquet(basePath), basePk)
+    val mvSchema = TableSchema.fromDataFrame(spark.read.parquet(mvPath), mvPk)
+    val result = run(spark, sources.ParquetSource(basePath),
+      sources.ParquetSource(mvPath), baseSchema, mvSchema, settings)
+    println(result.stats.toString)
+  }
+
   def run(
       spark: SparkSession,
       baseSource: Source,

@@ -20,13 +20,20 @@ object TextAnalysis {
 
   private val toks = tokens(col("text"))
 
-  /** Token counting: whitespace tokens + a BPE-ish subword proxy (4 chars
-   * per token ≈ the usual bytes-per-token heuristic, exact arithmetic so
-   * the oracle matches bit-for-bit). */
+  /** BPE-ish pre-tokenization pattern (dialect-neutral character
+   * classes): letter runs, digit runs, single punctuation — the shape
+   * GPT-2-style tokenizers split on before merges. */
+  val SubwordPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+  /** Token counting: whitespace tokens, a BPE-ish regex pre-token count,
+   * and the 4-chars-per-token heuristic — all exact arithmetic so the
+   * oracle matches bit-for-bit. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
       size(toks).cast("bigint").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(SubwordPattern), lit(0)))
+        .cast("bigint").as("n_subword_tokens"),
       length(col("text")).cast("bigint").as("n_chars"),
       expr("CAST((length(text) + 3) DIV 4 AS BIGINT)").as("est_bpe_tokens"))
 
@@ -115,6 +122,8 @@ object TextAnalysis {
     "text_tokens" ->
       s"""SELECT doc_id,
           CAST(len($TokSql) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS n_subword_tokens,
           CAST(length(text) AS BIGINT) AS n_chars,
           CAST((length(text) + 3) // 4 AS BIGINT) AS est_bpe_tokens
           FROM documents""",

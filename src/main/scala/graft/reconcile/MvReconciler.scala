@@ -85,8 +85,15 @@ object MvReconciler {
                 .cast("long"))
           when(col(c).isNotNull, wt)
         }
-      val minWt = if (wtCols.isEmpty) lit(null: java.lang.Long) else least(wtCols: _*)
-      val maxWt = if (wtCols.isEmpty) lit(null: java.lang.Long) else greatest(wtCols: _*)
+      // least/greatest require ≥2 args — degrade gracefully for 0/1
+      // writetime-carrying columns
+      def fold(f: Seq[Column] => Column): Column = wtCols match {
+        case Seq() => lit(null).cast("long")
+        case Seq(only) => only
+        case many => f(many)
+      }
+      val minWt = fold(cs => least(cs: _*))
+      val maxWt = fold(cs => greatest(cs: _*))
       val withMeta = df.dropDuplicates(pk)
         .withColumn("present", lit(true))
         .withColumn("min_wt", minWt)

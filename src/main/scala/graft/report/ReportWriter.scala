@@ -36,8 +36,14 @@ object ReportFormatter {
   val Separator = "=============================="
 
   /** The full report string as a single generated Column (codegen'd
-   * string concat — no row-at-a-time Scala in the hot path). */
-  def reportColumn(baseSchema: TableSchema, mvSchema: TableSchema): Column = {
+   * string concat — no row-at-a-time Scala in the hot path).
+   *
+   * @param available column names present in the classified frame — a
+   *                  Cassandra scan always carries writetime/ttl
+   *                  siblings, an offline parquet table may carry only
+   *                  some; display fields are limited to what exists */
+  def reportColumn(baseSchema: TableSchema, mvSchema: TableSchema,
+      available: Set[String]): Column = {
     val pk = mvSchema.sortedPk
 
     // RowKey: name:TYPE:value triples; values from whichever side is
@@ -59,8 +65,9 @@ object ReportFormatter {
             .map(c => c -> col(s"${side}_$c")) ++
           schema.timestampedRegular.flatMap { c =>
             Seq(
-              s"writetime($c)" -> col(s"${side}_${schema.writetimeCol(c)}"),
-              s"ttl($c)" -> col(s"${side}_${schema.ttlCol(c)}"))
+              s"writetime($c)" -> s"${side}_${schema.writetimeCol(c)}",
+              s"ttl($c)" -> s"${side}_${schema.ttlCol(c)}")
+              .collect { case (n, cn) if available.contains(cn) => n -> col(cn) }
           }).sortBy(_._1)
       val body = concat_ws(", ", fields.map { case (n, c) =>
         concat(lit(n), lit(": "), MvReconciler.renderValue(c, schema.cqlType(n)))
@@ -120,7 +127,8 @@ object ReportWriter {
     val reported = classified
       .filter(col(ProblemCol).isin(ReportedProblems: _*))
       .select(col(ProblemCol),
-        ReportFormatter.reportColumn(baseSchema, mvSchema).as("report"))
+        ReportFormatter.reportColumn(baseSchema, mvSchema,
+          classified.columns.toSet).as("report"))
 
     reported.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       val pid = TaskContext.getPartitionId()
