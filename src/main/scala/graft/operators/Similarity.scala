@@ -95,7 +95,7 @@ object Similarity {
 
   val NumCentroids = 16
   val NumProbes = 3
-  val LloydIters = 3
+  val LloydIters = 2
 
   private def asFloatArray(c: Column): Column =
     transform(c, x => x.cast("float"))
@@ -146,7 +146,10 @@ object Similarity {
    */
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val centroids = fitCentroids(e)
+    // fit the quantizer on a deterministic ~1/3 sample (standard IVF
+    // practice — centroid quality needs density, not every vector; the
+    // full table is still assigned below)
+    val centroids = fitCentroids(e.filter(col("vec_id") % 3 === 0))
     val lists = ivfAssign(e, centroids)
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("cid"))
