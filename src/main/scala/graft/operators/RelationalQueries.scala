@@ -280,8 +280,21 @@ object RelationalQueries {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
 
+  /** Semi-structured access: JSON property extraction pushed through an
+   * aggregation (get_json_object stays codegen'd — no UDF). */
+  def qJsonProps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        max("k").as("max_k"),
+        count_distinct(col("k")).as("n_distinct_k"))
+
   /** All queries of this layer, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_props" -> qJsonProps,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_above_customer_avg" -> qAboveCustomerAvg,
@@ -399,6 +412,12 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
          event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+           CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_distinct_k
+         FROM events GROUP BY event_type""",
     "q_asof_join" ->
       """SELECT c.user_id, c.event_id, epoch_us(c.ts) AS click_us,
            p.event_id AS purch_event_id, epoch_us(p.ts) AS purch_us,
