@@ -149,10 +149,45 @@ object ReportWriter {
 
     val stats = StatsCollector.collect(classified,
       settings.fixMissingMv, settings.fixOrphanMv, settings.fixInconsistentMv)
+    writeStats(stats, outDir)
+    stats
+  }
+
+  /**
+   * Failed-mutation report files (MVJobOutputStreamer.java:82-96): a
+   * sink that applies mutations reports failures as a DataFrame with
+   * columns `op` ("DELETE"|"UPSERT"), `report` (the MVInconsistentRow
+   * string for the key) and `error`; each lands in
+   * `<outdir>/ERR_DELETING|ERR_UPSERTING/<partitionId>.txt` as
+   * report + error message + separator — the reference's layout.
+   * (The offline LogSink never fails; a Cassandra sink produces this
+   * frame from its per-mutation outcomes.)
+   */
+  def writeMutationErrors(errors: DataFrame, outDir: String): Unit =
+    errors.select(col("op"), col("report"), col("error"))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val pid = TaskContext.getPartitionId()
+        val writers = scala.collection.mutable.Map.empty[String, java.io.PrintWriter]
+        try {
+          it.foreach { row =>
+            val category =
+              if (row.getString(0) == "DELETE") "ERR_DELETING" else "ERR_UPSERTING"
+            val w = writers.getOrElseUpdate(category, {
+              new java.io.File(s"$outDir/$category").mkdirs()
+              new java.io.PrintWriter(
+                new java.io.FileWriter(s"$outDir/$category/$pid.txt", true))
+            })
+            w.println(row.getString(1))
+            w.println(row.getString(2))
+            w.println(ReportFormatter.Separator)
+          }
+        } finally writers.values.foreach(_.close())
+      }
+
+  private def writeStats(stats: JobStats, outDir: String): Unit = {
     val statsFile = new java.io.File(outDir)
     statsFile.mkdirs()
     val pw = new java.io.PrintWriter(s"$outDir/stats.txt")
     try pw.println(stats.toString) finally pw.close()
-    stats
   }
 }
