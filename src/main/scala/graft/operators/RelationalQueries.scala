@@ -247,6 +247,18 @@ object RelationalQueries {
         (col("us") - col("win_start")).as("delta_us"))
   }
 
+  /** Set ops beyond UNION: customers ordering in 1995 INTERSECT 1996,
+   * and 1995 EXCEPT 1996, tagged and unioned into one result. */
+  def qIntersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    def buyers(year: Int) = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("custkey"))
+    buyers(1995).intersect(buyers(1996)).withColumn("tag", lit("both"))
+      .unionByName(
+        buyers(1995).except(buyers(1996)).withColumn("tag", lit("only_1995")))
+  }
+
   /** Correlated scalar subquery shape: orders worth more than twice
    * their customer's average. Decorrelated the way Catalyst would —
    * aggregate-then-join — and the predicate cross-multiplied into exact
@@ -298,6 +310,7 @@ object RelationalQueries {
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_above_customer_avg" -> qAboveCustomerAvg,
+    "q_intersect_except" -> qIntersectExcept,
     "q_cube_segment_nation" -> qCubeSegmentNation,
     "q_percentiles" -> qPercentiles,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -426,6 +439,14 @@ object RelationalQueries {
          FROM (SELECT * FROM events WHERE event_type='click') c
          ASOF JOIN (SELECT * FROM events WHERE event_type='purchase') p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q_intersect_except" ->
+      """WITH b95 AS (SELECT o_custkey AS custkey FROM orders
+           WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'),
+         b96 AS (SELECT o_custkey AS custkey FROM orders
+           WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01')
+         SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM b95 INTERSECT SELECT custkey FROM b96)
+         UNION ALL
+         SELECT custkey, 'only_1995' AS tag FROM (SELECT custkey FROM b95 EXCEPT SELECT custkey FROM b96)""",
     "q_above_customer_avg" ->
       """WITH pc AS (
            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total,
