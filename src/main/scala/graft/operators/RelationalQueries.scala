@@ -247,6 +247,16 @@ object RelationalQueries {
         (col("us") - col("win_start")).as("delta_us"))
   }
 
+  /** Array aggregation: per-order quantity vector (sorted for engine
+   * parity — collect order is nondeterministic) + scalar array ops. */
+  def qArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(
+        sort_array(collect_list(col("l_quantity"))).as("qtys"),
+        count(lit(1)).as("n_items"),
+        max("l_quantity").as("max_qty"))
+
   /** Set ops beyond UNION: customers ordering in 1995 INTERSECT 1996,
    * and 1995 EXCEPT 1996, tagged and unioned into one result. */
   def qIntersectExcept(spark: SparkSession, dir: String): DataFrame = {
@@ -311,6 +321,7 @@ object RelationalQueries {
     "q_range_join" -> qRangeJoin,
     "q_above_customer_avg" -> qAboveCustomerAvg,
     "q_intersect_except" -> qIntersectExcept,
+    "q_array_agg" -> qArrayAgg,
     "q_cube_segment_nation" -> qCubeSegmentNation,
     "q_percentiles" -> qPercentiles,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -439,6 +450,10 @@ object RelationalQueries {
          FROM (SELECT * FROM events WHERE event_type='click') c
          ASOF JOIN (SELECT * FROM events WHERE event_type='purchase') p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q_array_agg" ->
+      """SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys,
+           count(*) AS n_items, max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY l_orderkey""",
     "q_intersect_except" ->
       """WITH b95 AS (SELECT o_custkey AS custkey FROM orders
            WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'),
