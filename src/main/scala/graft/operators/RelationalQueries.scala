@@ -248,12 +248,15 @@ object RelationalQueries {
   }
 
   /** Array aggregation: per-order quantity vector (sorted for engine
-   * parity — collect order is nondeterministic) + scalar array ops. */
+   * parity — collect order is nondeterministic) + scalar array ops.
+   * The array is rendered to canonical JSON text so the comparison
+   * harness only ever sees scalar columns (list-typed columns are not
+   * hashable on the pandas side). */
   def qArrayAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(
-        sort_array(collect_list(col("l_quantity"))).as("qtys"),
+        to_json(sort_array(collect_list(col("l_quantity")))).as("qtys"),
         count(lit(1)).as("n_items"),
         max("l_quantity").as("max_qty"))
 
@@ -451,7 +454,7 @@ object RelationalQueries {
          ASOF JOIN (SELECT * FROM events WHERE event_type='purchase') p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
     "q_array_agg" ->
-      """SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys,
+      """SELECT l_orderkey, to_json(list_sort(list(l_quantity))) AS qtys,
            count(*) AS n_items, max(l_quantity) AS max_qty
          FROM lineitem GROUP BY l_orderkey""",
     "q_intersect_except" ->
