@@ -286,5 +286,9 @@ object Dedup {
          FROM embeddings a, embeddings b
          WHERE a.vec_id < b.vec_id
            AND list_cosine_similarity(
-             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5""")
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5""",
+    // full value-level oracles for the 64-bit hash pipelines — the
+    // mod-2^64 kernels re-expressed in DuckDB HUGEINT CTEs
+    "dedup_minhash_lsh" -> HashOracleSql.minhashLsh,
+    "dedup_simhash" -> HashOracleSql.simhashPairs)
 }

@@ -1,0 +1,322 @@
+package graft.operators
+
+/**
+ * DuckDB-SQL reformulations of the 64-bit hash kernels
+ * (graft.functions.{ShingleHash, SimHash64, VectorFunctions}) so the
+ * LSH / ANN / simhash queries get full value-level oracle rows instead
+ * of rows-only checks.
+ *
+ * DuckDB BIGINTs overflow-check rather than wrap, so the mod-2⁶⁴
+ * arithmetic runs in HUGEINT (128-bit) with explicit `% 2⁶⁴`
+ * reductions; each 64×64 multiplication splits the constant 32/32 so
+ * no intermediate exceeds 128 bits. Avalanche/mix chains are staged
+ * through projected CTE columns — inlining them would nest each input
+ * subexpression ~72× (exponential SQL blowup); as one-column stages
+ * the SQL size stays linear in chain length.
+ *
+ * Corpus assumptions (validated by the gate itself — any drift turns
+ * the row red, it cannot pass silently): documents are printable
+ * ASCII, so DuckDB `unicode(char)` == the UTF-8 byte the Scala kernels
+ * hash, and RE2 `\s` == the kernels' isSpace class (the corpus has no
+ * vertical tabs or non-ASCII whitespace; checked per round).
+ */
+object HashOracleSql {
+
+  private val M64 = "18446744073709551616::HUGEINT" // 2^64
+  private val Gold = BigInt("9e3779b97f4a7c15", 16) // golden-ratio odd
+  private val C1 = BigInt("ff51afd7ed558ccd", 16) // avalanche const 1
+  private val C2 = BigInt("c4ceb9fe1a85ec53", 16) // avalanche const 2
+  private val FnvSeed = BigInt("cbf29ce484222325", 16)
+  private val FnvPrime = BigInt("100000001b3", 16)
+
+  /** (h * c) mod 2⁶⁴ for HUGEINT h < 2⁶⁴ and 64-bit constant c: split c
+   * into 32-bit halves so every partial product fits HUGEINT. */
+  private def mulmod(h: String, c: BigInt): String = {
+    val hi = c >> 32
+    val lo = c & 0xFFFFFFFFL
+    s"((($h) * ${lo}::HUGEINT + (((($h) % 4294967296) * ${hi}::HUGEINT)" +
+      s" % 4294967296) * 4294967296) % $M64)"
+  }
+
+  /** x XOR (x >>> 33) — the avalanche xorshift (2^33 = 8589934592). */
+  private def xs33(x: String): String =
+    s"xor(($x), ($x) // 8589934592::HUGEINT)"
+
+  /** murmur3-finalizer avalanche inlined as one expression — only safe
+   * when `x` is a cheap column reference (each stage re-evaluates it). */
+  private def avalancheInline(x: String): String =
+    xs33(mulmod(xs33(mulmod(xs33(x), C1)), C2))
+
+  /** FNV-1a over the chars of an ASCII token expression `tok`. */
+  private def fnv(tok: String): String =
+    s"list_reduce(list_prepend(${FnvSeed}::HUGEINT, " +
+      s"list_transform(range(1, length($tok)+1), " +
+      s"i -> CAST(unicode(($tok)[i]) AS HUGEINT))), " +
+      s"(h, b) -> (xor(h, b) * ${FnvPrime}::HUGEINT) % $M64)"
+
+  /** Unsigned HUGEINT in [0, 2⁶⁴) → two's-complement signed BIGINT. */
+  private def toSigned(x: String): String =
+    s"CAST(CASE WHEN ($x) >= 9223372036854775808::HUGEINT " +
+      s"THEN ($x) - $M64 ELSE ($x) END AS BIGINT)"
+
+  /** Signed BIGINT column → unsigned HUGEINT in [0, 2⁶⁴). */
+  private def toUnsigned(x: String): String =
+    s"(CASE WHEN ($x) < 0 THEN ($x) + $M64 ELSE ($x)::HUGEINT END)"
+
+  /** ASCII whitespace tokenizer — TextFunctions.tokens' `\s+` split. */
+  private val Toks =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"""
+
+  /** hash64(t) = avalanche(fnv1a(t)) for a lambda-bound token `t` —
+   * matches ShingleHash.hashRange / SimHash64.hash64. */
+  private val H64 = avalancheInline(fnv("t"))
+
+  /** CTE stages computing out = avalanche(in) via 5 one-column hops.
+   * Returns (cte list sql, last cte name). `keep` = carried columns. */
+  private def stagedAvalanche(prev: String, in: String, out: String,
+      keep: Seq[String], tag: String): (String, String) = {
+    val ks = keep.mkString(", ")
+    val (a, b, c, d, e) =
+      (s"_${tag}a", s"_${tag}b", s"_${tag}c", s"_${tag}d", s"_${tag}e")
+    val sql = Seq(
+      s"$a AS (SELECT $ks, ${xs33(in)} AS ${a}v FROM $prev)",
+      s"$b AS (SELECT $ks, ${mulmod(a + "v", C1)} AS ${b}v FROM $a)",
+      s"$c AS (SELECT $ks, ${xs33(b + "v")} AS ${c}v FROM $b)",
+      s"$d AS (SELECT $ks, ${mulmod(c + "v", C2)} AS ${d}v FROM $c)",
+      s"$e AS (SELECT $ks, ${xs33(d + "v")} AS $out FROM $d)"
+    ).mkString(",\n")
+    (sql, e)
+  }
+
+  /** out = mix(a, b) = avalanche((a*GOLD + b) mod 2⁶⁴), staged. */
+  private def stagedMix(prev: String, aCol: String, bCol: String,
+      out: String, keep: Seq[String], tag: String): (String, String) = {
+    val ks = keep.mkString(", ")
+    val pre = s"_${tag}m AS (SELECT $ks, (${mulmod(aCol, Gold)} + $bCol) " +
+      s"% $M64 AS _${tag}mv FROM $prev)"
+    val (av, last) = stagedAvalanche(s"_${tag}m", s"_${tag}mv", out, keep, tag)
+    (pre + ",\n" + av, last)
+  }
+
+  /** CTE chain: documents → `_sh(doc_id, sh)`, sh = sorted distinct
+   * signed word-3-shingle hashes — ShingleHash.shingleHashes(text, 3). */
+  private def shingleCtes: String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"_hs AS (SELECT doc_id, list_transform($Toks, t -> $H64) " +
+      "AS hs FROM documents)"
+    // one row per 1-based shingle start i; needs >= 3 tokens
+    parts += "_sp AS (SELECT doc_id, unnest(range(1, len(hs) - 1)) AS i, " +
+      "hs FROM _hs WHERE len(hs) >= 3)"
+    parts += "_s0 AS (SELECT doc_id, i, hs[i] AS t1, hs[i+1] AS t2, " +
+      "hs[i+2] AS t3 FROM _sp)"
+    val (m1, l1) = stagedMix("_s0", s"$Gold::HUGEINT", "t1", "m1",
+      Seq("doc_id", "i", "t2", "t3"), "x1")
+    parts += m1
+    val (m2, l2) = stagedMix(l1, "m1", "t2", "m2", Seq("doc_id", "i", "t3"), "x2")
+    parts += m2
+    val (m3, l3) = stagedMix(l2, "m2", "t3", "m3", Seq("doc_id", "i"), "x3")
+    parts += m3
+    parts += s"_sh AS (SELECT doc_id, list_sort(list(DISTINCT ${toSigned("m3")})) " +
+      s"AS sh FROM $l3 GROUP BY doc_id)"
+    parts.result().mkString(",\n")
+  }
+
+  /** CTE chain (after [[shingleCtes]]): `_banded(doc_id, band, bucket)`
+   * — ShingleHash.minhashBands(sh, 4, 4) posexploded. */
+  private def minhashCtes: String = {
+    val parts = Seq.newBuilder[String]
+    parts += "_su AS (SELECT doc_id, " + toUnsigned("s") + " AS su " +
+      "FROM (SELECT doc_id, unnest(sh) AS s FROM _sh))"
+    parts += "_mk AS (SELECT doc_id, su, unnest(range(1, 17)) AS k FROM _su)"
+    parts += s"_m0 AS (SELECT doc_id, k, (su + (k::HUGEINT * $Gold::HUGEINT) " +
+      s"% $M64) % $M64 AS hv FROM _mk)"
+    val (av, lAv) = stagedAvalanche("_m0", "hv", "ph", Seq("doc_id", "k"), "mh")
+    parts += av
+    parts += s"_min AS (SELECT doc_id, k, min(${toSigned("ph")}) AS mn " +
+      s"FROM $lAv GROUP BY doc_id, k)"
+    // minima ordered by k (1..16); band b folds minima[b*4+1 .. b*4+4]
+    parts += "_ml AS (SELECT doc_id, list(mn ORDER BY k) AS ml FROM _min GROUP BY doc_id)"
+    parts += "_bb AS (SELECT doc_id, unnest(range(0, 4)) AS band, ml FROM _ml)"
+    parts += "_b0 AS (SELECT doc_id, band, " +
+      (1 to 4).map(r => toUnsigned(s"ml[band*4+$r]") + s" AS v$r").mkString(", ") +
+      " FROM _bb)"
+    var last = "_b0"
+    var acc = s"$FnvSeed::HUGEINT"
+    for (r <- 1 to 4) {
+      val keep = Seq("doc_id", "band") ++ ((r + 1) to 4).map(x => s"v$x")
+      val (mx, l) = stagedMix(last, acc, s"v$r", s"f$r", keep, s"b$r")
+      parts += mx
+      last = l
+      acc = s"f$r"
+    }
+    parts += s"_banded AS (SELECT doc_id, band, ${toSigned("f4")} AS bucket FROM $last)"
+    parts.result().mkString(",\n")
+  }
+
+  /** CTE chain: `_fp(doc_id, fp)` — SimHash64 over whitespace tokens
+   * (majority vote per bit over token hash64s; empty docs → 0). */
+  private def simhashCtes: String = {
+    val pows = (0 until 64).map(k => s"${BigInt(1) << k}::HUGEINT").mkString(", ")
+    val sig = s"list_sum(list_transform([$pows], p -> CASE WHEN " +
+      "2 * len(list_filter(hs, h -> (h // p) % 2 = 1)) > len(hs) " +
+      "THEN p ELSE 0::HUGEINT END))"
+    s"_t AS (SELECT doc_id, list_transform($Toks, t -> $H64) AS hs FROM documents),\n" +
+      s"_fp AS (SELECT doc_id, ${toSigned(s"coalesce($sig, 0)")} AS fp FROM _t)"
+  }
+
+  /** CTE chain: `_pcs(p, pcs)` — hyperplane component lists,
+   * pcs[i+1] = VectorFunctions planeComponent(p, i), 6 planes × 64 dims. */
+  private def planeCtes: String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"_pd AS (SELECT p, i, ((p+1)::HUGEINT * $Gold::HUGEINT " +
+      s"+ (i+1)::HUGEINT * $C1::HUGEINT) % $M64 AS seed " +
+      "FROM (SELECT unnest(range(0, 6)) AS p), (SELECT unnest(range(0, 64)) AS i))"
+    val (av, last) = stagedAvalanche("_pd", "seed", "ph", Seq("p", "i"), "pl")
+    parts += av
+    // (h >>> 11) / 2^52 * 2 - 1 — top-53-bit uniform in [-1, 1)
+    parts += "_pc AS (SELECT p, i, (CAST(ph // 2048 AS DOUBLE) / " +
+      s"4503599627370496.0) * 2.0 - 1.0 AS pc FROM $last)"
+    parts += "_pcs AS (SELECT p, list(pc ORDER BY i) AS pcs FROM _pc GROUP BY p)"
+    parts.result().mkString(",\n")
+  }
+
+  /** `_bk(vec_id, bucket)` — hyperplane LSH signature per vector: bit
+   * p = sign(v · h_p), sequential-fold projection like the kernel. */
+  private def bucketCtes: String =
+    planeCtes + ",\n" +
+      "_proj AS (SELECT vec_id, p, list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 1 + len(embedding)), " +
+      "i -> CAST(embedding[i] AS DOUBLE) * pcs[i])), (a, b) -> a + b) AS proj " +
+      "FROM embeddings, _pcs),\n" +
+      "_bk AS (SELECT vec_id, CAST(sum(CASE WHEN proj >= 0 THEN 1 << p " +
+      "ELSE 0 END) AS BIGINT) AS bucket FROM _proj GROUP BY vec_id)"
+
+  // ------------------------------------------------------- full queries
+
+  /** Oracle for Dedup.dedupMinhashLsh: banded minhash candidates →
+   * exact-Jaccard rerank over the hashed shingle sets, j >= 0.5. */
+  def minhashLsh: String =
+    s"""WITH
+$shingleCtes,
+$minhashCtes,
+_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM _banded a JOIN _banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+_rr AS (
+  SELECT p.id_a, p.id_b,
+    len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+    len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS n_union
+  FROM _pairs p
+  JOIN _sh sa ON sa.doc_id = p.id_a
+  JOIN _sh sb ON sb.doc_id = p.id_b)
+SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+FROM _rr WHERE n_inter * 2 >= n_union"""
+
+  /** Oracle for Dedup.dedupSimhash: 4×16-bit band blocking over the
+   * simhash signature, Hamming <= 3 pairs. */
+  def simhashPairs: String = {
+    val bandDiv = "CASE band WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT " +
+      "WHEN 2 THEN 4294967296::HUGEINT ELSE 281474976710656::HUGEINT END"
+    s"""WITH
+$simhashCtes,
+_bands AS (SELECT doc_id, fp, ${toUnsigned("fp")} AS fpu,
+  unnest(range(0, 4)) AS band FROM _fp),
+_bb AS (SELECT doc_id, fp, band,
+  CAST((fpu // ($bandDiv)) % 65536 AS BIGINT) AS bucket FROM _bands),
+_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS sa, b.fp AS sb
+  FROM _bb a JOIN _bb b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM _cand WHERE bit_count(xor(sa, sb)) <= 3"""
+  }
+
+  /** Oracle for TextAnalysis.textFingerprintSimhash. */
+  def simhashFingerprint: String =
+    s"""WITH
+$simhashCtes
+SELECT doc_id, fp AS fp_simhash FROM _fp"""
+
+  /** Oracle for Similarity.simAnnLsh: bucket + 1-bit multi-probe
+   * candidates, exact cosine rerank, top 10 per query. */
+  def annLsh: String = {
+    val flips = (0 until 6).map(p => s"xor(b.bucket, ${1L << p})").mkString(", ")
+    s"""WITH
+$bucketCtes,
+_probes AS (
+  SELECT b.vec_id AS query_id,
+    unnest([b.bucket, $flips]) AS bucket
+  FROM _bk b WHERE b.vec_id < 5),
+_cand AS (
+  SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+  FROM _probes p JOIN _bk n USING (bucket)
+  WHERE n.vec_id <> p.query_id),
+_scored AS (
+  SELECT c.query_id, c.neighbor_id,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                           CAST(v.embedding AS DOUBLE[])) AS cos
+  FROM _cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings v ON v.vec_id = c.neighbor_id),
+_ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+  ORDER BY cos DESC, neighbor_id) AS rank FROM _scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+  round(cos, 6) AS cos
+FROM _ranked WHERE rank <= 10"""
+  }
+
+  /** One Lloyd assignment step as a CTE: rows of `src(vec_id, embedding)`
+   * each mapped to the highest-cosine (tie: lowest cid) centroid in
+   * `cent(cid, cvec)` — Similarity.ivfAssign / the fit loop's assign. */
+  private def assignCte(name: String, src: String, cent: String): String =
+    s"""$name AS (SELECT vec_id, embedding, cid FROM (
+  SELECT s.vec_id, s.embedding, c.cid,
+    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+      list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                             CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+  FROM $src s, $cent c) WHERE rn = 1)"""
+
+  /** Centroid update as a CTE: per-dimension mean of assigned vectors,
+   * rounded to float32 like the Spark side's asFloatArray — the cast
+   * absorbs double-summation-order last-bit differences. */
+  private def updateCte(name: String, assigned: String): String =
+    s"""$name AS (SELECT cid, list_transform(list(m ORDER BY i),
+    x -> CAST(x AS REAL)) AS cvec FROM (
+  SELECT cid, i, avg(CAST(embedding[i] AS DOUBLE)) AS m FROM (
+    SELECT cid, embedding, unnest(range(1, 1 + len(embedding))) AS i
+    FROM $assigned) GROUP BY cid, i) GROUP BY cid)"""
+
+  /** Oracle for Similarity.simAnnIvf: the full DataFrame-native IVF —
+   * deterministic seeds (16 lowest-id sample vectors), 2 unrolled Lloyd
+   * rounds on the 1/3 sample, full-table assignment, 3-probe search. */
+  def annIvf: String =
+    s"""WITH
+_samp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+_c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding AS cvec
+  FROM (SELECT * FROM _samp ORDER BY vec_id LIMIT 16)),
+${assignCte("_a1", "_samp", "_c0")},
+${updateCte("_c1", "_a1")},
+${assignCte("_a2", "_samp", "_c1")},
+${updateCte("_c2", "_a2")},
+${assignCte("_lists", "embeddings", "_c2")},
+_probes AS (SELECT query_id, cid FROM (
+  SELECT e.vec_id AS query_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                             CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS pr
+  FROM embeddings e, _c2 c WHERE e.vec_id < 5) WHERE pr <= 3),
+_scored AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                           CAST(l.embedding AS DOUBLE[])) AS cos
+  FROM _probes p
+  JOIN _lists l USING (cid)
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE l.vec_id <> p.query_id),
+_ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+  ORDER BY cos DESC, neighbor_id) AS rank FROM _scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+  round(cos, 6) AS cos
+FROM _ranked WHERE rank <= 10"""
+}

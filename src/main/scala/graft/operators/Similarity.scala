@@ -191,5 +191,9 @@ object Similarity {
            FROM pairs)
          SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
            round(cos, 6) AS cos
-         FROM ranked WHERE rank <= 10""")
+         FROM ranked WHERE rank <= 10""",
+    // full value-level oracles: hyperplane-LSH buckets (HUGEINT hash
+    // CTEs) and the unrolled 2-round Lloyd IVF, both in pure DuckDB SQL
+    "sim_ann_lsh" -> HashOracleSql.annLsh,
+    "sim_ann_ivf" -> HashOracleSql.annIvf)
 }

@@ -99,10 +99,9 @@ object TextAnalysis {
       rolling_hash(col("text")).as("fp_rolling"))
 
   /** 64-bit SimHash signature (custom Expression, graft.functions
-   * .SimHash64). The 2⁶⁴-wrapping FNV/avalanche arithmetic is not
-   * expressible in DuckDB BIGINTs → deterministic rows-only check;
-   * the signature's semantics are covered by dedup_simhash's banding
-   * and the TextExpressionsSpec unit vectors. */
+   * .SimHash64). Oracle-checked: the 2⁶⁴-wrapping FNV/avalanche
+   * arithmetic is reformulated in DuckDB HUGEINT CTEs
+   * ([[HashOracleSql.simhashFingerprint]]). */
   def textFingerprintSimhash(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
@@ -177,5 +176,6 @@ object TextAnalysis {
              list_transform(range(1, length(text)+1),
                i -> CAST(unicode(text[i]) AS BIGINT))),
            (h, b) -> (h * 257 + b) % 2147483647) AS fp_rolling
-         FROM documents""")
+         FROM documents""",
+    "text_fingerprint_simhash" -> HashOracleSql.simhashFingerprint)
 }
