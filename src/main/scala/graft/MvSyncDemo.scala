@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
  * (reference README.md:54-68) — with deterministic damage injected:
  *   - keys where o_orderkey % 89 == 0 are missing from the MV,
  *   - keys where o_orderkey % 97 == 0 are missing from the base (orphans),
- *   - keys where o_orderkey % 13 == 0 have a perturbed o_totalprice.
+ *   - keys where o_orderkey % 13 == 0 have a perturbed o_totalprice,
+ *   - keys where o_orderkey % 7 == 0 carry a non-null per-cell TTL, so
+ *     the repair plan exercises the TTL-bearing upsert flavors
+ *     (reference UpsertFlavors.java:3-8, DBOperations.java:240-387).
  *
  * Usage: sbt "runMain graft.MvSyncDemo [sfDir] [outDir]"
  */
@@ -48,9 +51,11 @@ object MvSyncDemo {
 
   private def widen(df: DataFrame, schema: TableSchema): DataFrame = {
     val wt = unix_timestamp(col("o_orderdate")) * 1000000L
+    val ttl = when(col("o_orderkey") % 7 === 0,
+      (lit(86400L) + col("o_orderkey") % 1000L).cast("int"))
     val wide = schema.timestampedRegular.foldLeft(df) { (d, c) =>
       d.withColumn(schema.writetimeCol(c), wt)
-        .withColumn(schema.ttlCol(c), lit(null: java.lang.Integer))
+        .withColumn(schema.ttlCol(c), ttl)
     }
     val cols = (schema.pk ++ schema.sortedRegular).distinct ++
       schema.timestampedRegular.flatMap(c =>

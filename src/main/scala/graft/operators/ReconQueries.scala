@@ -23,7 +23,9 @@ object ReconQueries {
   private val Cte =
     """WITH base AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
-      |         CAST(epoch(o_orderdate) AS BIGINT) * 1000000 AS wt
+      |         CAST(epoch(o_orderdate) AS BIGINT) * 1000000 AS wt,
+      |         CASE WHEN o_orderkey % 7 = 0
+      |              THEN CAST(86400 + o_orderkey % 1000 AS INTEGER) END AS ttl
       |  FROM orders WHERE o_orderkey % 97 <> 0),
       |mv AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -57,7 +59,7 @@ object ReconQueries {
       |                WHEN b_st IS DISTINCT FROM m_st THEN 'o_orderstatus'
       |                WHEN b_tp IS DISTINCT FROM m_tp THEN 'o_totalprice' END
       |         END AS mismatch_col,
-      |         b_pri, m_pri, b_st, m_st, b_tp, m_tp, b_wt
+      |         b_pri, m_pri, b_st, m_st, b_tp, m_tp, b_wt, b_ttl
       |  FROM joined)
       |""".stripMargin
 
