@@ -42,7 +42,7 @@ object ReconQueries {
       |         b.o_orderpriority AS b_pri, m.o_orderpriority AS m_pri,
       |         b.o_orderstatus AS b_st, m.o_st AS m_st,
       |         b.o_totalprice AS b_tp, m.o_totalprice AS m_tp,
-      |         b.wt AS b_wt, m.wt AS m_wt
+      |         b.wt AS b_wt, m.wt AS m_wt, b.ttl AS b_ttl
       |  FROM base b FULL OUTER JOIN (SELECT o_orderkey, o_custkey,
       |         o_orderstatus AS o_st, o_totalprice, o_orderpriority, wt FROM mv) m
       |    ON b.o_orderkey = m.o_orderkey AND b.o_custkey = m.o_custkey),
@@ -96,6 +96,21 @@ object ReconQueries {
       Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true))
       .select("o_custkey", "o_orderkey", "op", "column", "value", "writetime", "ttl", "flavor")
 
+  /** Repair plan under `mutation.uselatestts=true` (operator M, flavor
+   * coverage): the reference suppresses the explicit USING TIMESTAMP but
+   * keeps the TTL (DBOperations.java:250-262), so %7 keys take the TTL
+   * flavor and the rest NO_TIMESTAMP_TTL — together with
+   * [[reconRepairPlan]] all four UpsertFlavors.java:3-8 values are
+   * oracle-verified. */
+  def reconRepairPlanLatestTs(spark: SparkSession, dir: String): DataFrame =
+    RepairPlanner.plan(
+      classified(spark, dir,
+        Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)),
+      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema,
+      Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true,
+        useLatestTs = true))
+      .select("o_custkey", "o_orderkey", "op", "column", "value", "writetime", "ttl", "flavor")
+
   /** Full repair round-trip (operators L/M applied): plan the mutations,
    * apply them to the MV (RepairApplier), reconcile AGAIN — the repaired
    * MV must be keystroke-identical to the base, so the second pass
@@ -118,6 +133,7 @@ object ReconQueries {
     "recon_stats" -> reconStats,
     "recon_timescope" -> reconTimescope,
     "recon_repair_plan" -> reconRepairPlan,
+    "recon_repair_plan_latestts" -> reconRepairPlanLatestTs,
     "recon_post_repair" -> reconPostRepair)
 
   val oracleSql: Map[String, String] = Map(
@@ -137,24 +153,34 @@ object ReconQueries {
     "recon_post_repair" ->
       """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
         |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
-    "recon_repair_plan" ->
-      (Cte +
-        """, upserts AS (
-          |  SELECT o_custkey, o_orderkey, 'UPSERT' AS op, u.col AS "column",
-          |         u.val AS value, b_wt AS writetime,
-          |         CAST(NULL AS INTEGER) AS ttl, 'TIMESTAMP' AS flavor
-          |  FROM classified,
-          |  LATERAL (VALUES ('o_orderpriority', b_pri, m_pri),
-          |                  ('o_orderstatus', b_st, m_st),
-          |                  ('o_totalprice', CAST(b_tp AS VARCHAR), CAST(m_tp AS VARCHAR)))
-          |    AS u(col, val, mval)
-          |  WHERE problem IN ('MISSING_IN_MV_TABLE', 'INCONSISTENT')
-          |    AND (problem = 'MISSING_IN_MV_TABLE' OR u.val IS DISTINCT FROM u.mval)),
-          |deletes AS (
-          |  SELECT o_custkey, o_orderkey, 'DELETE' AS op,
-          |         CAST(NULL AS VARCHAR) AS "column", CAST(NULL AS VARCHAR) AS value,
-          |         CAST(NULL AS BIGINT) AS writetime, CAST(NULL AS INTEGER) AS ttl,
-          |         CAST(NULL AS VARCHAR) AS flavor
-          |  FROM classified WHERE problem = 'MISSING_IN_BASE_TABLE')
-          |SELECT * FROM upserts UNION ALL SELECT * FROM deletes""".stripMargin))
+    "recon_repair_plan" -> planOracle(
+      writetime = "b_wt",
+      flavor = "CASE WHEN b_ttl IS NOT NULL THEN 'TIMESTAMP_TTL' ELSE 'TIMESTAMP' END"),
+    "recon_repair_plan_latestts" -> planOracle(
+      writetime = "CAST(NULL AS BIGINT)",
+      flavor = "CASE WHEN b_ttl IS NOT NULL THEN 'TTL' ELSE 'NO_TIMESTAMP_TTL' END"))
+
+  /** Repair-plan oracle body, parameterized by the flavor policy —
+   * `uselatestts` flips only the timestamp half of the flavor matrix
+   * (reference DBOperations.java:250-262). */
+  private def planOracle(writetime: String, flavor: String): String =
+    Cte +
+      s""", upserts AS (
+         |  SELECT o_custkey, o_orderkey, 'UPSERT' AS op, u.col AS "column",
+         |         u.val AS value, $writetime AS writetime, b_ttl AS ttl,
+         |         $flavor AS flavor
+         |  FROM classified,
+         |  LATERAL (VALUES ('o_orderpriority', b_pri, m_pri),
+         |                  ('o_orderstatus', b_st, m_st),
+         |                  ('o_totalprice', CAST(b_tp AS VARCHAR), CAST(m_tp AS VARCHAR)))
+         |    AS u(col, val, mval)
+         |  WHERE problem IN ('MISSING_IN_MV_TABLE', 'INCONSISTENT')
+         |    AND (problem = 'MISSING_IN_MV_TABLE' OR u.val IS DISTINCT FROM u.mval)),
+         |deletes AS (
+         |  SELECT o_custkey, o_orderkey, 'DELETE' AS op,
+         |         CAST(NULL AS VARCHAR) AS "column", CAST(NULL AS VARCHAR) AS value,
+         |         CAST(NULL AS BIGINT) AS writetime, CAST(NULL AS INTEGER) AS ttl,
+         |         CAST(NULL AS VARCHAR) AS flavor
+         |  FROM classified WHERE problem = 'MISSING_IN_BASE_TABLE')
+         |SELECT * FROM upserts UNION ALL SELECT * FROM deletes""".stripMargin
 }
