@@ -28,18 +28,25 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Reshard a CPU-bound scan across all cores ONLY when it arrives
+   * under-partitioned (locally the testdata is one row group → one
+   * partition). At 100 TB the scan already has thousands of partitions
+   * and an unconditional repartition would full-shuffle the corpus text
+   * for nothing — so guard on the actual partition count. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** (doc_id, sh): distinct word-3-shingle sets. Tokens are materialized
    * as a column BEFORE shingling so the transform lambda slices a bound
    * attribute — inlining the tokenizer into the lambda re-runs the regex
    * split per shingle (measured ~50× slower at sf0.1). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      // Tokenize/shingle is the CPU-bound stage (higher-order functions
-      // evaluate interpreted, ~1ms/doc): spread it across all cores even
-      // when the scan yields few partitions (one small file locally; a
-      // handful of hot row-groups at scale). The reshard moves only
-      // (doc_id, text) — cheap relative to the compute it parallelizes.
-      .repartition(spark.sparkContext.defaultParallelism)
+    // Tokenize/shingle is the CPU-bound stage (higher-order functions
+    // evaluate interpreted, ~1ms/doc): spread it across all cores when
+    // the scan arrives under-partitioned.
+    spread(docs(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -111,10 +118,7 @@ object Dedup {
    * difference between shuffling 3 long columns and shuffling the corpus.
    */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-      // spread the CPU-bound hashing scan across cores even when the
-      // input has few partitions (one small file locally)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val d = spread(docs(spark, dir)) // CPU-bound hashing scan
       .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = d.select(col("doc_id"),

@@ -118,8 +118,15 @@ object ReconQueries {
    * invariant independently: exactly the non-orphan base keys remain. */
   def reconPostRepair(spark: SparkSession, dir: String): DataFrame = {
     val fix = Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
+    // RepairApplier consumes the plan twice (deletes + upserts branches),
+    // and each consumption would re-run the whole upstream reconcile
+    // join — checkpoint the plan (tiny: proportional to the damage, not
+    // the table) so the base/MV scan+join executes once. MvSyncJob.run
+    // caches `classified` for the same reason; at 100 TB the recompute
+    // is two extra full-table shuffles.
     val plan = RepairPlanner.plan(classified(spark, dir, fix),
       MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, fix)
+      .localCheckpoint(eager = false)
     val repaired = RepairApplier.applyPlan(
       MvSyncDemo.mvDf(spark, dir), plan, MvSyncDemo.mvSchema)
     MvReconciler.reconcile(

@@ -74,16 +74,27 @@ object Similarity {
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("bucket", lshBucket(col("embedding")))
     val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+      .select(col("vec_id").as("query_id"),
         explode(array(
           col("bucket") +: (0 until NumPlanes).map(p =>
             col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    e.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"), col("bucket"))
+    // Multi-probe hits are deduped as BARE id pairs — the embedding
+    // arrays never ride the candidate exchange (same discipline as
+    // dedupMinhashLsh); the few survivors re-attach their vectors below.
+    // At 100 TB the candidate set is broadcast-able relative to the
+    // table, so the v re-attach stays shuffle-free under AQE.
+    val candidates = e.select(col("vec_id").as("neighbor_id"), col("bucket"))
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "q", "v").distinct()
+      .select("query_id", "neighbor_id").distinct()
+    val queryVecs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("v")),
+        Seq("neighbor_id"))
+      .join(broadcast(queryVecs), Seq("query_id"))
       .withColumn("cos", cosine(col("q"), col("v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
