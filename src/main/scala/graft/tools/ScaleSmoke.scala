@@ -2,6 +2,7 @@ package graft.tools
 
 import graft.MvSyncDemo
 import graft.config.Settings
+import graft.operators.SaltedJoin
 import graft.reconcile.MvReconciler
 import graft.report.StatsCollector
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -14,11 +15,27 @@ import org.apache.spark.sql.functions._
  * that the single-shuffle reconcile plan holds when the key count grows
  * 40×, not just at the bench SF.
  *
- * Usage: sbt "runMain graft.tools.ScaleSmoke [factor]"
+ * With the `skew` flag, two additional experiments run:
+ *
+ *  1. Skewed-damage reconcile: one third of all keys collapse onto a
+ *     single hot o_custkey. The reconcile join keys on the FULL MV PK
+ *     (o_custkey, o_orderkey) — pairs stay unique — so hash
+ *     partitioning spreads the hot customer across reducers and the
+ *     classify time must stay flat vs the uniform run.
+ *  2. Hot-key equi-join on o_custkey ALONE (the shape that genuinely
+ *     skews: one reducer receives the hot customer's entire slice),
+ *     three ways: plain shuffle join with AQE skew-split disabled
+ *     (the pathological baseline), plain with AQE enabled (runtime
+ *     re-plan splits the oversized partition), and [[SaltedJoin]]
+ *     (the non-AQE escape hatch). Broadcast is disabled so the small
+ *     side can't hide the skew.
+ *
+ * Usage: sbt "runMain graft.tools.ScaleSmoke [factor] [skew]"
  */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(40)
+    val runSkew = args.contains("skew")
     val dir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -33,17 +50,49 @@ object ScaleSmoke {
         .drop("_rep")
         .repartition(64)
 
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def classify(b: DataFrame, m: DataFrame) =
+      StatsCollector.collect(MvReconciler.reconcile(
+        b, m, MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Settings()))
+
     val base = replicate(MvSyncDemo.baseDf(spark, dir))
     val mv = replicate(MvSyncDemo.mvDf(spark, dir))
-    val t0 = System.nanoTime()
-    val classified = MvReconciler.reconcile(
-      base, mv, MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Settings())
-    val stats = StatsCollector.collect(classified)
-    val secs = (System.nanoTime() - t0) / 1e9
+    val (stats, secs) = timed(classify(base, mv))
     val keys = stats.totRecords
     println(f"[scale-smoke] factor=$factor keys=$keys classify+count=${secs}%.1fs " +
       f"(${keys / secs / 1e6}%.2fM keys/s)")
     println(s"[scale-smoke] $stats")
+
+    if (runSkew) {
+      // 1. Hot-customer damage: 1/3 of every table on one o_custkey.
+      def hot(df: DataFrame): DataFrame = df.withColumn("o_custkey",
+        when(col("o_orderkey") % 3 === 0, lit(7L)).otherwise(col("o_custkey")))
+      val (skStats, skSecs) = timed(classify(hot(base), hot(mv)))
+      println(f"[scale-smoke] SKEWED keys=${skStats.totRecords} " +
+        f"classify+count=${skSecs}%.1fs (flat vs uniform = full-PK join " +
+        "keys stay unique under customer skew)")
+
+      // 2. Custkey-only join: hot key lands on one reducer unless split.
+      val facts = hot(base).select("o_custkey", "o_orderkey", "o_totalprice")
+      val dim = facts.select("o_custkey").distinct()
+        .withColumn("segment", pmod(col("o_custkey"), lit(5)))
+      def execute(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (_, plainOff) = timed(execute(facts.join(dim, Seq("o_custkey"))))
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val (_, plainAqe) = timed(execute(facts.join(dim, Seq("o_custkey"))))
+      val (_, salted) = timed(execute(SaltedJoin.join(facts, dim, Seq("o_custkey"), 32)))
+      println(f"[scale-smoke] hot-key join on o_custkey: plain(no AQE)=" +
+        f"$plainOff%.1fs  plain(AQE skew-split)=$plainAqe%.1fs  salted(32)=$salted%.1fs")
+    }
     spark.stop()
   }
 }
