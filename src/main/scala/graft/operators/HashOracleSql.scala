@@ -42,11 +42,6 @@ object HashOracleSql {
   private def xs33(x: String): String =
     s"xor(($x), ($x) // 8589934592::HUGEINT)"
 
-  /** murmur3-finalizer avalanche inlined as one expression — only safe
-   * when `x` is a cheap column reference (each stage re-evaluates it). */
-  private def avalancheInline(x: String): String =
-    xs33(mulmod(xs33(mulmod(xs33(x), C1)), C2))
-
   /** FNV-1a over the chars of an ASCII token expression `tok`. */
   private def fnv(tok: String): String =
     s"list_reduce(list_prepend(${FnvSeed}::HUGEINT, " +
@@ -66,10 +61,6 @@ object HashOracleSql {
   /** ASCII whitespace tokenizer — TextFunctions.tokens' `\s+` split. */
   private val Toks =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)"""
-
-  /** hash64(t) = avalanche(fnv1a(t)) for a lambda-bound token `t` —
-   * matches ShingleHash.hashRange / SimHash64.hash64. */
-  private val H64 = avalancheInline(fnv("t"))
 
   /** CTE stages computing out = avalanche(in) via 5 one-column hops.
    * Returns (cte list sql, last cte name). `keep` = carried columns. */
@@ -98,15 +89,40 @@ object HashOracleSql {
     (pre + ",\n" + av, last)
   }
 
+  /** CTE chain ending in `_hs<tag>(doc_id, hs)`: hs = per-token
+   * hash64(t) = avalanche(fnv1a(t)) list in token order (unsigned
+   * HUGEINT), matching ShingleHash.hashRange / SimHash64.hash64.
+   * Tokens are unnested to rows so the FNV char fold is computed ONCE
+   * per token as a projected column and avalanched through the staged
+   * CTEs — inlining the fold inside a transform lambda re-evaluates it
+   * ~32× per hash (each avalanche stage duplicates its argument).
+   * Every doc_id survives (LEFT JOIN back): zero-token docs carry []. */
+  private def tokenHashCtes(tag: String): (String, String) = {
+    val (av, last) =
+      stagedAvalanche(s"_tf$tag", "fv", "h64", Seq("doc_id", "pos"), s"tk$tag")
+    val sql = Seq(
+      s"_tks$tag AS (SELECT doc_id, $Toks AS toks FROM documents)",
+      s"_tok$tag AS (SELECT doc_id, unnest(toks) AS t, " +
+        s"unnest(range(1, len(toks)+1)) AS pos FROM _tks$tag)",
+      s"_tf$tag AS (SELECT doc_id, pos, ${fnv("t")} AS fv FROM _tok$tag)",
+      av,
+      s"_hs0$tag AS (SELECT doc_id, list(h64 ORDER BY pos) AS hs " +
+        s"FROM $last GROUP BY doc_id)",
+      s"_hs$tag AS (SELECT d.doc_id, coalesce(h.hs, []) AS hs " +
+        s"FROM documents d LEFT JOIN _hs0$tag h USING (doc_id))"
+    ).mkString(",\n")
+    (sql, s"_hs$tag")
+  }
+
   /** CTE chain: documents → `_sh(doc_id, sh)`, sh = sorted distinct
    * signed word-3-shingle hashes — ShingleHash.shingleHashes(text, 3). */
   private def shingleCtes: String = {
     val parts = Seq.newBuilder[String]
-    parts += s"_hs AS (SELECT doc_id, list_transform($Toks, t -> $H64) " +
-      "AS hs FROM documents)"
+    val (tokSql, hsName) = tokenHashCtes("s")
+    parts += tokSql
     // one row per 1-based shingle start i; needs >= 3 tokens
     parts += "_sp AS (SELECT doc_id, unnest(range(1, len(hs) - 1)) AS i, " +
-      "hs FROM _hs WHERE len(hs) >= 3)"
+      s"hs FROM $hsName WHERE len(hs) >= 3)"
     parts += "_s0 AS (SELECT doc_id, i, hs[i] AS t1, hs[i+1] AS t2, " +
       "hs[i+2] AS t3 FROM _sp)"
     val (m1, l1) = stagedMix("_s0", s"$Gold::HUGEINT", "t1", "m1",
@@ -160,8 +176,9 @@ object HashOracleSql {
     val sig = s"list_sum(list_transform([$pows], p -> CASE WHEN " +
       "2 * len(list_filter(hs, h -> (h // p) % 2 = 1)) > len(hs) " +
       "THEN p ELSE 0::HUGEINT END))"
-    s"_t AS (SELECT doc_id, list_transform($Toks, t -> $H64) AS hs FROM documents),\n" +
-      s"_fp AS (SELECT doc_id, ${toSigned(s"coalesce($sig, 0)")} AS fp FROM _t)"
+    val (tokSql, hsName) = tokenHashCtes("f")
+    tokSql + ",\n" +
+      s"_fp AS (SELECT doc_id, ${toSigned(s"coalesce($sig, 0)")} AS fp FROM $hsName)"
   }
 
   /** CTE chain: `_pcs(p, pcs)` — hyperplane component lists,
