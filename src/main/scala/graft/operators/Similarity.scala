@@ -111,44 +111,60 @@ object Similarity {
   private def asFloatArray(c: Column): Column =
     transform(c, x => x.cast("float"))
 
-  /** Deterministic tie-break argmax: highest sim, then lowest cid. */
-  private def bestCid: Column =
-    max_by(col("cid"), struct(col("sim"), -col("cid")))
+  /** The coarse quantizer is a small model (C × dim floats), collected
+   * to the driver by design — shipping it into every task as literals
+   * IS the broadcast, without a join. */
+  type Centroids = Seq[(Int, Array[Float])]
+
+  /** `(−sim, cid)` scoring structs against the literal centroid set.
+   * Each cosine appears exactly once (a chained `when`-argmax would
+   * duplicate the accumulated branch per level — exponential tree). */
+  private def scored(v: Column, cents: Centroids): Seq[Column] =
+    cents.map { case (cid, cv) =>
+      struct((-cosine(v, typedlit(cv))).as("ns"), lit(cid).as("cid")) }
+
+  /** Argmax assignment as a narrow, codegen'd map — no join, no shuffle.
+   * `array_min` over `(−sim, cid)` structs ≡ highest sim, tie → lowest
+   * cid (the oracle's `ORDER BY cos DESC, cid`). */
+  private def assignCid(v: Column, cents: Centroids): Column =
+    array_min(array(scored(v, cents): _*)).getField("cid")
 
   /**
-   * Coarse quantizer fit — Lloyd's k-means entirely as DataFrame ops:
-   * seed centroids = the C lowest-id vectors (deterministic), then
-   * `iters` rounds of (broadcast-join assign → per-dimension average).
-   * Each round: one broadcast join + two aggregations; nothing
-   * driver-side but the (C × dim) centroid table itself.
+   * Coarse quantizer fit — Lloyd's k-means with literal-centroid
+   * assignment: seed centroids = the C lowest-id vectors
+   * (deterministic), then `iters` rounds of (narrow argmax assign →
+   * per-dimension average). Per round: zero joins, one small
+   * (cid, pos, v) aggregation shuffle; the sample is checkpointed once
+   * so iterations never rescan the source.
    */
   def fitCentroids(e: DataFrame, c: Int = NumCentroids,
-      iters: Int = LloydIters): DataFrame = {
-    var centroids = e.orderBy("vec_id").limit(c)
-      .select(row_number().over(Window.orderBy("vec_id")).as("cid"),
-        col("embedding").as("cvec"))
+      iters: Int = LloydIters): Centroids = {
+    val sample = e.select("vec_id", "embedding").localCheckpoint()
+    var cents: Centroids = sample.orderBy("vec_id").limit(c)
+      .select("embedding").collect()
+      .zipWithIndex.map { case (r, i) => (i + 1, r.getSeq[Float](0).toArray) }
+      .toSeq
     for (_ <- 1 to iters) {
-      val assigned = e.join(broadcast(centroids))
-        .withColumn("sim", cosine(col("embedding"), col("cvec")))
-        .groupBy("vec_id", "embedding").agg(bestCid.as("cid"))
-      centroids = assigned
+      cents = sample
+        .withColumn("cid", assignCid(col("embedding"), cents))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg("v").as("m"))
         .groupBy("cid").agg(
           asFloatArray(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
             s => s.getField("m"))).as("cvec"))
-        .localCheckpoint(eager = false)
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
     }
-    centroids
+    cents
   }
 
-  /** Vector → inverted-list id (the IVF index build: one broadcast-join
-   * pass; at 100 TB the table is written partitioned by cid). */
-  def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame =
-    e.join(broadcast(centroids))
-      .withColumn("sim", cosine(col("embedding"), col("cvec")))
-      .groupBy("vec_id", "embedding").agg(bestCid.as("cid"))
+  /** Vector → inverted-list id (the IVF index build): a scan-local
+   * projection — at 100 TB the table is written partitioned by cid
+   * with no shuffle of the embedding payloads at all. */
+  def ivfAssign(e: DataFrame, cents: Centroids): DataFrame =
+    e.withColumn("cid", assignCid(col("embedding"), cents))
 
   /**
    * IVF ANN top-k: probe the nprobe highest-similarity centroid lists
@@ -160,17 +176,14 @@ object Similarity {
     // fit the quantizer on a deterministic ~1/3 sample (standard IVF
     // practice — centroid quality needs density, not every vector; the
     // full table is still assigned below)
-    val centroids = fitCentroids(e.filter(col("vec_id") % 3 === 0))
-    val lists = ivfAssign(e, centroids)
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cid"))
+    val cents = fitCentroids(e.filter(col("vec_id") % 3 === 0))
+    val lists = ivfAssign(e, cents)
+    // top-nprobe centroids per query, row-locally: sort the literal
+    // (−sim, cid) structs and slice — no join, no window shuffle
     val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-      .join(broadcast(centroids))
-      .withColumn("sim", cosine(col("q"), col("cvec")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= NumProbes)
-      .select("query_id", "q", "cid")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        explode(slice(array_sort(array(scored(col("embedding"), cents): _*)),
+          1, NumProbes).getField("cid")).as("cid"))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     lists.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"), col("cid"))
