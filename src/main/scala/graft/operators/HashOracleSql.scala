@@ -336,4 +336,38 @@ _ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
   round(cos, 6) AS cos
 FROM _ranked WHERE rank <= 10"""
+
+  /** Oracle for RelationalQueries.qKmvDistinct — the KMV sketch
+   * (graft.functions.KmvDistinct, k=256) on lineitem part keys per
+   * return flag: avalanche each distinct key, keep the k smallest
+   * DISTINCT hashes per group in unsigned order (hash collisions merge,
+   * exactly like the sketch's duplicate-free insert), then the
+   * estimator — exact hash count below k, else round((k−1)/u) with
+   * u = ((kth >>> 11) + 0.5) / 2⁵³ (KmvSketch.scala `finish`). */
+  def kmvDistinct: String = {
+    val k = 256
+    val (av, last) =
+      stagedAvalanche("_kv0", "kv", "h64", Seq("l_returnflag"), "kv")
+    s"""WITH
+_kvk AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+  WHERE l_partkey IS NOT NULL),
+_kv0 AS (SELECT l_returnflag, ${toUnsigned("l_partkey")} AS kv FROM _kvk),
+$av,
+_kvh AS (SELECT DISTINCT l_returnflag, h64 FROM $last),
+_kvr AS (SELECT l_returnflag, h64, row_number() OVER (
+  PARTITION BY l_returnflag ORDER BY h64) AS rn FROM _kvh),
+_kvagg AS (SELECT l_returnflag, count(*) AS nh,
+  max(CASE WHEN rn = $k THEN h64 END) AS kth
+  FROM _kvr GROUP BY l_returnflag),
+_kvex AS (SELECT l_returnflag, count(*) AS exact_distinct FROM _kvk
+  GROUP BY l_returnflag)
+SELECT a.l_returnflag,
+  CASE WHEN a.nh < $k THEN a.nh
+       ELSE CAST(round(${k - 1}::DOUBLE /
+         ((CAST(a.kth // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0))
+         AS BIGINT)
+  END AS kmv_distinct,
+  x.exact_distinct
+FROM _kvagg a JOIN _kvex x USING (l_returnflag)"""
+  }
 }

@@ -317,8 +317,27 @@ object RelationalQueries {
         max("k").as("max_k"),
         count_distinct(col("k")).as("n_distinct_k"))
 
+  /** KMV distinct-count sketch per return flag — the custom typed
+   * `Aggregator` extension path (graft.functions.KmvDistinct, k=256):
+   * fixed k·8-byte mergeable state per group, map-side partial
+   * aggregation, one pass; exact below k distinct hashes, the
+   * Beyer et al. (k−1)/u density estimate beyond. `exact_distinct`
+   * rides along so the oracle row also pins the sketch's input set.
+   * Oracle: [[HashOracleSql.kmvDistinct]] replays avalanche +
+   * k-smallest selection in HUGEINT SQL. */
+  def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvDistinct(256),
+      org.apache.spark.sql.Encoders.scalaLong)
+    t(spark, dir, "lineitem")
+      .filter(col("l_partkey").isNotNull)
+      .groupBy("l_returnflag")
+      .agg(kmv(col("l_partkey")).as("kmv_distinct"),
+        count_distinct(col("l_partkey")).as("exact_distinct"))
+  }
+
   /** All queries of this layer, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> qKmvDistinct,
     "q_json_props" -> qJsonProps,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
@@ -346,6 +365,7 @@ object RelationalQueries {
 
   /** DuckDB oracle SQL, column-name aligned with the Spark plans. */
   val oracleSql: Map[String, String] = Map(
+    "q_kmv_distinct" -> HashOracleSql.kmvDistinct,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
