@@ -317,6 +317,32 @@ object RelationalQueries {
         max("k").as("max_k"),
         count_distinct(col("k")).as("n_distinct_k"))
 
+  /** Pivot (long→wide reshape): order counts by year × priority.
+   * Pivot values are declared explicitly — Spark otherwise runs an
+   * extra distinct-collect job to discover them, a full scan at
+   * 100 TB; declared values keep it one partial-agg pass. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(year(col("o_orderdate")).cast("bigint").as("order_year"),
+        concat(lit("prio_"), substring(col("o_orderpriority"), 1, 1)).as("prio"))
+      .groupBy("order_year")
+      .pivot("prio", (1 to 5).map(i => s"prio_$i"))
+      .agg(count(lit(1)))
+
+  /** Explode/flatten (wide→long reshape): one row per whitespace token
+   * with its 1-based position — `posexplode` is generator-narrow (no
+   * shuffle; each scan task expands its own rows). Sampled to every
+   * 20th doc; empty tokens filtered AFTER position assignment so pos
+   * indexes the raw split (same as DuckDB unnest WITH ORDINALITY). */
+  def qExplodeTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
+        col("token"))
+
   /** KMV distinct-count sketch per return flag — the custom typed
    * `Aggregator` extension path (graft.functions.KmvDistinct, k=256):
    * fixed k·8-byte mergeable state per group, map-side partial
@@ -338,6 +364,8 @@ object RelationalQueries {
   /** All queries of this layer, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct" -> qKmvDistinct,
+    "q_pivot" -> qPivot,
+    "q_explode_tokens" -> qExplodeTokens,
     "q_json_props" -> qJsonProps,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
@@ -366,6 +394,21 @@ object RelationalQueries {
   /** DuckDB oracle SQL, column-name aligned with the Spark plans. */
   val oracleSql: Map[String, String] = Map(
     "q_kmv_distinct" -> HashOracleSql.kmvDistinct,
+    "q_pivot" ->
+      """SELECT year(o_orderdate) AS order_year,
+         nullif(count(*) FILTER (o_orderpriority LIKE '1%'), 0) AS prio_1,
+         nullif(count(*) FILTER (o_orderpriority LIKE '2%'), 0) AS prio_2,
+         nullif(count(*) FILTER (o_orderpriority LIKE '3%'), 0) AS prio_3,
+         nullif(count(*) FILTER (o_orderpriority LIKE '4%'), 0) AS prio_4,
+         nullif(count(*) FILTER (o_orderpriority LIKE '5%'), 0) AS prio_5
+         FROM orders GROUP BY year(o_orderdate)""",
+    "q_explode_tokens" ->
+      """SELECT doc_id, CAST(pos AS BIGINT) AS pos, token
+         FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(text, '\s+')) AS token,
+                 unnest(range(1, 1 + len(regexp_split_to_array(text, '\s+')))) AS pos
+               FROM documents WHERE doc_id % 20 = 0)
+         WHERE len(token) > 0""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
