@@ -55,11 +55,17 @@ object Bench {
     // GC/JIT jitter at these sub-5s scales (r4's q1 "regression" from
     // 1.25s to 3.98s had no code change behind it); the median is robust
     // to one bad pass in either direction.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // clamp to >= 1 (0 / non-numeric would crash the median index); odd
+    // counts give the true median, even counts the upper median (n/2)
+    val passes = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(3))
+    var failed = Set.empty[String]
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try execute(SparkEntry.queries(name)(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      catch { case e: Throwable =>
+        failed += name; System.err.println(s"[bench] $name: $e")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val samples: Seq[Seq[(String, Double)]] =
@@ -68,10 +74,17 @@ object Bench {
       val ts = samples.map(_.toMap.apply(name)).sorted
       name -> ts(ts.size / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a failed query must not fold its fast-fail wall time into the
+    // totals as if it ran: report it as null and exit nonzero
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failed(k)) "null" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed(k) => v }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -174,12 +174,23 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Near-dup clusters over the exact-Jaccard pair graph (oracle: a
-   * recursive-CTE transitive closure in DuckDB). The scale path feeds
-   * [[dedupMinhashLsh]] pairs instead — same component step. */
+  /** Near-dup clusters over the brute-force exact-Jaccard pair graph —
+   * the ORACLE HARNESS configuration only (its pair source is the
+   * all-pairs crossJoin baseline): it pins the component step against a
+   * DuckDB recursive-CTE closure at small SF. Users call
+   * [[dedupClustersLsh]], whose plan has no all-pairs stage. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(
       dedupJaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
+
+  /** Near-dup clustering, the NAMED 100 TB entry point: candidate pairs
+   * come from [[dedupMinhashLsh]] (band/bucket equi-joins, ids-only
+   * exchanges — no crossJoin anywhere in the plan), then the same
+   * min-label-propagation component step. Oracle: the value-level LSH
+   * pair oracle wrapped in a recursive-CTE transitive closure. */
+  def dedupClustersLsh(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      dedupMinhashLsh(spark, dir).select(col("id_a"), col("id_b")))
 
   // ------------------------------------------------------------- simhash
 
@@ -229,6 +240,7 @@ object Dedup {
     "dedup_exact_keep_first" -> dedupExactKeepFirst,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_clusters" -> dedupClusters,
+    "dedup_clusters_lsh" -> dedupClustersLsh,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding)
@@ -294,5 +306,6 @@ object Dedup {
     // full value-level oracles for the 64-bit hash pipelines — the
     // mod-2^64 kernels re-expressed in DuckDB HUGEINT CTEs
     "dedup_minhash_lsh" -> HashOracleSql.minhashLsh,
+    "dedup_clusters_lsh" -> HashOracleSql.minhashLshClusters,
     "dedup_simhash" -> HashOracleSql.simhashPairs)
 }

@@ -210,11 +210,11 @@ object HashOracleSql {
 
   // ------------------------------------------------------- full queries
 
-  /** Oracle for Dedup.dedupMinhashLsh: banded minhash candidates →
-   * exact-Jaccard rerank over the hashed shingle sets, j >= 0.5. */
-  def minhashLsh: String =
-    s"""WITH
-$shingleCtes,
+  /** Shared CTE chain ending in `_rr(id_a, id_b, n_inter, n_union)`:
+   * banded minhash candidates → exact-Jaccard counts over the hashed
+   * shingle sets (candidate survives when n_inter*2 >= n_union). */
+  private def minhashPairCtes: String =
+    s"""$shingleCtes,
 $minhashCtes,
 _pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -226,9 +226,31 @@ _rr AS (
     len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS n_union
   FROM _pairs p
   JOIN _sh sa ON sa.doc_id = p.id_a
-  JOIN _sh sb ON sb.doc_id = p.id_b)
+  JOIN _sh sb ON sb.doc_id = p.id_b)"""
+
+  /** Oracle for Dedup.dedupMinhashLsh: banded minhash candidates →
+   * exact-Jaccard rerank over the hashed shingle sets, j >= 0.5. */
+  def minhashLsh: String =
+    s"""WITH
+$minhashPairCtes
 SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
 FROM _rr WHERE n_inter * 2 >= n_union"""
+
+  /** Oracle for Dedup.dedupClustersLsh: transitive closure (recursive
+   * CTE) over the LSH near-dup pair graph — the same value-level pair
+   * oracle as [[minhashLsh]], then min-reachable-id labeling. */
+  def minhashLshClusters: String =
+    s"""WITH RECURSIVE
+$minhashPairCtes,
+_lp AS (SELECT id_a, id_b FROM _rr WHERE n_inter * 2 >= n_union),
+_edges AS (SELECT id_a AS a, id_b AS b FROM _lp
+           UNION SELECT id_b, id_a FROM _lp),
+_reach(a, b) AS (
+  SELECT a, b FROM _edges
+  UNION
+  SELECT r.a, e.b FROM _reach r JOIN _edges e ON r.b = e.a)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM _reach GROUP BY a"""
 
   /** Oracle for Dedup.dedupSimhash: 4×16-bit band blocking over the
    * simhash signature, Hamming <= 3 pairs. */

@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
  */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(40)
+    // factor is optional AND positional-flexible: `ScaleSmoke skew` must
+    // not NumberFormatException on the flag word
+    val factor = args.find(a => a.nonEmpty && a.forall(_.isDigit))
+      .map(_.toInt).getOrElse(40)
     val runSkew = args.contains("skew")
     val dir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
@@ -89,7 +92,12 @@ object ScaleSmoke {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       val (_, plainAqe) = timed(execute(facts.join(dim, Seq("o_custkey"))))
+      // salted variant measured under the SAME config as the pathological
+      // baseline (AQE off) so it isolates salting from AQE skew-split —
+      // it's the escape hatch for engines/stages where AQE can't help
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val (_, salted) = timed(execute(SaltedJoin.join(facts, dim, Seq("o_custkey"), 32)))
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
       println(f"[scale-smoke] hot-key join on o_custkey: plain(no AQE)=" +
         f"$plainOff%.1fs  plain(AQE skew-split)=$plainAqe%.1fs  salted(32)=$salted%.1fs")
     }
