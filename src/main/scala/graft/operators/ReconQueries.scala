@@ -2,9 +2,9 @@ package graft.operators
 
 import graft.MvSyncDemo
 import graft.config.Settings
-import graft.reconcile.MvReconciler
+import graft.reconcile.{AllTypesFixture, MvReconciler}
 import graft.repair.{RepairApplier, RepairPlanner}
-import graft.report.StatsCollector
+import graft.report.{ReportFormatter, ReportWriter, StatsCollector}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -135,8 +135,40 @@ object ReconQueries {
       .groupBy("problem").agg(count(lit(1)).as("n"))
   }
 
+  /** The 22-type diff matrix under the ORACLE (not just specs): classify
+   * the [[AllTypesFixture]] base/MV pair — blob deep-equals, map/set
+   * sort-canonicalization (order-permuted on EVERY common row),
+   * one-sided-null text, epoch-millis timestamp rendering. The fixture
+   * is self-generating from `spark.range`, so `dir` is unused — both
+   * engines derive identical rows independently. */
+  def reconClassifyAllTypes(spark: SparkSession, dir: String): DataFrame =
+    MvReconciler.reconcile(
+      AllTypesFixture.base(spark), AllTypesFixture.mv(spark),
+      AllTypesFixture.schema, AllTypesFixture.schema)
+      .select("id", "problem", "mismatch_col", "mismatch_base", "mismatch_mv")
+
+  /** Operator O's report format under the ORACLE: the exact
+   * `MVInconsistentRow.toString` string (MVInconsistentRow.java:31-52 —
+   * Problem/RowKey/MainTableEntry/MVTableEntry lines + Base/MvColumn
+   * for INCONSISTENT) for every reported key of the all-types pair,
+   * restated in DuckDB as pure string SQL. This is the same generated
+   * Column the file sink writes (ReportWriter), so a green row pins the
+   * report files' contents, not just the spec goldens. */
+  def reconReportLines(spark: SparkSession, dir: String): DataFrame = {
+    val classified = MvReconciler.reconcile(
+      AllTypesFixture.base(spark), AllTypesFixture.mv(spark),
+      AllTypesFixture.schema, AllTypesFixture.schema)
+    classified
+      .filter(col(MvReconciler.ProblemCol).isin(ReportWriter.ReportedProblems: _*))
+      .select(col("id"), col(MvReconciler.ProblemCol).as("problem"),
+        ReportFormatter.reportColumn(AllTypesFixture.schema, AllTypesFixture.schema,
+          classified.columns.toSet).as("report"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recon_classify" -> reconClassify,
+    "recon_classify_alltypes" -> reconClassifyAllTypes,
+    "recon_report_lines" -> reconReportLines,
     "recon_stats" -> reconStats,
     "recon_timescope" -> reconTimescope,
     "recon_repair_plan" -> reconRepairPlan,
@@ -146,6 +178,8 @@ object ReconQueries {
   val oracleSql: Map[String, String] = Map(
     "recon_classify" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
+    "recon_classify_alltypes" -> AllTypesFixture.oracleSql,
+    "recon_report_lines" -> AllTypesFixture.reportOracleSql,
     "recon_stats" ->
       (Cte + "SELECT problem, CAST(count(*) AS BIGINT) AS n FROM classified GROUP BY problem"),
     "recon_timescope" ->
