@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,54 @@ object RelationalQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /**
+   * Order-independent EXACT sum of a fixed-point money expression.
+   *
+   * Each row's value is recovered as its true scaled integer —
+   * TPC-H money carries `digits` decimal digits, so round(x·10^digits)
+   * lands on it exactly (the double representation error is ~1e-10
+   * relative, far below the 0.5 rounding margin) — then integer-summed
+   * and divided once. Integer sums are exact and associative, so
+   * Spark's partition order and DuckDB's scan order cannot produce the
+   * last-ulp disagreements double sums do, and there is no per-row
+   * double→BigDecimal conversion the way the previous decimal(18,4)
+   * cast had (that cast was 3× of q1's aggregate time: 1.03s → 0.36s
+   * median at sf0.1 — see tools/Profile).
+   *
+   * Overflow headroom: the scaled values are split into high/low long
+   * sums via bit ops (shiftright/mask — Column./ is DOUBLE division in
+   * Spark, which would corrupt the quotient; shifts are exact integer
+   * ops at any magnitude), recombined in decimal after aggregation, so
+   * the result is exact while sum(x·10^digits) < ~9.4e21 per group —
+   * well past a single-group q1 over 100 TB of lineitem (~8e11 rows ×
+   * ~3.6e8 basis points ≈ 3e20 fits; a single long sum would cap at
+   * 9.2e18 and overflow there).
+   *
+   * The DuckDB oracle states the plain integer sum (its accumulator is
+   * HUGEINT): 1024·sum(hi) + sum(lo) ≡ sum(scaled) exactly, so both
+   * engines round and divide the same integer.
+   *
+   * The final 2-decimal rounding ALSO happens in exact integer space
+   * ((total + d/2) div d, half-up): a sum of 4-digit basis points
+   * divided by 1e4 hits true .xx5 midpoints ~1% of the time, and there
+   * Spark (BigDecimal on the shortest decimal string) and DuckDB
+   * (binary-double half-away) disagree by a cent — rounding the
+   * integer first means no midpoint ever reaches a double.
+   */
+  private def exactMoneySum(c: Column, digits: Int): Column = {
+    val scale = math.pow(10, digits)
+    val scaled = round(c * scale).cast("long")
+    val total = sum(shiftright(scaled, 10)).cast("decimal(38,0)") * 1024 +
+      sum(scaled.bitwiseAND(lit(1023L))).cast("decimal(38,0)")
+    val cents =
+      if (digits <= 2) total
+      else {
+        val d = math.pow(10, digits - 2).toLong
+        floor((total + lit(d / 2)) / lit(d)) // exact decimal div, then floor
+      }
+    cents.cast("double") / 100.0
+  }
+
   /** TPC-H Q1-style pricing summary: the canonical partial-agg shuffle.
    * At 100 TB this is map-side combine into 6 groups — shuffle bytes are
    * O(partitions), not O(rows). */
@@ -35,10 +83,11 @@ object RelationalQueries {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2).cast("double").as("sum_base_price"),
-        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").as("sum_disc_price"),
+        round(exactMoneySum(col("l_extendedprice"), 2), 2).as("sum_base_price"),
+        round(exactMoneySum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
-        round(sum(col("l_discount").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        round(exactMoneySum(col("l_discount"), 2) / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** Q6-style single-row aggregate with tight scan-level predicates —
@@ -48,7 +97,8 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      .agg(round(exactMoneySum(
+        col("l_extendedprice") * col("l_discount"), 4), 2).as("revenue"))
 
   /** Q3-style shipping priority: two shuffled joins + agg + top-k.
    * customer is small relative to lineitem → broadcast. */
@@ -60,7 +110,8 @@ object RelationalQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderpriority"))
-      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      .agg(round(exactMoneySum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("revenue"))
   }
 
   /** Q4-style: EXISTS via left-semi join (no row multiplication, the
@@ -94,7 +145,8 @@ object RelationalQueries {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      .agg(round(exactMoneySum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("revenue"))
   }
 
   /** Window functions: per-supplier top-3 line items by price.
@@ -113,7 +165,7 @@ object RelationalQueries {
     val o = t(spark, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
       .groupBy("o_year")
-      .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").as("year_total"))
+      .agg(round(exactMoneySum(col("o_totalprice"), 2), 2).as("year_total"))
     o.withColumn("running_total",
       round(sum("year_total").over(
         Window.orderBy("o_year").rowsBetween(Window.unboundedPreceding, 0)), 2))
@@ -412,22 +464,22 @@ object RelationalQueries {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
-         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+         round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+         round(CAST((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100 AS DOUBLE) / 100.0, 2) AS sum_disc_price,
          round(avg(l_quantity), 4) AS avg_qty,
-         round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+         round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
     "q6_forecast_revenue" ->
-      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      """SELECT round(CAST((sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) + 50) // 100 AS DOUBLE) / 100.0, 2) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
-         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+         round(CAST((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100 AS DOUBLE) / 100.0, 2) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
@@ -444,7 +496,7 @@ object RelationalQueries {
          GROUP BY o_orderpriority""",
     "q5_local_supplier" ->
       """SELECT n_name,
-         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+         round(CAST((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100 AS DOUBLE) / 100.0, 2) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
@@ -465,7 +517,7 @@ object RelationalQueries {
            round(sum(year_total) OVER (ORDER BY o_year
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
          FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
-                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS year_total
+                 round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS year_total
                FROM orders GROUP BY 1)""",
     "q_topk_expensive" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
