@@ -26,6 +26,16 @@ import org.apache.spark.sql.types.DataType
  * At 100 TB the plan is proportional to the damage, not the table — the
  * merge joins a (typically tiny, broadcast-able) upsert side against the
  * MV.
+ *
+ * Exactly-once posture: applying the same plan twice is a no-op — the
+ * reference is equally exposed to task retries re-issuing mutations
+ * (SURVEY §7.4) and mitigates with naturally-idempotent timestamped
+ * upserts (DBOperations.java:250-275 replays the same cell timestamp)
+ * plus read-before-delete (DBOperations.java:61-70); here the upsert
+ * merge sets the same cells to the same (value, writetime, ttl) and a
+ * retried DELETE left-anti-joins a key that is already gone. Asserted
+ * by the double-apply spec in RepairPlannerSpec. Planner-side, the
+ * delete race guard is [[RepairPlanner.verifyDeletesAgainst]].
  */
 object RepairApplier {
 

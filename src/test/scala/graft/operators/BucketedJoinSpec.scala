@@ -13,6 +13,56 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 class BucketedJoinSpec extends SparkSpec {
   import spark.implicits._
 
+  private def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    (if (p.isInstanceOf[ShuffleExchangeExec]) 1 else 0) +
+      p.children.map(shuffles).sum
+
+  /** The 100 TB recon story made concrete: base and MV written bucketed
+   * (+sorted) by the MV PK join exchange-free through the ENTIRE
+   * classify plan — dropDuplicates' aggregate and the full-outer join
+   * both have their clustered-distribution requirement satisfied by the
+   * bucketing, so the one reconcile shuffle disappears entirely. A
+   * periodic 100 TB reconcile job would write both scans bucketed once
+   * and re-run classification with zero data movement. */
+  test("full reconcile over MV-PK-bucketed tables plans zero exchanges") {
+    spark.sql("DROP TABLE IF EXISTS b_recon_base")
+    spark.sql("DROP TABLE IF EXISTS b_recon_mv")
+    val dir = "/root/testdata/sf0.001"
+    graft.MvSyncDemo.baseDf(spark, dir).write
+      .bucketBy(8, "o_custkey", "o_orderkey")
+      .sortBy("o_custkey", "o_orderkey")
+      .mode("overwrite").saveAsTable("b_recon_base")
+    graft.MvSyncDemo.mvDf(spark, dir).write
+      .bucketBy(8, "o_custkey", "o_orderkey")
+      .sortBy("o_custkey", "o_orderkey")
+      .mode("overwrite").saveAsTable("b_recon_mv")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val classified = graft.reconcile.MvReconciler.reconcile(
+        spark.table("b_recon_base"), spark.table("b_recon_mv"),
+        graft.MvSyncDemo.baseSchema, graft.MvSyncDemo.mvSchema)
+      val exec = classified.queryExecution.executedPlan
+      assert(shuffles(exec) == 0,
+        s"bucketed reconcile should plan no exchange:\n$exec")
+
+      // identical classification to the plain-parquet reconcile
+      def counts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+        df.groupBy("problem").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = counts(graft.reconcile.MvReconciler.reconcile(
+        graft.MvSyncDemo.baseDf(spark, dir), graft.MvSyncDemo.mvDf(spark, dir),
+        graft.MvSyncDemo.baseSchema, graft.MvSyncDemo.mvSchema))
+      assert(counts(classified) == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("join of two tables bucketed on the key plans no shuffle") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

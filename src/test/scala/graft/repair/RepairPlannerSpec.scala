@@ -91,6 +91,39 @@ class RepairPlannerSpec extends SparkSpec {
     assert(r2.getAs[Long]("writetime_c2") == Wt2)
   }
 
+  test("applyPlan is idempotent under retries (exactly-once posture)") {
+    // Task/job retries can re-apply mutations (SURVEY §7.4). The
+    // reference's mitigations are timestamped upserts (replaying the
+    // same cell timestamp is a no-op overwrite) and read-before-delete;
+    // the offline applier inherits both: re-applying a plan sets the
+    // same cells to the same values/writetimes, and a retried DELETE
+    // anti-joins a key that is already gone. Double-apply must be
+    // byte-identical to single-apply for every mutation kind.
+    val s = Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // upsert path: mismatched row repaired, then the plan replayed
+    val base = baseBoth(spark)
+    val mv = mvMismatchRow2(spark)
+    val plan = RepairPlanner.plan(classified(base, mv, s), baseSchema, mvSchema, s)
+    val once = RepairApplier.applyPlan(mv, plan, mvSchema)
+    val twice = RepairApplier.applyPlan(once, plan, mvSchema)
+    assert(rows(twice) == rows(once))
+    assert(classified(base, twice, s)
+      .filter(col("problem") =!= MvReconciler.Consistent).count() == 0)
+
+    // delete path: orphan removed, then the delete replayed on the
+    // already-repaired MV — left-anti finds nothing the second time
+    val base2 = baseMissingRow2(spark)
+    val mv2 = mvBoth(spark)
+    val plan2 = RepairPlanner.plan(classified(base2, mv2, s), baseSchema, mvSchema, s)
+    val d1 = RepairApplier.applyPlan(mv2, plan2, mvSchema)
+    val d2 = RepairApplier.applyPlan(d1, plan2, mvSchema)
+    assert(rows(d2) == rows(d1))
+    assert(d2.count() == 1)
+  }
+
   test("applyPlan deletes orphans and inserts missing rows") {
     val s = Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
     // base lacks row2 (orphan in MV); MV lacks row1's... construct:
