@@ -14,13 +14,33 @@ object Explain {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-explain-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n================ $n ================")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      if (n == "bucketed_recon") explainBucketedRecon(spark, dir)
+      else SparkEntry.queries(n)(spark, dir).explain("formatted")
     }
     spark.stop()
+  }
+
+  /** Audit target for the zero-exchange bucketed reconcile
+   * (BucketedJoinSpec): base+MV saved bucketed by the MV PK, then the
+   * full classify plan — expect no Exchange node anywhere. */
+  private def explainBucketedRecon(spark: SparkSession, dir: String): Unit = {
+    import graft.MvSyncDemo
+    spark.sql("DROP TABLE IF EXISTS x_recon_base")
+    spark.sql("DROP TABLE IF EXISTS x_recon_mv")
+    MvSyncDemo.baseDf(spark, dir).write.bucketBy(8, "o_custkey", "o_orderkey")
+      .sortBy("o_custkey", "o_orderkey").mode("overwrite").saveAsTable("x_recon_base")
+    MvSyncDemo.mvDf(spark, dir).write.bucketBy(8, "o_custkey", "o_orderkey")
+      .sortBy("o_custkey", "o_orderkey").mode("overwrite").saveAsTable("x_recon_mv")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.reconcile.MvReconciler.reconcile(
+      spark.table("x_recon_base"), spark.table("x_recon_mv"),
+      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema).explain("formatted")
   }
 }
