@@ -111,6 +111,26 @@ object ReconQueries {
         useLatestTs = true))
       .select("o_custkey", "o_orderkey", "op", "column", "value", "writetime", "ttl", "flavor")
 
+  /** Delete race guard under the ORACLE (operator K, the offline
+   * analogue of the reference's read-before-delete point SELECT,
+   * db/DBOperations.java:196-228): the repair plan is re-verified
+   * against a FRESH base read in which every orphaned key has
+   * "reappeared" (the unfiltered orders table contains the %97 keys the
+   * demo base drops), so [[RepairPlanner.verifyDeletesAgainst]] must
+   * drop every planned DELETE and pass upserts through untouched —
+   * exactly the race the reference guards: a row written to base
+   * between the scan and the repair must not have its MV row deleted. */
+  def reconRepairPlanGuarded(spark: SparkSession, dir: String): DataFrame = {
+    val fix = Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
+    val plan = RepairPlanner.plan(
+      classified(spark, dir, fix),
+      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, fix)
+    val freshBase = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"))
+    RepairPlanner.verifyDeletesAgainst(plan, freshBase, MvSyncDemo.mvSchema.sortedPk)
+      .select("o_custkey", "o_orderkey", "op", "column", "value", "writetime", "ttl", "flavor")
+  }
+
   /** Full repair round-trip (operators L/M applied): plan the mutations,
    * apply them to the MV (RepairApplier), reconcile AGAIN — the repaired
    * MV must be keystroke-identical to the base, so the second pass
@@ -172,6 +192,7 @@ object ReconQueries {
     "recon_stats" -> reconStats,
     "recon_timescope" -> reconTimescope,
     "recon_repair_plan" -> reconRepairPlan,
+    "recon_repair_plan_guarded" -> reconRepairPlanGuarded,
     "recon_repair_plan_latestts" -> reconRepairPlanLatestTs,
     "recon_post_repair" -> reconPostRepair)
 
@@ -197,14 +218,22 @@ object ReconQueries {
     "recon_repair_plan" -> planOracle(
       writetime = "b_wt",
       flavor = "CASE WHEN b_ttl IS NOT NULL THEN 'TIMESTAMP_TTL' ELSE 'TIMESTAMP' END"),
+    // guard against the full orders table: every orphan key reappears →
+    // zero DELETEs survive, upserts unchanged
+    "recon_repair_plan_guarded" -> planOracle(
+      writetime = "b_wt",
+      flavor = "CASE WHEN b_ttl IS NOT NULL THEN 'TIMESTAMP_TTL' ELSE 'TIMESTAMP' END",
+      includeDeletes = false),
     "recon_repair_plan_latestts" -> planOracle(
       writetime = "CAST(NULL AS BIGINT)",
       flavor = "CASE WHEN b_ttl IS NOT NULL THEN 'TTL' ELSE 'NO_TIMESTAMP_TTL' END"))
 
   /** Repair-plan oracle body, parameterized by the flavor policy —
    * `uselatestts` flips only the timestamp half of the flavor matrix
-   * (reference DBOperations.java:250-262). */
-  private def planOracle(writetime: String, flavor: String): String =
+   * (reference DBOperations.java:250-262) — and by whether DELETE rows
+   * survive (the race-guarded plan drops them all). */
+  private def planOracle(writetime: String, flavor: String,
+      includeDeletes: Boolean = true): String =
     Cte +
       s""", upserts AS (
          |  SELECT o_custkey, o_orderkey, 'UPSERT' AS op, u.col AS "column",
@@ -223,5 +252,6 @@ object ReconQueries {
          |         CAST(NULL AS BIGINT) AS writetime, CAST(NULL AS INTEGER) AS ttl,
          |         CAST(NULL AS VARCHAR) AS flavor
          |  FROM classified WHERE problem = 'MISSING_IN_BASE_TABLE')
-         |SELECT * FROM upserts UNION ALL SELECT * FROM deletes""".stripMargin
+         |SELECT * FROM upserts""".stripMargin +
+      (if (includeDeletes) " UNION ALL SELECT * FROM deletes" else "")
 }
