@@ -117,8 +117,14 @@ object Dedup {
    * survivors re-join the shingle sets for rerank — at 100 TB that's the
    * difference between shuffling 3 long columns and shuffling the corpus.
    */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val d = spread(docs(spark, dir)) // CPU-bound hashing scan
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(docs(spark, dir))
+
+  /** The MinHash+LSH pipeline over any `(doc_id, text)` frame —
+   * exposed so scale smokes / callers with their own corpus reuse the
+   * exact wired plan. */
+  def minhashLshPairs(corpus: DataFrame): DataFrame = {
+    val d = spread(corpus) // CPU-bound hashing scan
       .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = d.select(col("doc_id"),

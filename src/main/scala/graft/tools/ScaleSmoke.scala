@@ -71,6 +71,37 @@ object ScaleSmoke {
       f"(${keys / secs / 1e6}%.2fM keys/s)")
     println(s"[scale-smoke] $stats")
 
+    if (args.contains("dedup")) {
+      // LLM-dedup scale smoke: the documents corpus replicated `factor`×
+      // with half the replicas byte-identical (exact-dup regime) and half
+      // tail-perturbed (near-dup regime) — drives the wired MinHash-LSH
+      // candidate path and the label-propagation clustering at a corpus
+      // size the bench never reaches. Evidence that candidate generation
+      // stays band/bucket-bounded (no quadratic blowup) as the corpus
+      // scales.
+      import graft.operators.Dedup
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val rep = docs
+        .crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn("doc_id", col("doc_id") * factor + col("_r"))
+        .withColumn("text",
+          when(col("_r") % 2 === 1,
+            concat(col("text"), lit(" replica "), col("_r")))
+            .otherwise(col("text")))
+        .drop("_r").repartition(64)
+        .localCheckpoint() // don't re-replicate inside both timed runs
+      val nDocs = rep.count()
+      val (nPairs, pairSecs) = timed(Dedup.minhashLshPairs(rep).count())
+      println(f"[scale-smoke] DEDUP docs=$nDocs lsh-pairs=$nPairs " +
+        f"pairs+rerank=${pairSecs}%.1fs")
+      val (nClusters, ccSecs) = timed(
+        Dedup.connectedComponents(
+          Dedup.minhashLshPairs(rep).select(col("id_a"), col("id_b")))
+          .select("cluster_id").distinct().count())
+      println(f"[scale-smoke] DEDUP clusters=$nClusters " +
+        f"cluster-propagation=${ccSecs}%.1fs (includes pair regeneration)")
+    }
+
     if (runSkew) {
       // 1. Hot-customer damage: 1/3 of every table on one o_custkey.
       def hot(df: DataFrame): DataFrame = df.withColumn("o_custkey",
