@@ -60,7 +60,7 @@ object RelationalQueries {
    * (binary-double half-away) disagree by a cent — rounding the
    * integer first means no midpoint ever reaches a double.
    */
-  private def exactMoneySum(c: Column, digits: Int): Column = {
+  private[operators] def exactMoneySum(c: Column, digits: Int): Column = {
     val scale = math.pow(10, digits)
     val scaled = round(c * scale).cast("long")
     val total = sum(shiftright(scaled, 10)).cast("decimal(38,0)") * 1024 +
