@@ -7,7 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // builder-side: optional trailing query names restrict the dump
-    // (fast single-query iteration); the driver always passes 2 args
+    // (fast single-query iteration); the driver always passes 2 args.
+    // NOTE oracle_sql.json is still written in FULL, so a filtered run
+    // into a stale outDir leaves other queries' parquet from an older
+    // build — only trust the filtered names (pass them to
+    // tools/check_oracle.py), or use a fresh outDir for full compares.
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

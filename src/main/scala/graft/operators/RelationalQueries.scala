@@ -68,8 +68,12 @@ object RelationalQueries {
     val cents =
       if (digits <= 2) total
       else {
+        // half-AWAY-FROM-ZERO (BigDecimal HALF_UP), sign-mirrored so the
+        // DuckDB oracle's truncating `//` agrees on negative sums too:
+        // floor((|n|+d/2)/d) on the magnitude, sign restored after
         val d = math.pow(10, digits - 2).toLong
-        floor((total + lit(d / 2)) / lit(d)) // exact decimal div, then floor
+        val mag = floor((abs(total) + lit(d / 2)) / lit(d)) // exact decimal div
+        when(total < 0, -mag).otherwise(mag)
       }
     cents.cast("double") / 100.0
   }
@@ -413,6 +417,17 @@ object RelationalQueries {
         count_distinct(col("l_partkey")).as("exact_distinct"))
   }
 
+  /** DuckDB fragment mirroring [[exactMoneySum]]'s 4-digit path: the
+   * basis-point sum half-away-from-zero-rounded to cents in integer
+   * space (DuckDB `//` truncates toward zero, so the sign is mirrored
+   * exactly like the Spark side), then one double division. */
+  private def bpsToMoneyOracle(sumExpr: String): String =
+    s"round(CAST(CASE WHEN $sumExpr >= 0 THEN ($sumExpr + 50) // 100 " +
+      s"ELSE -((-($sumExpr) + 50) // 100) END AS DOUBLE) / 100.0, 2)"
+
+  private def bpsSum(expr: String): String =
+    s"sum(CAST(round(($expr) * 10000) AS BIGINT))"
+
   /** All queries of this layer, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct" -> qKmvDistinct,
@@ -462,30 +477,30 @@ object RelationalQueries {
                FROM documents WHERE doc_id % 20 = 0)
          WHERE len(token) > 0""",
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      ("""SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
          round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
-         round(CAST((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100 AS DOUBLE) / 100.0, 2) AS sum_disc_price,
+         """ + bpsToMoneyOracle(bpsSum("l_extendedprice * (1 - l_discount)")) + """ AS sum_disc_price,
          round(avg(l_quantity), 4) AS avg_qty,
          round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-         GROUP BY l_returnflag, l_linestatus""",
+         GROUP BY l_returnflag, l_linestatus"""),
     "q6_forecast_revenue" ->
-      """SELECT round(CAST((sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) + 50) // 100 AS DOUBLE) / 100.0, 2) AS revenue
+      ("SELECT " + bpsToMoneyOracle(bpsSum("l_extendedprice * l_discount")) + """ AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
-           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
     "q3_shipping_priority" ->
-      """SELECT l_orderkey, o_orderpriority,
-         round(CAST((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100 AS DOUBLE) / 100.0, 2) AS revenue
+      ("""SELECT l_orderkey, o_orderpriority,
+         """ + bpsToMoneyOracle(bpsSum("l_extendedprice * (1 - l_discount)")) + """ AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
            AND o_orderdate < TIMESTAMP '1998-03-15'
            AND l_shipdate > TIMESTAMP '1998-03-15'
-         GROUP BY l_orderkey, o_orderpriority""",
+         GROUP BY l_orderkey, o_orderpriority"""),
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders
          WHERE o_orderdate >= TIMESTAMP '1996-07-01'
@@ -495,8 +510,8 @@ object RelationalQueries {
                          AND l_shipdate < TIMESTAMP '1998-01-01')
          GROUP BY o_orderpriority""",
     "q5_local_supplier" ->
-      """SELECT n_name,
-         round(CAST((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100 AS DOUBLE) / 100.0, 2) AS revenue
+      ("""SELECT n_name,
+         """ + bpsToMoneyOracle(bpsSum("l_extendedprice * (1 - l_discount)")) + """ AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
@@ -505,7 +520,7 @@ object RelationalQueries {
          WHERE r_name = 'ASIA'
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
-         GROUP BY n_name""",
+         GROUP BY n_name"""),
     "q_window_top_per_supplier" ->
       """SELECT * FROM (
            SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

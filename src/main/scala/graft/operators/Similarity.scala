@@ -171,10 +171,17 @@ object Similarity {
    * coarse quantizer once and store it next to the inverted lists, they
    * don't re-run Lloyd per query. The testdata directory is read-only
    * here, so the tiny (C × dim floats) parquet lives under a writable
-   * cache root keyed by the dataset path + fit hyperparameters — a new
-   * dataset or config refits rather than reusing stale centroids. */
+   * cache root keyed by the dataset IDENTITY — full path hash plus the
+   * source parquet's (length, mtime) — and the fit hyperparameters.
+   * Regenerated data at the same path changes length/mtime and misses
+   * the cache, so stale centroids can never be reused against new
+   * embeddings (the DuckDB oracle always fits from live data; a stale
+   * hit would turn the correctness row red). */
   def centroidCachePath(dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val identity = s"$dir|${src.length()}|${src.lastModified()}"
+    val key = java.lang.Long.toHexString(
+      identity.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
     val root = sys.env.getOrElse("GRAFT_IVF_CACHE", "/tmp/graft-ivf-cache")
     s"$root/$key-c$NumCentroids-i$LloydIters-s3"
   }

@@ -43,14 +43,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
  */
 object StreamingReconciler {
 
-  /** One side's current row image: canonical strings for equality,
-   * display strings for the report/mismatch rendering. */
-  final case class RowImage(canon: Map[String, String], disp: Map[String, String])
+  /** One side's current knowledge: the latest-version image, or a
+   * tombstone (`present = false`) that REMEMBERS its version so a
+   * stale pre-delete image arriving late cannot resurrect the side.
+   * `version` is the CDC change ordinal (LSN / cell writetime — 0 when
+   * the feed carries no `_version` column). */
+  final case class SideImage(canon: Map[String, String], disp: Map[String, String],
+      version: Long, present: Boolean)
 
   final case class ChangeRecord(key: String, side: String,
-      canon: Map[String, String], disp: Map[String, String])
+      canon: Map[String, String], disp: Map[String, String],
+      version: Long, deleted: Boolean)
 
-  final case class KeyState(base: Option[RowImage], mv: Option[RowImage], seq: Long)
+  final case class KeyState(base: Option[SideImage], mv: Option[SideImage], seq: Long)
 
   final case class ReconUpdate(key: String, seq: Long, problem: String,
       mismatch_col: Option[String], mismatch_base: Option[String],
@@ -58,7 +63,16 @@ object StreamingReconciler {
 
   /** Project one side's (streaming or batch) row-image feed into the
    * change-record shape. `pk` is the MV primary key (both sides key by
-   * it, reference MvSync.java:248-257,512-521). */
+   * it, reference MvSync.java:248-257,512-521).
+   *
+   * Optional CDC columns, honored when present in the feed:
+   *  - `_version` (long): per-key+side change ordinal (LSN / cell
+   *    writetime). Higher version wins regardless of arrival order —
+   *    without it, arrival order decides (fine for snapshot replays;
+   *    real change feeds should carry it).
+   *  - `_deleted` (boolean): tombstone — clears the side's image, so a
+   *    deleted base row re-classifies its MV row as an orphan
+   *    (MISSING_IN_BASE_TABLE) instead of pinning the stale image. */
   def imaged(df: DataFrame, schema: TableSchema, pk: Seq[String],
       common: Seq[String], side: String): Dataset[ChangeRecord] = {
     val spark = df.sparkSession
@@ -72,10 +86,17 @@ object StreamingReconciler {
     val dispEntries = common.flatMap { c =>
       Seq(lit(c), MvReconciler.renderValueOrNull(col(c), schema.cqlType(c)))
     }
+    val version =
+      if (df.columns.contains("_version")) col("_version").cast("long") else lit(0L)
+    val deleted =
+      if (df.columns.contains("_deleted"))
+        coalesce(col("_deleted").cast("boolean"), lit(false))
+      else lit(false)
     df.select(
       key.as("key"), lit(side).as("side"),
       map(canonEntries: _*).as("canon"),
-      map(dispEntries: _*).as("disp")).as[ChangeRecord]
+      map(dispEntries: _*).as("disp"),
+      version.as("version"), deleted.as("deleted")).as[ChangeRecord]
   }
 
   /** Classify the current pair of images — the reference's 4-way case +
@@ -83,7 +104,7 @@ object StreamingReconciler {
    * null-safe cell equality via the rendered canonical strings
    * ((null,null) equal, one-sided null a mismatch). */
   private def classify(key: String, st: KeyState, common: Seq[String]): ReconUpdate =
-    (st.base, st.mv) match {
+    (st.base.filter(_.present), st.mv.filter(_.present)) match {
       case (None, Some(_)) =>
         ReconUpdate(key, st.seq, MvReconciler.MissingInBase, None, None, None)
       case (Some(_), None) =>
@@ -95,7 +116,10 @@ object StreamingReconciler {
           case None =>
             ReconUpdate(key, st.seq, MvReconciler.Consistent, None, None, None)
         }
-      case (None, None) => // unreachable: a key only exists via some image
+      case (None, None) =>
+        // both sides deleted (or never present): trivially consistent —
+        // the key has settled; production deployments evict it with an
+        // event-time timeout, the tombstone versions stay until then
         ReconUpdate(key, st.seq, MvReconciler.Consistent, None, None, None)
     }
 
@@ -118,11 +142,18 @@ object StreamingReconciler {
     changes.groupByKey(_.key).mapGroupsWithState(GroupStateTimeout.NoTimeout) {
       (key: String, rows: Iterator[ChangeRecord], state: GroupState[KeyState]) =>
         val prev = state.getOption.getOrElse(KeyState(None, None, 0L))
-        // within one batch a side contributes at most its latest image;
-        // cross-side application order is immaterial (side-keyed upsert)
+        // last-writer-wins BY VERSION per side: a record applies only if
+        // its version is >= the held image's (tombstones included), so
+        // out-of-order delivery — across partitions in a batch, or a
+        // late batch — can never regress the state to a stale image or
+        // resurrect a deleted row. With no _version column all versions
+        // are 0 and arrival order decides (snapshot replays).
+        def apply(cur: Option[SideImage], r: ChangeRecord): Option[SideImage] =
+          if (cur.exists(_.version > r.version)) cur
+          else Some(SideImage(r.canon, r.disp, r.version, !r.deleted))
         val next = rows.foldLeft(prev) { (st, r) =>
-          val img = Some(RowImage(r.canon, r.disp))
-          if (r.side == "base") st.copy(base = img) else st.copy(mv = img)
+          if (r.side == "base") st.copy(base = apply(st.base, r))
+          else st.copy(mv = apply(st.mv, r))
         }.copy(seq = prev.seq + 1)
         state.update(next)
         classify(key, next, common)

@@ -37,10 +37,18 @@ object Explain {
       .sortBy("o_custkey", "o_orderkey").mode("overwrite").saveAsTable("x_recon_base")
     MvSyncDemo.mvDf(spark, dir).write.bucketBy(8, "o_custkey", "o_orderkey")
       .sortBy("o_custkey", "o_orderkey").mode("overwrite").saveAsTable("x_recon_mv")
+    // restore the session confs afterwards — later queries in the same
+    // invocation must be audited under the engine defaults
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    graft.reconcile.MvReconciler.reconcile(
+    try graft.reconcile.MvReconciler.reconcile(
       spark.table("x_recon_base"), spark.table("x_recon_mv"),
       MvSyncDemo.baseSchema, MvSyncDemo.mvSchema).explain("formatted")
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }

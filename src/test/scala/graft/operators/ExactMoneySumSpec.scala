@@ -44,6 +44,21 @@ class ExactMoneySumSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("digits=4: negative sums round half-away-from-zero like HALF_UP") {
+    // credits/refunds: mixed-sign money with forced negative midpoints —
+    // floor-based rounding would be off by a cent here (half toward +inf),
+    // and a truncating oracle `//` without the sign mirror likewise
+    for (bps <- Seq(Seq(-151L), Seq(-150L), Seq(-50L), Seq(-49L),
+        Seq(-1000000007L, 999999957L))) {
+      val want = (BigDecimal(bps.sum) / 10000)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = df(bps.map(_ / 10000.0), 2)
+        .agg(round(RelationalQueries.exactMoneySum(col("x"), 4), 2).as("s"))
+        .collect()(0).getDouble(0)
+      assert(got == want, s"bps=$bps")
+    }
+  }
+
   test("empty and single-row groups behave") {
     val e = df(Seq.empty[Double], 2)
       .agg(RelationalQueries.exactMoneySum(col("x"), 2).as("s")).collect()(0)

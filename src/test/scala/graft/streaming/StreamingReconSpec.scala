@@ -67,4 +67,26 @@ class StreamingReconSpec extends SparkSpec {
       assert((after - "11") == (got - "11"))
     } finally q.stop()
   }
+
+  test("CDC contract: versions order out-of-order updates, tombstones orphan") {
+    import graft.reconcile.MvReconciler._
+    val schema = AllTypesFixture.schema
+    val two = AllTypesFixture.base(spark).filter(col("id").isin(1, 2))
+    // base feed delivers, in REVERSED order: v2 (the true image for id=1,
+    // a tombstone for id=2) before a stale v1 image with corrupted text —
+    // version wins over arrival order, and the tombstone must not be
+    // resurrected by the late v1 image
+    val v1 = two.withColumn("c_text", lit("stale"))
+      .withColumn("_version", lit(1L)).withColumn("_deleted", lit(false))
+    val v2 = two.withColumn("_version", lit(2L))
+      .withColumn("_deleted", col("id") === 2)
+    val baseFeed = v2.unionByName(v1)
+    val mvFeed = AllTypesFixture.mv(spark).filter(col("id").isin(1, 2)) // no _version → 0
+    val out = StreamingReconciler.monitor(baseFeed, mvFeed, schema, schema)
+      .collect().map(u => u.key -> u.problem).toMap
+    // id=1: the v2 true image wins → consistent despite the stale v1
+    assert(out("1") == Consistent)
+    // id=2: base tombstoned at v2 → its MV row is an orphan
+    assert(out("2") == MissingInBase)
+  }
 }
