@@ -44,14 +44,17 @@ object RelationalQueries {
    * sums via bit ops (shiftright/mask — Column./ is DOUBLE division in
    * Spark, which would corrupt the quotient; shifts are exact integer
    * ops at any magnitude), recombined in decimal after aggregation, so
-   * the result is exact while sum(x·10^digits) < ~9.4e21 per group —
+   * the integer sum is exact while sum(x·10^digits) < ~9.4e21 per group —
    * well past a single-group q1 over 100 TB of lineitem (~8e11 rows ×
    * ~3.6e8 basis points ≈ 3e20 fits; a single long sum would cap at
    * 9.2e18 and overflow there).
    *
    * The DuckDB oracle states the plain integer sum (its accumulator is
    * HUGEINT): 1024·sum(hi) + sum(lo) ≡ sum(scaled) exactly, so both
-   * engines round and divide the same integer.
+   * engines round and divide the same integer. (The INTERNAL integer
+   * sum is what stays exact up to ~9.4e21; the returned value is that
+   * integer's nearest-double rendering — identical in both engines
+   * because they convert the same integer.)
    *
    * The final 2-decimal rounding ALSO happens in exact integer space
    * ((total + d/2) div d, half-up): a sum of 4-digit basis points

@@ -171,15 +171,29 @@ object Similarity {
    * coarse quantizer once and store it next to the inverted lists, they
    * don't re-run Lloyd per query. The testdata directory is read-only
    * here, so the tiny (C × dim floats) parquet lives under a writable
-   * cache root keyed by the dataset IDENTITY — full path hash plus the
-   * source parquet's (length, mtime) — and the fit hyperparameters.
+   * cache root keyed by the dataset IDENTITY — full path plus the sorted
+   * (name, length, mtime) listing of the data file(s), single-file and
+   * directory layouts both — and the fit hyperparameters.
    * Regenerated data at the same path changes length/mtime and misses
    * the cache, so stale centroids can never be reused against new
    * embeddings (the DuckDB oracle always fits from live data; a stale
    * hit would turn the correctness row red). */
   def centroidCachePath(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
-    val identity = s"$dir|${src.length()}|${src.lastModified()}"
+    // Content identity must survive BOTH layouts a parquet dataset can
+    // have: a single file, or a Spark-written DIRECTORY of part files
+    // (where the directory's own length/mtime are meaningless — only the
+    // parts carry content). Fold the sorted (name, length, mtime) listing
+    // of the data files so adding/replacing/renaming any part file
+    // misses the cache.
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .sortBy(_.getName).toSeq
+      else Seq(src)
+    val identity = (dir +: parts.map(f => s"${f.getName}|${f.length()}|${f.lastModified()}"))
+      .mkString("||")
     val key = java.lang.Long.toHexString(
       identity.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
     val root = sys.env.getOrElse("GRAFT_IVF_CACHE", "/tmp/graft-ivf-cache")
@@ -203,8 +217,20 @@ object Similarity {
       // centroid quality needs density, not every vector)
       val cents = fitCentroids(e.filter(col("vec_id") % 3 === 0))
       val rows = cents.map { case (cid, v) => (cid, v.toSeq) }
+      // Publish atomically: write to a private temp dir, then rename into
+      // place — a concurrent reader observing _SUCCESS therefore always
+      // sees a COMPLETE cache (mode-overwrite in place would let a reader
+      // race a half-written directory). If another writer won the rename,
+      // discard ours; both fits are deterministic and bit-identical.
+      val tmp = new java.io.File(path + s".tmp-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
       spark.createDataFrame(rows).toDF("cid", "cvec")
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      if (!tmp.renameTo(new java.io.File(path))) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmp)
+      }
       cents
     }
   }

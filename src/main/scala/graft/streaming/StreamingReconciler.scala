@@ -67,9 +67,11 @@ object StreamingReconciler {
    *
    * Optional CDC columns, honored when present in the feed:
    *  - `_version` (long): per-key+side change ordinal (LSN / cell
-   *    writetime). Higher version wins regardless of arrival order —
-   *    without it, arrival order decides (fine for snapshot replays;
-   *    real change feeds should carry it).
+   *    writetime). Higher version wins regardless of arrival order;
+   *    exact version ties break deterministically (see [[beats]] and the
+   *    merge in [[monitor]]). Without it all versions are 0 and the
+   *    newest BATCH's (deterministically reduced) image wins — snapshot
+   *    replay semantics.
    *  - `_deleted` (boolean): tombstone — clears the side's image, so a
    *    deleted base row re-classifies its MV row as an orphan
    *    (MISSING_IN_BASE_TABLE) instead of pinning the stale image. */
@@ -98,6 +100,23 @@ object StreamingReconciler {
       map(dispEntries: _*).as("disp"),
       version.as("version"), deleted.as("deleted")).as[ChangeRecord]
   }
+
+  /** Deterministic string form of an image for version-tie comparison:
+   * sorted column entries, null-safe. */
+  private def canonKey(si: SideImage): String =
+    si.canon.toSeq.sortBy(_._1)
+      .map { case (k, v) => k + "=" + String.valueOf(v) }.mkString("")
+
+  /** Strict total order on a side's images: higher version wins; on an
+   * exact version tie a tombstone beats a write (Cassandra's rule for
+   * deletes at the same timestamp), and between two writes the lexically
+   * larger canonical image wins (Cassandra breaks write-timestamp ties
+   * by value). Taking the max under this order is associative and
+   * commutative, so the final state cannot depend on delivery order. */
+  private def beats(inc: SideImage, cur: SideImage): Boolean =
+    if (inc.version != cur.version) inc.version > cur.version
+    else if (inc.present != cur.present) !inc.present
+    else canonKey(inc) > canonKey(cur)
 
   /** Classify the current pair of images — the reference's 4-way case +
    * first mismatch in sorted-name order (MvSync.java:349-378,481-510);
@@ -142,19 +161,34 @@ object StreamingReconciler {
     changes.groupByKey(_.key).mapGroupsWithState(GroupStateTimeout.NoTimeout) {
       (key: String, rows: Iterator[ChangeRecord], state: GroupState[KeyState]) =>
         val prev = state.getOption.getOrElse(KeyState(None, None, 0L))
-        // last-writer-wins BY VERSION per side: a record applies only if
-        // its version is >= the held image's (tombstones included), so
-        // out-of-order delivery — across partitions in a batch, or a
-        // late batch — can never regress the state to a stale image or
-        // resurrect a deleted row. With no _version column all versions
-        // are 0 and arrival order decides (snapshot replays).
-        def apply(cur: Option[SideImage], r: ChangeRecord): Option[SideImage] =
-          if (cur.exists(_.version > r.version)) cur
-          else Some(SideImage(r.canon, r.disp, r.version, !r.deleted))
-        val next = rows.foldLeft(prev) { (st, r) =>
-          if (r.side == "base") st.copy(base = apply(st.base, r))
-          else st.copy(mv = apply(st.mv, r))
-        }.copy(seq = prev.seq + 1)
+        // Last-writer-wins BY VERSION per side, deterministic at every
+        // tie point:
+        //  1. WITHIN a micro-batch, records arrive in partition order —
+        //     nondeterministic — so the batch is first reduced to its MAX
+        //     image under the strict total order [[beats]] (higher
+        //     version; on an exact version tie Cassandra's rules: a
+        //     tombstone beats a write, between writes the lexically
+        //     larger image wins). Max is associative/commutative, so the
+        //     reduction cannot depend on arrival order.
+        //  2. ACROSS batches, the batch winner replaces the held image
+        //     iff its version is >= — the newer BATCH wins version ties,
+        //     because the batch sequence is durable (Structured
+        //     Streaming's offset log), which keeps versionless snapshot
+        //     replays (all versions 0) converging on the latest batch's
+        //     image and makes crash-replays repeat the identical merge.
+        def img(r: ChangeRecord) = SideImage(r.canon, r.disp, r.version, !r.deleted)
+        def batchMax(rs: Seq[ChangeRecord]): Option[SideImage] =
+          rs.map(img).reduceOption((a, b) => if (beats(b, a)) b else a)
+        def merge(held: Option[SideImage], inc: Option[SideImage]): Option[SideImage] =
+          (held, inc) match {
+            case (Some(h), Some(i)) => Some(if (i.version >= h.version) i else h)
+            case _ => inc.orElse(held)
+          }
+        val (baseRecs, mvRecs) = rows.toSeq.partition(_.side == "base")
+        val next = KeyState(
+          merge(prev.base, batchMax(baseRecs)),
+          merge(prev.mv, batchMax(mvRecs)),
+          prev.seq + 1)
         state.update(next)
         classify(key, next, common)
     }

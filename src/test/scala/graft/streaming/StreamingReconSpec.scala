@@ -89,4 +89,32 @@ class StreamingReconSpec extends SparkSpec {
     // id=2: base tombstoned at v2 → its MV row is an orphan
     assert(out("2") == MissingInBase)
   }
+
+  test("equal-version records in one batch resolve independent of arrival order") {
+    import graft.reconcile.MvReconciler._
+    val schema = AllTypesFixture.schema
+    val one = AllTypesFixture.base(spark).filter(col("id") === 1)
+    // two base images for the SAME key at the SAME version, differing in
+    // c_text — a writetime tie. Cassandra breaks write ties by value
+    // (lexically larger wins), so 'zzz' must win in BOTH delivery orders.
+    val aaa = one.withColumn("c_text", lit("aaa")).withColumn("_version", lit(5L))
+    val zzz = one.withColumn("c_text", lit("zzz")).withColumn("_version", lit(5L))
+    val mvFeed = one // MV holds the original image → mismatch on c_text
+    def run(baseFeed: org.apache.spark.sql.DataFrame) =
+      StreamingReconciler.monitor(baseFeed, mvFeed, schema, schema)
+        .collect().map(u => (u.problem, u.mismatch_base)).head
+    val fwd = run(aaa.unionByName(zzz))
+    val rev = run(zzz.unionByName(aaa))
+    assert(fwd == rev)
+    assert(fwd == ((Inconsistent, Some("zzz"))))
+
+    // a tombstone at the same version beats the write, either order
+    val dead = one.withColumn("_version", lit(5L)).withColumn("_deleted", lit(true))
+    val live = one.withColumn("_version", lit(5L)).withColumn("_deleted", lit(false))
+    def runDel(baseFeed: org.apache.spark.sql.DataFrame) =
+      StreamingReconciler.monitor(baseFeed, mvFeed, schema, schema)
+        .collect().map(_.problem).head
+    assert(runDel(dead.unionByName(live)) == MissingInBase)
+    assert(runDel(live.unionByName(dead)) == MissingInBase)
+  }
 }

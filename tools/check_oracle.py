@@ -7,7 +7,7 @@ runs each SQL in DuckDB against the sfDir tables, compares:
   - schema: sorted column names
   - rows: multiset of tuples, columns sorted by name, values normalized
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 
 import duckdb
 import pyarrow.parquet as pq
@@ -48,6 +48,13 @@ def main():
     failures = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        if os.path.exists(f"{out_dir}/{name}/_STALE_BUILD"):
+            # a filtered Verify run marked this dir as belonging to an
+            # older build — comparing it would silently mix builds
+            print(f"[STALE] {name}: parquet is from a previous build "
+                  f"(rerun Verify for it, or use a fresh outDir)")
+            failures += 1
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
