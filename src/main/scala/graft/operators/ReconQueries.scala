@@ -155,12 +155,14 @@ object ReconQueries {
       .groupBy("problem").agg(count(lit(1)).as("n"))
   }
 
-  /** The 22-type diff matrix under the ORACLE (not just specs): classify
-   * the [[AllTypesFixture]] base/MV pair — blob deep-equals, map/set
-   * sort-canonicalization (order-permuted on EVERY common row),
-   * one-sided-null text, epoch-millis timestamp rendering. The fixture
-   * is self-generating from `spark.range`, so `dir` is unused — both
-   * engines derive identical rows independently. */
+  /** The FULL 22-type diff matrix under the ORACLE (not just specs):
+   * classify the [[AllTypesFixture]] base/MV pair — blob deep-equals,
+   * map/set sort-canonicalization (order-permuted on EVERY common row),
+   * one-sided-null text, epoch-millis timestamp rendering, float
+   * rendering, and the canonical string/long/decimal encodings of the
+   * non-native CQL types (inet/uuid/timeuuid/time/varint, SURVEY §1.2).
+   * The fixture is self-generating from `spark.range`, so `dir` is
+   * unused — both engines derive identical rows independently. */
   def reconClassifyAllTypes(spark: SparkSession, dir: String): DataFrame =
     MvReconciler.reconcile(
       AllTypesFixture.base(spark), AllTypesFixture.mv(spark),
