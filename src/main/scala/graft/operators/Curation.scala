@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.functions.ShingleFunctions._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data curation operators over the `documents` table — the
+ * corpus-management layer an LLM data pipeline needs around dedup
+ * (Dedup) and similarity (Similarity): reproducible sampling,
+ * benchmark decontamination, and per-document term relevance. The cores
+ * are DataFrame→DataFrame (planted-fixture tested in CurationSpec and
+ * reusable with a real external benchmark corpus); the wired queries
+ * bind them to the driver testdata, each with a full value-level DuckDB
+ * oracle.
+ */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Reshard a CPU-bound scan when it arrives under-partitioned (the
+   * testdata is one row group); guarded so a well-partitioned 100 TB
+   * scan is never gratuitously shuffled (same rationale as
+   * Dedup.spread). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  // ------------------------------------------------------------ sampling
+
+  /** Pre-reduction modulus < √(2⁶³): keeps `(id % PreMod) * KnuthA`
+   * inside a signed 64-bit long for ANY id, so the hash is identical in
+   * Spark (wrapping long) and DuckDB (overflow-checked BIGINT). Ids that
+   * collide mod PreMod (3 billion apart) share a sample decision —
+   * harmless for sampling. */
+  private val PreMod = 3037000493L
+
+  /** Knuth's multiplicative constant ⌊2³²/φ⌋ (golden-ratio hashing). */
+  private val KnuthA = 2654435761L
+
+  /** Deterministic 32-bit mix of a non-negative id column. NOT a
+   * cryptographic or even avalanche-quality hash — it is a seedable,
+   * engine-portable spreader: multiplicative hashing scrambles the low
+   * bits thoroughly (Knuth TAOCP §6.4), which is what `% rate` and
+   * rank-ordering consume. */
+  private def mix32(c: Column): Column = ((c % PreMod) * KnuthA) % 4294967296L
+
+  /** Reproducible Bernoulli sample: keep a row iff
+   * `mix32(key) % 100 < pct`. Unlike `df.sample()`, the decision is a
+   * pure function of the KEY — the same rows survive across runs,
+   * engines, and repartitions, which is what makes training-data
+   * ablations comparable. A narrow codegen'd filter on the scan: no
+   * shuffle, no state, at any scale. */
+  def bernoulli(df: DataFrame, key: Column, pct: Int): DataFrame =
+    df.filter(mix32(key) % 100 < pct)
+
+  /** Stratified fixed-size sample: exactly `k` rows per stratum, chosen
+   * by hash order (mix32 asc, key tie-break) — deterministic, and
+   * per-stratum counts are exact where Bernoulli only hits the rate in
+   * expectation. The rank ≤ k window filter is recognized by Spark's
+   * InferWindowGroupLimit, which pushes a partial top-k into each map
+   * task — at 100 TB the shuffle carries ≤ k rows per stratum per task,
+   * not the corpus. Adds a `sample_rank` column. */
+  def stratified(df: DataFrame, stratum: Column, key: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(mix32(key), key)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** 10% reproducible Bernoulli sample of the documents table. */
+  def sampleBernoulli(spark: SparkSession, dir: String): DataFrame =
+    bernoulli(docs(spark, dir), col("doc_id"), 10)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  /** Exactly 20 documents per language stratum. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    stratified(docs(spark, dir), col("lang"), col("doc_id"), 20)
+      .select(col("doc_id"), col("lang"),
+        col("sample_rank").cast("bigint").as("sample_rank"))
+
+  // --------------------------------------------------- decontamination
+
+  /**
+   * Benchmark decontamination core — the n-gram–overlap check every
+   * serious training corpus runs before training: for each candidate
+   * document, how many of its distinct word-3-shingles also occur
+   * anywhere in the benchmark corpus? Emits
+   * `(doc_id, n_shingles, n_contaminated, contamination)` for every
+   * candidate sharing ≥ 1 shingle; a pipeline drops documents above a
+   * contamination threshold. Both inputs are `(doc_id, text)` frames.
+   *
+   * Scale shape: shingles are 64-bit hashes from the codegen'd
+   * ShingleHashes kernel (no token strings materialized). The benchmark
+   * shingle set is tiny relative to the corpus (eval suites are MBs,
+   * corpora are TBs) → `broadcast` hash join against the exploded
+   * candidate shingles, so the corpus never shuffles; the per-doc count
+   * is map-side partial-aggregated.
+   */
+  def ngramContamination(candidates: DataFrame, benchmark: DataFrame): DataFrame = {
+    def shingled(df: DataFrame) = spread(df)
+      .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bench = shingled(benchmark).select(explode(col("sh")).as("s")).distinct()
+    shingled(candidates)
+      .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_shingles"),
+        explode(col("sh")).as("s"))
+      .join(broadcast(bench), Seq("s"))
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
+  /** Wired decontamination query: `doc_id % 50 == 0` stands in for the
+   * eval suite. The benchmark branch re-scans the source, but its
+   * residue filter runs BEFORE the hashing projection, so it only pays
+   * shingling for the 2% benchmark slice. */
+  def deconNgramOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    ngramContamination(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0))
+  }
+
+  // --------------------------------------------------------------- tf-idf
+
+  /**
+   * TF-IDF top terms: the `k` most characteristic whitespace tokens per
+   * document, scored `tf · ln(N / df)` with ties broken by term. The
+   * document-frequency table is vocabulary-sized — broadcast — so the
+   * only corpus-sized shuffle is the (doc, term) partial-aggregated
+   * count; the final per-doc top-k is again a window the optimizer
+   * executes as a group-limit (partial top-k per task). N is computed
+   * once as a scalar aggregate and inlined as a literal (an 8-byte
+   * driver value, same pattern as the IVF centroids).
+   */
+  def tfidfTopK(d: DataFrame, k: Int): DataFrame = {
+    val n = d.count()
+    val tf = spread(d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = col("tf") * log(lit(n.toDouble) / col("df"))
+    val w = Window.partitionBy("doc_id").orderBy(score.desc, col("term"))
+    tf.join(broadcast(df_), Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(score, 6).as("tfidf"), col("rank").cast("bigint").as("rank"))
+  }
+
+  /** Top-3 TF-IDF terms per document of the testdata corpus. */
+  def textTfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopK(docs(spark, dir), 3)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_bernoulli" -> sampleBernoulli,
+    "sample_stratified" -> sampleStratified,
+    "decon_ngram_overlap" -> deconNgramOverlap,
+    "text_tfidf_topk" -> textTfidfTopk)
+
+  private val Mix32Sql =
+    s"((doc_id % $PreMod) * $KnuthA) % 4294967296"
+
+  val oracleSql: Map[String, String] = Map(
+    "sample_bernoulli" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE ($Mix32Sql) % 100 < 10""",
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank FROM (
+            SELECT doc_id, lang, row_number() OVER (
+              PARTITION BY lang ORDER BY $Mix32Sql, doc_id) AS rk
+            FROM documents)
+          WHERE rk <= 20""",
+    "decon_ngram_overlap" -> HashOracleSql.deconOverlap,
+    "text_tfidf_topk" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                t -> len(t) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT doc_id, term, tf,
+                 tf * ln(n.n / CAST(df.df AS DOUBLE)) AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tf * ln(n.n / CAST(df.df AS DOUBLE)) DESC, term) AS rk
+               FROM tf JOIN df USING (term), n)
+         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           round(score, 6) AS tfidf, CAST(rk AS BIGINT) AS rank
+         FROM s WHERE rk <= 3""")
+}

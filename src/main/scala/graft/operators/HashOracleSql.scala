@@ -359,6 +359,24 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
   round(cos, 6) AS cos
 FROM _ranked WHERE rank <= 10"""
 
+  /** Oracle for Curation.deconNgramOverlap: the same staged word-3-
+   * shingle-hash CTEs as the LSH oracles ([[shingleCtes]] → `_sh`),
+   * then distinct benchmark shingles (docs with id % 50 = 0) joined
+   * against each candidate doc's shingle rows — value-level overlap
+   * counts and contamination ratio. */
+  def deconOverlap: String =
+    s"""WITH
+$shingleCtes,
+_bsh AS (SELECT DISTINCT unnest(sh) AS s FROM _sh WHERE doc_id % 50 = 0),
+_tr AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+        FROM _sh WHERE doc_id % 50 <> 0),
+_hit AS (SELECT doc_id, n_shingles, count(*) AS n_contaminated
+         FROM _tr JOIN _bsh USING (s) GROUP BY doc_id, n_shingles)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+  round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination
+FROM _hit"""
+
   /** Oracle for RelationalQueries.qKmvDistinct — the KMV sketch
    * (graft.functions.KmvDistinct, k=256) on lineitem part keys per
    * return flag: avalanche each distinct key, keep the k smallest

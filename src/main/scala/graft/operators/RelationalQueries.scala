@@ -402,6 +402,32 @@ object RelationalQueries {
       .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
         col("token"))
 
+  /** Q17-style small-quantity revenue: the correlated-aggregate-subquery
+   * shape ("lineitems below 20% of their part's average quantity"),
+   * decorrelated to aggregate-then-join as Catalyst's subquery rewrite
+   * would. The brand dimension broadcasts into BOTH the aggregate input
+   * (left-semi — per-part averages are only computed for the brand's
+   * parts) and the probe side, so the single shuffle is the per-part
+   * aggregate over the pruned slice. The threshold predicate is
+   * cross-multiplied into pure integer arithmetic
+   * (5 · n · qty < Σqty, quantities are integral) — no float boundary
+   * can flip a row between engines. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val pt = t(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#13").select("p_partkey")
+    val li = t(spark, dir, "lineitem")
+    val perPart = li
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
+        count(lit(1)).as("qty_n"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(perPart, "l_partkey")
+      .filter(col("l_quantity").cast("long") * col("qty_n") * 5 < col("qty_sum"))
+      .agg(round(exactMoneySum(col("l_extendedprice"), 2), 2).as("small_qty_revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
   /** KMV distinct-count sketch per return flag — the custom typed
    * `Aggregator` extension path (graft.functions.KmvDistinct, k=256):
    * fixed k·8-byte mergeable state per group, map-side partial
@@ -434,6 +460,7 @@ object RelationalQueries {
   /** All queries of this layer, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct" -> qKmvDistinct,
+    "q17_small_quantity" -> q17SmallQuantity,
     "q_pivot" -> qPivot,
     "q_explode_tokens" -> qExplodeTokens,
     "q_json_props" -> qJsonProps,
@@ -464,6 +491,17 @@ object RelationalQueries {
   /** DuckDB oracle SQL, column-name aligned with the Spark plans. */
   val oracleSql: Map[String, String] = Map(
     "q_kmv_distinct" -> HashOracleSql.kmvDistinct,
+    "q17_small_quantity" ->
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+         pp AS (SELECT l_partkey,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+                  count(*) AS qty_n
+                FROM lineitem JOIN pk ON l_partkey = p_partkey
+                GROUP BY l_partkey)
+         SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS small_qty_revenue,
+           count(*) AS n_lineitems
+         FROM lineitem JOIN pp USING (l_partkey)
+         WHERE CAST(l_quantity AS BIGINT) * qty_n * 5 < qty_sum""",
     "q_pivot" ->
       """SELECT year(o_orderdate) AS order_year,
          nullif(count(*) FILTER (o_orderpriority LIKE '1%'), 0) AS prio_1,

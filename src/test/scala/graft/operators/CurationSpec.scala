@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the curation operators on planted fixtures (the
+ * oracle layer separately checks the wired queries against DuckDB). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words =
+    "the quick brown fox jumps over a lazy dog near the river bank and beyond".split(" ")
+  private def doc(seed: Int, n: Int = 60): String = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+  }
+
+  test("bernoulli sampling is a pure function of the key (partitioning-invariant)") {
+    val d = spark.range(0, 5000).toDF("doc_id")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Curation.bernoulli(df, col("doc_id"), 10)
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(d)
+    val b = ids(d.repartition(7))
+    assert(a == b)
+    // the rate is approximate but the mix spreads it near 10%
+    assert(a.size > 350 && a.size < 650, s"got ${a.size} of 5000")
+  }
+
+  test("stratified sampling returns exactly k per stratum, deterministically") {
+    val d = spark.range(0, 300).toDF("doc_id")
+      .withColumn("stratum", (col("doc_id") % 3).cast("string"))
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      Curation.stratified(df, col("stratum"), col("doc_id"), 7)
+        .select("stratum", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val a = sample(d)
+    val b = sample(d.repartition(5))
+    assert(a == b)
+    assert(a.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("0" -> 7, "1" -> 7, "2" -> 7))
+  }
+
+  test("contamination flags a planted benchmark copy, not unrelated docs") {
+    val benchText = doc(1)
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    // candidate 0: exact copy of the benchmark doc; candidate 1: copy
+    // with one word changed (still heavily contaminated); candidate 2:
+    // from a different vocabulary — zero shingle overlap
+    val near = benchText.split(" ").updated(3, "XX").mkString(" ")
+    val candidates = Seq(
+      (0L, benchText), (1L, near),
+      (2L, Seq.fill(40)("zzz qqq vvv").mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.ngramContamination(candidates, bench)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(0L) == 1.0)
+    assert(out(1L) > 0.8 && out(1L) < 1.0)
+    assert(!out.contains(2L))
+  }
+
+  test("tf-idf ranks a document's distinctive term first; ubiquitous terms score 0") {
+    // 'common' appears in every doc → idf = ln(1) = 0; each doc's unique
+    // repeated term must outrank it
+    val d = Seq(
+      (0L, "apple apple apple common"),
+      (1L, "banana banana common"),
+      (2L, "cherry common")).toDF("doc_id", "text")
+    val out = Curation.tfidfTopK(d, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getDouble(3)))
+    val top = out.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    assert(top == Map(0L -> "apple", 1L -> "banana", 2L -> "cherry"))
+    // every 'common' row scores exactly 0 (df = N)
+    assert(out.filter(_._2 == "common").forall(_._4 == 0.0))
+  }
+}
