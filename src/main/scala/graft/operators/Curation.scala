@@ -101,9 +101,12 @@ object Curation {
    * is map-side partial-aggregated.
    */
   def ngramContamination(candidates: DataFrame, benchmark: DataFrame): DataFrame = {
+    // No size(sh)>0 guard: `explode` drops empty shingle arrays by
+    // itself, and an explicit filter would be PUSHED DOWN below the
+    // spread repartition, evaluating the hash kernel a second time —
+    // serially, on the pre-spread scan (observed in the r07 plan audit).
     def shingled(df: DataFrame) = spread(df)
       .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
     val bench = shingled(benchmark).select(explode(col("sh")).as("s")).distinct()
     shingled(candidates)
       .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_shingles"),

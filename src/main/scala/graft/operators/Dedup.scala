@@ -41,7 +41,12 @@ object Dedup {
   /** (doc_id, sh): distinct word-3-shingle sets. Tokens are materialized
    * as a column BEFORE shingling so the transform lambda slices a bound
    * attribute — inlining the tokenizer into the lambda re-runs the regex
-   * split per shingle (measured ~50× slower at sf0.1). */
+   * split per shingle (measured ~50× slower at sf0.1). Deliberately NO
+   * size(sh)>0 filter here: predicate pushdown would clone the whole
+   * shingling expression into a Filter BELOW the spread repartition —
+   * the CPU-bound stage would then run twice, once serially on the
+   * pre-spread scan (observed in the r07 plan audit). Consumers exclude
+   * empty sets structurally (explode, or an n_union > 0 pair guard). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     // Tokenize/shingle is the CPU-bound stage (higher-order functions
     // evaluate interpreted, ~1ms/doc): spread it across all cores when
@@ -49,7 +54,6 @@ object Dedup {
     spread(docs(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
 
   // ---------------------------------------------------------------- exact
 
@@ -87,7 +91,9 @@ object Dedup {
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union",
         size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
-      .filter(col("n_inter") * 2 >= col("n_union")) // jaccard >= 0.5
+      // jaccard >= 0.5; n_union > 0 excludes empty-shingle docs (the
+      // structural replacement for the removed pre-filter in `shingled`)
+      .filter(col("n_inter") * 2 >= col("n_union") && col("n_union") > 0)
       .select(col("id_a"), col("id_b"),
         col("n_inter").cast("bigint").as("n_inter"),
         col("n_union").cast("bigint").as("n_union"),
@@ -124,9 +130,11 @@ object Dedup {
    * exposed so scale smokes / callers with their own corpus reuse the
    * exact wired plan. */
   def minhashLshPairs(corpus: DataFrame): DataFrame = {
+    // No size(sh)>0 filter (see `shingled`): posexplode drops empty band
+    // arrays itself, and the pushed-down filter would re-run the hash
+    // kernel serially below the spread repartition.
     val d = spread(corpus) // CPU-bound hashing scan
       .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
     val banded = d.select(col("doc_id"),
       posexplode(minhash_bands(col("sh"), NumBands, RowsPerBand)))
       .toDF("doc_id", "band", "bucket")
@@ -141,7 +149,10 @@ object Dedup {
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("n_union",
         size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
-      .filter(col("n_inter") * 2 >= col("n_union"))
+      // n_union > 0: empty-shingle docs share every band bucket (the
+      // minima fold of an empty set is a constant), so the rerank — not
+      // a pushdown-prone pre-filter — must exclude their 0/0 pairs
+      .filter(col("n_inter") * 2 >= col("n_union") && col("n_union") > 0)
       .select(col("id_a"), col("id_b"),
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
   }
@@ -205,7 +216,7 @@ object Dedup {
    * distance 3 share at least one exact band (pigeonhole). Deterministic
    * output: candidate pairs + Hamming distance ≤ 3. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = spread(docs(spark, dir)) // CPU-bound hashing scan
       .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
     val banded = d.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
