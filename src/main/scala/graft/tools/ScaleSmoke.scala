@@ -102,6 +102,28 @@ object ScaleSmoke {
         f"cluster-propagation=${ccSecs}%.1fs (includes pair regeneration)")
     }
 
+    if (args.contains("curation")) {
+      // Decontamination scale smoke: the CANDIDATE corpus grows factor×
+      // while the benchmark set stays fixed (the realistic regime — eval
+      // suites are MBs, corpora are TBs). The benchmark shingle set
+      // broadcasts, so decon time must grow ~linearly with the corpus
+      // (hash + explode + broadcast-probe per doc), never quadratically.
+      import graft.operators.Curation
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+      val rep = docs.select("doc_id", "text")
+        .crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn("doc_id", col("doc_id") * factor + col("_r"))
+        .drop("_r").repartition(64)
+        .localCheckpoint() // replication cost stays outside the timing
+      val nDocs = rep.count()
+      val (flagged, deconSecs) = timed(
+        Curation.ngramContamination(rep, bench).count())
+      println(f"[scale-smoke] CURATION candidates=$nDocs (benchmark fixed) " +
+        f"flagged=$flagged decon=${deconSecs}%.1fs " +
+        f"(${nDocs / deconSecs / 1000}%.0fk docs/s)")
+    }
+
     if (runSkew) {
       // 1. Hot-customer damage: 1/3 of every table on one o_custkey.
       def hot(df: DataFrame): DataFrame = df.withColumn("o_custkey",
