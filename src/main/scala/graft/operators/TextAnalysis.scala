@@ -84,6 +84,33 @@ object TextAnalysis {
       .withColumn("predicted_lang", best)
   }
 
+  /**
+   * Unigram language-model quality score — the KenLM-style perplexity
+   * filter of training pipelines, in its exactly-reproducible unigram
+   * form: fit p(t) = cnt(t)/T on the corpus itself, score each document
+   * by its mean token log-probability (≡ −cross-entropy; word-salad and
+   * boilerplate outliers surface at the extremes). Two corpus passes:
+   * the vocabulary fit (a vocabulary-sized aggregate, broadcast back)
+   * and the row-local scoring scan — the same shape at 100 TB, where
+   * the fitted vocab table would simply be persisted like the IVF
+   * quantizer. The per-document sum folds ln p(t) in TOKEN order on
+   * both engines (explode/unnest preserve element order through the
+   * broadcast probe), so the doubles agree bit-for-bit before the
+   * final rounding.
+   */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tk = d.select(col("doc_id"), explode(toks).as("term"))
+    val vocab = tk.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt")).collect()(0).getLong(0)
+    tk.join(broadcast(vocab), Seq("term"))
+      .withColumn("logp", log(col("cnt").cast("double") / lit(total.toDouble)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("logp").as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s") / col("n_tokens"), 6).as("avg_logprob"))
+  }
+
   /** Document fingerprints, oracle-checkable half: md5 content hash (the
    * exact-dedup key both engines share). */
   def textFingerprintMd5(spark: SparkSession, dir: String): DataFrame =
@@ -111,6 +138,7 @@ object TextAnalysis {
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
+    "text_lm_score" -> textLmScore,
     "text_fingerprint_md5" -> textFingerprintMd5,
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "text_fingerprint_simhash" -> textFingerprintSimhash)
@@ -168,6 +196,15 @@ object TextAnalysis {
                 AND score_zh >= score_fr AND score_zh >= score_es THEN 'zh'
               ELSE 'und' END AS predicted_lang
           FROM s""",
+    "text_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TokSql) AS term FROM documents),
+          v AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+          t AS (SELECT count(*) AS total FROM tk),
+          s AS (SELECT doc_id, ln(CAST(cnt AS DOUBLE) / total) AS logp
+                FROM tk JOIN v USING (term), t)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            round(sum(logp) / count(*), 6) AS avg_logprob
+          FROM s GROUP BY doc_id""",
     "text_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
     "text_fingerprint_rolling" ->
