@@ -28,10 +28,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
  *    a monotonically increasing per-key `seq`.
  *  - At 100 TB the state shards across executors on the PK shuffle
  *    (RocksDB state store in production), per-batch work is
- *    proportional to CHANGED keys — not table size — and idle keys can
- *    be evicted with an event-time timeout once both sides have
- *    settled. The replay spec uses NoTimeout (a finite replay never
- *    quiesces under timer-based timeouts).
+ *    proportional to CHANGED keys — not table size — and
+ *    [[monitorEvicting]] bounds state to the actively-changing key set
+ *    via event-time timeouts. The plain [[monitor]] uses NoTimeout
+ *    (finite replays never quiesce under timer-based timeouts —
+ *    replay specs use it).
  *
  * Time-scope filtering (operator F) is intentionally absent: it is a
  * batch-window concern; the monitor always classifies current images.
@@ -53,7 +54,7 @@ object StreamingReconciler {
 
   final case class ChangeRecord(key: String, side: String,
       canon: Map[String, String], disp: Map[String, String],
-      version: Long, deleted: Boolean)
+      version: Long, deleted: Boolean, eventTs: java.sql.Timestamp)
 
   final case class KeyState(base: Option[SideImage], mv: Option[SideImage], seq: Long)
 
@@ -74,7 +75,9 @@ object StreamingReconciler {
    *    replay semantics.
    *  - `_deleted` (boolean): tombstone — clears the side's image, so a
    *    deleted base row re-classifies its MV row as an orphan
-   *    (MISSING_IN_BASE_TABLE) instead of pinning the stale image. */
+   *    (MISSING_IN_BASE_TABLE) instead of pinning the stale image.
+   *  - `_event_ts` (timestamp): the change's event time — required by
+   *    [[monitorEvicting]] (0 when absent). */
   def imaged(df: DataFrame, schema: TableSchema, pk: Seq[String],
       common: Seq[String], side: String): Dataset[ChangeRecord] = {
     val spark = df.sparkSession
@@ -94,11 +97,18 @@ object StreamingReconciler {
       if (df.columns.contains("_deleted"))
         coalesce(col("_deleted").cast("boolean"), lit(false))
       else lit(false)
+    // the RAW attribute, plain-aliased: a cast/function would strip the
+    // watermark metadata the event-time-timeout analyzer checks for, so
+    // evicting feeds must supply `_event_ts` as TimestampType already
+    val eventTs =
+      if (df.columns.contains("_event_ts")) col("_event_ts")
+      else lit(null).cast("timestamp")
     df.select(
       key.as("key"), lit(side).as("side"),
       map(canonEntries: _*).as("canon"),
       map(dispEntries: _*).as("disp"),
-      version.as("version"), deleted.as("deleted")).as[ChangeRecord]
+      version.as("version"), deleted.as("deleted"),
+      eventTs.as("eventTs")).as[ChangeRecord]
   }
 
   /** Deterministic string form of an image for version-tie comparison:
@@ -160,37 +170,95 @@ object StreamingReconciler {
 
     changes.groupByKey(_.key).mapGroupsWithState(GroupStateTimeout.NoTimeout) {
       (key: String, rows: Iterator[ChangeRecord], state: GroupState[KeyState]) =>
-        val prev = state.getOption.getOrElse(KeyState(None, None, 0L))
-        // Last-writer-wins BY VERSION per side, deterministic at every
-        // tie point:
-        //  1. WITHIN a micro-batch, records arrive in partition order —
-        //     nondeterministic — so the batch is first reduced to its MAX
-        //     image under the strict total order [[beats]] (higher
-        //     version; on an exact version tie Cassandra's rules: a
-        //     tombstone beats a write, between writes the lexically
-        //     larger image wins). Max is associative/commutative, so the
-        //     reduction cannot depend on arrival order.
-        //  2. ACROSS batches, the batch winner replaces the held image
-        //     iff its version is >= — the newer BATCH wins version ties,
-        //     because the batch sequence is durable (Structured
-        //     Streaming's offset log), which keeps versionless snapshot
-        //     replays (all versions 0) converging on the latest batch's
-        //     image and makes crash-replays repeat the identical merge.
-        def img(r: ChangeRecord) = SideImage(r.canon, r.disp, r.version, !r.deleted)
-        def batchMax(rs: Seq[ChangeRecord]): Option[SideImage] =
-          rs.map(img).reduceOption((a, b) => if (beats(b, a)) b else a)
-        def merge(held: Option[SideImage], inc: Option[SideImage]): Option[SideImage] =
-          (held, inc) match {
-            case (Some(h), Some(i)) => Some(if (i.version >= h.version) i else h)
-            case _ => inc.orElse(held)
-          }
-        val (baseRecs, mvRecs) = rows.toSeq.partition(_.side == "base")
-        val next = KeyState(
-          merge(prev.base, batchMax(baseRecs)),
-          merge(prev.mv, batchMax(mvRecs)),
-          prev.seq + 1)
+        val next = mergeBatch(
+          state.getOption.getOrElse(KeyState(None, None, 0L)), rows.toSeq)
         state.update(next)
         classify(key, next, common)
     }
+  }
+
+  /** Terminal problem value emitted when an idle key's state is evicted
+   * ([[monitorEvicting]]); downstream max-seq compaction drops the key. */
+  val Evicted = "EVICTED"
+
+  /**
+   * [[monitor]] with BOUNDED state — the 100 TB deployment shape: a key
+   * whose feeds have been silent for `idleRetentionMs` of EVENT time
+   * past the watermark has settled (both sides' changes for it have
+   * arrived), so its state is removed and a terminal [[Evicted]] update
+   * emitted. State size then tracks the ACTIVELY-CHANGING key set, not
+   * the table's key count.
+   *
+   * Requirements: both feeds carry `_event_ts` and the caller applies
+   * `withWatermark("_event_ts", ...)` to each BEFORE passing them in
+   * (event-time timeouts need a watermark). The union's watermark is
+   * the MIN of the two feeds' — a stalled feed stalls eviction, it
+   * never causes premature eviction. Late records for an evicted key
+   * re-create its state and re-classify from the images at hand — the
+   * retention is the trade against that re-derivation, exactly as with
+   * any watermark-bounded stateful operator.
+   */
+  def monitorEvicting(baseChanges: DataFrame, mvChanges: DataFrame,
+      baseSchema: TableSchema, mvSchema: TableSchema,
+      idleRetentionMs: Long): Dataset[ReconUpdate] = {
+    val spark = baseChanges.sparkSession
+    import spark.implicits._
+    val pk = mvSchema.sortedPk
+    val common = TableSchema.commonRegular(baseSchema, mvSchema)
+    val changes = imaged(baseChanges, baseSchema, pk, common, "base")
+      .unionByName(imaged(mvChanges, mvSchema, pk, common, "mv"))
+
+    changes.groupByKey(_.key).mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+      (key: String, rows: Iterator[ChangeRecord], state: GroupState[KeyState]) =>
+        if (state.hasTimedOut) {
+          val seq = state.getOption.map(_.seq).getOrElse(0L)
+          state.remove()
+          ReconUpdate(key, seq + 1, Evicted, None, None, None)
+        } else {
+          val rs = rows.toSeq
+          val next = mergeBatch(
+            state.getOption.getOrElse(KeyState(None, None, 0L)), rs)
+          state.update(next)
+          // idle deadline = newest event for this key + retention; the
+          // max with watermark+1 keeps a late (below-watermark) record
+          // from setting an already-expired deadline, which Spark rejects
+          val newest = rs.map(r => Option(r.eventTs).map(_.getTime).getOrElse(0L)).max
+          state.setTimeoutTimestamp(math.max(
+            newest + idleRetentionMs,
+            state.getCurrentWatermarkMs() + 1))
+          classify(key, next, common)
+        }
+    }
+  }
+
+  /** Per-key micro-batch merge — last-writer-wins BY VERSION per side,
+   * deterministic at every tie point:
+   *  1. WITHIN a micro-batch, records arrive in partition order —
+   *     nondeterministic — so the batch is first reduced to its MAX
+   *     image under the strict total order [[beats]] (higher version;
+   *     on an exact version tie Cassandra's rules: a tombstone beats a
+   *     write, between writes the lexically larger image wins). Max is
+   *     associative/commutative, so the reduction cannot depend on
+   *     arrival order.
+   *  2. ACROSS batches, the batch winner replaces the held image iff
+   *     its version is >= — the newer BATCH wins version ties, because
+   *     the batch sequence is durable (Structured Streaming's offset
+   *     log), which keeps versionless snapshot replays (all versions 0)
+   *     converging on the latest batch's image and makes crash-replays
+   *     repeat the identical merge. */
+  private def mergeBatch(prev: KeyState, rs: Seq[ChangeRecord]): KeyState = {
+    def img(r: ChangeRecord) = SideImage(r.canon, r.disp, r.version, !r.deleted)
+    def batchMax(recs: Seq[ChangeRecord]): Option[SideImage] =
+      recs.map(img).reduceOption((a, b) => if (beats(b, a)) b else a)
+    def merge(held: Option[SideImage], inc: Option[SideImage]): Option[SideImage] =
+      (held, inc) match {
+        case (Some(h), Some(i)) => Some(if (i.version >= h.version) i else h)
+        case _ => inc.orElse(held)
+      }
+    val (baseRecs, mvRecs) = rs.partition(_.side == "base")
+    KeyState(
+      merge(prev.base, batchMax(baseRecs)),
+      merge(prev.mv, batchMax(mvRecs)),
+      prev.seq + 1)
   }
 }

@@ -117,4 +117,51 @@ class StreamingReconSpec extends SparkSpec {
     assert(runDel(dead.unionByName(live)) == MissingInBase)
     assert(runDel(live.unionByName(dead)) == MissingInBase)
   }
+
+  test("evicting monitor drops settled keys once the watermark passes retention") {
+    import graft.reconcile.MvReconciler._
+    import graft.schema.TableSchema
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val schema = TableSchema(pk = Seq("id"), types = Map("id" -> "BIGINT", "v" -> "TEXT"))
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 1600000000000L
+    val baseIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val mvIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def feed(s: MemoryStream[(Long, String, java.sql.Timestamp)]) =
+      s.toDF().toDF("id", "v", "_event_ts").withWatermark("_event_ts", "0 seconds")
+
+    val updates = StreamingReconciler.monitorEvicting(
+      feed(baseIn), feed(mvIn), schema, schema, idleRetentionMs = 600000L).toDF()
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName("recon_evict").start()
+    try {
+      def rowsFor(key: String) =
+        spark.table("recon_evict").filter(col("key") === key)
+          .orderBy("seq").collect().map(_.getAs[String]("problem")).toSeq
+
+      // batch 1: both keys present and consistent on both sides
+      baseIn.addData((1L, "a", ts(t0)), (2L, "b", ts(t0)))
+      mvIn.addData((1L, "a", ts(t0)), (2L, "b", ts(t0)))
+      q.processAllAvailable()
+      assert(rowsFor("1") == Seq(Consistent) && rowsFor("2") == Seq(Consistent))
+
+      // key 2 keeps changing on BOTH feeds (both watermarks advance);
+      // key 1 goes idle. Timeouts fire against the PREVIOUS batch's
+      // watermark, so the eviction lands one batch after the watermark
+      // passes t0 + retention.
+      baseIn.addData((2L, "b2", ts(t0 + 3600000L)))
+      mvIn.addData((2L, "b", ts(t0 + 3600000L)))
+      q.processAllAvailable()
+      baseIn.addData((2L, "b3", ts(t0 + 7200000L)))
+      mvIn.addData((2L, "b2", ts(t0 + 7200000L)))
+      q.processAllAvailable()
+
+      assert(rowsFor("1") == Seq(Consistent, StreamingReconciler.Evicted))
+      // key 2 was never evicted and its last update reflects live state
+      val k2 = rowsFor("2")
+      assert(!k2.contains(StreamingReconciler.Evicted) && k2.last == Inconsistent)
+    } finally q.stop()
+  }
 }
