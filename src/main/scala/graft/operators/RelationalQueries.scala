@@ -402,6 +402,30 @@ object RelationalQueries {
       .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"),
         col("token"))
 
+  /** Arbitrary GROUPING SETS (beyond the rollup/cube shapes), through
+   * the SQL entry path — the one aggregation pass Catalyst expands to
+   * both groupings with `grouping_id` discriminators, not two scans. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+        |  CAST(grouping_id(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+        |FROM customer_v
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))""".stripMargin)
+  }
+
+  /** RANGE window frame (vs the ROWS frame of the running total): each
+   * year's revenue plus the trailing-2-year windowed sum — peer rows
+   * enter by VALUE distance, so missing years shrink the window. */
+  def qWindowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val yearly = t(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(round(exactMoneySum(col("o_totalprice"), 2), 2).as("year_total"))
+    yearly.withColumn("trailing_3y",
+      round(sum("year_total").over(
+        Window.orderBy("o_year").rangeBetween(-2, 0)), 2))
+  }
+
   /** Q17-style small-quantity revenue: the correlated-aggregate-subquery
    * shape ("lineitems below 20% of their part's average quantity"),
    * decorrelated to aggregate-then-join as Catalyst's subquery rewrite
@@ -461,6 +485,8 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct" -> qKmvDistinct,
     "q17_small_quantity" -> q17SmallQuantity,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_window_range_frame" -> qWindowRangeFrame,
     "q_pivot" -> qPivot,
     "q_explode_tokens" -> qExplodeTokens,
     "q_json_props" -> qJsonProps,
@@ -502,6 +528,20 @@ object RelationalQueries {
            count(*) AS n_lineitems
          FROM lineitem JOIN pp USING (l_partkey)
          WHERE CAST(l_quantity AS BIGINT) * qty_n * 5 < qty_sum""",
+    "q_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+           CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey) AS BIGINT) AS gid
+         FROM customer
+         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))""",
+    "q_window_range_frame" ->
+      """WITH y AS (
+           SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS year_total
+           FROM orders GROUP BY 1)
+         SELECT o_year, year_total,
+           round(sum(year_total) OVER (ORDER BY o_year
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS trailing_3y
+         FROM y""",
     "q_pivot" ->
       """SELECT year(o_orderdate) AS order_year,
          nullif(count(*) FILTER (o_orderpriority LIKE '1%'), 0) AS prio_1,
