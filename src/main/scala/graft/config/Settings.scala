@@ -33,7 +33,16 @@ final case class Settings(
     cassandraUserName: String = null,
     cassandraPassword: String = null,
     cassandraDatacenter: String = "datacenter1",
-    outputDir: String = "/tmp/cassandra-mv-repair-spark-job/"
+    outputDir: String = "/tmp/cassandra-mv-repair-spark-job/",
+    /** Engine extension (no reference key): skip the per-side
+     * dropDuplicates in the reconcile prep. Cassandra scans cannot
+     * yield duplicate primary keys (the PK IS the table key), so the
+     * reference's defensive first-element cogroup semantics
+     * (MvSync.java:325-338) and a plain join coincide — but the
+     * defensive aggregate costs a full per-side SortAggregate. Default
+     * keeps exact reference parity; set true when the source guarantees
+     * key uniqueness (any real Cassandra scan). */
+    trustUniquePk: Boolean = false
 ) extends Serializable {
   /** Time-scope filtering active iff either bound is set (>= 0). */
   def timeScoped: Boolean = startTsEpochSec >= 0 || endTsEpochSec >= 0
@@ -70,7 +79,8 @@ object Settings {
       cassandraUserName = getOrNull("cassandra.username"),
       cassandraPassword = getOrNull("cassandra.password"),
       cassandraDatacenter = get("cassandra.datacenter", "datacenter1"),
-      outputDir = get("output.dir", "/tmp/cassandra-mv-repair-spark-job/")
+      outputDir = get("output.dir", "/tmp/cassandra-mv-repair-spark-job/"),
+      trustUniquePk = get("trustuniquepk", "false").toBoolean
     )
   }
 }

@@ -63,8 +63,16 @@ object ReconQueries {
       |  FROM joined)
       |""".stripMargin
 
+  /** The demo pair derives both sides from `orders` keyed by its
+   * primary key — unique by construction, like any real Cassandra scan
+   * — so the wired queries run with `trustUniquePk` (the defensive
+   * first-element dropDuplicates is pure cost here: 1.11s → 0.73s
+   * classify at sf0.1, tools/Profile r07). Parity mode stays the
+   * engine default and keeps its duplicate-keys spec. */
+  private val Trusted = Settings(trustUniquePk = true)
+
   private def classified(spark: SparkSession, dir: String,
-      settings: Settings = Settings()): DataFrame =
+      settings: Settings = Trusted): DataFrame =
     MvReconciler.reconcile(
       MvSyncDemo.baseDf(spark, dir), MvSyncDemo.mvDf(spark, dir),
       MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, settings)
@@ -83,7 +91,7 @@ object ReconQueries {
    * [1996-01-01, 1999-01-01) stay in scope. */
   def reconTimescope(spark: SparkSession, dir: String): DataFrame =
     classified(spark, dir,
-      Settings(startTsEpochSec = 820454400L, endTsEpochSec = 915148800L))
+      Trusted.copy(startTsEpochSec = 820454400L, endTsEpochSec = 915148800L))
       .groupBy("problem").agg(count(lit(1)).as("n"))
 
   /** Repair mutation plan (operators L/M): per-column upserts + orphan
@@ -91,9 +99,9 @@ object ReconQueries {
   def reconRepairPlan(spark: SparkSession, dir: String): DataFrame =
     RepairPlanner.plan(
       classified(spark, dir,
-        Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)),
+        Trusted.copy(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)),
       MvSyncDemo.baseSchema, MvSyncDemo.mvSchema,
-      Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true))
+      Trusted.copy(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true))
       .select("o_custkey", "o_orderkey", "op", "column", "value", "writetime", "ttl", "flavor")
 
   /** Repair plan under `mutation.uselatestts=true` (operator M, flavor
@@ -105,9 +113,9 @@ object ReconQueries {
   def reconRepairPlanLatestTs(spark: SparkSession, dir: String): DataFrame =
     RepairPlanner.plan(
       classified(spark, dir,
-        Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)),
+        Trusted.copy(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)),
       MvSyncDemo.baseSchema, MvSyncDemo.mvSchema,
-      Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true,
+      Trusted.copy(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true,
         useLatestTs = true))
       .select("o_custkey", "o_orderkey", "op", "column", "value", "writetime", "ttl", "flavor")
 
@@ -121,7 +129,7 @@ object ReconQueries {
    * exactly the race the reference guards: a row written to base
    * between the scan and the repair must not have its MV row deleted. */
   def reconRepairPlanGuarded(spark: SparkSession, dir: String): DataFrame = {
-    val fix = Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
+    val fix = Trusted.copy(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
     val plan = RepairPlanner.plan(
       classified(spark, dir, fix),
       MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, fix)
@@ -137,7 +145,7 @@ object ReconQueries {
    * classifies every surviving key CONSISTENT. The oracle states that
    * invariant independently: exactly the non-orphan base keys remain. */
   def reconPostRepair(spark: SparkSession, dir: String): DataFrame = {
-    val fix = Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
+    val fix = Trusted.copy(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
     // RepairApplier consumes the plan twice (deletes + upserts branches),
     // and each consumption would re-run the whole upstream reconcile
     // join — checkpoint the plan (tiny: proportional to the damage, not
@@ -149,9 +157,11 @@ object ReconQueries {
       .localCheckpoint(eager = false)
     val repaired = RepairApplier.applyPlan(
       MvSyncDemo.mvDf(spark, dir), plan, MvSyncDemo.mvSchema)
+    // applyPlan merges per key, so the repaired MV keeps unique PKs —
+    // the post-check reconcile skips the defensive dedup too
     MvReconciler.reconcile(
       MvSyncDemo.baseDf(spark, dir), repaired,
-      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema)
+      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
       .groupBy("problem").agg(count(lit(1)).as("n"))
   }
 
@@ -166,7 +176,7 @@ object ReconQueries {
   def reconClassifyAllTypes(spark: SparkSession, dir: String): DataFrame =
     MvReconciler.reconcile(
       AllTypesFixture.base(spark), AllTypesFixture.mv(spark),
-      AllTypesFixture.schema, AllTypesFixture.schema)
+      AllTypesFixture.schema, AllTypesFixture.schema, Trusted)
       .select("id", "problem", "mismatch_col", "mismatch_base", "mismatch_mv")
 
   /** Operator O's report format under the ORACLE: the exact
@@ -179,7 +189,7 @@ object ReconQueries {
   def reconReportLines(spark: SparkSession, dir: String): DataFrame = {
     val classified = MvReconciler.reconcile(
       AllTypesFixture.base(spark), AllTypesFixture.mv(spark),
-      AllTypesFixture.schema, AllTypesFixture.schema)
+      AllTypesFixture.schema, AllTypesFixture.schema, Trusted)
     classified
       .filter(col(MvReconciler.ProblemCol).isin(ReportWriter.ReportedProblems: _*))
       .select(col("id"), col(MvReconciler.ProblemCol).as("problem"),

@@ -94,7 +94,11 @@ object MvReconciler {
       }
       val minWt = fold(cs => least(cs: _*))
       val maxWt = fold(cs => greatest(cs: _*))
-      val withMeta = df.dropDuplicates(pk)
+      // First-element-per-key parity via dropDuplicates — skippable when
+      // the source guarantees unique PKs (Settings.trustUniquePk: any
+      // real Cassandra scan), where the defensive aggregate is pure cost
+      val deduped = if (settings.trustUniquePk) df else df.dropDuplicates(pk)
+      val withMeta = deduped
         .withColumn("present", lit(true))
         .withColumn("min_wt", minWt)
         .withColumn("max_wt", maxWt)
