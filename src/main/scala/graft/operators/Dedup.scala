@@ -216,8 +216,16 @@ object Dedup {
    * distance 3 share at least one exact band (pigeonhole). Deterministic
    * output: candidate pairs + Hamming distance ≤ 3. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // coalesce makes the kernel input NON-NULLABLE, so the downstream
+    // hamming filter's null-rejecting constraint folds to true instead
+    // of being inferred as an isnotnull(simhash64(...)) Filter on the
+    // scan — which would clone the whole kernel below the spread
+    // repartition (same pathology as the shingle size-guards, but
+    // Spark-generated; caught in the r07 plan audit). Null text → ""
+    // → signature 0, same bucket behavior as an empty token list.
     val d = spread(docs(spark, dir)) // CPU-bound hashing scan
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+      .select(col("doc_id"),
+        simhash64(tokens(coalesce(col("text"), lit("")))).as("sig"))
     val banded = d.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
