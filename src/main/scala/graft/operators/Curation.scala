@@ -107,10 +107,17 @@ object Curation {
     // serially, on the pre-spread scan (observed in the r07 plan audit).
     def shingled(df: DataFrame) = spread(df)
       .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
-    val bench = shingled(benchmark).select(explode(col("sh")).as("s")).distinct()
+    // explode of a BARE attribute triggers InferFiltersFromGenerate,
+    // whose size(e)>0 filter gets alias-substituted during pushdown into
+    // a second shingle_hashes evaluation below the spread (r07 plan
+    // audit). A complex generator child (array_distinct — an identity
+    // here, the kernel's output is already distinct) is excluded from
+    // that inference (SPARK-36715 limits it to attribute children).
+    val bench = shingled(benchmark)
+      .select(explode(array_distinct(col("sh"))).as("s")).distinct()
     shingled(candidates)
       .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_shingles"),
-        explode(col("sh")).as("s"))
+        explode(array_distinct(col("sh"))).as("s"))
       .join(broadcast(bench), Seq("s"))
       .groupBy("doc_id", "n_shingles")
       .agg(count(lit(1)).as("n_contaminated"))

@@ -72,7 +72,13 @@ object Similarity {
    * non-neighbors is the point of the bucketing).
    */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).withColumn("bucket", lshBucket(col("embedding")))
+    // coalesce → non-nullable kernel input: the bucket equi-join's
+    // null-rejecting constraint would otherwise be inferred as
+    // isnotnull(hyperplane_bucket(embedding)) ON THE SCAN, evaluating
+    // the kernel twice per row (r07 plan audit; same pathology as the
+    // simhash filter clone). A null embedding hashes like a zero vector.
+    val e = emb(spark, dir).withColumn("bucket",
+      lshBucket(coalesce(col("embedding"), typedlit(Array.empty[Float]))))
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"),
         explode(array(
@@ -164,7 +170,13 @@ object Similarity {
    * projection — at 100 TB the table is written partitioned by cid
    * with no shuffle of the embedding payloads at all. */
   def ivfAssign(e: DataFrame, cents: Centroids): DataFrame =
-    e.withColumn("cid", assignCid(col("embedding"), cents))
+    // coalesce → non-nullable: otherwise the probe equi-join's inferred
+    // isnotnull(cid) constraint clones the ENTIRE literal-centroid
+    // argmax (16 cosines) into the scan filter (r07 plan audit). The
+    // argmax over a non-empty literal array is never null; -1 is
+    // unreachable.
+    e.withColumn("cid",
+      coalesce(assignCid(col("embedding"), cents), lit(-1)))
 
   /** Persisted-quantizer cache location for a dataset directory. The
    * fitted centroids are a model artifact: real IVF indexes fit the
