@@ -111,6 +111,106 @@ object TextAnalysis {
         round(col("s") / col("n_tokens"), 6).as("avg_logprob"))
   }
 
+  /** Reshard a CPU-bound scan when it arrives under-partitioned (the
+   * testdata is one row group); guarded so a well-partitioned 100 TB
+   * scan is never gratuitously shuffled (same rationale as
+   * Dedup.spread). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /**
+   * Repetition metrics — the Gopher-style "repetitious document" filters
+   * (Rae et al. 2021 §A1.1): distinct-token ratio, most-frequent-unigram
+   * fraction, most-frequent-bigram fraction. Boilerplate, templated spam
+   * and degenerate crawl pages score high on the top-n-gram fractions and
+   * low on the distinct ratio; `passes_repetition` applies thresholds to
+   * the ROUNDED ratios so both engines compare identical doubles.
+   *
+   * Scale shape: explode → (doc, term) count → per-doc max/sum, both
+   * aggregations map-side partial-combinable, so the shuffle carries one
+   * row per distinct (doc, n-gram), never the corpus text. The bigram
+   * array is built with an index-aware `transform` whose `greatest(…, 0)`
+   * slice length makes 0/1-token docs yield an empty array (explode then
+   * drops them) instead of a slice error — no filter that predicate
+   * pushdown could clone below the spread (r07 plan-audit trap).
+   */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val tk = spread(docs(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), toks.as("toks"))
+    val uni = tk.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_uni"))
+    val bi = tk.select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0))," +
+          " (t, i) -> concat(t, ' ', toks[i + 1]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_bi"))
+    val distinctRatio =
+      round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+    val topUniRatio = round(col("top_uni").cast("double") / col("n_tokens"), 6)
+    val topBiRatio =
+      round(col("top_bi").cast("double") / (col("n_tokens") - 1), 6)
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        distinctRatio.as("distinct_ratio"),
+        topUniRatio.as("top_unigram_ratio"),
+        topBiRatio.as("top_bigram_ratio"),
+        (topUniRatio < 0.105 && topBiRatio < 0.08).as("passes_repetition"))
+  }
+
+  /** Engine-portable PII regexes (identical semantics in Java regex and
+   * RE2): email, NANP-style phone, dotted-quad IP. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val IpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /**
+   * PII detection + redaction — the scrubbing pass every shareable
+   * training corpus runs: count and mask emails, phone numbers, and IP
+   * addresses. The synthetic corpus contains no PII, so the query plants
+   * a deterministic contact line derived from `doc_id` (same
+   * self-generating-fixture pattern as AllTypesFixture) and the oracle
+   * rebuilds the identical line in DuckDB — redaction is then verified
+   * value-level on every row, not just counted.
+   *
+   * Scale shape: a narrow per-row projection (regex count + three
+   * chained replaces) with no shuffle — the parquet reader feeds
+   * whole-stage codegen directly, the ideal 100 TB scrub.
+   */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      col("text"),
+      lit(" Contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."),
+      (col("doc_id") % 256).cast("string"), lit("."),
+      expr("CAST(doc_id DIV 256 % 256 AS STRING)"), lit("."),
+      (col("doc_id") % 250).cast("string"), lit("."))
+    docs(spark, dir)
+      .select(col("doc_id"), planted.as("pii_text"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(EmailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(PhoneRe), lit(0)))
+          .cast("bigint").as("n_phones"),
+        size(regexp_extract_all(col("pii_text"), lit(IpRe), lit(0)))
+          .cast("bigint").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("pii_text"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          IpRe, "[IP]").as("redacted"))
+  }
+
   /** Document fingerprints, oracle-checkable half: md5 content hash (the
    * exact-dedup key both engines share). */
   def textFingerprintMd5(spark: SparkSession, dir: String): DataFrame =
@@ -139,6 +239,8 @@ object TextAnalysis {
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
     "text_lm_score" -> textLmScore,
+    "text_repetition" -> textRepetition,
+    "text_pii_redact" -> textPiiRedact,
     "text_fingerprint_md5" -> textFingerprintMd5,
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "text_fingerprint_simhash" -> textFingerprintSimhash)
@@ -205,6 +307,52 @@ object TextAnalysis {
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
             round(sum(logp) / count(*), 6) AS avg_logprob
           FROM s GROUP BY doc_id""",
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $TokSql AS toks FROM documents),
+          uni AS (SELECT doc_id, term, count(*) AS cnt
+                  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+                  GROUP BY 1, 2),
+          u AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_distinct,
+                  CAST(max(cnt) AS BIGINT) AS top_uni
+                FROM uni GROUP BY 1),
+          bgx AS (SELECT doc_id,
+                    unnest(list_transform(range(1, greatest(len(toks), 1)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                  FROM t),
+          bi AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bi FROM
+                   (SELECT doc_id, bg, count(*) AS cnt FROM bgx GROUP BY 1, 2)
+                 GROUP BY 1)
+          SELECT u.doc_id, n_tokens, n_distinct,
+            round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+            round(CAST(top_uni AS DOUBLE) / n_tokens, 6) AS top_unigram_ratio,
+            round(CAST(top_bi AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_ratio,
+            (round(CAST(top_uni AS DOUBLE) / n_tokens, 6) < 0.105
+             AND round(CAST(top_bi AS DOUBLE) / (n_tokens - 1), 6) < 0.08)
+              AS passes_repetition
+          FROM u LEFT JOIN bi ON u.doc_id = bi.doc_id""",
+    "text_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+            text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST(doc_id // 256 % 256 AS VARCHAR) || '.'
+              || CAST(doc_id % 250 AS VARCHAR) || '.' AS pii_text
+          FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(pii_text,
+              '$EmailRe')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(pii_text,
+              '$PhoneRe')) AS BIGINT) AS n_phones,
+            CAST(len(regexp_extract_all(pii_text,
+              '$IpRe')) AS BIGINT) AS n_ips,
+            regexp_replace(regexp_replace(regexp_replace(pii_text,
+              '$EmailRe', '[EMAIL]', 'g'),
+              '$PhoneRe', '[PHONE]', 'g'),
+              '$IpRe', '[IP]', 'g') AS redacted
+          FROM p""",
     "text_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
     "text_fingerprint_rolling" ->
