@@ -452,6 +452,91 @@ object RelationalQueries {
         count(lit(1)).as("n_lineitems"))
   }
 
+  /** Q10-style returned-item report: top 20 customers by revenue lost to
+   * returns in a quarter. Aggregates BEFORE the customer join — revenue
+   * collapses to one row per custkey first, so at 100 TB the
+   * customer-side join input is |active customers|, not |lineitems|;
+   * nation broadcasts; the final top-20 is a TakeOrderedAndProject with
+   * a custkey tie-break (total order → deterministic across engines). */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(round(exactMoneySum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("revenue"))
+    rev.join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q14-style promo effect: conditional vs total aggregate in ONE pass
+   * over the month's lineitems (no second scan for the denominator).
+   * Both revenues go through the exact basis-point path; the percentage
+   * divides the two identical rounded doubles, so the ratio is
+   * bit-identical across engines. part joins broadcast (probe side is
+   * the date-pruned scan). */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val promo = round(exactMoneySum(
+      when(col("p_type") === "PROMO", discPrice).otherwise(lit(0.0)), 4), 2)
+    val total = round(exactMoneySum(discPrice, 4), 2)
+    li.join(broadcast(t(spark, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(promo.as("promo_revenue"), total.as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        round(lit(100) * col("promo_revenue") / col("total_revenue"), 6)
+          .as("promo_pct"))
+  }
+
+  /** Q18-style large-volume orders: the group-filter-then-join shape.
+   * The HAVING aggregate runs first (one shuffle over lineitem, map-side
+   * combined into |orders| rows, filtered to the rare >300-qty tail), so
+   * the subsequent orders/customer joins see only the survivors — at
+   * 100 TB that's thousands of rows joining, not billions. Quantities
+   * are integral doubles → summed as longs for exact parity. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    big.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
+  /** Q19-style disjunctive-predicate join: three OR'd brand/size/quantity
+   * clauses that can't be pushed as a single conjunct. The part columns
+   * broadcast; Catalyst still pushes the IsNotNull/partkey conjuncts to
+   * the scan, and the disjunction evaluates codegen'd post-join — the
+   * shape that punishes engines without predicate decomposition. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    def clause(brand: String, sizeHi: Int, qtyLo: Int, qtyHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qtyLo, qtyHi)
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+          .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(clause("Brand#12", 5, 1, 11) ||
+        clause("Brand#23", 10, 10, 20) ||
+        clause("Brand#34", 15, 20, 30))
+      .agg(round(exactMoneySum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** KMV distinct-count sketch per return flag — the custom typed
    * `Aggregator` extension path (graft.functions.KmvDistinct, k=256):
    * fixed k·8-byte mergeable state per group, map-side partial
@@ -485,6 +570,10 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct" -> qKmvDistinct,
     "q17_small_quantity" -> q17SmallQuantity,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q14_promo_effect" -> q14PromoEffect,
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_disjunctive" -> q19Disjunctive,
     "q_grouping_sets" -> qGroupingSets,
     "q_window_range_frame" -> qWindowRangeFrame,
     "q_pivot" -> qPivot,
@@ -528,6 +617,52 @@ object RelationalQueries {
            count(*) AS n_lineitems
          FROM lineitem JOIN pp USING (l_partkey)
          WHERE CAST(l_quantity AS BIGINT) * qty_n * 5 < qty_sum""",
+    "q10_returned_items" ->
+      ("""WITH r AS (
+           SELECT o_custkey,
+             """ + bpsToMoneyOracle(bpsSum("l_extendedprice * (1 - l_discount)")) + """ AS revenue
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1996-10-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1)
+         SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+         FROM r JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    "q14_promo_effect" ->
+      ("""WITH s AS (
+           SELECT
+             """ + bpsToMoneyOracle(bpsSum(
+                "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")) + """ AS promo_revenue,
+             """ + bpsToMoneyOracle(bpsSum("l_extendedprice * (1 - l_discount)")) + """ AS total_revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+             AND l_shipdate < TIMESTAMP '1996-10-01')
+         SELECT promo_revenue, total_revenue,
+           round(100 * promo_revenue / total_revenue, 6) AS promo_pct
+         FROM s"""),
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           total_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey""",
+    "q19_disjunctive" ->
+      ("""SELECT
+           """ + bpsToMoneyOracle(bpsSum("l_extendedprice * (1 - l_discount)")) + """ AS revenue,
+           count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)"""),
     "q_grouping_sets" ->
       """SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
            CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey) AS BIGINT) AS gid

@@ -137,14 +137,18 @@ object TextAnalysis {
    * pushdown could clone below the spread (r07 plan-audit trap).
    */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val tk = spread(docs(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), toks.as("toks"))
-    val uni = tk.select(col("doc_id"), explode(col("toks")).as("term"))
+    val base = spread(docs(spark, dir).select(col("doc_id"), col("text")))
+    // explode of a COMPLEX child (the tokenizer expression inline, not a
+    // projected attribute) — InferFiltersFromGenerate only fires for
+    // attribute children, so no size(toks)>0 filter gets alias-expanded
+    // into a second tokenizer evaluation below the spread (r07 trap).
+    val uni = base.select(col("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(
         sum("cnt").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max("cnt").as("top_uni"))
+    val tk = base.select(col("doc_id"), toks.as("toks"))
     val bi = tk.select(col("doc_id"), explode(expr(
         "transform(slice(toks, 1, greatest(size(toks) - 1, 0))," +
           " (t, i) -> concat(t, ' ', toks[i + 1]))")).as("bg"))
