@@ -124,6 +124,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
   }
 
+  test("repetition metrics expose templated docs; 1-token docs are null-safe") {
+    val df = Seq(
+      (1L, Seq.fill(10)("spam").mkString(" "), "en"),
+      (2L, (1 to 20).map(i => s"t$i").mkString(" "), "en"),
+      (3L, "solo", "en")).toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.textRepetition(spark, tmp).orderBy("doc_id").collect()
+    // all-spam: every ratio degenerate, fails the filter
+    assert(r(0).getAs[Long]("n_tokens") == 10L)
+    assert(r(0).getAs[Long]("n_distinct") == 1L)
+    assert(r(0).getAs[Double]("top_unigram_ratio") == 1.0)
+    assert(r(0).getAs[Double]("top_bigram_ratio") == 1.0)
+    assert(!r(0).getAs[Boolean]("passes_repetition"))
+    // fully distinct: passes (top-uni 0.05, top-bi 1/19)
+    assert(r(1).getAs[Double]("distinct_ratio") == 1.0)
+    assert(r(1).getAs[Double]("top_bigram_ratio") == 0.052632)
+    assert(r(1).getAs[Boolean]("passes_repetition"))
+    // single token: no bigrams -> null ratio, false-not-null verdict
+    assert(r(2).getAs[Long]("n_tokens") == 1L)
+    assert(r(2).isNullAt(r(2).fieldIndex("top_bigram_ratio")))
+    assert(!r(2).getAs[Boolean]("passes_repetition"))
+  }
+
+  test("PII redaction masks the planted contact line and in-text PII") {
+    val df = Seq(
+      (42L, "hello world", "en"),
+      (7L, "write to a.b-c@x.co.uk now", "en")).toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("pii").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.textPiiRedact(spark, tmp).orderBy("doc_id").collect()
+    val d7 = r(0); val d42 = r(1)
+    assert(d42.getAs[String]("redacted") ==
+      "hello world Contact [EMAIL] or [PHONE] from [IP].")
+    assert(d42.getAs[Long]("n_emails") == 1L &&
+      d42.getAs[Long]("n_phones") == 1L && d42.getAs[Long]("n_ips") == 1L)
+    // PII already present in the text is caught alongside the planted line
+    assert(d7.getAs[Long]("n_emails") == 2L)
+    assert(d7.getAs[String]("redacted").startsWith("write to [EMAIL] now"))
+  }
+
   test("language scores count marker tokens") {
     val df = Seq((1L, "der und die der", "de"), (2L, "the cat and the hat", "en"))
       .toDF("doc_id", "text", "lang")
