@@ -516,6 +516,79 @@ object RelationalQueries {
         col("o_orderdate"), col("o_totalprice"), col("total_qty"))
   }
 
+  /** Q7-style nation-pair trade volume: the self-aliased-dimension shape
+   * (nation joins twice, once per side of the trade). Each dim is
+   * pre-filtered to the two nations BEFORE touching lineitem, so the
+   * pair-disjunction only evaluates on rows that can satisfy it; the
+   * nation lookups broadcast, the lineitem⋈orders shuffle is the one
+   * big exchange (AQE decides the supplier/customer join sides at
+   * runtime — at 100 TB an 8%-of-customers slice is not broadcastable,
+   * so no hint is forced). */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val nations = t(spark, dir, "nation").filter(col("n_name").isin(pair: _*))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(nations.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(nations.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(exactMoneySum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("revenue"))
+  }
+
+  /** Q8-style market share: a 7-table star with a conditional/total
+   * revenue ratio per year. Region→nation→customer restricts the
+   * customer side (left-semi — only existence matters); the supplier
+   * nation rides along as the CASE discriminator. Both revenues take
+   * the exact basis-point path and the share divides the two rounded
+   * doubles — engine-identical. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaKeys = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(asiaKeys), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey")
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(exactMoneySum(
+          when(col("supp_nation") === "NATION_2", discPrice).otherwise(lit(0.0)),
+          4), 2).as("nation_revenue"),
+        round(exactMoneySum(discPrice, 4), 2).as("total_revenue"))
+      .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+        round(col("nation_revenue") / col("total_revenue"), 6).as("mkt_share"))
+  }
+
   /** Q19-style disjunctive-predicate join: three OR'd brand/size/quantity
    * clauses that can't be pushed as a single conjunct. The part columns
    * broadcast; Catalyst still pushes the IsNotNull/partkey conjuncts to
@@ -571,6 +644,8 @@ object RelationalQueries {
     "q_kmv_distinct" -> qKmvDistinct,
     "q17_small_quantity" -> q17SmallQuantity,
     "q10_returned_items" -> q10ReturnedItems,
+    "q7_nation_volume" -> q7NationVolume,
+    "q8_market_share" -> q8MarketShare,
     "q14_promo_effect" -> q14PromoEffect,
     "q18_large_orders" -> q18LargeOrders,
     "q19_disjunctive" -> q19Disjunctive,
@@ -630,6 +705,40 @@ object RelationalQueries {
          FROM r JOIN customer ON o_custkey = c_custkey
                 JOIN nation ON c_nationkey = n_nationkey
          ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    "q7_nation_volume" ->
+      ("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS l_year,
+           """ + bpsToMoneyOracle(bpsSum("l_extendedprice * (1 - l_discount)")) + """ AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3"""),
+    "q8_market_share" ->
+      ("""WITH s AS (
+           SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             """ + bpsToMoneyOracle(bpsSum(
+                "CASE WHEN n1.n_name = 'NATION_2' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")) + """ AS nation_revenue,
+             """ + bpsToMoneyOracle(bpsSum("l_extendedprice * (1 - l_discount)")) + """ AS total_revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region ON n2.n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1)
+         SELECT o_year, nation_revenue, total_revenue,
+           round(nation_revenue / total_revenue, 6) AS mkt_share
+         FROM s"""),
     "q14_promo_effect" ->
       ("""WITH s AS (
            SELECT
