@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Dedup, Multimodal, ReconQueries, RelationalQueries, SeqPack, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Layout, Multimodal, ReconQueries, RelationalQueries, SeqPack, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ReconQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Curation.queries ++ SeqPack.queries
+      Multimodal.queries ++ Curation.queries ++ SeqPack.queries ++
+      Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ ReconQueries.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      Multimodal.oracleSql ++ Curation.oracleSql ++ SeqPack.oracleSql
+      Multimodal.oracleSql ++ Curation.oracleSql ++ SeqPack.oracleSql ++
+      Layout.oracleSql
 }

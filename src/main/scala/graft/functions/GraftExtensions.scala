@@ -45,6 +45,7 @@ object GraftExtensions {
           intArg(args(1), "minhash_bands(bands)"),
           intArg(args(2), "minhash_bands(rows)"))),
       "cosine_sim" -> (args => CosineSim(args.head, args(1))),
+      "morton2" -> (args => Morton2(args.head, args(1))),
       "hyperplane_bucket" ->
         (args => HyperplaneBucket(args.head,
           intArg(args(1), "hyperplane_bucket(planes)")))
