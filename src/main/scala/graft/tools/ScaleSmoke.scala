@@ -158,6 +158,58 @@ object ScaleSmoke {
       println(f"[scale-smoke] hot-key join on o_custkey: plain(no AQE)=" +
         f"$plainOff%.1fs  plain(AQE skew-split)=$plainAqe%.1fs  salted(32)=$salted%.1fs")
     }
+
+    if (args.contains("layout")) {
+      // Layout pruning smoke: the same lineitem bytes written three
+      // ways — ingest-order (hash), range-clustered on l_orderkey, and
+      // Z-order-clustered on (l_orderkey, l_partkey) — then probed with
+      // selective single-column filters. Parquet row-group min/max
+      // stats can only prune when the layout clusters the filter
+      // column: the orderkey probe should collapse on the range copy,
+      // the partkey probe only on the Z-order copy. This is the
+      // measured form of the 100 TB argument for Layout.
+      import graft.operators.Layout
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val flatDir = "/tmp/graft-smoke-layout-flat"
+      val rangeDir = "/tmp/graft-smoke-layout-range"
+      val zDir = "/tmp/graft-smoke-layout-z"
+      li.repartition(32).write.mode("overwrite").parquet(flatDir)
+      Layout.clusterByRange(li, 32, col("l_orderkey"))
+        .write.mode("overwrite").parquet(rangeDir)
+      Layout.clusterByZOrder(li, 32, col("l_orderkey"), col("l_partkey"))
+        .write.mode("overwrite").parquet(zDir)
+      val b = li.agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).head()
+      val (okLo, okHi) = (b.getLong(0), b.getLong(1))
+      val (pkLo, pkHi) = (b.getLong(2), b.getLong(3))
+      // ~2% slices of each key space
+      val okCut = (okLo + (okHi - okLo) / 50, okLo + (okHi - okLo) / 25)
+      val pkCut = (pkLo + (pkHi - pkLo) / 50, pkLo + (pkHi - pkLo) / 25)
+      // deterministic pruning measure: files whose [min,max] footer
+      // stats overlap the cut (what row-group pruning gets to skip)
+      def candidates(path: String, c: String, cut: (Long, Long)): Int =
+        new java.io.File(path).listFiles()
+          .filter(_.getName.endsWith(".parquet")).count { f =>
+            val r = spark.read.parquet(f.getPath)
+              .agg(min(col(c)), max(col(c))).head()
+            r.getLong(0) <= cut._2 && r.getLong(1) >= cut._1
+          }
+      def probe(path: String, c: String, cut: (Long, Long)): String = {
+        def once = timed(spark.read.parquet(path)
+          .filter(col(c).between(cut._1, cut._2))
+          .agg(sum("l_extendedprice")).collect())._2
+        once // warm
+        f"${candidates(path, c, cut)}%d/32 files, ${Seq(once, once).min}%.2fs"
+      }
+      println(s"[scale-smoke] LAYOUT orderkey-probe: " +
+        s"flat=${probe(flatDir, "l_orderkey", okCut)}  " +
+        s"range=${probe(rangeDir, "l_orderkey", okCut)}  " +
+        s"zorder=${probe(zDir, "l_orderkey", okCut)}")
+      println(s"[scale-smoke] LAYOUT partkey-probe:  " +
+        s"flat=${probe(flatDir, "l_partkey", pkCut)}  " +
+        s"range=${probe(rangeDir, "l_partkey", pkCut)}  " +
+        s"zorder=${probe(zDir, "l_partkey", pkCut)}")
+    }
     spark.stop()
   }
 }

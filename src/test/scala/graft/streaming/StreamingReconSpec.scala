@@ -141,11 +141,16 @@ class StreamingReconSpec extends SparkSpec {
         spark.table("recon_evict").filter(col("key") === key)
           .orderBy("seq").collect().map(_.getAs[String]("problem")).toSeq
 
-      // batch 1: both keys present and consistent on both sides
+      // batch 1: both keys present and consistent on both sides. The
+      // two MemoryStreams are independent sources, so the engine MAY
+      // split their offsets across micro-batches (observed under
+      // parallel-suite load) — update mode then legitimately emits a
+      // transient MISSING_IN_MV_TABLE before settling. Assert the
+      // settled state, not the exact emission sequence.
       baseIn.addData((1L, "a", ts(t0)), (2L, "b", ts(t0)))
       mvIn.addData((1L, "a", ts(t0)), (2L, "b", ts(t0)))
       q.processAllAvailable()
-      assert(rowsFor("1") == Seq(Consistent) && rowsFor("2") == Seq(Consistent))
+      assert(rowsFor("1").last == Consistent && rowsFor("2").last == Consistent)
 
       // key 2 keeps changing on BOTH feeds (both watermarks advance);
       // key 1 goes idle. Timeouts fire against the PREVIOUS batch's
@@ -158,7 +163,11 @@ class StreamingReconSpec extends SparkSpec {
       mvIn.addData((2L, "b2", ts(t0 + 7200000L)))
       q.processAllAvailable()
 
-      assert(rowsFor("1") == Seq(Consistent, StreamingReconciler.Evicted))
+      // key 1: settled consistent, then evicted exactly once, at the end
+      val k1 = rowsFor("1")
+      assert(k1.last == StreamingReconciler.Evicted)
+      assert(k1.count(_ == StreamingReconciler.Evicted) == 1)
+      assert(k1.dropRight(1).last == Consistent)
       // key 2 was never evicted and its last update reflects live state
       val k2 = rowsFor("2")
       assert(!k2.contains(StreamingReconciler.Evicted) && k2.last == Inconsistent)
