@@ -380,6 +380,32 @@ object RelationalQueries {
    * Pivot values are declared explicitly — Spark otherwise runs an
    * extra distinct-collect job to discover them, a full scan at
    * 100 TB; declared values keep it one partial-agg pass. */
+  /** Offset window functions (lag/lead) + ntile quartiles per customer
+   * order history — the per-entity sequence-analysis shape. One window
+   * over one exchange; the (date, orderkey) order is a total order, so
+   * offsets and tile assignment are engine-deterministic. */
+  def qWindowLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+  }
+
+  /** UNPIVOT (wide→long reshape) via `stack`: three measure columns
+   * become (measure, value) rows. Generator-narrow like posexplode —
+   * each scan task expands its own rows, no shuffle at any scale. */
+  def qUnpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("stack(3, 'price', l_extendedprice, 'discount', l_discount," +
+          " 'tax', l_tax) AS (measure, value)"))
+
   def qPivot(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .select(year(col("o_orderdate")).cast("bigint").as("order_year"),
@@ -651,6 +677,8 @@ object RelationalQueries {
     "q19_disjunctive" -> q19Disjunctive,
     "q_grouping_sets" -> qGroupingSets,
     "q_window_range_frame" -> qWindowRangeFrame,
+    "q_window_lead_lag" -> qWindowLeadLag,
+    "q_unpivot_measures" -> qUnpivotMeasures,
     "q_pivot" -> qPivot,
     "q_explode_tokens" -> qExplodeTokens,
     "q_json_props" -> qJsonProps,
@@ -772,6 +800,29 @@ object RelationalQueries {
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30)"""),
+    "q_window_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders WHERE o_custkey % 10 = 0
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)""",
+    "q_unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+           SELECT l_orderkey, l_linenumber,
+             'price' AS measure, l_extendedprice AS value FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+             AND l_shipdate < TIMESTAMP '1996-07-01'
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'discount', l_discount
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+             AND l_shipdate < TIMESTAMP '1996-07-01'
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+             AND l_shipdate < TIMESTAMP '1996-07-01')""",
     "q_grouping_sets" ->
       """SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
            CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey) AS BIGINT) AS gid
