@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Dedup, Layout, Multimodal, ReconQueries, RelationalQueries, SeqPack, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Layout, Multimodal, ReconQueries, RelationalQueries, SeqPack, Similarity, TableProfile, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,7 +17,7 @@ object SparkEntry {
     RelationalQueries.queries ++ ReconQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Curation.queries ++ SeqPack.queries ++
-      Layout.queries
+      Layout.queries ++ TableProfile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ ReconQueries.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       Multimodal.oracleSql ++ Curation.oracleSql ++ SeqPack.oracleSql ++
-      Layout.oracleSql
+      Layout.oracleSql ++ TableProfile.oracleSql
 }
