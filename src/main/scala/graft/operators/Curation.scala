@@ -71,6 +71,27 @@ object Curation {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Corpus mixing: per-stratum Bernoulli rates (the data-mixing knob
+   * of pretraining — upsample books, downsample crawl). Same pure
+   * key-hash decision as [[bernoulli]], with the rate resolved per row
+   * from the stratum column — still a single codegen'd scan filter,
+   * zero exchanges at any scale. Strata absent from `rates` use
+   * `defaultPct`. */
+  def weightedBernoulli(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(stratum === s, lit(p)).otherwise(acc)
+    }
+    df.filter(mix32(key) % 100 < rate)
+  }
+
+  /** Wired mixing query: keep all of src0, half of src1, a quarter of
+   * src2, 10% of everything else. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedBernoulli(docs(spark, dir), col("doc_id"), col("source"),
+      Map("src0" -> 100, "src1" -> 50, "src2" -> 25), defaultPct = 10)
+      .select(col("doc_id"), col("source"), col("lang"))
+
   /** 10% reproducible Bernoulli sample of the documents table. */
   def sampleBernoulli(spark: SparkSession, dir: String): DataFrame =
     bernoulli(docs(spark, dir), col("doc_id"), 10)
@@ -171,6 +192,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_bernoulli" -> sampleBernoulli,
     "sample_stratified" -> sampleStratified,
+    "sample_weighted" -> sampleWeighted,
     "decon_ngram_overlap" -> deconNgramOverlap,
     "text_tfidf_topk" -> textTfidfTopk)
 
@@ -187,6 +209,11 @@ object Curation {
               PARTITION BY lang ORDER BY $Mix32Sql, doc_id) AS rk
             FROM documents)
           WHERE rk <= 20""",
+    "sample_weighted" ->
+      s"""SELECT doc_id, source, lang FROM documents
+          WHERE ($Mix32Sql) % 100 <
+            CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                        WHEN 'src2' THEN 25 ELSE 10 END""",
     "decon_ngram_overlap" -> HashOracleSql.deconOverlap,
     "text_tfidf_topk" ->
       """WITH tk AS (

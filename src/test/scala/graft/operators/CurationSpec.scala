@@ -27,6 +27,18 @@ class CurationSpec extends SparkSpec {
     assert(a.size > 350 && a.size < 650, s"got ${a.size} of 5000")
   }
 
+  test("weighted sampling applies per-stratum rates; rate 100 keeps all") {
+    val d = spark.range(0, 3000).toDF("doc_id")
+      .withColumn("src", concat(lit("s"), (col("doc_id") % 3).cast("string")))
+    val kept = Curation.weightedBernoulli(d, col("doc_id"), col("src"),
+        Map("s0" -> 100, "s1" -> 50), defaultPct = 0)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("s0") == 1000L)           // rate 100: every row survives
+    assert(kept("s1") > 350 && kept("s1") < 650) // ~50%
+    assert(!kept.contains("s2"))          // default 0: none survive
+  }
+
   test("stratified sampling returns exactly k per stratum, deterministically") {
     val d = spark.range(0, 300).toDF("doc_id")
       .withColumn("stratum", (col("doc_id") % 3).cast("string"))
