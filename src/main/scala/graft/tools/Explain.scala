@@ -10,7 +10,9 @@ object Explain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("recon_classify", "q1_pricing_summary", "q5_local_supplier",
-        "dedup_minhash_lsh", "q_asof_join", "q_range_join")
+        "dedup_minhash_lsh", "q_asof_join", "q_range_join",
+        "q10_returned_items", "q19_disjunctive", "text_repetition",
+        "q_profile_orders")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
