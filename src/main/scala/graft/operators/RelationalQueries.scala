@@ -265,6 +265,30 @@ object RelationalQueries {
       .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Sessionless conversion funnel: view → first click at-or-after the
+   * user's first view → first purchase at-or-after that click. Three
+   * user-keyed aggregates with conditional mins; every stage join is on
+   * the SAME user_id partitioning the aggregates just produced, so the
+   * chain reuses one exchange — the stage-dependent mins cannot fold
+   * into a single aggregate (each needs the previous stage's timestamp)
+   * and this is the cheapest correct shape at any scale. */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), tsMicros.as("us"))
+    val v = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"))
+    val c = e.join(v, "user_id").groupBy("user_id", "v_us")
+      .agg(min(when(col("event_type") === "click" && col("us") >= col("v_us"),
+        col("us"))).as("c_us"))
+    val p = e.join(c, "user_id").groupBy("user_id", "v_us", "c_us")
+      .agg(min(when(col("event_type") === "purchase" && col("us") >= col("c_us"),
+        col("us"))).as("p_us"))
+    p.agg(count(lit(1)).as("n_users"),
+      count(col("v_us")).as("n_viewed"),
+      count(col("c_us")).as("n_clicked_after_view"),
+      count(col("p_us")).as("n_purchased_after_click"))
+  }
+
   /** As-of join (operator Spark lacks natively — see AsOfJoin): each
    * click event matched to that user's most recent prior-or-simultaneous
    * purchase. Oracle is DuckDB's native ASOF JOIN. */
@@ -704,7 +728,8 @@ object RelationalQueries {
     "q_scalar_functions" -> qScalarFunctions,
     "q_date_parts" -> qDateParts,
     "q_events_hourly" -> qEventsHourly,
-    "q_events_sessions" -> qEventsSessions)
+    "q_events_sessions" -> qEventsSessions,
+    "q_events_funnel" -> qEventsFunnel)
 
   /** DuckDB oracle SQL, column-name aligned with the Spark plans. */
   val oracleSql: Map[String, String] = Map(
@@ -1007,5 +1032,20 @@ object RelationalQueries {
            CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 30*60*1000000
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            count(*) AS n_events
-         FROM g GROUP BY user_id""")
+         FROM g GROUP BY user_id""",
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN us END) AS v_us
+               FROM e GROUP BY 1),
+         c AS (SELECT e.user_id, v.v_us,
+                 min(CASE WHEN event_type = 'click' AND us >= v_us THEN us END) AS c_us
+               FROM e JOIN v USING (user_id) GROUP BY 1, 2),
+         p AS (SELECT e.user_id, c.v_us, c.c_us,
+                 min(CASE WHEN event_type = 'purchase' AND us >= c_us THEN us END) AS p_us
+               FROM e JOIN c USING (user_id) GROUP BY 1, 2, 3)
+         SELECT count(*) AS n_users, count(v_us) AS n_viewed,
+           count(c_us) AS n_clicked_after_view,
+           count(p_us) AS n_purchased_after_click
+         FROM p""")
 }

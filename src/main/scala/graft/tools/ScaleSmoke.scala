@@ -42,6 +42,7 @@ object ScaleSmoke {
     val dir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-smoke-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -157,6 +158,42 @@ object ScaleSmoke {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       println(f"[scale-smoke] hot-key join on o_custkey: plain(no AQE)=" +
         f"$plainOff%.1fs  plain(AQE skew-split)=$plainAqe%.1fs  salted(32)=$salted%.1fs")
+    }
+
+    if (args.contains("bucketed")) {
+      // Bucketed-reconcile smoke: the measured form of BucketedJoinSpec's
+      // zero-exchange proof. Both sides written once as plain parquet and
+      // once bucketBy(MV PK)+sortBy, then the identical classify runs
+      // from each. The bucketed run skips both sort-exchanges AND both
+      // sorts of the full-outer SMJ — the recurring cost of a periodic
+      // 100 TB recon drops to a co-located merge per bucket.
+      // one writer task → exactly one file per bucket, so the scan
+      // reports per-bucket sort order and the SMJ needs neither
+      // exchange NOR sort (64 writer tasks would leave 64 files per
+      // bucket, forcing a per-bucket re-sort at read — measured 2.3s
+      // vs 1.4s). Setup cost only; the write is outside the timing.
+      def save(df: DataFrame, name: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        // a fresh session gets a fresh in-memory catalog but the
+        // warehouse dir persists — clear the stale location too
+        val loc = new org.apache.hadoop.fs.Path(s"/tmp/graft-smoke-warehouse/$name")
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+        df.coalesce(1).write.bucketBy(64, "o_custkey", "o_orderkey")
+          .sortBy("o_custkey", "o_orderkey").mode("overwrite").saveAsTable(name)
+      }
+      save(base, "smoke_base_b"); save(mv, "smoke_mv_b")
+      base.write.mode("overwrite").parquet("/tmp/graft-smoke-plain-base")
+      mv.write.mode("overwrite").parquet("/tmp/graft-smoke-plain-mv")
+      def best(b: DataFrame, m: DataFrame): Double =
+        Seq(timed(classify(b, m))._2, timed(classify(b, m))._2).min
+      val plainSecs = best(
+        spark.read.parquet("/tmp/graft-smoke-plain-base"),
+        spark.read.parquet("/tmp/graft-smoke-plain-mv"))
+      val bucketedSecs = best(
+        spark.table("smoke_base_b"), spark.table("smoke_mv_b"))
+      println(f"[scale-smoke] BUCKETED recon keys=$keys: plain-parquet=" +
+        f"$plainSecs%.1fs  bucketed(64)=$bucketedSecs%.1fs (exchange-free)")
     }
 
     if (args.contains("layout")) {
