@@ -277,12 +277,18 @@ object RelationalQueries {
       .select(col("user_id"), col("event_type"), tsMicros.as("us"))
     val v = e.groupBy("user_id")
       .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"))
-    val c = e.join(v, "user_id").groupBy("user_id", "v_us")
-      .agg(min(when(col("event_type") === "click" && col("us") >= col("v_us"),
-        col("us"))).as("c_us"))
-    val p = e.join(c, "user_id").groupBy("user_id", "v_us", "c_us")
-      .agg(min(when(col("event_type") === "purchase" && col("us") >= col("c_us"),
-        col("us"))).as("p_us"))
+    // v_us/c_us are constant per user — carried through min() so every
+    // stage groups on user_id ALONE and the exchange the first
+    // aggregate produced satisfies all later stages (grouping on
+    // (user_id, v_us) instead would re-partition on both columns).
+    val c = e.join(v, "user_id").groupBy("user_id")
+      .agg(min(col("v_us")).as("v_us"),
+        min(when(col("event_type") === "click" && col("us") >= col("v_us"),
+          col("us"))).as("c_us"))
+    val p = e.join(c, "user_id").groupBy("user_id")
+      .agg(min(col("v_us")).as("v_us"), min(col("c_us")).as("c_us"),
+        min(when(col("event_type") === "purchase" && col("us") >= col("c_us"),
+          col("us"))).as("p_us"))
     p.agg(count(lit(1)).as("n_users"),
       count(col("v_us")).as("n_viewed"),
       count(col("c_us")).as("n_clicked_after_view"),
@@ -1038,12 +1044,12 @@ object RelationalQueries {
          v AS (SELECT user_id,
                  min(CASE WHEN event_type = 'view' THEN us END) AS v_us
                FROM e GROUP BY 1),
-         c AS (SELECT e.user_id, v.v_us,
+         c AS (SELECT e.user_id, min(v_us) AS v_us,
                  min(CASE WHEN event_type = 'click' AND us >= v_us THEN us END) AS c_us
-               FROM e JOIN v USING (user_id) GROUP BY 1, 2),
-         p AS (SELECT e.user_id, c.v_us, c.c_us,
+               FROM e JOIN v USING (user_id) GROUP BY 1),
+         p AS (SELECT e.user_id, min(v_us) AS v_us, min(c_us) AS c_us,
                  min(CASE WHEN event_type = 'purchase' AND us >= c_us THEN us END) AS p_us
-               FROM e JOIN c USING (user_id) GROUP BY 1, 2, 3)
+               FROM e JOIN c USING (user_id) GROUP BY 1)
          SELECT count(*) AS n_users, count(v_us) AS n_viewed,
            count(c_us) AS n_clicked_after_view,
            count(p_us) AS n_purchased_after_click
