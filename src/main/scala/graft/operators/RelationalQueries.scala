@@ -295,6 +295,24 @@ object RelationalQueries {
       count(col("p_us")).as("n_purchased_after_click"))
   }
 
+  /** Cohort retention: users bucketed by first-active day, distinct
+   * active users per (cohort, day-offset) for the first week. Two
+   * user-keyed aggregates (first-seen, then membership join) and one
+   * (cohort, offset) count-distinct — all map-side partial; the
+   * first-seen table is user-sized and broadcasts at this SF, SMJ at
+   * scale. */
+  def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), to_date(timestamp_micros(tsMicros)).as("day"))
+    val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(first, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count_distinct(col("user_id")).as("n_active"))
+  }
+
   /** As-of join (operator Spark lacks natively — see AsOfJoin): each
    * click event matched to that user's most recent prior-or-simultaneous
    * purchase. Oracle is DuckDB's native ASOF JOIN. */
@@ -735,7 +753,8 @@ object RelationalQueries {
     "q_date_parts" -> qDateParts,
     "q_events_hourly" -> qEventsHourly,
     "q_events_sessions" -> qEventsSessions,
-    "q_events_funnel" -> qEventsFunnel)
+    "q_events_funnel" -> qEventsFunnel,
+    "q_events_retention" -> qEventsRetention)
 
   /** DuckDB oracle SQL, column-name aligned with the Spark plans. */
   val oracleSql: Map[String, String] = Map(
@@ -1053,5 +1072,13 @@ object RelationalQueries {
          SELECT count(*) AS n_users, count(v_us) AS n_viewed,
            count(c_us) AS n_clicked_after_view,
            count(p_us) AS n_purchased_after_click
-         FROM p""")
+         FROM p""",
+    "q_events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+         SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+           count(DISTINCT user_id) AS n_active
+         FROM e JOIN f USING (user_id)
+         WHERE date_diff('day', cohort_day, day) <= 7
+         GROUP BY 1, 2""")
 }
