@@ -167,6 +167,28 @@ object TextAnalysis {
         (topUniRatio < 0.105 && topBiRatio < 0.08).as("passes_repetition"))
   }
 
+  /**
+   * Corpus heavy hitters via the Misra–Gries sketch
+   * ([[graft.functions.MisraGries]]) in the production two-pass
+   * pattern: pass 1 folds the token stream into one bounded sketch
+   * (k=64 counters, map-side mergeable — the sketch is a guaranteed
+   * SUPERSET of every term with frequency > N/(k+1)); pass 2 exactly
+   * recounts ONLY the candidate terms (broadcast semi-style join) and
+   * applies the real threshold. The final output is exact and
+   * merge-order-independent — at 100 TB the recount aggregates a
+   * candidate set of ≤ k terms instead of the full vocabulary. */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tk = spread(docs(spark, dir).select(col("doc_id"), col("text")))
+      .select(explode(toks).as("term"))
+    val mg = udaf(new graft.functions.MisraGries(64),
+      org.apache.spark.sql.Encoders.STRING)
+    val cand = tk.agg(mg(col("term")).as("sketch"))
+      .select(explode(map_keys(col("sketch"))).as("term"))
+    tk.join(broadcast(cand), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > 930)
+  }
+
   /** Engine-portable PII regexes (identical semantics in Java regex and
    * RE2): email, NANP-style phone, dotted-quad IP. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -245,6 +267,7 @@ object TextAnalysis {
     "text_lm_score" -> textLmScore,
     "text_repetition" -> textRepetition,
     "text_pii_redact" -> textPiiRedact,
+    "text_heavy_hitters" -> textHeavyHitters,
     "text_fingerprint_md5" -> textFingerprintMd5,
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "text_fingerprint_simhash" -> textFingerprintSimhash)
@@ -335,6 +358,10 @@ object TextAnalysis {
              AND round(CAST(top_bi AS DOUBLE) / (n_tokens - 1), 6) < 0.08)
               AS passes_repetition
           FROM u LEFT JOIN bi ON u.doc_id = bi.doc_id""",
+    "text_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($TokSql) AS term FROM documents)
+          SELECT term, count(*) AS freq FROM tk
+          GROUP BY 1 HAVING count(*) > 930""",
     "text_pii_redact" ->
       s"""WITH p AS (SELECT doc_id,
             text || ' Contact user' || CAST(doc_id AS VARCHAR)
