@@ -551,6 +551,19 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Q13-style customer distribution: orders per customer, then the
+   * histogram of those counts. The left join keeps zero-order customers
+   * (count of a null column is 0); the second aggregate collapses to
+   * |distinct order counts| rows, so the only real shuffle is the
+   * per-customer count — map-side combined on both levels. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
   /** Q14-style promo effect: conditional vs total aggregate in ONE pass
    * over the month's lineitems (no second scan for the denominator).
    * Both revenues go through the exact basis-point path; the percentage
@@ -720,6 +733,7 @@ object RelationalQueries {
     "q10_returned_items" -> q10ReturnedItems,
     "q7_nation_volume" -> q7NationVolume,
     "q8_market_share" -> q8MarketShare,
+    "q13_custdist" -> q13CustDist,
     "q14_promo_effect" -> q14PromoEffect,
     "q18_large_orders" -> q18LargeOrders,
     "q19_disjunctive" -> q19Disjunctive,
@@ -817,6 +831,12 @@ object RelationalQueries {
          SELECT o_year, nation_revenue, total_revenue,
            round(nation_revenue / total_revenue, 6) AS mkt_share
          FROM s"""),
+    "q13_custdist" ->
+      """WITH pc AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1)
+         SELECT c_count, count(*) AS custdist FROM pc GROUP BY 1""",
     "q14_promo_effect" ->
       ("""WITH s AS (
            SELECT
