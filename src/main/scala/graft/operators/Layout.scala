@@ -43,20 +43,27 @@ object Layout {
   }
 
   /** Compact the parquet directory `inDir` into ~`targetBytes` files at
-   * `outDir`. Returns the output file count. Coalesce, not repartition:
-   * merging partitions needs no exchange, and the input order (e.g. a
-   * prior clusterByRange) is preserved within each merged file. */
+   * `outDir`. Returns the ACTUAL written file count — coalesce can only
+   * MERGE partitions, so when the computed target exceeds the scan's
+   * partition count (a few oversized inputs with a small `targetBytes`)
+   * the output has fewer files than the target; oversized files are
+   * never split (splitting is a shuffle — use [[clusterByRange]] when
+   * re-spreading is the goal). Coalesce, not repartition: merging
+   * partitions needs no exchange, and the input order (e.g. a prior
+   * clusterByRange) is preserved within each merged file. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): Int = {
-    val path = new org.apache.hadoop.fs.Path(inDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(path)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    def parquetFiles(dir: String) = {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(path)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    }
+    val totalBytes = parquetFiles(inDir).map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).coalesce(n)
       .write.mode("overwrite").parquet(outDir)
-    n
+    parquetFiles(outDir).length
   }
 
   /** Oracle-checked Morton kernel query: the z-value of every document's

@@ -171,22 +171,34 @@ object TextAnalysis {
    * Corpus heavy hitters via the Misra–Gries sketch
    * ([[graft.functions.MisraGries]]) in the production two-pass
    * pattern: pass 1 folds the token stream into one bounded sketch
-   * (k=64 counters, map-side mergeable — the sketch is a guaranteed
-   * SUPERSET of every term with frequency > N/(k+1)); pass 2 exactly
-   * recounts ONLY the candidate terms (broadcast semi-style join) and
-   * applies the real threshold. The final output is exact and
+   * (map-side mergeable — a k-counter sketch is a guaranteed SUPERSET
+   * of every term with frequency > N/(k+1)); pass 2 exactly recounts
+   * ONLY the candidate terms (broadcast semi-style join) and applies
+   * the real threshold. The final output is exact and
    * merge-order-independent — at 100 TB the recount aggregates a
-   * candidate set of ≤ k terms instead of the full vocabulary. */
-  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val tk = spread(docs(spark, dir).select(col("doc_id"), col("text")))
+   * bounded candidate set instead of the full vocabulary.
+   *
+   * `k` is DERIVED from the corpus, never hardcoded: the superset
+   * guarantee needs k ≥ N/threshold, and N (total tokens) is bounded
+   * above by total characters — one cheap single-column scan of
+   * `n_chars`, no tokenization. At the guarantee boundary the sketch is
+   * ~charBound/threshold counters (sf0.1: ~1.6M chars / 930 ≈ 1.8k
+   * entries — still a trivial broadcast); a fixed k would silently
+   * evict true heavy hitters once N outgrew k·threshold. */
+  def textHeavyHitters(spark: SparkSession, dir: String,
+      threshold: Long = 930L): DataFrame = {
+    val base = docs(spark, dir)
+    val charBound = base.agg(sum(col("n_chars").cast("long"))).head.getLong(0)
+    val k = math.max(64L, charBound / threshold + 1).toInt
+    val tk = spread(base.select(col("doc_id"), col("text")))
       .select(explode(toks).as("term"))
-    val mg = udaf(new graft.functions.MisraGries(64),
+    val mg = udaf(new graft.functions.MisraGries(k),
       org.apache.spark.sql.Encoders.STRING)
     val cand = tk.agg(mg(col("term")).as("sketch"))
       .select(explode(map_keys(col("sketch"))).as("term"))
     tk.join(broadcast(cand), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") > 930)
+      .filter(col("freq") > threshold)
   }
 
   /** Engine-portable PII regexes (identical semantics in Java regex and
@@ -267,7 +279,7 @@ object TextAnalysis {
     "text_lm_score" -> textLmScore,
     "text_repetition" -> textRepetition,
     "text_pii_redact" -> textPiiRedact,
-    "text_heavy_hitters" -> textHeavyHitters,
+    "text_heavy_hitters" -> ((s, d) => textHeavyHitters(s, d)),
     "text_fingerprint_md5" -> textFingerprintMd5,
     "text_fingerprint_rolling" -> textFingerprintRolling,
     "text_fingerprint_simhash" -> textFingerprintSimhash)

@@ -197,10 +197,23 @@ object StreamingReconciler {
    * re-create its state and re-classify from the images at hand — the
    * retention is the trade against that re-derivation, exactly as with
    * any watermark-bounded stateful operator.
+   *
+   * `seq` here is EVENT-TIME-ANCHORED (max of the running counter and
+   * the key's newest event millis), so it survives eviction: the
+   * terminal [[Evicted]] update carries `seq = lastSeq + retention`
+   * (the key's eviction deadline), and any FRESH (above-watermark)
+   * record that re-creates the state necessarily anchors above it —
+   * re-activations out-rank the stale EVICTED row under downstream
+   * max-seq compaction. Only records BELOW the eviction horizon
+   * (event time ≤ last activity + retention, i.e. genuinely late past
+   * the eviction) stay compacted behind the EVICTED marker, which is
+   * the documented retention trade.
    */
   def monitorEvicting(baseChanges: DataFrame, mvChanges: DataFrame,
       baseSchema: TableSchema, mvSchema: TableSchema,
       idleRetentionMs: Long): Dataset[ReconUpdate] = {
+    require(idleRetentionMs > 0, "idleRetentionMs must be positive (the" +
+      " EVICTED seq = lastSeq + retention must out-rank the last update)")
     val spark = baseChanges.sparkSession
     import spark.implicits._
     val pk = mvSchema.sortedPk
@@ -213,18 +226,26 @@ object StreamingReconciler {
         if (state.hasTimedOut) {
           val seq = state.getOption.map(_.seq).getOrElse(0L)
           state.remove()
-          ReconUpdate(key, seq + 1, Evicted, None, None, None)
+          // the eviction's logical event time: the deadline that fired.
+          // seq is event-time-anchored (>= the key's newest event ms),
+          // so any fresh record re-creating the state arrives with
+          // event_ts >= watermark > this value and out-ranks it
+          ReconUpdate(key, seq + idleRetentionMs, Evicted, None, None, None)
         } else {
           val rs = rows.toSeq
-          val next = mergeBatch(
+          val merged = mergeBatch(
             state.getOption.getOrElse(KeyState(None, None, 0L)), rs)
+          val newest = rs.map(r => Option(r.eventTs).map(_.getTime).getOrElse(0L)).max
+          // anchor seq to event time so it survives eviction (state is
+          // gone after remove(); a plain counter would restart at 1 and
+          // the stale EVICTED emission would shadow every later update)
+          val next = merged.copy(seq = math.max(merged.seq, newest))
           state.update(next)
-          // idle deadline = newest event for this key + retention; the
+          // idle deadline = newest activity for this key + retention; the
           // max with watermark+1 keeps a late (below-watermark) record
           // from setting an already-expired deadline, which Spark rejects
-          val newest = rs.map(r => Option(r.eventTs).map(_.getTime).getOrElse(0L)).max
           state.setTimeoutTimestamp(math.max(
-            newest + idleRetentionMs,
+            next.seq + idleRetentionMs,
             state.getCurrentWatermarkMs() + 1))
           classify(key, next, common)
         }
@@ -240,19 +261,29 @@ object StreamingReconciler {
    *     write, between writes the lexically larger image wins). Max is
    *     associative/commutative, so the reduction cannot depend on
    *     arrival order.
-   *  2. ACROSS batches, the batch winner replaces the held image iff
-   *     its version is >= — the newer BATCH wins version ties, because
-   *     the batch sequence is durable (Structured Streaming's offset
-   *     log), which keeps versionless snapshot replays (all versions 0)
-   *     converging on the latest batch's image and makes crash-replays
-   *     repeat the identical merge. */
-  private def mergeBatch(prev: KeyState, rs: Seq[ChangeRecord]): KeyState = {
+   *  2. ACROSS batches, higher version wins and an exact VERSIONED tie
+   *     resolves by the same [[beats]] order as within a batch — two
+   *     same-version records (e.g. a tombstone and a write at one
+   *     writetime) converge on the identical winner no matter how the
+   *     feed splits them across micro-batches, preserving the
+   *     delivery-order-independence guarantee. Only the VERSIONLESS
+   *     mode (all versions 0 — snapshot replays with no `_version`
+   *     column) keeps newest-batch-wins, so successive full snapshots
+   *     converge on the latest batch's image; there the batch sequence
+   *     is the ordering, durable in Structured Streaming's offset log,
+   *     and crash-replays repeat the identical merge. */
+  private[streaming] def mergeBatch(prev: KeyState, rs: Seq[ChangeRecord]): KeyState = {
     def img(r: ChangeRecord) = SideImage(r.canon, r.disp, r.version, !r.deleted)
     def batchMax(recs: Seq[ChangeRecord]): Option[SideImage] =
       recs.map(img).reduceOption((a, b) => if (beats(b, a)) b else a)
     def merge(held: Option[SideImage], inc: Option[SideImage]): Option[SideImage] =
       (held, inc) match {
-        case (Some(h), Some(i)) => Some(if (i.version >= h.version) i else h)
+        case (Some(h), Some(i)) =>
+          val incWins =
+            if (i.version != h.version) i.version > h.version
+            else if (i.version == 0L) true // versionless snapshot replay
+            else beats(i, h)
+          Some(if (incWins) i else h)
         case _ => inc.orElse(held)
       }
     val (baseRecs, mvRecs) = rs.partition(_.side == "base")

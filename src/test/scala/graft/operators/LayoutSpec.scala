@@ -86,4 +86,20 @@ class LayoutSpec extends SparkSpec {
     assert(outFiles.length == 2)
     assert(spark.read.parquet(out).count() == 20000)
   }
+
+  test("compact reports the actual file count when the target exceeds it") {
+    val in = java.nio.file.Files.createTempDirectory("compact-in2").toString
+    val out = java.nio.file.Files.createTempDirectory("compact-out2").toString
+    // ONE oversized input file with a tiny targetBytes: the computed
+    // target (totalBytes/target many files) is far above the scan's
+    // partition count, coalesce cannot split, and compact must report
+    // what was actually written — not the unreachable target
+    spark.range(0, 20000).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    val n = Layout.compact(spark, in, out, targetBytes = 1024L)
+    val outFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(n == outFiles.length)
+    assert(spark.read.parquet(out).count() == 20000)
+  }
 }

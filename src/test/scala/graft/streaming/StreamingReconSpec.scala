@@ -118,6 +118,29 @@ class StreamingReconSpec extends SparkSpec {
     assert(runDel(live.unionByName(dead)) == MissingInBase)
   }
 
+  test("cross-batch version ties apply the same tombstone/value rules") {
+    import StreamingReconciler._
+    def rec(v: String, version: Long, deleted: Boolean) =
+      ChangeRecord("1", "base", Map("v" -> v), Map("v" -> v), version, deleted, null)
+    def held(st: KeyState) = st.base.get
+    val s0 = KeyState(None, None, 0L)
+    // a tombstone and a write at the SAME version, split across two
+    // micro-batches: the tombstone must win in BOTH splits, exactly as
+    // it does when both land in one batch — batch partitioning must not
+    // resurrect the delete
+    val tomb = rec("x", 5L, deleted = true)
+    val write = rec("x", 5L, deleted = false)
+    assert(!held(mergeBatch(mergeBatch(s0, Seq(tomb)), Seq(write))).present)
+    assert(!held(mergeBatch(mergeBatch(s0, Seq(write)), Seq(tomb))).present)
+    // the lexical write-tie rule likewise holds across batches
+    val a = mergeBatch(mergeBatch(s0, Seq(rec("zzz", 5L, false))), Seq(rec("aaa", 5L, false)))
+    val b = mergeBatch(mergeBatch(s0, Seq(rec("aaa", 5L, false))), Seq(rec("zzz", 5L, false)))
+    assert(held(a).canon("v") == "zzz" && held(b).canon("v") == "zzz")
+    // versionless snapshot replay (all versions 0) keeps newest-batch-wins
+    val snap = mergeBatch(mergeBatch(s0, Seq(rec("old", 0L, false))), Seq(rec("new", 0L, false)))
+    assert(held(snap).canon("v") == "new")
+  }
+
   test("evicting monitor drops settled keys once the watermark passes retention") {
     import graft.reconcile.MvReconciler._
     import graft.schema.TableSchema
@@ -171,6 +194,17 @@ class StreamingReconSpec extends SparkSpec {
       // key 2 was never evicted and its last update reflects live state
       val k2 = rowsFor("2")
       assert(!k2.contains(StreamingReconciler.Evicted) && k2.last == Inconsistent)
+
+      // re-activation: a FRESH record for the evicted key re-creates its
+      // state, and its event-time-anchored seq out-ranks the terminal
+      // EVICTED row — downstream max-seq compaction sees the new
+      // classification, not the stale eviction marker
+      baseIn.addData((1L, "a9", ts(t0 + 10800000L)))
+      mvIn.addData((2L, "b3", ts(t0 + 10800000L)))
+      q.processAllAvailable()
+      val k1b = rowsFor("1") // ordered by seq — last is the compaction winner
+      assert(k1b.last == MissingInMv)
+      assert(k1b.contains(StreamingReconciler.Evicted))
     } finally q.stop()
   }
 }
