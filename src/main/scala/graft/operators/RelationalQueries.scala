@@ -697,6 +697,93 @@ object RelationalQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** Q12-style late-shipment split (adapted: the synthetic schema has no
+   * shipmode/receiptdate, so "late" = shipped >60 days after the order
+   * date, grouped by return flag): one lineitem⋈orders shuffle with the
+   * CASE split computed map-side in the partial aggregate — the shape
+   * where conditional counters must not become two scans. */
+  def q12LateLines(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** Q15-style top supplier: revenue per supplier over a quarter, then
+   * the max-revenue supplier(s) via aggregate→single-row-broadcast→join
+   * back (the VIEW + scalar-subquery shape, fully distributed — no
+   * driver collect, no whole-relation window). Revenue compares exactly
+   * because both joins compare the same rounded-cents double. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(exactMoneySum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** Q21-style waiting-suppliers (adapted to shipdate lateness): for
+   * failed ('F') orders, suppliers whose line shipped late while SOME
+   * other supplier shipped in the same order (EXISTS → left-semi) and
+   * NO other supplier shipped late (NOT EXISTS → left-anti) — the
+   * two-correlated-subqueries-on-one-relation shape. Both probes reuse
+   * the same narrow lineitem projection; the semi/anti joins shuffle
+   * ids only. No LIMIT: ties at a cutoff would be nondeterministic
+   * across engines, and the driver hash-compares full results. */
+  def q21WaitSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    val fOrders = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val lateF = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val others = li.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"))
+    val lateOthers = lateF.select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"))
+    lateF
+      .join(others, col("l2_orderkey") === col("l_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(lateOthers, col("l3_orderkey") === col("l_orderkey") &&
+        col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** Q22-style idle wealthy customers: account balance above the
+   * positive-balance average (scalar aggregate, broadcast as a 1-row
+   * cross join; the comparison is CROSS-MULTIPLIED in exact cents —
+   * `cents·n > total` — so no engine ever divides) with no recent
+   * orders (anti-join against the date-filtered order scan), rolled up
+   * per nation. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val cust = t(spark, dir, "customer")
+    val stats = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(cents).as("tot_cents"), count(lit(1)).as("n_pos"))
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(stats))
+      .filter(cents * col("n_pos") > col("tot_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        round(exactMoneySum(col("c_acctbal"), 2), 2).as("totacctbal"))
+  }
+
   /** KMV distinct-count sketch per return flag — the custom typed
    * `Aggregator` extension path (graft.functions.KmvDistinct, k=256):
    * fixed k·8-byte mergeable state per group, map-side partial
@@ -737,6 +824,10 @@ object RelationalQueries {
     "q14_promo_effect" -> q14PromoEffect,
     "q18_large_orders" -> q18LargeOrders,
     "q19_disjunctive" -> q19Disjunctive,
+    "q12_late_lines" -> q12LateLines,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q21_wait_suppliers" -> q21WaitSuppliers,
+    "q22_idle_customers" -> q22IdleCustomers,
     "q_grouping_sets" -> qGroupingSets,
     "q_window_range_frame" -> qWindowRangeFrame,
     "q_window_lead_lag" -> qWindowLeadLag,
@@ -773,6 +864,53 @@ object RelationalQueries {
   /** DuckDB oracle SQL, column-name aligned with the Spark plans. */
   val oracleSql: Map[String, String] = Map(
     "q_kmv_distinct" -> HashOracleSql.kmvDistinct,
+    "q12_late_lines" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+         GROUP BY 1""",
+    "q15_top_supplier" ->
+      ("""WITH rev AS (
+           SELECT l_suppkey,
+             """ + bpsToMoneyOracle(bpsSum("l_extendedprice * (1 - l_discount)")) + """ AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""),
+    "q21_wait_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+         JOIN supplier ON s_suppkey = l1.l_suppkey
+         WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "q22_idle_customers" ->
+      """WITH s AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot_cents,
+                    count(*) AS n_pos
+                  FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey, count(*) AS numcust,
+           round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+             AS totacctbal
+         FROM customer, s
+         WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > tot_cents
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-06-01')
+         GROUP BY 1""",
     "q17_small_quantity" ->
       """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
          pp AS (SELECT l_partkey,
