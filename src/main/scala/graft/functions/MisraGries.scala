@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /**
@@ -8,6 +9,15 @@ import org.apache.spark.sql.expressions.Aggregator
  * frequent-items counterpart of [[KmvDistinct]]: at most `k` (term,
  * count) pairs of state per group, mergeable across partitions
  * (map-side partial aggregation applies), one pass.
+ *
+ * The buffer is a hash map (immutable HAMT — effectively O(1)
+ * lookup/update per token), so `reduce` costs O(1) amortized: the
+ * only O(k) step is the decrement-all eviction, which classic MG
+ * analysis bounds at N/(k+1) triggers over N tokens — total work
+ * stays O(N) regardless of how large a corpus-derived k grows.
+ * (The previous array-backed buffer paid an O(k) `indexOf` plus a
+ * counts-array clone on EVERY token — per-token cost grew linearly
+ * with k, at odds with corpus-proportional sizing.)
  *
  * Guarantees (Misra & Gries 1982; merge form Agarwal et al., "Mergeable
  * Summaries", PODS'12): every item with true frequency > N/(k+1)
@@ -19,45 +29,37 @@ import org.apache.spark.sql.expressions.Aggregator
  * result face a plain DuckDB oracle. Pick k so the query threshold
  * stays above N/(k+1) — at a larger corpus, scale k with N/threshold.
  */
-final case class MgBuf(terms: Array[String], counts: Array[Long])
+class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(k >= 2, s"k >= 2 (got $k)")
 
-class MisraGries(k: Int) extends Aggregator[String, MgBuf, Map[String, Long]] {
-  require(k >= 2, "k >= 2")
+  override def zero: Map[String, Long] = Map.empty
 
-  override def zero: MgBuf = MgBuf(Array.empty, Array.empty)
-
-  override def reduce(b: MgBuf, term: String): MgBuf = {
-    val i = b.terms.indexOf(term)
-    if (i >= 0) {
-      val c = b.counts.clone(); c(i) += 1
-      MgBuf(b.terms, c)
-    } else if (b.terms.length < k) {
-      MgBuf(b.terms :+ term, b.counts :+ 1L)
-    } else {
-      // MG step: decrement every counter, drop the zeroed ones
-      val keep = b.counts.indices.filter(j => b.counts(j) > 1)
-      MgBuf(keep.map(b.terms).toArray, keep.map(j => b.counts(j) - 1).toArray)
+  override def reduce(b: Map[String, Long], term: String): Map[String, Long] =
+    b.get(term) match {
+      case Some(c) => b.updated(term, c + 1L)
+      case None if b.size < k => b.updated(term, 1L)
+      case None =>
+        // MG step: decrement every counter, drop the zeroed ones (the
+        // incoming term is implicitly discarded with them)
+        b.iterator.map { case (t, c) => (t, c - 1L) }.filter(_._2 > 0L).toMap
     }
-  }
 
-  override def merge(b1: MgBuf, b2: MgBuf): MgBuf = {
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    b1.terms.indices.foreach(i => m(b1.terms(i)) = m.getOrElse(b1.terms(i), 0L) + b1.counts(i))
-    b2.terms.indices.foreach(i => m(b2.terms(i)) = m.getOrElse(b2.terms(i), 0L) + b2.counts(i))
-    if (m.size <= k) MgBuf(m.keys.toArray, m.values.toArray)
+  override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+    val m = b1.foldLeft(b2) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c)
+    }
+    if (m.size <= k) m
     else {
       // subtract the (k+1)-th largest count from all, keep positives
-      val cut = m.values.toArray.sorted(Ordering.Long.reverse).apply(k)
-      val kept = m.iterator.map { case (t, c) => (t, c - cut) }
-        .filter(_._2 > 0).toArray
-      MgBuf(kept.map(_._1), kept.map(_._2))
+      val cut = m.valuesIterator.toArray.sorted(Ordering.Long.reverse).apply(k)
+      m.iterator.map { case (t, c) => (t, c - cut) }.filter(_._2 > 0L).toMap
     }
   }
 
-  override def finish(b: MgBuf): Map[String, Long] =
-    b.terms.indices.map(i => b.terms(i) -> b.counts(i)).toMap
+  override def finish(b: Map[String, Long]): Map[String, Long] = b
 
-  override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
   override def outputEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    ExpressionEncoder[Map[String, Long]]()
 }

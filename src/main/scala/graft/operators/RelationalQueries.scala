@@ -719,7 +719,11 @@ object RelationalQueries {
    * the max-revenue supplier(s) via aggregate→single-row-broadcast→join
    * back (the VIEW + scalar-subquery shape, fully distributed — no
    * driver collect, no whole-relation window). Revenue compares exactly
-   * because both joins compare the same rounded-cents double. */
+   * because both joins compare the same rounded-cents double. The
+   * per-supplier aggregate is localCheckpointed (the TPC-H Q15 VIEW
+   * materialization — supplier-count rows, tiny) so the lineitem scan
+   * + aggregation runs ONCE, feeding both the max and the probe, instead
+   * of twice via two independent lineages. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val rev = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -727,6 +731,7 @@ object RelationalQueries {
       .groupBy(col("l_suppkey"))
       .agg(round(exactMoneySum(
         col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("total_revenue"))
+      .localCheckpoint()
     val mx = rev.agg(max(col("total_revenue")).as("mx"))
     rev.join(broadcast(mx), col("total_revenue") === col("mx"))
       .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))

@@ -221,10 +221,16 @@ object Similarity {
   def loadOrFitCentroids(spark: SparkSession, dir: String, e: DataFrame): Centroids = {
     val path = centroidCachePath(dir)
     if (new java.io.File(path, "_SUCCESS").exists()) {
+      // one diagnosable line per load: the r8 driver bench showed a
+      // fit-included sim_ann_ivf cost with no way to tell whether the
+      // cache missed (regenerated testdata? cleared /tmp?) or something
+      // else regressed — HIT/MISS with the identity-derived key settles it
+      System.err.println(s"[graft-ivf] quantizer cache HIT $path")
       spark.read.parquet(path).collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1).toSeq
     } else {
+      System.err.println(s"[graft-ivf] quantizer cache MISS $path (fitting)")
       // fit on a deterministic ~1/3 sample (standard IVF practice —
       // centroid quality needs density, not every vector)
       val cents = fitCentroids(e.filter(col("vec_id") % 3 === 0))

@@ -184,12 +184,33 @@ object TextAnalysis {
    * `n_chars`, no tokenization. At the guarantee boundary the sketch is
    * ~charBound/threshold counters (sf0.1: ~1.6M chars / 930 ≈ 1.8k
    * entries — still a trivial broadcast); a fixed k would silently
-   * evict true heavy hitters once N outgrew k·threshold. */
+   * evict true heavy hitters once N outgrew k·threshold.
+   *
+   * `k` is CLAMPED at [[MaxHeavyHitterK]] (2^21 ≈ 2M counters — the
+   * largest sketch that still broadcasts comfortably; the clamp also
+   * keeps the Long→Int conversion from wrapping once charBound/threshold
+   * exceeds Int.MaxValue). Past the clamp the sketch's superset
+   * guarantee floor rises from `threshold` to charBound/(MaxK+1):
+   * terms with true frequency in (threshold, charBound/(MaxK+1)] MAY be
+   * evicted, so the query fails fast with the effective floor in the
+   * message rather than silently under-reporting — callers at that
+   * corpus size should raise `threshold` (heavy hitters at 100 TB are,
+   * definitionally, terms frequent relative to N). */
+  val MaxHeavyHitterK: Int = 1 << 21
+
   def textHeavyHitters(spark: SparkSession, dir: String,
       threshold: Long = 930L): DataFrame = {
     val base = docs(spark, dir)
-    val charBound = base.agg(sum(col("n_chars").cast("long"))).head.getLong(0)
-    val k = math.max(64L, charBound / threshold + 1).toInt
+    // coalesce: sum over zero rows is null — an empty corpus must yield
+    // an empty result, not an NPE
+    val charBound = base.agg(coalesce(sum(col("n_chars").cast("long")), lit(0L)))
+      .head.getLong(0)
+    val derived = charBound / threshold + 1
+    require(derived <= MaxHeavyHitterK,
+      s"corpus too large for threshold=$threshold: derived k=$derived exceeds " +
+        s"$MaxHeavyHitterK; raise threshold above ${charBound / (MaxHeavyHitterK + 1L)} " +
+        "to restore the Misra–Gries superset guarantee")
+    val k = math.max(64L, derived).toInt
     val tk = spread(base.select(col("doc_id"), col("text")))
       .select(explode(toks).as("term"))
     val mg = udaf(new graft.functions.MisraGries(k),
