@@ -789,6 +789,150 @@ object RelationalQueries {
         round(exactMoneySum(col("c_acctbal"), 2), 2).as("totacctbal"))
   }
 
+  /** Q2-style minimum-cost supplier (adapted: the synthetic schema has
+   * no partsupp, so the supply relation is DERIVED from lineitem — per
+   * (part, supplier) the minimum extended price at which that supplier
+   * ever shipped that part; suppliers scoped to region EUROPE; parts to
+   * size 15): the correlated-min-subquery shape, decorrelated the Spark
+   * way — aggregate the supply relation once, localCheckpoint it (the
+   * Q15 VIEW pattern: |part|×|supplier|-bounded, one lineitem scan
+   * feeds both consumers), re-aggregate per part for the min, equi-join
+   * back on (part, min-cost). Cost compares exactly across engines
+   * because it is an UNROUNDED parquet double — min() does no
+   * arithmetic. Dim chain supplier⋈nation⋈region broadcasts; the only
+   * large shuffle hashes lineitem on the supply group keys. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val supEu = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val rsupply = t(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(supEu.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice")).as("cost"))
+      .localCheckpoint()
+    val minc = rsupply.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("cost")).as("m_cost"))
+    rsupply
+      .join(minc, col("l_partkey") === col("m_partkey") && col("cost") === col("m_cost"))
+      .join(broadcast(t(spark, dir, "part").filter(col("p_size") === 15)
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supEu), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("cost"))
+  }
+
+  /** Q9-style product-type profit rollup (adapted: supply cost proxied
+   * as 60% of the part's retail price — the schema has no
+   * ps_supplycost): the five-table star-plus-fact join grouped by
+   * supplier nation × order year. Join order matters at 100 TB: the
+   * selective part filter (⅛ of parts, broadcast) prunes lineitem
+   * FIRST, then the supplier→nation dims broadcast, and only the
+   * already-reduced fact shuffles against orders on orderkey. Profit is
+   * summed in exact basis points ([[exactMoneySum]]) — both engines
+   * round the identical per-row double product, so the aggregate is
+   * order-independent and hash-stable. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = t(spark, dir, "part")
+      .filter(col("p_name").like("red %"))
+      .select("p_partkey", "p_retailprice")
+    val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(exactMoneySum(profit, 4), 2).as("profit"))
+  }
+
+  /** Q11-style important parts (HAVING against a scalar fraction of a
+   * global aggregate): stock value per part held by one nation's
+   * suppliers, kept where the part's value exceeds 1/500 of the
+   * nation's total. Value is EXACT integer cents·quantity (both
+   * factors integral per row), the global total is a 1-row broadcast,
+   * and the comparison is CROSS-MULTIPLIED (`val·500 > tot`) so
+   * neither engine divides. The per-part aggregate feeds both the
+   * total and the filter probe — localCheckpointed (|part|-bounded)
+   * so the lineitem scan runs once. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val natSup = t(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 3).select("s_suppkey")
+    val pv = t(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        col("l_quantity").cast("long")).as("val_cents"))
+      .localCheckpoint()
+    val tot = pv.agg(sum(col("val_cents")).as("tot_cents"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("val_cents") * 500 > col("tot_cents"))
+      .select(col("l_partkey"), col("val_cents"))
+  }
+
+  /** Q16-style supplier count (NOT IN + count-distinct): distinct
+   * suppliers able to supply each (brand, type, size) bucket, with a
+   * brand/type exclusion and "complaint" suppliers (negative account
+   * balance — the schema's analog of the comment-scan) removed via a
+   * broadcast ANTI join before any shuffle. The count-distinct runs as
+   * Spark's two-phase partial-distinct aggregate — the dedup happens
+   * map-side per (group, suppkey) before the exchange. */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val complaints = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val parts = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO")
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    t(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Q20-style excess-share suppliers (the nested correlated semi-join
+   * chain): suppliers in region 2 who, for SOME red part, shipped more
+   * than 30% of that part's total 1996 volume — supplier-share vs
+   * per-part global aggregate, compared cross-multiplied in exact
+   * integer quantities (`sp·10 > tot·3`), then collapsed to a supplier
+   * id set and applied as a LEFT SEMI join (the IN → semi
+   * decorrelation). The 1996 lineitem window is scanned twice (per-part
+   * total needs ALL suppliers' volume, the share only red parts') —
+   * both scans carry the pushed date filter and a 3-column projection;
+   * materializing a year of fact rows to save the second scan would be
+   * the wrong trade at 100 TB. */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li96 = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val ptot = li96.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("tot_qty"))
+    val redKeys = t(spark, dir, "part").filter(col("p_name").like("red %"))
+      .select("p_partkey")
+    val sp = li96.join(broadcast(redKeys), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sp_qty"))
+    val excess = sp.join(ptot, col("l_partkey") === col("t_partkey"))
+      .filter(col("sp_qty") * 10 > col("tot_qty") * 3)
+      .select(col("l_suppkey")).distinct()
+    t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation").filter(col("n_regionkey") === 2)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "n_name")
+  }
+
   /** KMV distinct-count sketch per return flag — the custom typed
    * `Aggregator` extension path (graft.functions.KmvDistinct, k=256):
    * fixed k·8-byte mergeable state per group, map-side partial
@@ -833,6 +977,11 @@ object RelationalQueries {
     "q15_top_supplier" -> q15TopSupplier,
     "q21_wait_suppliers" -> q21WaitSuppliers,
     "q22_idle_customers" -> q22IdleCustomers,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q9_product_profit" -> q9ProductProfit,
+    "q11_important_parts" -> q11ImportantParts,
+    "q16_supplier_cnt" -> q16SupplierCnt,
+    "q20_excess_suppliers" -> q20ExcessSuppliers,
     "q_grouping_sets" -> qGroupingSets,
     "q_window_range_frame" -> qWindowRangeFrame,
     "q_window_lead_lag" -> qWindowLeadLag,
@@ -916,6 +1065,70 @@ object RelationalQueries {
                            WHERE o_custkey = c_custkey
                              AND o_orderdate >= TIMESTAMP '2000-06-01')
          GROUP BY 1""",
+    "q2_min_cost_supplier" ->
+      """WITH sup_eu AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         rsupply AS (
+           SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+           FROM lineitem JOIN sup_eu ON l_suppkey = s_suppkey
+           GROUP BY 1, 2)
+         SELECT s_acctbal, s_name, n_name, p_partkey, cost
+         FROM rsupply JOIN sup_eu ON l_suppkey = s_suppkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_size = 15
+           AND cost = (SELECT min(cost) FROM rsupply r2
+                       WHERE r2.l_partkey = rsupply.l_partkey)""",
+    "q9_product_profit" ->
+      ("""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           """ + bpsToMoneyOracle(bpsSum(
+             "l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity")) + """ AS profit
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE 'red %'
+         GROUP BY 1, 2"""),
+    "q11_important_parts" ->
+      """WITH pv AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS BIGINT) AS val_cents
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           WHERE s_nationkey = 3
+           GROUP BY 1)
+         SELECT l_partkey, val_cents
+         FROM pv, (SELECT sum(val_cents) AS tot_cents FROM pv) t
+         WHERE val_cents * 500 > tot_cents""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+    "q20_excess_suppliers" ->
+      """WITH ptot AS (
+           SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS tot_qty
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1),
+         sp AS (
+           SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sp_qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'red %'
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1, 2)
+         SELECT s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_regionkey = 2
+           AND s_suppkey IN (
+             SELECT l_suppkey FROM sp JOIN ptot USING (l_partkey)
+             WHERE sp_qty * 10 > tot_qty * 3)""",
     "q17_small_quantity" ->
       """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
          pp AS (SELECT l_partkey,
