@@ -25,6 +25,24 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "sim_ann_lsh", "sim_ann_ivf", "text_quality", "text_fingerprint_rolling")
 
+  /** Deliberately O(n²) oracle baselines — correctness anchors for their
+   * LSH/ANN counterparts, never what would run at 100 TB (BASELINE.md) —
+   * excluded from the extended sweep like they always were from the
+   * headline set. */
+  val quadraticBaselines: Set[String] = Set(
+    "dedup_jaccard_pairs", "dedup_embedding", "sim_topk_bruteforce",
+    "dedup_clusters")
+
+  /** Extended sweep: EVERY other SparkEntry query not already in the
+   * frozen 20-query headline set. Derived, not listed, so each new
+   * operator gets a perf trend line the round it lands (the r8 gap:
+   * everything added after r2 had oracle rows but no perf history, so a
+   * regression there was invisible between scale smokes). Reported under
+   * separate JSON keys — the headline "value" stays comparable across
+   * rounds. */
+  def extended: Seq[String] =
+    (SparkEntry.queries.keySet -- headline -- quadraticBaselines).toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,7 +65,7 @@ object Bench {
     // scans; noop materializes every output column.
     def execute(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    headline.foreach { name =>
+    (headline ++ extended).foreach { name =>
       try execute(SparkEntry.queries(name)(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench-warmup] $name: $e") }
     }
@@ -68,19 +86,26 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val samples: Seq[Seq[(String, Double)]] =
-      (1 to passes).map(_ => headline.map(n => n -> timeOne(n)))
-    val results = headline.map { name =>
-      val ts = samples.map(_.toMap.apply(name)).sorted
-      name -> ts(ts.size / 2)
+    def medians(names: Seq[String]): Seq[(String, Double)] = {
+      val samples = (1 to passes).map(_ => names.map(n => n -> timeOne(n)))
+      names.map { name =>
+        val ts = samples.map(_.toMap.apply(name)).sorted
+        name -> ts(ts.size / 2)
+      }
     }
+    val results = medians(headline)
+    val extResults = medians(extended)
     // a failed query must not fold its fast-fail wall time into the
     // totals as if it ran: report it as null and exit nonzero
-    val qs = results.map { case (k, v) =>
+    def jsonMap(rs: Seq[(String, Double)]): String = rs.map { case (k, v) =>
       "\"" + k + "\":" + (if (failed(k)) "null" else f"$v%.3f")
     }.mkString("{", ",", "}")
-    val total = results.collect { case (k, v) if !failed(k) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def okSum(rs: Seq[(String, Double)]): Double =
+      rs.collect { case (k, v) if !failed(k) => v }.sum
+    val total = okSum(results)
+    val extTotal = okSum(extResults)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${
+      jsonMap(results)},"extended":${jsonMap(extResults)},"extended_total":$extTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.toSeq.sorted.mkString(", ")}")

@@ -742,10 +742,25 @@ object RelationalQueries {
    * failed ('F') orders, suppliers whose line shipped late while SOME
    * other supplier shipped in the same order (EXISTS → left-semi) and
    * NO other supplier shipped late (NOT EXISTS → left-anti) — the
-   * two-correlated-subqueries-on-one-relation shape. Both probes reuse
-   * the same narrow lineitem projection; the semi/anti joins shuffle
-   * ids only. No LIMIT: ties at a cutoff would be nondeterministic
-   * across engines, and the driver hash-compares full results. */
+   * two-correlated-subqueries-on-one-relation shape, decorrelated into
+   * per-order DISTINCT-SUPPLIER COUNTS rather than semi/anti probes.
+   * Because a lateF row's own supplier ships in its order, "some other
+   * supplier shipped" ⟺ the order has ≥2 distinct suppliers, and "no
+   * other supplier shipped late" ⟺ the order has exactly 1 distinct
+   * LATE supplier — so both correlated subqueries collapse into two
+   * count_distinct aggregates joined back on orderkey. No LIMIT: ties
+   * at a cutoff would be nondeterministic across engines, and the
+   * driver hash-compares full results.
+   *
+   * Why not literal semi/anti joins (the r8 shape): Catalyst pulled
+   * the orders join above the probes and planned the semi with the
+   * ENTIRE lineitem projection as a broadcast build side and the anti
+   * as an SMJ shuffling the full unfiltered fact table (r9 plan
+   * audit) — both fatal at 100 TB. Here the big shuffles carry
+   * map-side-deduped (orderkey, suppkey) pairs, and `lateF` (late
+   * lines of failed orders — a small fraction of the fact table) is
+   * localCheckpointed so its join+filter builds once and feeds both
+   * the row stream and the late-supplier count. */
   def q21WaitSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     val fOrders = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
@@ -753,16 +768,16 @@ object RelationalQueries {
     val lateF = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select("l_orderkey", "l_suppkey")
-    val others = li.select(col("l_orderkey").as("l2_orderkey"),
-      col("l_suppkey").as("l2_suppkey"))
-    val lateOthers = lateF.select(col("l_orderkey").as("l3_orderkey"),
-      col("l_suppkey").as("l3_suppkey"))
+      .localCheckpoint()
+    val osup = li.groupBy(col("l_orderkey").as("a_orderkey"))
+      .agg(count_distinct(col("l_suppkey")).as("nsup"))
+    val lsup = lateF.groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(count_distinct(col("l_suppkey")).as("nlate"))
     lateF
-      .join(others, col("l2_orderkey") === col("l_orderkey") &&
-        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
-      .join(lateOthers, col("l3_orderkey") === col("l_orderkey") &&
-        col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
-      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(osup, col("l_orderkey") === col("a_orderkey"))
+      .join(lsup, col("l_orderkey") === col("b_orderkey"))
+      .filter(col("nsup") > 1 && col("nlate") === 1)
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
   }
