@@ -403,14 +403,19 @@ object RelationalQueries {
         round(sum(col("c_acctbal").cast("decimal(18,4)")), 2).cast("double").as("total_bal"))
 
   /** Exact interpolated percentiles per group (ORDER-BY-ALL determinism;
-   * both engines interpolate over the same sorted doubles). */
+   * both engines interpolate over the same sorted doubles). The array
+   * form buffers each group's values ONCE for all three quartiles —
+   * three scalar percentile() aggregates each keep their own copy of
+   * the column and sort it independently (3× state, 3× sort; this was
+   * the second-slowest extended bench line when written that way). */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("pct"))
+      .select(col("l_returnflag"),
+        round(col("pct").getItem(0), 4).as("p25"),
+        round(col("pct").getItem(1), 4).as("p50"),
+        round(col("pct").getItem(2), 4).as("p75"))
 
   /** Semi-structured access: JSON property extraction pushed through an
    * aggregation (get_json_object stays codegen'd — no UDF). */
