@@ -189,12 +189,66 @@ object Curation {
   def textTfidfTopk(spark: SparkSession, dir: String): DataFrame =
     tfidfTopK(docs(spark, dir), 3)
 
+  // ------------------------------------------------------ composed pipeline
+
+  /**
+   * The composed curation chain a real pretraining-data run executes,
+   * end-to-end in ONE declarative plan: quality gate → exact dedup
+   * (keep-first) → benchmark decontamination → weighted mixing sample.
+   * Every stage is the already-oracle-proven operator (text_quality's
+   * predicate, dedup_exact_keep_first's digest window,
+   * decon_ngram_overlap's shingle overlap at a ≥50% threshold —
+   * compared cross-multiplied in integers — and sample_weighted's
+   * source rates), so the oracle is their SQL composition and any
+   * stage regression turns this row red.
+   *
+   * Scale shape: one spread scan evaluates the tokenizer/punct kernels
+   * once and immediately DROPS `text` — the dedup window shuffles
+   * (digest, id, 3 metadata cols), never document bodies. The
+   * decontamination branch re-scans only for shingling (its own spread,
+   * kernel-hashed, benchmark side broadcast) and joins back as a
+   * doc_id ANTI join; the mixing sample is a codegen'd pure-hash
+   * filter. Nothing corpus-sized is ever broadcast, collected, or
+   * shuffled with its payload.
+   */
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nChars = length(col("text"))
+    val nToks = size(tokens(col("text")))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    // quality gate AT THE SCAN (Catalyst would push it below the spread
+    // anyway — and pre-shuffle filtering is exactly what you want at
+    // 100 TB; written in plan order so the code matches the audit),
+    // then drop the body — downstream stages ride on the digest and
+    // metadata only. Codegen CSE collapses between()'s two tokenizer
+    // copies inside the filter stage.
+    val q = spread(
+      d.filter(nToks.between(20, 100000) && punct.cast("double") / nChars < 0.1))
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        col("lang"), col("source"), col("n_chars"))
+    val w = Window.partitionBy("fp")
+    val deduped = q.withColumn("keep_id", min("doc_id").over(w))
+      .filter(col("doc_id") === col("keep_id"))
+    val contaminated = ngramContamination(
+        d.filter(col("doc_id") % 50 =!= 0).select("doc_id", "text"),
+        d.filter(col("doc_id") % 50 === 0).select("doc_id", "text"))
+      .filter(col("n_contaminated") * 2 >= col("n_shingles"))
+      .select("doc_id")
+    val clean = deduped
+      .filter(col("doc_id") % 50 =!= 0) // the benchmark itself never trains
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    weightedBernoulli(clean, col("doc_id"), col("source"),
+      Map("src0" -> 100, "src1" -> 50, "src2" -> 25), defaultPct = 10)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_bernoulli" -> sampleBernoulli,
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
     "decon_ngram_overlap" -> deconNgramOverlap,
-    "text_tfidf_topk" -> textTfidfTopk)
+    "text_tfidf_topk" -> textTfidfTopk,
+    "pipeline_curate" -> pipelineCurate)
 
   private val Mix32Sql =
     s"((doc_id % $PreMod) * $KnuthA) % 4294967296"
@@ -215,6 +269,7 @@ object Curation {
             CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
                         WHEN 'src2' THEN 25 ELSE 10 END""",
     "decon_ngram_overlap" -> HashOracleSql.deconOverlap,
+    "pipeline_curate" -> HashOracleSql.pipelineCurate(Mix32Sql),
     "text_tfidf_topk" ->
       """WITH tk AS (
            SELECT doc_id,

@@ -377,6 +377,37 @@ SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
   round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination
 FROM _hit"""
 
+  /** Oracle for Curation.pipelineCurate — the composed chain: the
+   * text_quality predicate, the dedup_exact_keep_first digest window,
+   * decon_ngram_overlap's shingle-overlap CTEs at a ≥50% integer
+   * cross-multiplied threshold, and sample_weighted's mixing rates
+   * (`mix32Sql` passed in from Curation so the hash constant lives in
+   * exactly one place per engine). */
+  def pipelineCurate(mix32Sql: String): String =
+    s"""WITH
+$shingleCtes,
+_bsh AS (SELECT DISTINCT unnest(sh) AS s FROM _sh WHERE doc_id % 50 = 0),
+_tr AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+        FROM _sh WHERE doc_id % 50 <> 0),
+_contam AS (SELECT doc_id FROM (
+  SELECT doc_id, n_shingles, count(*) AS n_contaminated
+  FROM _tr JOIN _bsh USING (s) GROUP BY doc_id, n_shingles)
+  WHERE n_contaminated * 2 >= n_shingles),
+_q AS (SELECT doc_id, lang, source, n_chars, text FROM documents
+  WHERE len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0))
+          BETWEEN 20 AND 100000
+    AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+          AS DOUBLE) / length(text) < 0.1),
+_d AS (SELECT doc_id, lang, source, n_chars FROM (
+  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM _q)
+  WHERE doc_id = keep_id)
+SELECT doc_id, lang, source, n_chars FROM _d
+WHERE doc_id % 50 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM _contam)
+  AND ($mix32Sql) % 100 <
+    CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                WHEN 'src2' THEN 25 ELSE 10 END"""
+
   /** Oracle for RelationalQueries.qKmvDistinct — the KMV sketch
    * (graft.functions.KmvDistinct, k=256) on lineitem part keys per
    * return flag: avalanche each distinct key, keep the k smallest
