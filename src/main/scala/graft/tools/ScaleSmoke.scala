@@ -125,6 +125,45 @@ object ScaleSmoke {
         f"(${nDocs / deconSecs / 1000}%.0fk docs/s)")
     }
 
+    if (args.contains("relational")) {
+      // Relational scale smoke: facts (lineitem, orders) replicated
+      // factor× with shifted order keys, dims fixed (the realistic
+      // regime — dimensions don't grow with the fact table). Written to
+      // a temp dataset dir so the wired (spark, dir) queries run
+      // unmodified. Targets the r9 additions whose decorrelations must
+      // stay linear in the fact table: q21 (per-order distinct-count
+      // decorrelation — the literal semi/anti plan broadcast the whole
+      // fact projection and would NOT survive this), q2 (checkpointed
+      // supply relation), q9 (five-table rollup).
+      import graft.operators.RelationalQueries
+      val relDir = "/tmp/graft-smoke-rel"
+      def shift(df: DataFrame, key: String): DataFrame = df
+        .crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn(key, col(key) + col("_r") * 1000000000L)
+        .drop("_r").repartition(64)
+      shift(spark.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey")
+        .write.mode("overwrite").parquet(s"$relDir/lineitem.parquet")
+      shift(spark.read.parquet(s"$dir/orders.parquet"), "o_orderkey")
+        .write.mode("overwrite").parquet(s"$relDir/orders.parquet")
+      Seq("supplier", "nation", "region", "part", "customer").foreach { n =>
+        spark.read.parquet(s"$dir/$n.parquet")
+          .write.mode("overwrite").parquet(s"$relDir/$n.parquet")
+      }
+      val nLi = spark.read.parquet(s"$relDir/lineitem.parquet").count()
+      def execute(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      Seq[(String, (SparkSession, String) => DataFrame)](
+        "q21_wait_suppliers" -> RelationalQueries.q21WaitSuppliers,
+        "q2_min_cost_supplier" -> RelationalQueries.q2MinCostSupplier,
+        "q9_product_profit" -> RelationalQueries.q9ProductProfit
+      ).foreach { case (name, q) =>
+        execute(q(spark, relDir)) // warmup: codegen/JIT outside timing
+        val (_, s) = timed(execute(q(spark, relDir)))
+        println(f"[scale-smoke] RELATIONAL $name lineitem=$nLi " +
+          f"time=${s}%.1fs (${nLi / s / 1e6}%.2fM rows/s)")
+      }
+    }
+
     if (runSkew) {
       // 1. Hot-customer damage: 1/3 of every table on one o_custkey.
       def hot(df: DataFrame): DataFrame = df.withColumn("o_custkey",
