@@ -123,6 +123,23 @@ object ScaleSmoke {
       println(f"[scale-smoke] CURATION candidates=$nDocs (benchmark fixed) " +
         f"flagged=$flagged decon=${deconSecs}%.1fs " +
         f"(${nDocs / deconSecs / 1000}%.0fk docs/s)")
+
+      // Composed-pipeline smoke: the full quality→dedup→decon→mix chain
+      // on the replicated corpus (written out so the wired (spark, dir)
+      // query runs unmodified). The replicas are distinct doc_ids with
+      // identical text, so the dedup stage does real work at scale.
+      val curDir = "/tmp/graft-smoke-cur"
+      spark.read.parquet(s"$dir/documents.parquet")
+        .crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn("doc_id", col("doc_id") * factor + col("_r"))
+        .drop("_r").repartition(64)
+        .write.mode("overwrite").parquet(s"$curDir/documents.parquet")
+      def execute(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      execute(Curation.pipelineCurate(spark, curDir)) // warmup
+      val (_, pipeSecs) = timed(execute(Curation.pipelineCurate(spark, curDir)))
+      println(f"[scale-smoke] CURATION pipeline_curate docs=$nDocs " +
+        f"time=${pipeSecs}%.1fs (${nDocs / pipeSecs / 1000}%.0fk docs/s)")
     }
 
     if (args.contains("relational")) {
