@@ -141,6 +141,48 @@ class StreamingReconSpec extends SparkSpec {
     assert(held(snap).canon("v") == "new")
   }
 
+  test("ANY micro-batch partitioning of a versioned feed converges to the single-batch state") {
+    import StreamingReconciler._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the delivery-order-independence claim (mergeBatch scaladoc): for
+    // VERSIONED records (version >= 1), the settled per-key images must
+    // not depend on how the feed is permuted or cut into micro-batches.
+    // Small domains force frequent version ties, tombstone-vs-write ties
+    // and duplicate records — the cases the r8 cross-batch fix covers.
+    def rec(side: String, v: Long, value: String, deleted: Boolean) =
+      ChangeRecord("k", side, Map("c" -> value), Map("c" -> value), v, deleted, null)
+    val genRec = for {
+      side <- Gen.oneOf("base", "mv")
+      v <- Gen.choose(1L, 3L)
+      value <- Gen.oneOf("a", "b", "c")
+      deleted <- Gen.frequency(3 -> false, 1 -> true)
+    } yield rec(side, v, value, deleted)
+    def settle(batches: Seq[Seq[ChangeRecord]]): (Option[SideImage], Option[SideImage]) = {
+      val st = batches.filter(_.nonEmpty)
+        .foldLeft(KeyState(None, None, 0L))(mergeBatch)
+      // seq counts batches; the images are the delivery-independent part
+      (st.base, st.mv)
+    }
+    val genCase = for {
+      recs <- Gen.nonEmptyListOf(genRec)
+      seed <- Gen.choose(0L, Long.MaxValue)
+      cuts <- Gen.listOfN(math.max(recs.size - 1, 0), Gen.oneOf(true, false))
+    } yield (recs, seed, cuts)
+    val prop = Prop.forAll(genCase) { case (recs, seed, cuts) =>
+      val want = settle(Seq(recs))
+      val shuffled = new scala.util.Random(seed).shuffle(recs)
+      // cut the permuted feed into micro-batches at the generated points
+      val batches = shuffled.tail.zip(cuts).foldLeft(List(List(shuffled.head))) {
+        case (acc, (r, cut)) =>
+          if (cut) List(r) :: acc else (r :: acc.head) :: acc.tail
+      }.map(_.reverse).reverse
+      settle(batches) == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("evicting monitor drops settled keys once the watermark passes retention") {
     import graft.reconcile.MvReconciler._
     import graft.schema.TableSchema
@@ -205,6 +247,59 @@ class StreamingReconSpec extends SparkSpec {
       val k1b = rowsFor("1") // ordered by seq — last is the compaction winner
       assert(k1b.last == MissingInMv)
       assert(k1b.contains(StreamingReconciler.Evicted))
+    } finally q.stop()
+  }
+
+  test("evicting monitor state tracks the ACTIVE key set, not total keys seen") {
+    import graft.schema.TableSchema
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The 100 TB claim quantified: 6 waves x 10 fresh keys each, waves
+    // 120s apart in event time, retention 30s — a sliding active window.
+    // Event-time timeouts fire against the PREVIOUS batch's watermark,
+    // so a wave's keys evict two waves later; bounded-state means the
+    // store holds O(active window + eviction lag), never all keys seen.
+    val schema = TableSchema(pk = Seq("id"), types = Map("id" -> "BIGINT", "v" -> "TEXT"))
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val t0 = 1600000000000L
+    val waveGapMs = 120000L
+    val baseIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val mvIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def feed(s: MemoryStream[(Long, String, java.sql.Timestamp)]) =
+      s.toDF().toDF("id", "v", "_event_ts").withWatermark("_event_ts", "0 seconds")
+    val updates = StreamingReconciler.monitorEvicting(
+      feed(baseIn), feed(mvIn), schema, schema, idleRetentionMs = 30000L).toDF()
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName("recon_state_bound").start()
+    try {
+      def stateRows(): Long =
+        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
+      val perWave = Seq.newBuilder[Long]
+      for (wave <- 0 until 6) {
+        val t = ts(t0 + wave * waveGapMs)
+        val keys = (wave * 10) until (wave * 10 + 10)
+        keys.foreach { k => baseIn.addData((k.toLong, s"v$wave", t)) }
+        mvIn.addData((keys.head.toLong, s"v$wave", t)) // advance BOTH watermarks
+        q.processAllAvailable()
+        perWave += stateRows()
+      }
+      // two watermark-only flush batches so the tail waves' timeouts fire
+      for (flush <- 0 until 2) {
+        val t = ts(t0 + (6 + flush) * waveGapMs)
+        baseIn.addData((1000L + flush, "flush", t))
+        mvIn.addData((1000L + flush, "flush", t))
+        q.processAllAvailable()
+        perWave += stateRows()
+      }
+      val evicted = spark.table("recon_state_bound")
+        .filter(col("problem") === StreamingReconciler.Evicted)
+        .select("key").distinct().count()
+      // 62 distinct keys flowed through; state never approached that —
+      // it is bounded by active window (10) + two-wave eviction lag
+      val maxState = perWave.result().max
+      assert(maxState > 0 && maxState <= 30, s"state rows peaked at $maxState")
+      assert(evicted >= 40, s"only $evicted keys evicted")
     } finally q.stop()
   }
 }
