@@ -82,6 +82,27 @@ object ReconQueries {
     classified(spark, dir)
       .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
 
+  /** Operator A's pluggability, proven end-to-end: the SAME
+   * classification as [[reconClassify]] with both sides round-tripped
+   * through [[graft.sources.CsvSource]] — the second offline Source
+   * implementation (the slot a live CassandraSource fills, reference
+   * MvSync.java:232-258). Shares recon_classify's oracle SQL, so a
+   * hash match proves the reconciler never learned the format. */
+  def reconClassifyCsv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CsvSource
+    val tmp = System.getProperty("java.io.tmpdir") +
+      s"/graft-csv-source-${Integer.toHexString(dir.hashCode)}"
+    val base = MvSyncDemo.baseDf(spark, dir)
+    val mv = MvSyncDemo.mvDf(spark, dir)
+    base.write.mode("overwrite").option("header", "true").csv(s"$tmp/base")
+    mv.write.mode("overwrite").option("header", "true").csv(s"$tmp/mv")
+    MvReconciler.reconcile(
+      CsvSource(s"$tmp/base", base.schema).load(spark, MvSyncDemo.baseSchema),
+      CsvSource(s"$tmp/mv", mv.schema).load(spark, MvSyncDemo.mvSchema),
+      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+      .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
+  }
+
   /** Stats aggregation (operator J): category counts. */
   def reconStats(spark: SparkSession, dir: String): DataFrame =
     StatsCollector.byProblem(classified(spark, dir))
@@ -199,6 +220,7 @@ object ReconQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recon_classify" -> reconClassify,
+    "recon_classify_csv" -> reconClassifyCsv,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
     "recon_report_lines" -> reconReportLines,
     "recon_stats" -> reconStats,
@@ -210,6 +232,9 @@ object ReconQueries {
 
   val oracleSql: Map[String, String] = Map(
     "recon_classify" ->
+      (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
+    // same oracle as recon_classify: the CSV round-trip must be invisible
+    "recon_classify_csv" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     "recon_classify_alltypes" -> AllTypesFixture.oracleSql,
     "recon_report_lines" -> AllTypesFixture.reportOracleSql,

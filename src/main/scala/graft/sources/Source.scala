@@ -24,17 +24,42 @@ trait Source extends Serializable {
   def load(spark: SparkSession, schema: TableSchema): DataFrame
 }
 
-/** Parquet-backed table: path + projection to the schema's columns
- * (PK + regular + writetime_/ttl_ siblings where present in the file). */
-final case class ParquetSource(path: String) extends Source {
-  override def load(spark: SparkSession, schema: TableSchema): DataFrame = {
-    val df = spark.read.parquet(path)
+object Source {
+  /** Shared projection (operator B): PK + regular + writetime_/ttl_
+   * siblings where present in the file — applied via `select` so every
+   * implementation gets Catalyst column pruning into its scan. */
+  private[sources] def project(df: DataFrame, schema: TableSchema): DataFrame = {
     val want = schema.pk ++ schema.sortedRegular ++
       schema.timestampedRegular.flatMap(c =>
         Seq(schema.writetimeCol(c), schema.ttlCol(c)))
     val present = want.filter(df.columns.contains)
     df.select(present.map(org.apache.spark.sql.functions.col): _*)
   }
+}
+
+/** Parquet-backed table: path + projection to the schema's columns. */
+final case class ParquetSource(path: String) extends Source {
+  override def load(spark: SparkSession, schema: TableSchema): DataFrame =
+    Source.project(spark.read.parquet(path), schema)
+}
+
+/**
+ * CSV-backed table — a second offline implementation proving the trait
+ * boundary the live connector half of operator A would plug into
+ * (reference MvSync.java:232-258): the reconciler is handed a
+ * projected DataFrame and never learns the format.
+ *
+ * CSV carries no types, so the read schema is explicit (a live
+ * `CassandraSource` gets it from cluster metadata the same way,
+ * reference CassandraClient.java:14-68; schema inference would scan
+ * every file twice — wrong at scale). Nulls round-trip as the default
+ * empty string; header names carry the column mapping.
+ */
+final case class CsvSource(path: String,
+    readSchema: org.apache.spark.sql.types.StructType) extends Source {
+  override def load(spark: SparkSession, schema: TableSchema): DataFrame =
+    Source.project(
+      spark.read.schema(readSchema).option("header", "true").csv(path), schema)
 }
 
 /**

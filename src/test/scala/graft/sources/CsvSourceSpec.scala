@@ -1,0 +1,39 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.ReconQueries
+import graft.schema.TableSchema
+import org.apache.spark.sql.functions._
+
+/**
+ * Operator A's trait boundary: a second offline Source implementation
+ * must be invisible to everything downstream of `load` — same
+ * projection, same nulls, same classification.
+ */
+class CsvSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CsvSource projects to the schema and round-trips nulls/types") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv-spec").toString + "/t"
+    val df = Seq(
+      (1L, Option("a"), Option(100L), Option(60)),
+      (2L, None: Option[String], None: Option[Long], None: Option[Int]))
+      .toDF("id", "v", "writetime_v", "ttl_v")
+      .withColumn("extra", lit("dropme")) // not in the schema → pruned
+    df.write.option("header", "true").csv(tmp)
+    val schema = TableSchema(pk = Seq("id"), types = Map("id" -> "BIGINT", "v" -> "TEXT"))
+    val got = CsvSource(tmp, df.schema).load(spark, schema)
+    assert(got.columns.toSeq == Seq("id", "v", "writetime_v", "ttl_v"))
+    val rows = got.orderBy("id").collect()
+    assert(rows(0).toSeq == Seq(1L, "a", 100L, 60))
+    assert(rows(1).toSeq == Seq(2L, null, null, null))
+  }
+
+  test("CSV-sourced reconciliation matches the parquet-sourced classification") {
+    val dir = "/root/testdata/sf0.001"
+    val viaParquet = ReconQueries.reconClassify(spark, dir)
+    val viaCsv = ReconQueries.reconClassifyCsv(spark, dir)
+    assert(viaCsv.schema == viaParquet.schema)
+    assert(viaCsv.exceptAll(viaParquet).isEmpty && viaParquet.exceptAll(viaCsv).isEmpty)
+  }
+}
