@@ -31,7 +31,11 @@ object Bench {
    * headline set. */
   val quadraticBaselines: Set[String] = Set(
     "dedup_jaccard_pairs", "dedup_embedding", "sim_topk_bruteforce",
-    "dedup_clusters")
+    "dedup_clusters",
+    // not quadratic, but a format-pluggability proof (writes both sides
+    // to CSV then reconciles) — measuring its file IO per round would
+    // drown the extended trend in tmpfs write noise
+    "recon_classify_csv")
 
   /** Extended sweep: EVERY other SparkEntry query not already in the
    * frozen 20-query headline set. Derived, not listed, so each new
