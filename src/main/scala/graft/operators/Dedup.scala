@@ -260,6 +260,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /**
+   * Cluster-bucketed semantic dedup — the 100 TB scale path for
+   * [[dedupEmbedding]]'s all-pairs baseline (the SemDeDup recipe,
+   * Abbas et al. 2023, arXiv:2303.09540): bucket vectors by their IVF
+   * coarse-quantizer cell (`Similarity.loadOrFitCentroids` — fitted
+   * once, persisted, shared with sim_ann_ivf) and search duplicate
+   * pairs ONLY within a cell. Per-cell work is quadratic in CELL size,
+   * not corpus size; the centroid count grows with the corpus so N/C
+   * stays bounded, and with the table written partitioned by cid the
+   * pairing is partition-local — no exchange carries vectors at all.
+   * Cross-cell duplicates are missed by design (the quantizer recall
+   * trade, exactly IVF's nprobe=1 regime).
+   *
+   * Output: every vector having a LOWER-id cell-mate at cosine ≥ 0.4
+   * names its keeper — highest cosine, tie → lowest id — i.e. the rows
+   * a curation pass would DROP, with their surviving representative.
+   */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.loadOrFitCentroids(spark, dir, e)
+    val lists = Similarity.ivfAssign(e, cents)
+    val keep = lists.select(col("cid"), col("vec_id").as("keeper_id"),
+      col("embedding").as("kv"))
+    val dup = lists.select(col("cid"), col("vec_id").as("dup_id"),
+      col("embedding").as("dv"))
+    val w = Window.partitionBy("dup_id")
+      .orderBy(col("cos").desc, col("keeper_id"))
+    keep.join(dup, Seq("cid"))
+      .filter(col("keeper_id") < col("dup_id"))
+      .withColumn("cos", Similarity.cosine(col("kv"), col("dv")))
+      .filter(col("cos") >= 0.4)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dup_id"), col("keeper_id"), round(col("cos"), 6).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_exact_keep_first" -> dedupExactKeepFirst,
@@ -268,7 +305,8 @@ object Dedup {
     "dedup_clusters_lsh" -> dedupClustersLsh,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic)
 
   private val ShSql =
     """list_distinct(list_transform(
@@ -332,5 +370,6 @@ object Dedup {
     // mod-2^64 kernels re-expressed in DuckDB HUGEINT CTEs
     "dedup_minhash_lsh" -> HashOracleSql.minhashLsh,
     "dedup_clusters_lsh" -> HashOracleSql.minhashLshClusters,
-    "dedup_simhash" -> HashOracleSql.simhashPairs)
+    "dedup_simhash" -> HashOracleSql.simhashPairs,
+    "dedup_semantic" -> HashOracleSql.semDedup)
 }

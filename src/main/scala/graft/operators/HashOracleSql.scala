@@ -326,6 +326,30 @@ FROM _ranked WHERE rank <= 10"""
     SELECT cid, embedding, unnest(range(1, 1 + len(embedding))) AS i
     FROM $assigned) GROUP BY cid, i) GROUP BY cid)"""
 
+  /** Oracle for Dedup.dedupSemantic: the SAME unrolled-Lloyd quantizer
+   * as [[annIvf]] (identical seeds/rounds, so both engines agree on the
+   * cell assignment bit-for-bit), then within-cell lower-id pairs at
+   * cosine ≥ 0.4, keeper = argmax cosine with lowest-id tie-break. */
+  def semDedup: String =
+    s"""WITH
+_samp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+_c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding AS cvec
+  FROM (SELECT * FROM _samp ORDER BY vec_id LIMIT 16)),
+${assignCte("_a1", "_samp", "_c0")},
+${updateCte("_c1", "_a1")},
+${assignCte("_a2", "_samp", "_c1")},
+${updateCte("_c2", "_a2")},
+${assignCte("_lists", "embeddings", "_c2")},
+_pairs AS (
+  SELECT b.vec_id AS dup_id, a.vec_id AS keeper_id,
+    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM _lists a JOIN _lists b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+_best AS (SELECT *, row_number() OVER (PARTITION BY dup_id
+    ORDER BY cos DESC, keeper_id) AS rn
+  FROM _pairs WHERE cos >= 0.4)
+SELECT dup_id, keeper_id, round(cos, 6) AS cos FROM _best WHERE rn = 1"""
+
   /** Oracle for Similarity.simAnnIvf: the full DataFrame-native IVF —
    * deterministic seeds (16 lowest-id sample vectors), 2 unrolled Lloyd
    * rounds on the 1/3 sample, full-table assignment, 3-probe search. */

@@ -100,6 +100,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(top1.length == 5)
   }
 
+  test("semantic dedup drops planted twins toward their lower-id keeper") {
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 30).map(_ => vec())
+    // ids 0..29 originals; 100+i a near-copy of i (cos ≈ 0.999 — lands
+    // in the same quantizer cell, far above the 0.4 threshold)
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v.toSeq),
+        ((100 + i).toLong, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat).toSeq))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("semdedup").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Dedup.dedupSemantic(spark, tmp).collect()
+      .map(r => r.getAs[Long]("dup_id") -> r.getAs[Long]("keeper_id")).toMap
+    // every planted twin is reported as a duplicate of its original
+    val recalled = (0 until 30).count(i => out.get(100L + i).contains(i.toLong))
+    assert(recalled >= 27, s"semantic dedup recall too low: $recalled/30")
+    // keeper is always the lower id, and never itself a reported dup's twin source confusion
+    out.foreach { case (d, k) => assert(k < d) }
+  }
+
   test("cosine column matches a driver-side computation") {
     val a = Seq(1.0f, 2.0f, 3.0f)
     val b = Seq(-1.0f, 0.5f, 2.0f)
