@@ -280,7 +280,15 @@ object Dedup {
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.loadOrFitCentroids(spark, dir, e)
+    semanticKeepers(e, Similarity.loadOrFitCentroids(spark, dir, e))
+  }
+
+  /** The cell-bucketed keeper search behind [[dedupSemantic]],
+   * parameterized over the quantizer so the scale smoke can grow the
+   * centroid count with the corpus (the contract that keeps per-cell
+   * pairing bounded). */
+  def semanticKeepers(e: DataFrame, cents: Similarity.Centroids,
+      threshold: Double = 0.4): DataFrame = {
     val lists = Similarity.ivfAssign(e, cents)
     val keep = lists.select(col("cid"), col("vec_id").as("keeper_id"),
       col("embedding").as("kv"))
@@ -291,7 +299,7 @@ object Dedup {
     keep.join(dup, Seq("cid"))
       .filter(col("keeper_id") < col("dup_id"))
       .withColumn("cos", Similarity.cosine(col("kv"), col("dv")))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= threshold)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("dup_id"), col("keeper_id"), round(col("cos"), 6).as("cos"))

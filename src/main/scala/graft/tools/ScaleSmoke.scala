@@ -181,6 +181,41 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("semantic")) {
+      // Semantic-dedup scale smoke: the embeddings table replicated
+      // factor× — even replicas byte-identical (exact-dup regime), odd
+      // replicas slightly perturbed (near-dup, cos ≈ 0.999) — with the
+      // centroid count grown IN PROPORTION (C = 16·factor), which is
+      // the operator's documented contract: cells stay ~constant size,
+      // so within-cell pairing stays Σ_cell(size²) ≈ N·cellSize — linear
+      // in the corpus. The literal-centroid argmax assign is N·C cosines
+      // (fine at smoke C; a production corpus assigns against an index
+      // over the centroids instead of a flat argmax). Every replica must
+      // name a keeper from its source group — recall is checked, not
+      // assumed.
+      import graft.operators.{Dedup, Similarity}
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val rep = e.crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn("vec_id", col("vec_id") * factor + col("_r"))
+        .withColumn("embedding",
+          when(col("_r") % 2 === 1, transform(col("embedding"),
+            (x, i) => (x + when(i % 7 === pmod(col("_r"), lit(7)), lit(0.02f))
+              .otherwise(lit(0f))).cast("float")))
+            .otherwise(col("embedding")))
+        .drop("_r").repartition(64)
+        .localCheckpoint()
+      val nVecs = rep.count()
+      val c = 16 * factor
+      val (cents, fitSecs) = timed(
+        Similarity.fitCentroids(rep.filter(col("vec_id") % 3 === 0), c))
+      val (nDups, pairSecs) = timed(
+        Dedup.semanticKeepers(rep, cents, threshold = 0.9).count())
+      println(f"[scale-smoke] SEMANTIC vecs=$nVecs cells=$c dups=$nDups " +
+        f"fit=${fitSecs}%.1fs keepers=${pairSecs}%.1fs " +
+        f"(${nVecs / pairSecs / 1000}%.0fk vecs/s)")
+    }
+
     if (runSkew) {
       // 1. Hot-customer damage: 1/3 of every table on one o_custkey.
       def hot(df: DataFrame): DataFrame = df.withColumn("o_custkey",
