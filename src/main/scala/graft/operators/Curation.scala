@@ -158,6 +158,43 @@ object Curation {
       d.filter(col("doc_id") % 50 === 0))
   }
 
+  /**
+   * Exact-substring decontamination — the verbatim-overlap check that
+   * complements [[ngramContamination]]'s fuzzy shingle overlap (the
+   * GPT-3 appendix-C / Pile recipe: flag a training doc when a
+   * benchmark document's distinctive snippet occurs in it EXACTLY).
+   * The snippet dictionary (one fixed window per benchmark doc) is
+   * eval-suite-sized — broadcast — and the corpus is scanned ONCE with
+   * a row-local contains per snippet; the aggregation carries ids
+   * only. At 100 TB the row-local cost is O(text · patterns) as
+   * written; the production refinement is one Aho-Corasick automaton
+   * per executor over the same broadcast dictionary (one pass per doc
+   * regardless of pattern count) — the data movement is identical, so
+   * the plan shape is the one that survives.
+   */
+  def exactContamination(candidates: DataFrame, benchmark: DataFrame,
+      snippetLen: Int = 16): DataFrame = {
+    val snippets = benchmark
+      .filter(length(col("text")) >= snippetLen * 2)
+      .select(col("doc_id").as("bench_id"),
+        substring(col("text"), 1, snippetLen).as("sn"))
+    spread(candidates).select("doc_id", "text")
+      .join(broadcast(snippets), col("text").contains(col("sn")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("bench_id").as("first_bench_id"))
+  }
+
+  /** Wired exact-decon query: same benchmark split as
+   * [[deconNgramOverlap]] (`doc_id % 50 == 0` stands in for the eval
+   * suite); candidates exclude the benchmark so a doc never matches
+   * its own snippet. */
+  def deconExactSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    exactContamination(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0))
+  }
+
   // --------------------------------------------------------------- tf-idf
 
   /**
@@ -247,6 +284,7 @@ object Curation {
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
     "decon_ngram_overlap" -> deconNgramOverlap,
+    "decon_exact_substring" -> deconExactSubstring,
     "text_tfidf_topk" -> textTfidfTopk,
     "pipeline_curate" -> pipelineCurate)
 
@@ -269,6 +307,15 @@ object Curation {
             CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
                         WHEN 'src2' THEN 25 ELSE 10 END""",
     "decon_ngram_overlap" -> HashOracleSql.deconOverlap,
+    "decon_exact_substring" ->
+      """WITH snip AS (
+           SELECT doc_id AS bench_id, substr(text, 1, 16) AS sn
+           FROM documents WHERE doc_id % 50 = 0 AND len(text) >= 32)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           min(s.bench_id) AS first_bench_id
+         FROM documents c JOIN snip s ON position(s.sn IN c.text) > 0
+         WHERE c.doc_id % 50 <> 0
+         GROUP BY c.doc_id""",
     "pipeline_curate" -> HashOracleSql.pipelineCurate(Mix32Sql),
     "text_tfidf_topk" ->
       """WITH tk AS (

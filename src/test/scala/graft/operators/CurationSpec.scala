@@ -70,6 +70,23 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(2L))
   }
 
+  test("exact-substring decon flags only verbatim snippet carriers") {
+    val benchText = "The quick brown fox jumps over the lazy dog repeatedly."
+    val bench = Seq((100L, benchText), (200L, "short")).toDF("doc_id", "text")
+    val candidates = Seq(
+      (0L, s"prefix noise $benchText and a suffix"), // contains the full text
+      (1L, "The quick brown " + "unrelated continuation"), // 16-char prefix verbatim
+      (2L, "the QUICK brown fox etc"), // case differs — exact match must miss
+      (3L, "completely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.exactContamination(candidates, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == ((1L, 100L)) && out(1L) == ((1L, 100L)))
+    assert(!out.contains(2L) && !out.contains(3L))
+    // the under-length benchmark doc (200) contributes no snippet
+    assert(out.values.forall(_._2 == 100L))
+  }
+
   test("tf-idf ranks a document's distinctive term first; ubiquitous terms score 0") {
     // 'common' appears in every doc → idf = ln(1) = 0; each doc's unique
     // repeated term must outrank it
