@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
  *                 exposed brute-force as the small-SF oracle baseline)
  *  - embedding near-dup: cosine over the embeddings table (see
  *                 Similarity for the ANN scale path)
+ *  - semantic:    cluster-bucketed keeper search over the persisted
+ *                 IVF quantizer cells (SemDeDup) — the scale path for
+ *                 the embedding all-pairs baseline
  */
 object Dedup {
 
