@@ -118,25 +118,40 @@ object Similarity {
     transform(c, x => x.cast("float"))
 
   /** The coarse quantizer is a small model (C × dim floats), collected
-   * to the driver by design — shipping it into every task as literals
-   * IS the broadcast, without a join. */
+   * to the driver by design — it ships into every task once, as a
+   * task-binary reference object, without a join. */
   type Centroids = Seq[(Int, Array[Float])]
 
-  /** `(−sim, cid)` scoring structs against the literal centroid set.
-   * Each cosine appears exactly once (a chained `when`-argmax would
-   * duplicate the accumulated branch per level — exponential tree). */
-  private def scored(v: Column, cents: Centroids): Seq[Column] =
-    cents.map { case (cid, cv) =>
-      struct((-cosine(v, typedlit(cv))).as("ns"), lit(cid).as("cid")) }
+  /** Kernel model parameters: the centroid matrix and its parallel cid
+   * array, sorted by cid so the kernels' lowest-POSITION tie-break is
+   * the oracle's lowest-CID tie-break. */
+  private def model(cents: Centroids): (Array[Array[Float]], Array[Int]) = {
+    val sorted = cents.sortBy(_._1)
+    (sorted.map(_._2).toArray, sorted.map(_._1).toArray)
+  }
 
   /** Argmax assignment as a narrow, codegen'd map — no join, no shuffle.
-   * `array_min` over `(−sim, cid)` structs ≡ highest sim, tie → lowest
-   * cid (the oracle's `ORDER BY cos DESC, cid`). */
-  private def assignCid(v: Column, cents: Centroids): Column =
-    array_min(array(scored(v, cents): _*)).getField("cid")
+   * The centroid matrix rides as ONE reference object into the native
+   * [[graft.functions.CentroidAssign]] kernel, so generated-code size is
+   * O(1) in C and the per-row cost is a single O(C·dim) loop — the
+   * previous form expanded C array literals into one expression tree,
+   * which hit a codegen-size wall near C ≈ 10³ (r9 verdict). Semantics
+   * unchanged: highest cosine, tie → lowest cid (the oracle's
+   * `ORDER BY cos DESC, cid`), bit-identical arithmetic. */
+  private def assignCid(v: Column, cents: Centroids): Column = {
+    val (m, ids) = model(cents)
+    graft.functions.VectorFunctions.centroid_assign(v, m, ids)
+  }
+
+  /** Top-k probe list — the k highest-cosine centroid ids per query,
+   * ordered (cos desc, cid asc); same reference-object kernel. */
+  private def probeTopK(v: Column, cents: Centroids, k: Int): Column = {
+    val (m, ids) = model(cents)
+    graft.functions.VectorFunctions.centroid_topk(v, m, ids, k)
+  }
 
   /**
-   * Coarse quantizer fit — Lloyd's k-means with literal-centroid
+   * Coarse quantizer fit — Lloyd's k-means with kernel-argmax
    * assignment: seed centroids = the C lowest-id vectors
    * (deterministic), then `iters` rounds of (narrow argmax assign →
    * per-dimension average). Per round: zero joins, one small
@@ -171,10 +186,10 @@ object Similarity {
    * with no shuffle of the embedding payloads at all. */
   def ivfAssign(e: DataFrame, cents: Centroids): DataFrame =
     // coalesce → non-nullable: otherwise the probe equi-join's inferred
-    // isnotnull(cid) constraint clones the ENTIRE literal-centroid
-    // argmax (16 cosines) into the scan filter (r07 plan audit). The
-    // argmax over a non-empty literal array is never null; -1 is
-    // unreachable.
+    // isnotnull(cid) constraint clones the ENTIRE argmax kernel (C
+    // cosines) into the scan filter (r07 plan audit). The argmax over a
+    // non-empty centroid set is null only for a null embedding; -1 is
+    // unreachable after the coalesce in that case too.
     e.withColumn("cid",
       coalesce(assignCid(col("embedding"), cents), lit(-1)))
 
@@ -265,12 +280,11 @@ object Similarity {
     // full table is still assigned below)
     val cents = loadOrFitCentroids(spark, dir, e)
     val lists = ivfAssign(e, cents)
-    // top-nprobe centroids per query, row-locally: sort the literal
-    // (−sim, cid) structs and slice — no join, no window shuffle
+    // top-nprobe centroids per query, row-locally via the top-k kernel —
+    // no join, no window shuffle
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        explode(slice(array_sort(array(scored(col("embedding"), cents): _*)),
-          1, NumProbes).getField("cid")).as("cid"))
+        explode(probeTopK(col("embedding"), cents, NumProbes)).as("cid"))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     lists.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"), col("cid"))

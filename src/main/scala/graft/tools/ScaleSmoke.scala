@@ -188,11 +188,13 @@ object ScaleSmoke {
       // centroid count grown IN PROPORTION (C = 16·factor), which is
       // the operator's documented contract: cells stay ~constant size,
       // so within-cell pairing stays Σ_cell(size²) ≈ N·cellSize — linear
-      // in the corpus. The literal-centroid argmax assign is N·C cosines
-      // (fine at smoke C; a production corpus assigns against an index
-      // over the centroids instead of a flat argmax). Every replica must
-      // name a keeper from its source group — recall is checked, not
-      // assumed.
+      // in the corpus. The argmax assign is the CentroidAssign kernel:
+      // the matrix rides as one reference object, so generated-code size
+      // is O(1) in C and `factor=64` (C=1024) runs without a codegen
+      // wall — the r9 literal form could not. Recall is MEASURED, not
+      // assumed: a keeper row only counts if it names a keeper from the
+      // dup's own source group (vec_id / factor), so a cross-group false
+      // pair can't mask a missed true pair.
       import graft.operators.{Dedup, Similarity}
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
@@ -209,9 +211,21 @@ object ScaleSmoke {
       val c = 16 * factor
       val (cents, fitSecs) = timed(
         Similarity.fitCentroids(rep.filter(col("vec_id") % 3 === 0), c))
-      val (nDups, pairSecs) = timed(
-        Dedup.semanticKeepers(rep, cents, threshold = 0.9).count())
+      // eager checkpoint inside the timing: one pairing pass, measured,
+      // feeding both counts below
+      val (keepers, pairSecs) = timed(
+        Dedup.semanticKeepers(rep, cents, threshold = 0.9).localCheckpoint())
+      val nDups = keepers.count()
+      // same-group keepers: vec_id = source_id·factor + r, so the source
+      // group is vec_id / factor (integer division)
+      val nSameGroup = keepers
+        .filter(floor(col("dup_id") / factor) === floor(col("keeper_id") / factor))
+        .count()
+      // every replica except each group's lowest id can name a same-group
+      // keeper (all group members sit at cos ≈ 0.999+)
+      val expected = nVecs - nVecs / factor
       println(f"[scale-smoke] SEMANTIC vecs=$nVecs cells=$c dups=$nDups " +
+        f"same-group=$nSameGroup recall=${nSameGroup.toDouble / expected}%.3f " +
         f"fit=${fitSecs}%.1fs keepers=${pairSecs}%.1fs " +
         f"(${nVecs / pairSecs / 1000}%.0fk vecs/s)")
     }
