@@ -124,6 +124,19 @@ object ScaleSmoke {
         f"flagged=$flagged decon=${deconSecs}%.1fs " +
         f"(${nDocs / deconSecs / 1000}%.0fk docs/s)")
 
+      // Exact-substring decon: corpus FIXED, snippet dictionary grown
+      // 10× (2% → 20% of docs contribute snippets). With the
+      // Aho–Corasick kernel each document is one amortized-linear pass
+      // regardless of the pattern count, so wall time must stay ~flat —
+      // the r9 broadcast-contains join scaled linearly in snippets.
+      Seq(50, 5).foreach { mod =>
+        val snips = docs.filter(col("doc_id") % mod === 0).select("doc_id", "text")
+        val nSnips = snips.count()
+        val (hits, s) = timed(Curation.exactContamination(rep, snips).count())
+        println(f"[scale-smoke] CURATION exact-decon snippets=$nSnips " +
+          f"docs=$nDocs hits=$hits time=${s}%.1fs")
+      }
+
       // Composed-pipeline smoke: the full quality→dedup→decon→mix chain
       // on the replicated corpus (written out so the wired (spark, dir)
       // query runs unmodified). The replicas are distinct doc_ids with

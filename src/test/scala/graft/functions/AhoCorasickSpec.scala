@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The Aho–Corasick kernel behind exact-substring decontamination:
+ * fail-link traversal (overlapping/nested patterns), repeat dedup, and
+ * agreement with a brute-force `String.contains` sweep on random-ish
+ * inputs. */
+class AhoCorasickSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def matches(ac: AhoCorasick, text: String): Seq[Int] =
+    ac.findAllDistinct(text.getBytes("UTF-8")).toSeq
+
+  test("finds nested and overlapping patterns via fail links") {
+    // 'he' ends inside 'she'; 'hers' continues past 'he' — the classic
+    // AC textbook case: scanning "ushers" must report she, he, hers
+    val pats = Array("he", "she", "his", "hers")
+    val ac = AhoCorasick.build(pats.map(_.getBytes("UTF-8")))
+    assert(matches(ac, "ushers") === Seq(0, 1, 3))
+    assert(matches(ac, "this") === Seq(2))
+    assert(matches(ac, "xyz") === Seq())
+  }
+
+  test("repeated occurrences of one pattern dedupe to a single index") {
+    val ac = AhoCorasick.build(Array("ab").map(_.getBytes("UTF-8")))
+    assert(matches(ac, "ab ab ab ab") === Seq(0))
+  }
+
+  test("agrees with a brute-force contains sweep") {
+    val pats = (0 until 300).map(i => s"pat${i}x${i % 7}").toArray
+    val ac = AhoCorasick.build(pats.map(_.getBytes("UTF-8")))
+    val texts = (0 until 100).map { i =>
+      (0 until 5).map(j => s"pat${(i * 13 + j * 29) % 300}x${(i * 13 + j * 29) % 300 % 7}")
+        .mkString(s" filler$i ")
+    }
+    texts.foreach { t =>
+      val expected = pats.indices.filter(p => t.contains(pats(p)))
+      assert(matches(ac, t) === expected, s"text: $t")
+    }
+  }
+
+  test("ac_find_all expression evaluates through codegen and handles null") {
+    val ac = AhoCorasick.build(Array("fox", "dog").map(_.getBytes("UTF-8")))
+    val out = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "lazy dog and a fox"),
+      (3L, "neither"),
+      (4L, null)).toDF("id", "text")
+      .select(col("id"), AcFunctions.ac_find_all(col("text"), ac).as("m"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Int](1) === Seq(0))
+    assert(out(1).getSeq[Int](1) === Seq(0, 1))
+    assert(out(2).getSeq[Int](1) === Seq())
+    assert(out(3).isNullAt(1))
+  }
+
+  test("multi-byte UTF-8 patterns match only on character boundaries") {
+    val pats = Array("héllo", "wörld")
+    val ac = AhoCorasick.build(pats.map(_.getBytes("UTF-8")))
+    assert(matches(ac, "say héllo to the wörld") === Seq(0, 1))
+    assert(matches(ac, "hello world") === Seq())
+  }
+}
