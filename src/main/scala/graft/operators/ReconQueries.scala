@@ -90,17 +90,30 @@ object ReconQueries {
    * hash match proves the reconciler never learned the format. */
   def reconClassifyCsv(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.CsvSource
-    val tmp = System.getProperty("java.io.tmpdir") +
-      s"/graft-csv-source-${Integer.toHexString(dir.hashCode)}"
+    // per-invocation private tmp dir: a shared dir-keyed path would let
+    // two concurrent runs race each other's overwrite (r9 advice), and
+    // the files are now cleaned up after the eager materialization below
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv-source").toString
     val base = MvSyncDemo.baseDf(spark, dir)
     val mv = MvSyncDemo.mvDf(spark, dir)
-    base.write.mode("overwrite").option("header", "true").csv(s"$tmp/base")
-    mv.write.mode("overwrite").option("header", "true").csv(s"$tmp/mv")
-    MvReconciler.reconcile(
+    base.write.option("header", "true").csv(s"$tmp/base")
+    mv.write.option("header", "true").csv(s"$tmp/mv")
+    // eager checkpoint: the classification is damage-proportional-small,
+    // and materializing it lets the CSV round-trip files be deleted
+    // before the caller consumes the result
+    val out = MvReconciler.reconcile(
       CsvSource(s"$tmp/base", base.schema).load(spark, MvSyncDemo.baseSchema),
       CsvSource(s"$tmp/mv", mv.schema).load(spark, MvSyncDemo.mvSchema),
       MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
       .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
+      .localCheckpoint()
+    deleteRecursively(new java.io.File(tmp))
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** Stats aggregation (operator J): category counts. */
@@ -200,6 +213,55 @@ object ReconQueries {
       AllTypesFixture.schema, AllTypesFixture.schema, Trusted)
       .select("id", "problem", "mismatch_col", "mismatch_base", "mismatch_mv")
 
+  /**
+   * The STREAMING monitor under the ORACLE: the all-types pair written
+   * out as parquet change feeds and replayed through
+   * [[graft.streaming.StreamingReconciler.monitor]] with
+   * `maxFilesPerTrigger=1` (each side split into several files, so the
+   * stateful operator genuinely merges across MULTIPLE micro-batches —
+   * not one batch in streaming clothes). The settled classification
+   * (max-`seq` update per key) must equal the batch
+   * `recon_classify_alltypes` result, so this row shares its oracle SQL
+   * verbatim — making the mapGroupsWithState path driver-verified, not
+   * just spec-verified (the r9 gap: the streaming layer was the only
+   * substantial component with no CORRECTNESS entry).
+   *
+   * The replay runs synchronously (`processAllAvailable`) into a
+   * uniquely-named memory sink; the settled rows are eagerly
+   * checkpointed so the sink view and the feed files can be cleaned up
+   * before the caller consumes the result.
+   */
+  def reconStreamReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingReconciler
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-replay").toString
+    val baseDf = AllTypesFixture.base(spark)
+    val mvDf = AllTypesFixture.mv(spark)
+    // 4 files per side → 8 micro-batches at maxFilesPerTrigger=1
+    baseDf.repartition(4).write.parquet(s"$tmp/base")
+    mvDf.repartition(4).write.parquet(s"$tmp/mv")
+    def feed(path: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
+    val updates = StreamingReconciler.monitor(
+      feed(s"$tmp/base", baseDf.schema), feed(s"$tmp/mv", mvDf.schema),
+      AllTypesFixture.schema, AllTypesFixture.schema).toDF()
+    val sink = s"graft_stream_replay_${java.lang.Long.toHexString(System.nanoTime())}"
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    // settle: the max-seq update per key is the key's current state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("seq").desc)
+    val settled = spark.table(sink)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("key").cast("bigint").as("id"), col("problem"),
+        col("mismatch_col"), col("mismatch_base"), col("mismatch_mv"))
+      .localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    deleteRecursively(new java.io.File(tmp))
+    settled
+  }
+
   /** Operator O's report format under the ORACLE: the exact
    * `MVInconsistentRow.toString` string (MVInconsistentRow.java:31-52 —
    * Problem/RowKey/MainTableEntry/MVTableEntry lines + Base/MvColumn
@@ -222,6 +284,7 @@ object ReconQueries {
     "recon_classify" -> reconClassify,
     "recon_classify_csv" -> reconClassifyCsv,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
+    "recon_stream_replay" -> reconStreamReplay,
     "recon_report_lines" -> reconReportLines,
     "recon_stats" -> reconStats,
     "recon_timescope" -> reconTimescope,
@@ -237,6 +300,9 @@ object ReconQueries {
     "recon_classify_csv" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     "recon_classify_alltypes" -> AllTypesFixture.oracleSql,
+    // the streaming replay settles to the SAME classification the batch
+    // path computes — one oracle pins both
+    "recon_stream_replay" -> AllTypesFixture.oracleSql,
     "recon_report_lines" -> AllTypesFixture.reportOracleSql,
     "recon_stats" ->
       (Cte + "SELECT problem, CAST(count(*) AS BIGINT) AS n FROM classified GROUP BY problem"),
