@@ -25,17 +25,22 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "sim_ann_lsh", "sim_ann_ivf", "text_quality", "text_fingerprint_rolling")
 
-  /** Deliberately O(n²) oracle baselines — correctness anchors for their
-   * LSH/ANN counterparts, never what would run at 100 TB (BASELINE.md) —
-   * excluded from the extended sweep like they always were from the
-   * headline set. */
-  val quadraticBaselines: Set[String] = Set(
+  /** Correctness-only queries excluded from the bench sweep, two kinds:
+   * the deliberately O(n²) oracle baselines (correctness anchors for
+   * their LSH/ANN counterparts, never what would run at 100 TB —
+   * BASELINE.md), and harnesses whose wall time measures tmpfs IO or
+   * engine-replay overhead rather than any operator. */
+  val benchExcluded: Set[String] = Set(
+    // O(n²) baselines
     "dedup_jaccard_pairs", "dedup_embedding", "sim_topk_bruteforce",
     "dedup_clusters",
-    // not quadratic, but a format-pluggability proof (writes both sides
-    // to CSV then reconciles) — measuring its file IO per round would
-    // drown the extended trend in tmpfs write noise
-    "recon_classify_csv")
+    // format-pluggability proof: writes both sides to CSV then
+    // reconciles — its file IO would drown the extended trend in noise
+    "recon_classify_csv",
+    // streaming-replay correctness harness: writes parquet feeds and
+    // replays 8 micro-batches through the streaming engine — measures
+    // micro-batch scheduling, not the reconcile operators
+    "recon_stream_replay")
 
   /** Extended sweep: EVERY other SparkEntry query not already in the
    * frozen 20-query headline set. Derived, not listed, so each new
@@ -45,7 +50,7 @@ object Bench {
    * separate JSON keys — the headline "value" stays comparable across
    * rounds. */
   def extended: Seq[String] =
-    (SparkEntry.queries.keySet -- headline -- quadraticBaselines).toSeq.sorted
+    (SparkEntry.queries.keySet -- headline -- benchExcluded).toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -110,6 +115,10 @@ object Bench {
     val extTotal = okSum(extResults)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${
       jsonMap(results)},"extended":${jsonMap(extResults)},"extended_total":$extTotal%.3f,"sf":"$sfDir"}""")
+    // short totals-only line AFTER the full line: tail-truncating capture
+    // of the giant per-query line must never lose the headline totals
+    // again (the r9 driver artifact lost the "value" field that way)
+    println(f"""{"metric":"summary","headline_total":$total%.3f,"extended_total":$extTotal%.3f,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.toSeq.sorted.mkString(", ")}")
