@@ -193,79 +193,28 @@ object Similarity {
     e.withColumn("cid",
       coalesce(assignCid(col("embedding"), cents), lit(-1)))
 
-  /** Persisted-quantizer cache location for a dataset directory. The
-   * fitted centroids are a model artifact: real IVF indexes fit the
-   * coarse quantizer once and store it next to the inverted lists, they
-   * don't re-run Lloyd per query. The testdata directory is read-only
-   * here, so the tiny (C × dim floats) parquet lives under a writable
-   * cache root keyed by the dataset IDENTITY — full path plus the sorted
-   * (name, length, mtime) listing of the data file(s), single-file and
-   * directory layouts both — and the fit hyperparameters.
-   * Regenerated data at the same path changes length/mtime and misses
-   * the cache, so stale centroids can never be reused against new
-   * embeddings (the DuckDB oracle always fits from live data; a stale
-   * hit would turn the correctness row red). */
-  def centroidCachePath(dir: String): String = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    // Content identity must survive BOTH layouts a parquet dataset can
-    // have: a single file, or a Spark-written DIRECTORY of part files
-    // (where the directory's own length/mtime are meaningless — only the
-    // parts carry content). Fold the sorted (name, length, mtime) listing
-    // of the data files so adding/replacing/renaming any part file
-    // misses the cache.
-    val parts: Seq[java.io.File] =
-      if (src.isDirectory)
-        Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          .sortBy(_.getName).toSeq
-      else Seq(src)
-    val identity = (dir +: parts.map(f => s"${f.getName}|${f.length()}|${f.lastModified()}"))
-      .mkString("||")
-    val key = java.lang.Long.toHexString(
-      identity.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
-    val root = sys.env.getOrElse("GRAFT_IVF_CACHE", "/tmp/graft-ivf-cache")
-    s"$root/$key-c$NumCentroids-i$LloydIters-s3"
-  }
-
   /** Load the fitted quantizer if present, else fit (deterministic
-   * Lloyd, [[fitCentroids]]) and persist. Because the fit is fully
-   * deterministic, a cache hit returns bit-identical centroids — query
-   * results (and the oracle hash) cannot depend on cache state; only
-   * the fit cost is amortized away (it was ~half of sim_ann_ivf's
-   * bench line). */
+   * Lloyd, [[fitCentroids]]) and persist — via the shared
+   * [[graft.sources.ModelCache]] (dataset-identity key + fit
+   * hyperparameters, atomic publish, HIT/MISS log line under the
+   * `graft-ivf` tag). Real IVF indexes fit the coarse quantizer once
+   * and store it next to the inverted lists, they don't re-run Lloyd
+   * per query. Because the fit is fully deterministic, a cache hit
+   * returns bit-identical centroids — query results (and the oracle
+   * hash) cannot depend on cache state; only the fit cost is amortized
+   * away (it was ~half of sim_ann_ivf's bench line). */
   def loadOrFitCentroids(spark: SparkSession, dir: String, e: DataFrame): Centroids = {
-    val path = centroidCachePath(dir)
-    if (new java.io.File(path, "_SUCCESS").exists()) {
-      // one diagnosable line per load: the r8 driver bench showed a
-      // fit-included sim_ann_ivf cost with no way to tell whether the
-      // cache missed (regenerated testdata? cleared /tmp?) or something
-      // else regressed — HIT/MISS with the identity-derived key settles it
-      System.err.println(s"[graft-ivf] quantizer cache HIT $path")
-      spark.read.parquet(path).collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1).toSeq
-    } else {
-      System.err.println(s"[graft-ivf] quantizer cache MISS $path (fitting)")
+    import spark.implicits._
+    graft.sources.ModelCache.loadOrFit(spark, s"$dir/embeddings.parquet",
+      s"c$NumCentroids-i$LloydIters-s3",
+      sys.env.getOrElse("GRAFT_IVF_CACHE", "/tmp/graft-ivf-cache"), "graft-ivf") {
       // fit on a deterministic ~1/3 sample (standard IVF practice —
       // centroid quality needs density, not every vector)
-      val cents = fitCentroids(e.filter(col("vec_id") % 3 === 0))
-      val rows = cents.map { case (cid, v) => (cid, v.toSeq) }
-      // Publish atomically: write to a private temp dir, then rename into
-      // place — a concurrent reader observing _SUCCESS therefore always
-      // sees a COMPLETE cache (mode-overwrite in place would let a reader
-      // race a half-written directory). If another writer won the rename,
-      // discard ours; both fits are deterministic and bit-identical.
-      val tmp = new java.io.File(path + s".tmp-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
-      spark.createDataFrame(rows).toDF("cid", "cvec")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      if (!tmp.renameTo(new java.io.File(path))) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(tmp)
-      }
-      cents
-    }
+      fitCentroids(e.filter(col("vec_id") % 3 === 0))
+        .map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+    }.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
   }
 
   /**
