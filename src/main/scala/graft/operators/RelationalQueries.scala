@@ -748,24 +748,31 @@ object RelationalQueries {
    * other supplier shipped in the same order (EXISTS → left-semi) and
    * NO other supplier shipped late (NOT EXISTS → left-anti) — the
    * two-correlated-subqueries-on-one-relation shape, decorrelated into
-   * per-order DISTINCT-SUPPLIER COUNTS rather than semi/anti probes.
+   * per-order supplier-MULTIPLICITY tests rather than semi/anti probes.
    * Because a lateF row's own supplier ships in its order, "some other
    * supplier shipped" ⟺ the order has ≥2 distinct suppliers, and "no
    * other supplier shipped late" ⟺ the order has exactly 1 distinct
-   * LATE supplier — so both correlated subqueries collapse into two
-   * count_distinct aggregates joined back on orderkey. No LIMIT: ties
-   * at a cutoff would be nondeterministic across engines, and the
-   * driver hash-compares full results.
+   * LATE supplier. Neither needs a distinct COUNT: ≥2 distinct ⟺
+   * `min ≠ max` and exactly-1 distinct ⟺ `min = max` — plain partial
+   * min/max aggregates, so the big fact shuffle carries one
+   * (orderkey, lo, hi) row per order from the map side with NO
+   * distinct-dedup expansion (the r9 shape paid two count_distinct
+   * aggregations; this was its whole 2.1s cost). The late-side test
+   * rides a window over the already-checkpointed `lateF` (one small
+   * shuffle computes both bounds and keeps the row stream — no second
+   * aggregate+join), and the full-fact side filters to qualifying
+   * orderkeys BEFORE its join. No LIMIT: ties at a cutoff would be
+   * nondeterministic across engines, and the driver hash-compares full
+   * results.
    *
    * Why not literal semi/anti joins (the r8 shape): Catalyst pulled
    * the orders join above the probes and planned the semi with the
    * ENTIRE lineitem projection as a broadcast build side and the anti
    * as an SMJ shuffling the full unfiltered fact table (r9 plan
-   * audit) — both fatal at 100 TB. Here the big shuffles carry
-   * map-side-deduped (orderkey, suppkey) pairs, and `lateF` (late
-   * lines of failed orders — a small fraction of the fact table) is
-   * localCheckpointed so its join+filter builds once and feeds both
-   * the row stream and the late-supplier count. */
+   * audit) — both fatal at 100 TB. `lateF` (late lines of failed
+   * orders — a small fraction of the fact table) is localCheckpointed
+   * so its join+filter builds once and feeds both the window and the
+   * final row stream. */
   def q21WaitSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     val fOrders = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
@@ -774,14 +781,17 @@ object RelationalQueries {
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select("l_orderkey", "l_suppkey")
       .localCheckpoint()
-    val osup = li.groupBy(col("l_orderkey").as("a_orderkey"))
-      .agg(count_distinct(col("l_suppkey")).as("nsup"))
-    val lsup = lateF.groupBy(col("l_orderkey").as("b_orderkey"))
-      .agg(count_distinct(col("l_suppkey")).as("nlate"))
+    // orders with ≥2 distinct suppliers, as bare keys
+    val multi = li.groupBy(col("l_orderkey").as("a_orderkey"))
+      .agg(min("l_suppkey").as("lo"), max("l_suppkey").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select("a_orderkey")
+    val wOrd = Window.partitionBy("l_orderkey")
     lateF
-      .join(osup, col("l_orderkey") === col("a_orderkey"))
-      .join(lsup, col("l_orderkey") === col("b_orderkey"))
-      .filter(col("nsup") > 1 && col("nlate") === 1)
+      .withColumn("late_lo", min("l_suppkey").over(wOrd))
+      .withColumn("late_hi", max("l_suppkey").over(wOrd))
+      .filter(col("late_lo") === col("late_hi")) // exactly one late supplier
+      .join(multi, col("l_orderkey") === col("a_orderkey"))
       .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))

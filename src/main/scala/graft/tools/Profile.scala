@@ -1,19 +1,19 @@
 package graft.tools
 
-import graft.MvSyncDemo
-import graft.config.Settings
-import graft.reconcile.MvReconciler
+import graft.operators.RelationalQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Scratch profiler for operator stages (builder-side tool; the
- * question rotates per round — r06's decimal-vs-long money-sum
- * experiments are recorded in PLANS.md/BASELINE.md). Round-7 question:
- * how much of the reconcile cost is the defensive per-side
- * dropDuplicates (first-element cogroup parity, MvSync.java:325-338),
- * which is pure overhead when the source guarantees unique PKs —
- * every real Cassandra scan does (Settings.trustUniquePk). Timings use
- * the bench's noop sink (count() lets Catalyst prune expressions — it
- * under-measures). */
+ * question rotates per round — r06: decimal-vs-long money sums; r07:
+ * the defensive dropDuplicates cost; results recorded in PLANS.md/
+ * BASELINE.md). Round-10 question: q21's two count_distinct
+ * aggregations were the slowest extended line (2.12s driver r9) — how
+ * much does replacing them with min≠max multiplicity tests (full-fact
+ * side) and a min/max window over the checkpointed lateF (late side)
+ * recover? The r9 shape is inlined below as the baseline; the wired
+ * query is the new shape. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -34,14 +34,38 @@ object Profile {
       println(f"$name%-34s median=${ts(1)}%6.2fs  (${ts.mkString(", ")})")
     }
 
-    def classified(s: Settings): DataFrame =
-      MvReconciler.reconcile(
-        MvSyncDemo.baseDf(spark, dir), MvSyncDemo.mvDf(spark, dir),
-        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, s)
-        .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
+    /** The r9 q21 shape: per-order count_distinct on both the full fact
+     * table and lateF, joined back. */
+    def q21CountDistinct(): DataFrame = {
+      def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+      val li = t("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val fOrders = t("orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val lateF = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .localCheckpoint()
+      val osup = li.groupBy(col("l_orderkey").as("a_orderkey"))
+        .agg(count_distinct(col("l_suppkey")).as("nsup"))
+      val lsup = lateF.groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(count_distinct(col("l_suppkey")).as("nlate"))
+      lateF
+        .join(osup, col("l_orderkey") === col("a_orderkey"))
+        .join(lsup, col("l_orderkey") === col("b_orderkey"))
+        .filter(col("nsup") > 1 && col("nlate") === 1)
+        .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }
 
-    time("recon_classify parity (dedup)")(classified(Settings()))
-    time("recon_classify trustUniquePk")(classified(Settings(trustUniquePk = true)))
+    time("q21 r9 (2x count_distinct)")(q21CountDistinct())
+    time("q21 r10 (min/max + window)")(RelationalQueries.q21WaitSuppliers(spark, dir))
+    // results must be identical row-for-row
+    val diff = RelationalQueries.q21WaitSuppliers(spark, dir)
+      .except(q21CountDistinct())
+      .union(q21CountDistinct().except(RelationalQueries.q21WaitSuppliers(spark, dir)))
+      .count()
+    println(s"q21 shape diff rows: $diff (must be 0)")
     spark.stop()
   }
 }
