@@ -113,16 +113,21 @@ object ReportWriter {
   val ReportedProblems: Seq[String] = Seq(MissingInBase, MissingInMv, Inconsistent)
 
   /**
-   * Write `<outdir>/<CATEGORY>/<partitionId>.txt` files + `stats.txt`
-   * (MvSync.java:144-154). The per-partition fan-out runs inside
-   * `foreachPartition` — each task appends only to its own files, no
-   * shuffle beyond the classify plan itself.
+   * Write `<outdir>/<CATEGORY>/<partitionId>.txt` report streams +
+   * `stats.txt` (MvSync.java:144-154). The per-partition fan-out runs
+   * inside `foreachPartition` — each task appends only to its own
+   * streams, no shuffle beyond the classify plan itself. The output
+   * medium is the `factory`'s choice (the reference's pluggable
+   * streamer boundary, MVJobOutputStreamFactory.java:7-11): files by
+   * default, console/custom by override — exactly how the reference's
+   * own end-to-end tests capture the job's reports.
    */
   def write(
       classified: DataFrame,
       baseSchema: TableSchema,
       mvSchema: TableSchema,
-      settings: Settings): JobStats = {
+      settings: Settings,
+      factory: OutputStreamFactory = new OutputStreamFactory): JobStats = {
     val outDir = settings.outputDir
     val reported = classified
       .filter(col(ProblemCol).isin(ReportedProblems: _*))
@@ -132,19 +137,16 @@ object ReportWriter {
 
     reported.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       val pid = TaskContext.getPartitionId()
-      val writers = scala.collection.mutable.Map.empty[String, java.io.PrintWriter]
+      val streams = scala.collection.mutable.Map.empty[String, BlobStreamer]
       try {
         it.foreach { row =>
           val problem = row.getString(0)
-          val w = writers.getOrElseUpdate(problem, {
-            val dir = new java.io.File(s"$outDir/$problem")
-            dir.mkdirs()
-            new java.io.PrintWriter(new java.io.FileWriter(s"$outDir/$problem/$pid.txt", true))
-          })
-          w.println(row.getString(1))
-          w.println(ReportFormatter.Separator)
+          val s = streams.getOrElseUpdate(problem,
+            factory.getStream(s"$outDir/$problem/$pid.txt"))
+          s.append(row.getString(1))
+          s.append(ReportFormatter.Separator)
         }
-      } finally writers.values.foreach(_.close())
+      } finally streams.values.foreach(_.commit())
     }
 
     val stats = StatsCollector.collect(classified,
@@ -163,25 +165,23 @@ object ReportWriter {
    * (The offline LogSink never fails; a Cassandra sink produces this
    * frame from its per-mutation outcomes.)
    */
-  def writeMutationErrors(errors: DataFrame, outDir: String): Unit =
+  def writeMutationErrors(errors: DataFrame, outDir: String,
+      factory: OutputStreamFactory = new OutputStreamFactory): Unit =
     errors.select(col("op"), col("report"), col("error"))
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         val pid = TaskContext.getPartitionId()
-        val writers = scala.collection.mutable.Map.empty[String, java.io.PrintWriter]
+        val streams = scala.collection.mutable.Map.empty[String, BlobStreamer]
         try {
           it.foreach { row =>
             val category =
               if (row.getString(0) == "DELETE") "ERR_DELETING" else "ERR_UPSERTING"
-            val w = writers.getOrElseUpdate(category, {
-              new java.io.File(s"$outDir/$category").mkdirs()
-              new java.io.PrintWriter(
-                new java.io.FileWriter(s"$outDir/$category/$pid.txt", true))
-            })
-            w.println(row.getString(1))
-            w.println(row.getString(2))
-            w.println(ReportFormatter.Separator)
+            val s = streams.getOrElseUpdate(category,
+              factory.getStream(s"$outDir/$category/$pid.txt"))
+            s.append(row.getString(1))
+            s.append(row.getString(2))
+            s.append(ReportFormatter.Separator)
           }
-        } finally writers.values.foreach(_.close())
+        } finally streams.values.foreach(_.commit())
       }
 
   private def writeStats(stats: JobStats, outDir: String): Unit = {
