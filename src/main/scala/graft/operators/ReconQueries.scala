@@ -96,8 +96,13 @@ object ReconQueries {
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv-source").toString
     val base = MvSyncDemo.baseDf(spark, dir)
     val mv = MvSyncDemo.mvDf(spark, dir)
-    base.write.option("header", "true").csv(s"$tmp/base")
-    mv.write.option("header", "true").csv(s"$tmp/mv")
+    // default emptyValue (quoted "") + explicit null marker: NULL and
+    // empty string occupy distinct encodings (see CsvSource.NullMarker)
+    def writeCsv(df: DataFrame, path: String): Unit =
+      df.write.option("header", "true")
+        .option("nullValue", graft.sources.CsvSource.NullMarker).csv(path)
+    writeCsv(base, s"$tmp/base")
+    writeCsv(mv, s"$tmp/mv")
     // eager checkpoint: the classification is damage-proportional-small,
     // and materializing it lets the CSV round-trip files be deleted
     // before the caller consumes the result

@@ -60,17 +60,28 @@ object TableProfile {
     // pass 2: exact distinct counts over narrow (column, value) pairs;
     // CAST→STRING is injective for the profiled types so the count is
     // exact, and the plan stays a two-level HASH aggregate (null value
-    // rows are count_distinct-ignored, like count(DISTINCT x))
+    // rows are count_distinct-ignored, like count(DISTINCT x)).
+    // Float/double columns are normalized `+ 0.0` first: IEEE754 maps
+    // -0.0 + 0.0 → 0.0, so the string count agrees with numeric DISTINCT
+    // (which treats ±0.0 as one value) even when the data carries -0.0.
     val pairs = cols.map { case (name, _) =>
-      s"'$name', CAST($name AS STRING)"
+      val isFp = df.schema.find(_.name == name).exists(f =>
+        f.dataType == org.apache.spark.sql.types.DoubleType ||
+          f.dataType == org.apache.spark.sql.types.FloatType)
+      val v = if (isFp) s"($name + 0.0)" else name
+      s"'$name', CAST($v AS STRING)"
     }.mkString(", ")
     val distincts = df
       .select(expr(s"stack(${cols.size}, $pairs) AS (column, v)"))
       .groupBy("column").agg(count_distinct(col("v")).as("n_distinct"))
-    bounds.join(broadcast(distincts), "column")
+    // LEFT join + coalesce: an EMPTY table has no (column, value) pairs
+    // at all, so the distinct side is empty — the profile must still
+    // emit one all-zero row per column, not zero rows (r9 advice)
+    bounds.join(broadcast(distincts), Seq("column"), "left")
       .select(col("column"), col("n_rows"),
         (col("n_rows") - col("n_nonnull")).as("n_nulls"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
   }
 
   /** Wired profile of the orders table (all six columns). */

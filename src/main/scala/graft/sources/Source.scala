@@ -52,14 +52,27 @@ final case class ParquetSource(path: String) extends Source {
  * CSV carries no types, so the read schema is explicit (a live
  * `CassandraSource` gets it from cluster metadata the same way,
  * reference CassandraClient.java:14-68; schema inference would scan
- * every file twice — wrong at scale). Nulls round-trip as the default
- * empty string; header names carry the column mapping.
+ * every file twice — wrong at scale). Header names carry the column
+ * mapping. NULL is written/read as the explicit [[CsvSource.NullMarker]]
+ * so it never conflates with a genuine empty string (the r9 advice:
+ * both round-tripped as "" before, silently re-classifying
+ * empty-string cells).
  */
 final case class CsvSource(path: String,
     readSchema: org.apache.spark.sql.types.StructType) extends Source {
   override def load(spark: SparkSession, schema: TableSchema): DataFrame =
     Source.project(
-      spark.read.schema(readSchema).option("header", "true").csv(path), schema)
+      spark.read.schema(readSchema).option("header", "true")
+        .option("nullValue", CsvSource.NullMarker).option("emptyValue", "")
+        .csv(path), schema)
+}
+
+object CsvSource {
+  /** CSV NULL marker (the MySQL/Hive convention): writers producing
+   * data for a [[CsvSource]] must pass the same `nullValue` and keep
+   * Spark's default `emptyValue` (the quoted `""`), so NULL and the
+   * empty string occupy distinct encodings on disk. */
+  val NullMarker = "\\N"
 }
 
 /**
