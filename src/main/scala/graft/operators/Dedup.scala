@@ -289,10 +289,16 @@ object Dedup {
   /** The cell-bucketed keeper search behind [[dedupSemantic]],
    * parameterized over the quantizer so the scale smoke can grow the
    * centroid count with the corpus (the contract that keeps per-cell
-   * pairing bounded). */
+   * pairing bounded). `indexPlanes = Some(p)` assigns through the
+   * bucket-pruned [[graft.functions.CentroidIndex]] instead of the flat
+   * kernel — the C ≳ 10⁴ path, recall measured in ScaleSmoke
+   * `ivfindex`. */
   def semanticKeepers(e: DataFrame, cents: Similarity.Centroids,
-      threshold: Double = 0.4): DataFrame = {
-    val lists = Similarity.ivfAssign(e, cents)
+      threshold: Double = 0.4, indexPlanes: Option[Int] = None): DataFrame = {
+    val lists = indexPlanes match {
+      case Some(p) => Similarity.ivfAssignPruned(e, cents, p)
+      case None => Similarity.ivfAssign(e, cents)
+    }
     val keep = lists.select(col("cid"), col("vec_id").as("keeper_id"),
       col("embedding").as("kv"))
     val dup = lists.select(col("cid"), col("vec_id").as("dup_id"),

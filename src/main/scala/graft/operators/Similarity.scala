@@ -181,6 +181,22 @@ object Similarity {
     cents
   }
 
+  /** [[ivfAssign]] with the bucket-pruned quantizer
+   * ([[graft.functions.CentroidIndex]]) — the C ≳ 10⁴ regime where the
+   * flat kernel's O(C·dim) per row becomes the wall. APPROXIMATE: a
+   * vector whose nearest centroid hashes outside every probed bucket
+   * lands in its nearest probed cell instead (IVF's own nprobe trade,
+   * applied to the quantizer). Not wired to oracle queries — their
+   * DuckDB oracles replay exact Lloyd; agreement and end-to-end keeper
+   * recall are MEASURED in ScaleSmoke `ivfindex`. */
+  def ivfAssignPruned(e: DataFrame, cents: Centroids, numPlanes: Int): DataFrame = {
+    val (m, ids) = model(cents)
+    val index = graft.functions.CentroidIndex.build(m, ids, numPlanes)
+    e.withColumn("cid", coalesce(
+      graft.functions.CentroidIndexFunctions.centroid_assign_indexed(col("embedding"), index),
+      lit(-1)))
+  }
+
   /** Vector → inverted-list id (the IVF index build): a scan-local
    * projection — at 100 TB the table is written partitioned by cid
    * with no shuffle of the embedding payloads at all. */

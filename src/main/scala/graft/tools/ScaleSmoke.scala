@@ -243,6 +243,56 @@ object ScaleSmoke {
         f"(${nVecs / pairSecs / 1000}%.0fk vecs/s)")
     }
 
+    if (args.contains("ivfindex")) {
+      // Bucket-pruned quantizer assignment (CentroidIndex): the C ≳ 10⁴
+      // path where even the flat O(C·dim)-per-row kernel walls. Same
+      // replicated corpus and corpus-proportional C as the `semantic`
+      // smoke; measures (a) assign wall time, flat vs indexed, (b) the
+      // fraction of vectors whose pruned assignment AGREES with exact,
+      // and (c) end-to-end same-group keeper recall through the pruned
+      // quantizer — the number that actually matters for SemDeDup.
+      import graft.operators.{Dedup, Similarity}
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val rep = e.crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn("vec_id", col("vec_id") * factor + col("_r"))
+        .withColumn("embedding",
+          when(col("_r") % 2 === 1, transform(col("embedding"),
+            (x, i) => (x + when(i % 7 === pmod(col("_r"), lit(7)), lit(0.02f))
+              .otherwise(lit(0f))).cast("float")))
+            .otherwise(col("embedding")))
+        .drop("_r").repartition(64)
+        .localCheckpoint()
+      val nVecs = rep.count()
+      val c = 16 * factor
+      val log2c = math.max(1, (math.log(c.toDouble) / math.log(2.0)).round.toInt)
+      val cents = Similarity.fitCentroids(rep.filter(col("vec_id") % 3 === 0), c)
+      def execute(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def best(f: => Unit): Double = Seq(timed(f)._2, timed(f)._2).min
+      val flatSecs = best(execute(Similarity.ivfAssign(rep, cents).select("vec_id", "cid")))
+      val expected = nVecs - nVecs / factor
+      // P is the pruning knob: candidates ≈ C·(P+1)/2^P. Sweep from a
+      // wide probe (quarter of log₂C) to the tightest (log₂C) to show
+      // the cost/agreement/recall trade the deployment picks on.
+      Seq(log2c / 4, log2c / 2, log2c).distinct.filter(_ >= 1).foreach { planes =>
+        val idxSecs = best(execute(
+          Similarity.ivfAssignPruned(rep, cents, planes).select("vec_id", "cid")))
+        val agree = Similarity.ivfAssign(rep, cents).select(col("vec_id"), col("cid").as("c1"))
+          .join(Similarity.ivfAssignPruned(rep, cents, planes)
+            .select(col("vec_id"), col("cid").as("c2")), "vec_id")
+          .filter(col("c1") === col("c2")).count()
+        val keepers = Dedup.semanticKeepers(rep, cents, threshold = 0.9,
+            indexPlanes = Some(planes))
+          .filter(floor(col("dup_id") / factor) === floor(col("keeper_id") / factor))
+          .count()
+        println(f"[scale-smoke] IVFINDEX vecs=$nVecs cells=$c planes=$planes " +
+          f"assign flat=${flatSecs}%.1fs indexed=${idxSecs}%.1fs " +
+          f"agreement=${agree.toDouble / nVecs}%.3f " +
+          f"keeper-recall=${keepers.toDouble / expected}%.3f")
+      }
+    }
+
     if (runSkew) {
       // 1. Hot-customer damage: 1/3 of every table on one o_custkey.
       def hot(df: DataFrame): DataFrame = df.withColumn("o_custkey",

@@ -67,6 +67,39 @@ class CentroidExpressionsSpec extends SparkSpec {
     assert(topAll === Seq(3, 9, 7)) // k clamped to C
   }
 
+  test("indexed assign with full bucket coverage equals the exact argmax") {
+    // numPlanes = 0 → every centroid lands in bucket 0 and the single
+    // probe covers the whole set, so the pruned path must reproduce the
+    // exact kernel bit-for-bit (incl. tie + NaN ordering)
+    val cents: Array[Array[Float]] = Array.tabulate(8) { c =>
+      Array.tabulate(16)(d => VectorKernels.planeComponent(c, d).toFloat)
+    }
+    val ids = Array.tabulate(8)(_ + 1)
+    val index = CentroidIndex.build(cents, ids, numPlanes = 0)
+    val vecs = (0 until 200).map { id =>
+      (id.toLong, Array.tabulate(16)(d => ((id * 31 + d * 17) % 11 - 5).toFloat))
+    } :+ ((200L, Array.fill(16)(0f))) // zero vector: NaN fallback path
+    val df = vecs.toDF("id", "v")
+    val mismatches = df.select(col("id"),
+        VectorFunctions.centroid_assign(col("v"), cents, ids).as("exact"),
+        CentroidIndexFunctions.centroid_assign_indexed(col("v"), index).as("pruned"))
+      .filter(col("exact") =!= col("pruned")).count()
+    assert(mismatches === 0)
+  }
+
+  test("indexed assign maps a centroid's own vector to its own cid") {
+    val cents: Array[Array[Float]] = Array.tabulate(8) { c =>
+      Array.tabulate(16)(d => VectorKernels.planeComponent(c + 3, d).toFloat)
+    }
+    val ids = Array.tabulate(8)(_ + 1)
+    val index = CentroidIndex.build(cents, ids, numPlanes = 6)
+    val df = cents.zip(ids).map { case (v, cid) => (cid, v) }.toSeq.toDF("cid", "v")
+    val wrong = df.select(col("cid"),
+        CentroidIndexFunctions.centroid_assign_indexed(col("v"), index).as("got"))
+      .filter(col("cid") =!= col("got")).count()
+    assert(wrong === 0)
+  }
+
   test("kernel argmax agrees with a per-centroid cosine_sim argmax") {
     // 200 hash-derived vectors vs an 8-centroid matrix: the kernel must
     // equal an argmax computed through the independent CosineSim kernel
