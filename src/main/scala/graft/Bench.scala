@@ -37,10 +37,10 @@ object Bench {
     // format-pluggability proof: writes both sides to CSV then
     // reconciles — its file IO would drown the extended trend in noise
     "recon_classify_csv",
-    // streaming-replay correctness harness: writes parquet feeds and
-    // replays 8 micro-batches through the streaming engine — measures
-    // micro-batch scheduling, not the reconcile operators
-    "recon_stream_replay")
+    // streaming-replay correctness harnesses: write parquet feeds and
+    // replay micro-batches through the streaming engine — they measure
+    // micro-batch scheduling, not the operators
+    "recon_stream_replay", "q_events_hourly_stream")
 
   /** Extended sweep: EVERY other SparkEntry query not already in the
    * frozen 20-query headline set. Derived, not listed, so each new

@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries.queries ++ ReconQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Curation.queries ++ SeqPack.queries ++
-      Layout.queries ++ TableProfile.queries
+      Layout.queries ++ TableProfile.queries ++
+      graft.streaming.EventPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ ReconQueries.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       Multimodal.oracleSql ++ Curation.oracleSql ++ SeqPack.oracleSql ++
-      Layout.oracleSql ++ TableProfile.oracleSql
+      Layout.oracleSql ++ TableProfile.oracleSql ++
+      graft.streaming.EventPipeline.oracleSql
 }

@@ -117,4 +117,49 @@ object EventPipeline {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /**
+   * The hourly aggregation under the DRIVER ORACLE: the events table
+   * split into 4 event-time-ordered slices written sequentially
+   * (ascending mtime → the file stream replays them in order, like an
+   * ordered CDC feed) and driven through the REAL streaming engine one
+   * file per micro-batch — windowed state genuinely accumulates across
+   * 4 batches. Complete output mode retains every window, so the
+   * settled sink equals the batch aggregation exactly and this row
+   * shares `q_events_hourly`'s oracle SQL verbatim — the EventPipeline
+   * counterpart of recon_stream_replay (r9 gap: the streaming layer
+   * was spec-verified only). The settled rows are eagerly checkpointed
+   * so the sink view and the feed files can be cleaned up first.
+   */
+  def qEventsHourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = java.nio.file.Files.createTempDirectory("graft-events-replay").toString
+    // ntile over a global ts sort: a correctness-harness-only single-task
+    // window (the query is benchExcluded), NOT a scale pattern
+    val sliced = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("_slice", ntile(4).over(Window.orderBy("ts", "event_id")))
+    (1 to 4).foreach { s =>
+      sliced.filter(col("_slice") === s).drop("_slice")
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val stream = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+    val sink = s"graft_events_replay_${java.lang.Long.toHexString(System.nanoTime())}"
+    val settled = runToMemory(hourlyAgg(stream), sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+    settled
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_hourly_stream" -> qEventsHourlyStream)
+
+  /** Shares the batch query's oracle — streaming must settle to it. */
+  val oracleSql: Map[String, String] = Map(
+    "q_events_hourly_stream" ->
+      graft.operators.RelationalQueries.oracleSql("q_events_hourly"))
 }
