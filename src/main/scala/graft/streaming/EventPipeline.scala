@@ -131,11 +131,33 @@ object EventPipeline {
    * was spec-verified only). The settled rows are eagerly checkpointed
    * so the sink view and the feed files can be cleaned up first.
    */
-  def qEventsHourlyStream(spark: SparkSession, dir: String): DataFrame = {
+  def qEventsHourlyStream(spark: SparkSession, dir: String): DataFrame =
+    orderedReplay(spark, dir)(hourlyAgg)
+
+  /** The native session-window operator under the same ordered replay:
+   * open sessions MERGE as later micro-batches extend them — a
+   * different stateful mechanism (session merge) than the tumbling
+   * window's bucket accumulation — and the settled per-user rollup
+   * must equal the batch lag()-based sessionization, so the row shares
+   * `q_events_sessions`' oracle SQL. */
+  def qEventsSessionsStream(spark: SparkSession, dir: String): DataFrame =
+    sessionsPerUser(orderedReplay(spark, dir)(sessionAgg))
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+
+  /** The shared replay harness: slice the events table into 4
+   * event-time-ordered files written with ascending mtimes (the file
+   * stream replays them in order, like an ordered CDC feed), drive the
+   * aggregation through the real engine one file per micro-batch, and
+   * settle the complete-mode sink. Complete mode retains every window,
+   * so the settled table equals the batch aggregation exactly. Settled
+   * rows are eagerly checkpointed so the sink view and feed files can
+   * be cleaned up before the caller consumes them. */
+  private def orderedReplay(spark: SparkSession, dir: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tmp = java.nio.file.Files.createTempDirectory("graft-events-replay").toString
     // ntile over a global ts sort: a correctness-harness-only single-task
-    // window (the query is benchExcluded), NOT a scale pattern
+    // window (these queries are benchExcluded), NOT a scale pattern
     val sliced = spark.read.parquet(s"$dir/events.parquet")
       .withColumn("_slice", ntile(4).over(Window.orderBy("ts", "event_id")))
     (1 to 4).foreach { s =>
@@ -146,7 +168,7 @@ object EventPipeline {
       .option("maxFilesPerTrigger", "1").parquet(tmp)
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
     val sink = s"graft_events_replay_${java.lang.Long.toHexString(System.nanoTime())}"
-    val settled = runToMemory(hourlyAgg(stream), sink).localCheckpoint()
+    val settled = runToMemory(agg(stream), sink).localCheckpoint()
     spark.catalog.dropTempView(sink)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
@@ -156,10 +178,13 @@ object EventPipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_events_hourly_stream" -> qEventsHourlyStream)
+    "q_events_hourly_stream" -> qEventsHourlyStream,
+    "q_events_sessions_stream" -> qEventsSessionsStream)
 
-  /** Shares the batch query's oracle — streaming must settle to it. */
+  /** Share the batch queries' oracles — streaming must settle to them. */
   val oracleSql: Map[String, String] = Map(
     "q_events_hourly_stream" ->
-      graft.operators.RelationalQueries.oracleSql("q_events_hourly"))
+      graft.operators.RelationalQueries.oracleSql("q_events_hourly"),
+    "q_events_sessions_stream" ->
+      graft.operators.RelationalQueries.oracleSql("q_events_sessions"))
 }
