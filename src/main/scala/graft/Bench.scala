@@ -40,7 +40,8 @@ object Bench {
     // streaming-replay correctness harnesses: write parquet feeds and
     // replay micro-batches through the streaming engine — they measure
     // micro-batch scheduling, not the operators
-    "recon_stream_replay", "q_events_hourly_stream", "q_events_sessions_stream")
+    "recon_stream_replay", "q_events_hourly_stream", "q_events_sessions_stream",
+    "q_events_dedup_stream")
 
   /** Extended sweep: EVERY other SparkEntry query not already in the
    * frozen 20-query headline set. Derived, not listed, so each new

@@ -144,22 +144,43 @@ object EventPipeline {
     sessionsPerUser(orderedReplay(spark, dir)(sessionAgg))
       .select(col("user_id"), col("n_sessions"), col("n_events"))
 
+  /** The custom-state mechanism (mapGroupsWithState) under the oracle:
+   * streamingDedup replayed over ID-ordered slices (the CDC-feed
+   * ordering under which "first seen" = lowest event id), update-mode
+   * sink settled by each key's final (highest) duplicate count. With
+   * the hourly window (bucket accumulation) and the session window
+   * (session merge), all three streaming stateful mechanisms now carry
+   * driver oracle rows. */
+  def qEventsDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val settled = orderedReplay(spark, dir,
+      orderCols = Seq("event_id"), outputMode = "update")(
+      df => streamingDedup(df).toDF())
+    // a key's updates grow n_dupes monotonically; the last one is current
+    val w = Window.partitionBy("dedup_key").orderBy(col("n_dupes").desc)
+    settled.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("dedup_key", "event_id", "n_dupes")
+  }
+
   /** The shared replay harness: slice the events table into 4
-   * event-time-ordered files written with ascending mtimes (the file
+   * `orderCols`-ordered files written with ascending mtimes (the file
    * stream replays them in order, like an ordered CDC feed), drive the
    * aggregation through the real engine one file per micro-batch, and
-   * settle the complete-mode sink. Complete mode retains every window,
-   * so the settled table equals the batch aggregation exactly. Settled
+   * settle the memory sink. Complete mode retains every window, so the
+   * settled table equals the batch aggregation exactly; update-mode
+   * callers compact to each key's final update themselves. Settled
    * rows are eagerly checkpointed so the sink view and feed files can
    * be cleaned up before the caller consumes them. */
-  private def orderedReplay(spark: SparkSession, dir: String)(
+  private def orderedReplay(spark: SparkSession, dir: String,
+      orderCols: Seq[String] = Seq("ts", "event_id"),
+      outputMode: String = "complete")(
       agg: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tmp = java.nio.file.Files.createTempDirectory("graft-events-replay").toString
-    // ntile over a global ts sort: a correctness-harness-only single-task
+    // ntile over a global sort: a correctness-harness-only single-task
     // window (these queries are benchExcluded), NOT a scale pattern
     val sliced = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("_slice", ntile(4).over(Window.orderBy("ts", "event_id")))
+      .withColumn("_slice", ntile(4).over(Window.orderBy(orderCols.map(col): _*)))
     (1 to 4).foreach { s =>
       sliced.filter(col("_slice") === s).drop("_slice")
         .coalesce(1).write.mode("append").parquet(tmp)
@@ -168,7 +189,7 @@ object EventPipeline {
       .option("maxFilesPerTrigger", "1").parquet(tmp)
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
     val sink = s"graft_events_replay_${java.lang.Long.toHexString(System.nanoTime())}"
-    val settled = runToMemory(agg(stream), sink).localCheckpoint()
+    val settled = runToMemory(agg(stream), sink, outputMode).localCheckpoint()
     spark.catalog.dropTempView(sink)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
@@ -179,12 +200,17 @@ object EventPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly_stream" -> qEventsHourlyStream,
-    "q_events_sessions_stream" -> qEventsSessionsStream)
+    "q_events_sessions_stream" -> qEventsSessionsStream,
+    "q_events_dedup_stream" -> qEventsDedupStream)
 
   /** Share the batch queries' oracles — streaming must settle to them. */
   val oracleSql: Map[String, String] = Map(
     "q_events_hourly_stream" ->
       graft.operators.RelationalQueries.oracleSql("q_events_hourly"),
     "q_events_sessions_stream" ->
-      graft.operators.RelationalQueries.oracleSql("q_events_sessions"))
+      graft.operators.RelationalQueries.oracleSql("q_events_sessions"),
+    "q_events_dedup_stream" ->
+      """SELECT user_id AS dedup_key, min(event_id) AS event_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_dupes
+         FROM events GROUP BY user_id""")
 }
