@@ -137,43 +137,51 @@ object TextAnalysis {
    * low on the distinct ratio; `passes_repetition` applies thresholds to
    * the ROUNDED ratios so both engines compare identical doubles.
    *
-   * Scale shape: explode → (doc, term) count → per-doc max/sum, both
-   * aggregations map-side partial-combinable, so the shuffle carries one
-   * row per distinct (doc, n-gram), never the corpus text. The bigram
-   * array is built with an index-aware `transform` whose `greatest(…, 0)`
-   * slice length makes 0/1-token docs yield an empty array (explode then
-   * drops them) instead of a slice error — no filter that predicate
-   * pushdown could clone below the spread (r07 plan-audit trap).
+   * Scale shape: ONE explode emits every unigram and bigram as a tagged
+   * `(kind, gram)` struct, so the corpus is scanned and tokenized ONCE
+   * (the r9 form ran separate unigram and bigram subtrees — Spark does
+   * not dedupe common scan subtrees, so the tokenizer ran twice over
+   * the corpus; sf0.1 bench line ~1.4 → ~1.3s — the shuffle dominates
+   * at this SF, the saved scan+tokenize pass is what matters when the
+   * corpus is the cost). Then (doc, kind, gram) count →
+   * per-doc conditional sum/count/max, both aggregations map-side
+   * partial-combinable — the shuffle carries one row per distinct
+   * (doc, kind, n-gram), never the corpus text, same total volume as
+   * the two old shuffles combined. The bigram array is built with an
+   * index-aware `transform` whose `greatest(…, 0)` slice length makes
+   * 0/1-token docs yield an empty array (explode + `concat` then drop
+   * them) instead of a slice error — no filter that predicate pushdown
+   * could clone below the spread (r07 plan-audit trap; the explode
+   * child stays COMPLEX, so InferFiltersFromGenerate does not clone
+   * the tokenizer below the spread either).
    */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     val base = spread(docs(spark, dir).select(col("doc_id"), col("text")))
-    // explode of a COMPLEX child (the tokenizer expression inline, not a
-    // projected attribute) — InferFiltersFromGenerate only fires for
-    // attribute children, so no size(toks)>0 filter gets alias-expanded
-    // into a second tokenizer evaluation below the spread (r07 trap).
-    val uni = base.select(col("doc_id"), explode(toks).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val uniS = transform(toks, t => struct(lit(1).as("k"), t.as("g")))
+    val biS = transform(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (t, i) => struct(lit(2).as("k"),
+        concat(t, lit(" "), element_at(toks, i + lit(2))).as("g")))
+    val grams = base.select(col("doc_id"), explode(concat(uniS, biS)).as("kg"))
+      .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
+    val stats = grams
+      .groupBy("doc_id", "k", "g").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(
-        sum("cnt").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max("cnt").as("top_uni"))
-    val tk = base.select(col("doc_id"), toks.as("toks"))
-    val bi = tk.select(col("doc_id"), explode(expr(
-        "transform(slice(toks, 1, greatest(size(toks) - 1, 0))," +
-          " (t, i) -> concat(t, ' ', toks[i + 1]))")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").as("top_bi"))
+        sum(when(col("k") === 1, col("cnt"))).as("n_tokens"),
+        count(when(col("k") === 1, lit(1))).as("n_distinct"),
+        max(when(col("k") === 1, col("cnt"))).as("top_uni"),
+        // null for 0/1-token docs, like the old left join's missing side
+        max(when(col("k") === 2, col("cnt"))).as("top_bi"))
     val distinctRatio =
       round(col("n_distinct").cast("double") / col("n_tokens"), 6)
     val topUniRatio = round(col("top_uni").cast("double") / col("n_tokens"), 6)
     val topBiRatio =
       round(col("top_bi").cast("double") / (col("n_tokens") - 1), 6)
-    uni.join(bi, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        distinctRatio.as("distinct_ratio"),
-        topUniRatio.as("top_unigram_ratio"),
-        topBiRatio.as("top_bigram_ratio"),
-        (topUniRatio < 0.105 && topBiRatio < 0.08).as("passes_repetition"))
+    stats.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      distinctRatio.as("distinct_ratio"),
+      topUniRatio.as("top_unigram_ratio"),
+      topBiRatio.as("top_bigram_ratio"),
+      (topUniRatio < 0.105 && topBiRatio < 0.08).as("passes_repetition"))
   }
 
   /**
