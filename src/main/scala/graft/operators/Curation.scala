@@ -230,12 +230,21 @@ object Curation {
    * executes as a group-limit (partial top-k per task). N is computed
    * once as a scalar aggregate and inlined as a literal (an 8-byte
    * driver value, same pattern as the IVF centroids).
+   *
+   * `tf` feeds BOTH the document-frequency aggregate and the join probe
+   * — without materialization the whole explode+count subtree (a full
+   * corpus tokenize) executes twice, since Spark does not dedupe common
+   * subtrees. It is localCheckpointed (the q15 VIEW pattern): the
+   * materialized relation is (doc, term, tf) — vocabulary-of-docs
+   * sized, text already dropped — so one corpus pass serves both
+   * consumers.
    */
   def tfidfTopK(d: DataFrame, k: Int): DataFrame = {
     val n = d.count()
     val tf = spread(d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val score = col("tf") * log(lit(n.toDouble) / col("df"))
     val w = Window.partitionBy("doc_id").orderBy(score.desc, col("term"))
