@@ -136,11 +136,24 @@ object Dedup {
     // No size(sh)>0 filter (see `shingled`): posexplode drops empty band
     // arrays itself, and the pushed-down filter would re-run the hash
     // kernel serially below the spread repartition.
+    // Both intermediates are localCheckpointed — this is the INDEX BUILD
+    // of a real minhash pipeline (hash once, store the signature table):
+    // `d` feeds the banding AND both rerank re-attach joins, `banded`
+    // feeds both sides of the bucket self-join, and Spark does not dedupe
+    // common subtrees, so without materialization the shingle kernel
+    // would re-scan the corpus four times and the minhash fold twice.
+    // At sf0.1 the bench line is FLAT (the one-time materialization cost
+    // of the small corpus cancels the saved recompute); the case is the
+    // 100 TB one — three extra full text-corpus passes vs storing one
+    // hashes-only table, which is exactly the signature table a real
+    // minhash index persists. Text never enters either checkpoint.
     val d = spread(corpus) // CPU-bound hashing scan
       .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
+      .localCheckpoint()
     val banded = d.select(col("doc_id"),
       posexplode(minhash_bands(col("sh"), NumBands, RowsPerBand)))
       .toDF("doc_id", "band", "bucket")
+      .localCheckpoint()
     val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
         Seq("band", "bucket"))
@@ -226,9 +239,13 @@ object Dedup {
     // repartition (same pathology as the shingle size-guards, but
     // Spark-generated; caught in the r07 plan audit). Null text → ""
     // → signature 0, same bucket behavior as an empty token list.
+    // localCheckpoint: the banded view below feeds BOTH sides of the
+    // bucket self-join — unmaterialized, the simhash kernel would scan
+    // the corpus twice (the signature table is the index; hash once)
     val d = spread(docs(spark, dir)) // CPU-bound hashing scan
       .select(col("doc_id"),
         simhash64(tokens(coalesce(col("text"), lit("")))).as("sig"))
+      .localCheckpoint()
     val banded = d.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
