@@ -181,16 +181,48 @@ object Curation {
    * share a snippet string.
    */
   def exactContamination(candidates: DataFrame, benchmark: DataFrame,
-      snippetLen: Int = 16): DataFrame = {
+      snippetLen: Int = 16): DataFrame =
+    matchSnippets(candidates,
+      benchmark
+        .filter(length(col("text")) >= snippetLen * 2)
+        .select(substring(col("text"), 1, snippetLen).as("sn"),
+          col("doc_id").as("bench_id")))
+
+  /**
+   * [[exactContamination]] at FULL GPT-3 fidelity: instead of one
+   * distinctive snippet per benchmark doc, EVERY `snippetLen`-char tile
+   * of every benchmark doc is a pattern (positions 1, 1+L, 1+2L, … —
+   * full windows only), so a verbatim copy of ANY benchmark passage is
+   * flagged, not just one that includes the doc's opening line. The
+   * pattern count grows ~|benchmark chars|/L — the regime the
+   * Aho–Corasick matcher exists for: the corpus-side cost is STILL one
+   * amortized-linear pass per document (measured flat under 10×
+   * snippet growth, BASELINE.md r10), where the r9 contains-join form
+   * would have multiplied corpus scans by the window count.
+   */
+  def exactContaminationTiled(candidates: DataFrame, benchmark: DataFrame,
+      snippetLen: Int = 16): DataFrame =
+    matchSnippets(candidates,
+      benchmark
+        .filter(length(col("text")) >= snippetLen * 2)
+        .select(explode(expr(
+          s"transform(sequence(1, length(text) - ${snippetLen - 1}, $snippetLen)," +
+            s" s -> substring(text, s, $snippetLen))")).as("sn"),
+          col("doc_id").as("bench_id")))
+
+  /** Shared matcher core: dedupe the `(sn, bench_id)` snippet instances
+   * to distinct strings with (occurrences, min bench id) stats, collect
+   * them to the driver like the IVF centroid model, compile ONE
+   * Aho–Corasick automaton, scan the corpus once, and map matched
+   * pattern ids back through a tiny broadcast stats join — `n_hits`
+   * counts every (doc, snippet-instance) pair, exactly like the r9
+   * contains join did. */
+  private def matchSnippets(candidates: DataFrame, snippets: DataFrame): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    // distinct snippet strings, each with how many bench docs carry it
-    // and the lowest such bench id; sorted for a deterministic pattern
-    // numbering (driver-sized by the same argument as the shingle set)
-    val snippetStats = benchmark
-      .filter(length(col("text")) >= snippetLen * 2)
-      .select(substring(col("text"), 1, snippetLen).as("sn"),
-        col("doc_id").as("bench_id"))
+    // sorted for a deterministic pattern numbering (driver-sized by the
+    // same argument as the shingle set)
+    val snippetStats = snippets
       .groupBy("sn")
       .agg(count(lit(1)).as("cnt"), min("bench_id").as("min_bench_id"))
       .collect()
@@ -215,6 +247,15 @@ object Curation {
   def deconExactSubstring(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select("doc_id", "text")
     exactContamination(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** Wired tiled-window exact decon: same benchmark split, every 16-char
+   * tile of every benchmark doc in the dictionary. */
+  def deconExactTiled(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    exactContaminationTiled(
       d.filter(col("doc_id") % 50 =!= 0),
       d.filter(col("doc_id") % 50 === 0))
   }
@@ -318,6 +359,7 @@ object Curation {
     "sample_weighted" -> sampleWeighted,
     "decon_ngram_overlap" -> deconNgramOverlap,
     "decon_exact_substring" -> deconExactSubstring,
+    "decon_exact_tiled" -> deconExactTiled,
     "text_tfidf_topk" -> textTfidfTopk,
     "pipeline_curate" -> pipelineCurate)
 
@@ -343,6 +385,17 @@ object Curation {
     "decon_exact_substring" ->
       """WITH snip AS (
            SELECT doc_id AS bench_id, substr(text, 1, 16) AS sn
+           FROM documents WHERE doc_id % 50 = 0 AND len(text) >= 32)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           min(s.bench_id) AS first_bench_id
+         FROM documents c JOIN snip s ON position(s.sn IN c.text) > 0
+         WHERE c.doc_id % 50 <> 0
+         GROUP BY c.doc_id""",
+    "decon_exact_tiled" ->
+      """WITH snip AS (
+           SELECT doc_id AS bench_id,
+             unnest(list_transform(range(1, len(text) - 14, 16),
+               s -> substr(text, CAST(s AS INTEGER), 16))) AS sn
            FROM documents WHERE doc_id % 50 = 0 AND len(text) >= 32)
          SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
            min(s.bench_id) AS first_bench_id

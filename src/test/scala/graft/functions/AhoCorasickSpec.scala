@@ -28,6 +28,13 @@ class AhoCorasickSpec extends SparkSpec {
     assert(matches(ac, "ab ab ab ab") === Seq(0))
   }
 
+  test("nested suffix patterns all fire through the output-link chain") {
+    val ac = AhoCorasick.build(Array("a", "aa", "aaa").map(_.getBytes("UTF-8")))
+    assert(matches(ac, "aaa") === Seq(0, 1, 2))
+    assert(matches(ac, "ba") === Seq(0))
+    assert(matches(ac, "baab") === Seq(0, 1))
+  }
+
   test("agrees with a brute-force contains sweep") {
     val pats = (0 until 300).map(i => s"pat${i}x${i % 7}").toArray
     val ac = AhoCorasick.build(pats.map(_.getBytes("UTF-8")))

@@ -87,6 +87,25 @@ class CurationSpec extends SparkSpec {
     assert(out.values.forall(_._2 == 100L))
   }
 
+  test("tiled exact decon flags a mid-document verbatim passage the prefix form misses") {
+    // 64-char benchmark doc → 4 DISTINCT tiles of 16
+    val benchText =
+      "aaaabbbbccccdddd" + "eeeeffffgggghhhh" + "iiiijjjjkkkkllll" + "mmmmnnnnooooqqqq"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val midPassage = benchText.substring(16, 32) // the SECOND tile, verbatim
+    val candidates = Seq(
+      (0L, s"noise $midPassage trailing"), // carries a mid-doc tile only
+      (1L, "nothing in common with the benchmark")).toDF("doc_id", "text")
+    // prefix form: only the opening tile is a pattern → doc 0 missed
+    val prefixOut = Curation.exactContamination(candidates, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(prefixOut === Set.empty[Long])
+    // tiled form: every tile is a pattern → doc 0 flagged on one tile
+    val tiled = Curation.exactContaminationTiled(candidates, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tiled === Map(0L -> ((1L, 100L))))
+  }
+
   test("tf-idf ranks a document's distinctive term first; ubiquitous terms score 0") {
     // 'common' appears in every doc → idf = ln(1) = 0; each doc's unique
     // repeated term must outrank it
