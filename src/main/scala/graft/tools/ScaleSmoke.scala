@@ -136,6 +136,19 @@ object ScaleSmoke {
         println(f"[scale-smoke] CURATION exact-decon snippets=$nSnips " +
           f"docs=$nDocs hits=$hits time=${s}%.1fs")
       }
+      // TILED dictionary — every 16-char tile of every benchmark doc:
+      // the 10⁴–10⁵-pattern regime the automaton exists for (the r9
+      // contains join did |patterns| scans per doc here). Wall time
+      // must stay in the same band as the 100-pattern runs above.
+      Seq(50, 5).foreach { mod =>
+        val snips = docs.filter(col("doc_id") % mod === 0).select("doc_id", "text")
+        val nPats = snips.select(explode(expr(
+          "transform(sequence(1, length(text) - 15, 16), s -> substring(text, s, 16))"))
+            .as("sn")).distinct().count()
+        val (hits, s) = timed(Curation.exactContaminationTiled(rep, snips).count())
+        println(f"[scale-smoke] CURATION exact-decon-tiled patterns=$nPats " +
+          f"docs=$nDocs hits=$hits time=${s}%.1fs")
+      }
 
       // Composed-pipeline smoke: the full quality→dedup→decon→mix chain
       // on the replicated corpus (written out so the wired (spark, dir)
