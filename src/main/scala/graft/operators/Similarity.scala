@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 
 /**
  * Similarity search over the `embeddings` table (`Array[Float]`, 64-dim):
- * brute-force cosine top-k as the exactness baseline, and a random-
- * hyperplane LSH bucketed variant as the 100 TB scale path.
+ * brute-force cosine top-k as the exactness baseline, and two 100 TB
+ * scale paths — random-hyperplane LSH bucketing and an IVF index with a
+ * persisted coarse quantizer.
  *
- * Dot products use `zip_with` + `aggregate` — a sequential left fold in
- * double precision, codegen'd by Catalyst, and the same evaluation order
- * DuckDB uses, so the oracle matches to the last bit.
+ * All cosine arithmetic runs in native codegen'd kernels
+ * ([[graft.functions.CosineSim]] / [[graft.functions.CentroidAssign]])
+ * that reproduce the sequential double-precision left fold DuckDB's
+ * `list_cosine_similarity` uses, so the oracle matches to the last bit.
  */
 object Similarity {
 

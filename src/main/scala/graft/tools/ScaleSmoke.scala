@@ -173,11 +173,12 @@ object ScaleSmoke {
       // factor× with shifted order keys, dims fixed (the realistic
       // regime — dimensions don't grow with the fact table). Written to
       // a temp dataset dir so the wired (spark, dir) queries run
-      // unmodified. Targets the r9 additions whose decorrelations must
-      // stay linear in the fact table: q21 (per-order distinct-count
-      // decorrelation — the literal semi/anti plan broadcast the whole
-      // fact projection and would NOT survive this), q2 (checkpointed
-      // supply relation), q9 (five-table rollup).
+      // unmodified. Targets the queries whose decorrelations must
+      // stay linear in the fact table: q21 (per-order min/max
+      // multiplicity tests since r10, count_distinct pair in r9 — the
+      // r8 literal semi/anti plan broadcast the whole fact projection
+      // and would NOT survive this), q2 (checkpointed supply relation),
+      // q9 (five-table rollup).
       import graft.operators.RelationalQueries
       val relDir = "/tmp/graft-smoke-rel"
       def shift(df: DataFrame, key: String): DataFrame = df
