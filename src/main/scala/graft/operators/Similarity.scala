@@ -79,6 +79,10 @@ object Similarity {
     // isnotnull(hyperplane_bucket(embedding)) ON THE SCAN, evaluating
     // the kernel twice per row (r07 plan audit; same pathology as the
     // simhash filter clone). A null embedding hashes like a zero vector.
+    // `e` feeds four consumers but is deliberately NOT checkpointed
+    // (unlike the minhash signature table): the bucket kernel is one
+    // 64-float pass — cheaper to recompute than to materialize the
+    // vector payload alongside the parquet it already lives in.
     val e = emb(spark, dir).withColumn("bucket",
       lshBucket(coalesce(col("embedding"), typedlit(Array.empty[Float]))))
     val probes = e.filter(col("vec_id") < 5)
