@@ -186,8 +186,14 @@ object Dedup {
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val a = col("a"); val b = col("b")
-    val sym = edges.toDF("a", "b")
-      .union(edges.toDF("b", "a").select(col("a"), col("b")))
+    // edges materialized ONCE (tiny: the near-dup pair list): the
+    // symmetrization union consumes it twice, and Spark does not dedupe
+    // common subtrees, so an unmaterialized pair pipeline — the whole
+    // LSH candidate generation + rerank in dedup_clusters_lsh — would
+    // execute once per branch
+    val e0 = edges.toDF("a", "b").localCheckpoint()
+    val sym = e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(eager = false)
     var labels = sym.select(a.as("id")).distinct()
       .withColumn("label", col("id"))
