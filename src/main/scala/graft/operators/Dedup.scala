@@ -183,8 +183,14 @@ object Dedup {
    * Each round is one distributed join+groupBy — the standard
    * MapReduce-CC shape; lineage truncated per round via localCheckpoint
    * so plans don't nest across iterations.
+   *
+   * Convergence needs ≤ diameter rounds. Near-dup clusters are shallow
+   * (a handful of rounds in practice), but a pathological long-chain
+   * graph could exceed `maxIter` — that MUST be an error, not a silent
+   * half-propagated labeling (the labels would look plausible and
+   * split one true cluster into several).
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val a = col("a"); val b = col("b")
     // edges materialized ONCE (tiny: the near-dup pair list): the
     // symmetrization union consumes it twice, and Spark does not dedupe
@@ -210,6 +216,10 @@ object Dedup {
       labels = merged.select(col("id"), col("next").as("label"))
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — graph diameter exceeds maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
