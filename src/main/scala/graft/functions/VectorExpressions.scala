@@ -192,6 +192,10 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int)
  */
 case class CentroidAssign(child: Expression, matrix: Array[Array[Float]],
     cids: Array[Int]) extends UnaryExpression {
+  require(matrix.nonEmpty && matrix.length == cids.length,
+    "centroid_assign needs a non-empty centroid model (an empty fit means " +
+      "the quantizer was trained on an empty sample — fail here, not with " +
+      "an index error mid-task)")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "centroid_assign"
 
@@ -215,6 +219,8 @@ case class CentroidAssign(child: Expression, matrix: Array[Array[Float]],
  * centroid matrix as [[CentroidAssign]]. */
 case class CentroidTopK(child: Expression, matrix: Array[Array[Float]],
     cids: Array[Int], k: Int) extends UnaryExpression {
+  require(matrix.nonEmpty && matrix.length == cids.length && k > 0,
+    "centroid_topk needs a non-empty centroid model and k > 0")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "centroid_topk"
 

@@ -171,6 +171,9 @@ object Similarity {
       .select("embedding").collect()
       .zipWithIndex.map { case (r, i) => (i + 1, r.getSeq[Float](0).toArray) }
       .toSeq
+    require(cents.nonEmpty,
+      "fitCentroids: empty fit sample — the quantizer cannot be trained " +
+        "on an empty embeddings input")
     for (_ <- 1 to iters) {
       cents = sample
         .withColumn("cid", assignCid(col("embedding"), cents))

@@ -47,6 +47,16 @@ class CentroidExpressionsSpec extends SparkSpec {
     assert(out === 3)
   }
 
+  test("an empty centroid model is rejected at construction") {
+    // the r9 literal form silently yielded null cids on an empty model;
+    // the kernel fails fast with a diagnosable message instead
+    val e = intercept[IllegalArgumentException] {
+      VectorFunctions.centroid_assign(col("v"),
+        Array.empty[Array[Float]], Array.empty[Int])
+    }
+    assert(e.getMessage.contains("non-empty centroid model"))
+  }
+
   test("null embedding yields null cid") {
     val out = Seq(Tuple1(Option.empty[Array[Float]])).toDF("v")
       .select(VectorFunctions.centroid_assign(col("v"), matrix, cids))
