@@ -90,6 +90,8 @@ object CentroidIndex {
   /** Build on the driver from the cid-sorted centroid model (the same
    * parallel arrays the exact kernel takes). */
   def build(matrix: Array[Array[Float]], cids: Array[Int], numPlanes: Int): CentroidIndex = {
+    require(matrix.nonEmpty && matrix.length == cids.length && numPlanes >= 0,
+      "CentroidIndex needs a non-empty centroid model")
     val byBucket = matrix.indices.groupBy(pos => bucketOf(matrix(pos), numPlanes))
     val keys = byBucket.keys.toArray.sorted
     val starts = new Array[Int](keys.length + 1)
