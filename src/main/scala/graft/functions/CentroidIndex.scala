@@ -90,8 +90,13 @@ object CentroidIndex {
   /** Build on the driver from the cid-sorted centroid model (the same
    * parallel arrays the exact kernel takes). */
   def build(matrix: Array[Array[Float]], cids: Array[Int], numPlanes: Int): CentroidIndex = {
-    require(matrix.nonEmpty && matrix.length == cids.length && numPlanes >= 0,
+    require(matrix.nonEmpty && matrix.length == cids.length,
       "CentroidIndex needs a non-empty centroid model")
+    // the Long bucket and the probe loop's `b ^ (1L << probe)` are only
+    // well-defined up to 63 planes — a larger value would silently wrap
+    // the shift and probe wrong/duplicate buckets
+    require(numPlanes >= 0 && numPlanes <= 63,
+      s"numPlanes must be in [0, 63], got $numPlanes")
     val byBucket = matrix.indices.groupBy(pos => bucketOf(matrix(pos), numPlanes))
     val keys = byBucket.keys.toArray.sorted
     val starts = new Array[Int](keys.length + 1)

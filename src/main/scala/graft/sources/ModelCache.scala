@@ -61,6 +61,7 @@ object ModelCache {
       System.err.println(s"[$tag] model cache HIT $path")
     } else {
       System.err.println(s"[$tag] model cache MISS $path (fitting)")
+      sweepStaleTmp(new java.io.File(path))
       val tmp = new java.io.File(
         path + s".tmp-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
       fit.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
@@ -73,5 +74,24 @@ object ModelCache {
       }
     }
     spark.read.parquet(path)
+  }
+
+  /** Delete orphaned `<target>.tmp-*` siblings left by a JVM that died
+   * between writing its temp dir and the rename. Only sweeps dirs older
+   * than an hour so a concurrent live fit's temp dir is never touched
+   * (the rename-race path already handles same-instant writers). */
+  private def sweepStaleTmp(target: java.io.File): Unit = {
+    val prefix = target.getName + ".tmp-"
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    Option(target.getParentFile).flatMap(p => Option(p.listFiles()))
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
+      .foreach { stale =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        System.err.println(s"[model-cache] sweeping stale ${stale.getPath}")
+        rm(stale)
+      }
   }
 }

@@ -181,9 +181,22 @@ object EventPipeline {
     // window (these queries are benchExcluded), NOT a scale pattern
     val sliced = spark.read.parquet(s"$dir/events.parquet")
       .withColumn("_slice", ntile(4).over(Window.orderBy(orderCols.map(col): _*)))
+    // The file source orders its backlog by mtime; write-time stamps can
+    // TIE under coarse filesystem granularity, which would make batch
+    // order nondeterministic (update-mode callers like the dedup oracle
+    // are order-sensitive). Pin each slice's files to a strictly
+    // increasing mtime explicitly instead of trusting the write clock.
+    val stamped = scala.collection.mutable.Set[String]()
+    val base = System.currentTimeMillis()
     (1 to 4).foreach { s =>
       sliced.filter(col("_slice") === s).drop("_slice")
         .coalesce(1).write.mode("append").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") && !stamped(f.getName))
+        .foreach { f =>
+          f.setLastModified(base + s * 1000L): Unit
+          stamped += f.getName
+        }
     }
     val stream = spark.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(tmp)

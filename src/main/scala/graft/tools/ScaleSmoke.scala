@@ -142,7 +142,10 @@ object ScaleSmoke {
       // must stay in the same band as the 100-pattern runs above.
       Seq(50, 5).foreach { mod =>
         val snips = docs.filter(col("doc_id") % mod === 0).select("doc_id", "text")
-        val nPats = snips.select(explode(expr(
+        // mirror exactContaminationTiled's length >= 2L gate so the
+        // printed count matches the dictionary the timed query compiles
+        // (and `sequence` never sees an illegal descending bound)
+        val nPats = snips.filter(length(col("text")) >= 32).select(explode(expr(
           "transform(sequence(1, length(text) - 15, 16), s -> substring(text, s, 16))"))
             .as("sn")).distinct().count()
         val (hits, s) = timed(Curation.exactContaminationTiled(rep, snips).count())
