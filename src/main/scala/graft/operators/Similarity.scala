@@ -192,12 +192,14 @@ object Similarity {
 
   /** [[ivfAssign]] with the bucket-pruned quantizer
    * ([[graft.functions.CentroidIndex]]) — the C ≳ 10⁴ regime where the
-   * flat kernel's O(C·dim) per row becomes the wall. APPROXIMATE: a
-   * vector whose nearest centroid hashes outside every probed bucket
-   * lands in its nearest probed cell instead (IVF's own nprobe trade,
-   * applied to the quantizer). Not wired to oracle queries — their
-   * DuckDB oracles replay exact Lloyd; agreement and end-to-end keeper
-   * recall are MEASURED in ScaleSmoke `ivfindex`. */
+   * flat kernel's O(C·dim) per row becomes the wall. APPROXIMATE for
+   * `numPlanes >= 2`: a vector whose nearest centroid hashes outside
+   * every probed bucket lands in its nearest probed cell instead
+   * (IVF's own nprobe trade, applied to the quantizer); agreement and
+   * end-to-end keeper recall are MEASURED in ScaleSmoke `ivfindex`.
+   * EXACT at `numPlanes = 1` (the probe set covers both buckets) —
+   * driver-verified against the exact-Lloyd oracle via
+   * [[simAnnIvfPruned]]. */
   def ivfAssignPruned(e: DataFrame, cents: Centroids, numPlanes: Int): DataFrame = {
     val (m, ids) = model(cents)
     val index = graft.functions.CentroidIndex.build(m, ids, numPlanes)
@@ -247,13 +249,29 @@ object Similarity {
    * per query, exact cosine rerank inside them. Cost O(Q·C + Q·N·
    * nprobe/C) vs brute force O(Q·N); recall governed by nprobe/C.
    */
-  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    simAnnIvfWith(spark, dir)(ivfAssign)
+
+  /** [[simAnnIvf]] with inverted-list assignment routed through the
+   * bucket-pruned [[graft.functions.CentroidIndex]] — the C ≳ 10⁴
+   * regime's assignment path, driver-verified: at `numPlanes = 1` the
+   * probe set (own bucket + the single flip) covers BOTH buckets, so
+   * the indexed argmax scans every centroid and is provably exact —
+   * this query must hash-match the SAME exact-Lloyd DuckDB oracle as
+   * [[simAnnIvf]]. Sub-linear pruning at realistic plane counts is
+   * measured separately in ScaleSmoke `ivfindex` (P-sweep agreement +
+   * keeper recall). */
+  def simAnnIvfPruned(spark: SparkSession, dir: String): DataFrame =
+    simAnnIvfWith(spark, dir)(ivfAssignPruned(_, _, numPlanes = 1))
+
+  private def simAnnIvfWith(spark: SparkSession, dir: String)(
+      assign: (DataFrame, Centroids) => DataFrame): DataFrame = {
     val e = emb(spark, dir)
     // quantizer loaded from the persisted index when present, fit+saved
     // otherwise ([[loadOrFitCentroids]] — deterministic either way; the
     // full table is still assigned below)
     val cents = loadOrFitCentroids(spark, dir, e)
-    val lists = ivfAssign(e, cents)
+    val lists = assign(e, cents)
     // top-nprobe centroids per query, row-locally via the top-k kernel —
     // no join, no window shuffle
     val probes = e.filter(col("vec_id") < 5)
@@ -274,7 +292,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_ann_lsh" -> simAnnLsh,
-    "sim_ann_ivf" -> simAnnIvf)
+    "sim_ann_ivf" -> simAnnIvf,
+    "sim_ann_ivf_pruned" -> simAnnIvfPruned)
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
@@ -294,5 +313,8 @@ object Similarity {
     // full value-level oracles: hyperplane-LSH buckets (HUGEINT hash
     // CTEs) and the unrolled 2-round Lloyd IVF, both in pure DuckDB SQL
     "sim_ann_lsh" -> HashOracleSql.annLsh,
-    "sim_ann_ivf" -> HashOracleSql.annIvf)
+    "sim_ann_ivf" -> HashOracleSql.annIvf,
+    // the pruned path at numPlanes=1 is exact (full bucket coverage),
+    // so it must reproduce the identical exact-Lloyd result
+    "sim_ann_ivf_pruned" -> HashOracleSql.annIvf)
 }
