@@ -162,19 +162,31 @@ object AcKernels extends Serializable {
 }
 
 /** `ac_find_all(text)`: distinct indices (ascending) of the automaton's
- * patterns occurring in `text`. The automaton is a MODEL PARAMETER (one
- * `addReferenceObj` slot), same discipline as [[CentroidAssign]]. */
-case class AcFindAll(child: Expression, ac: AhoCorasick) extends UnaryExpression {
+ * patterns occurring in `text`. Unlike the centroid kernels (MB-scale
+ * models in an `addReferenceObj` slot), the automaton ships as a
+ * BROADCAST: a tiled dictionary near the 8 MB pattern budget flattens
+ * to hundreds of MB of arrays, and a reference object that size is
+ * re-deserialized per TASK (32 concurrent tasks OOMed the 10⁶-tile
+ * smoke) where a broadcast materializes once per executor JVM — also
+ * the torrent-distribution path a 1000-executor cluster needs. */
+case class AcFindAll(child: Expression,
+    ac: org.apache.spark.broadcast.Broadcast[AhoCorasick])
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "ac_find_all"
 
   override protected def nullSafeEval(input: Any): Any =
-    AcKernels.findAll(input.asInstanceOf[UTF8String], ac)
+    AcKernels.findAll(input.asInstanceOf[UTF8String], ac.value)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = AcKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    val acRef = ctx.addReferenceObj("acAutomaton", ac, classOf[AhoCorasick].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.findAll($c, $acRef);")
+    val bcRef = ctx.addReferenceObj("acBroadcast", ac,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val acCls = classOf[AhoCorasick].getName
+    // resolve the broadcast once per codegen instance, not per row
+    val acLocal = ctx.addMutableState(acCls, "acAutomaton",
+      v => s"$v = ($acCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.findAll($c, $acLocal);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): AcFindAll =
@@ -182,6 +194,7 @@ case class AcFindAll(child: Expression, ac: AhoCorasick) extends UnaryExpression
 }
 
 object AcFunctions {
-  def ac_find_all(text: Column, ac: AhoCorasick): Column =
+  def ac_find_all(text: Column,
+      ac: org.apache.spark.broadcast.Broadcast[AhoCorasick]): Column =
     GraftSqlBridge.column(AcFindAll(GraftSqlBridge.expression(text), ac))
 }

@@ -181,12 +181,15 @@ object Curation {
    * share a snippet string.
    */
   def exactContamination(candidates: DataFrame, benchmark: DataFrame,
-      snippetLen: Int = 16): DataFrame =
+      snippetLen: Int = 16,
+      maxAutomatonBytes: Long = MaxAutomatonBytes,
+      maxDictBytes: Long = MaxDictBytes): DataFrame =
     matchSnippets(candidates,
       benchmark
         .filter(length(col("text")) >= snippetLen * 2)
         .select(substring(col("text"), 1, snippetLen).as("sn"),
-          col("doc_id").as("bench_id")))
+          col("doc_id").as("bench_id")),
+      maxAutomatonBytes, maxDictBytes)
 
   /**
    * [[exactContamination]] at FULL GPT-3 fidelity: instead of one
@@ -201,43 +204,120 @@ object Curation {
    * would have multiplied corpus scans by the window count.
    */
   def exactContaminationTiled(candidates: DataFrame, benchmark: DataFrame,
-      snippetLen: Int = 16): DataFrame =
+      snippetLen: Int = 16,
+      maxAutomatonBytes: Long = MaxAutomatonBytes,
+      maxDictBytes: Long = MaxDictBytes): DataFrame =
     matchSnippets(candidates,
       benchmark
         .filter(length(col("text")) >= snippetLen * 2)
         .select(explode(expr(
           s"transform(sequence(1, length(text) - ${snippetLen - 1}, $snippetLen)," +
             s" s -> substring(text, s, $snippetLen))")).as("sn"),
-          col("doc_id").as("bench_id")))
+          col("doc_id").as("bench_id")),
+      maxAutomatonBytes, maxDictBytes)
+
+  /** UTF-8 pattern-byte budget per compiled automaton. The flat-array
+   * automaton costs ~30–50 bytes per pattern byte worst case (states ≤
+   * pattern bytes; 3 int arrays + the open-addressing goto table), so
+   * 8 MB of patterns bounds the per-task object near a few hundred MB
+   * even with zero prefix sharing. Dictionaries above this compile as
+   * ceil(total / budget) automata over hash-sharded patterns — one
+   * corpus scan each, O(K·len) total, still ≪ the contains-join's
+   * O(len·patterns). */
+  val MaxAutomatonBytes: Long = 8L << 20
+
+  /** Hard cap on the TOTAL snippet dictionary (UTF-8 pattern bytes).
+   * Sharding bounds each automaton, but every shard is still one full
+   * corpus scan and every pattern still streams through the driver;
+   * past ~256 MB (≈ 1.6×10⁷ 16-char tiles → 32 corpus scans) a
+   * driver-compiled automaton is the wrong tool — that regime needs a
+   * distributed matcher (shuffle join on tile hashes), so fail loudly
+   * instead of grinding. */
+  val MaxDictBytes: Long = 256L << 20
 
   /** Shared matcher core: dedupe the `(sn, bench_id)` snippet instances
    * to distinct strings with (occurrences, min bench id) stats, collect
-   * them to the driver like the IVF centroid model, compile ONE
+   * them to the driver like the IVF centroid model, compile an
    * Aho–Corasick automaton, scan the corpus once, and map matched
    * pattern ids back through a tiny broadcast stats join — `n_hits`
    * counts every (doc, snippet-instance) pair, exactly like the r9
-   * contains join did. */
-  private def matchSnippets(candidates: DataFrame, snippets: DataFrame): DataFrame = {
+   * contains join did.
+   *
+   * Dictionary sizing is measured BEFORE anything is collected (one
+   * tiny aggregate over the distinct-snippet relation): above
+   * `maxDictBytes` the call fails loudly; above `maxAutomatonBytes` the
+   * patterns hash-shard into K automata compiled and scanned one at a
+   * time (each shard's per-doc partial is checkpointed so only one
+   * automaton is ever alive), and the K doc-sized partials re-aggregate
+   * exactly — every (doc, snippet) match lands in exactly one shard, so
+   * sum/min over shards equals the single-automaton answer. */
+  private def matchSnippets(candidates: DataFrame, snippets: DataFrame,
+      maxAutomatonBytes: Long, maxDictBytes: Long): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    // sorted for a deterministic pattern numbering (driver-sized by the
-    // same argument as the shingle set)
-    val snippetStats = snippets
+    // materialized once: the sizing aggregate and every shard collect
+    // re-read this relation, and common subtrees are not deduped — each
+    // consumer would otherwise re-run the benchmark-side snippet
+    // explode from source. Dictionary-sized (distinct snippets), the
+    // same data the driver collects anyway.
+    val snStats = snippets
       .groupBy("sn")
       .agg(count(lit(1)).as("cnt"), min("bench_id").as("min_bench_id"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val ac = graft.functions.AhoCorasick.build(
-      snippetStats.map(_._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    val stats = snippetStats.zipWithIndex
-      .map { case ((_, cnt, minId), pid) => (pid, cnt, minId) }.toSeq
-      .toDF("pid", "cnt", "min_bench_id")
-    spread(candidates).select(col("doc_id"),
-        explode(graft.functions.AcFunctions.ac_find_all(col("text"), ac)).as("pid"))
-      .join(broadcast(stats), Seq("pid"))
+      .localCheckpoint()
+    val sizing = snStats.agg(
+      coalesce(sum(octet_length(col("sn"))), lit(0L)).as("bytes"),
+      count(lit(1)).as("n")).head()
+    val (totalBytes, nPatterns) = (sizing.getLong(0), sizing.getLong(1))
+    require(totalBytes <= maxDictBytes,
+      s"exact-substring snippet dictionary is $totalBytes pattern bytes " +
+        s"($nPatterns distinct snippets), above the driver-compiled " +
+        s"bound of $maxDictBytes bytes: a benchmark suite at this scale " +
+        "needs a distributed matcher, not a collected automaton")
+    val numShards =
+      math.max(1, math.ceil(totalBytes.toDouble / maxAutomatonBytes).toInt)
+    val partials = (0 until numShards).flatMap { shard =>
+      // sorted for a deterministic shard-local pattern numbering
+      // (driver-sized by the same argument as the shingle set)
+      val shardStats = (if (numShards == 1) snStats
+        else snStats.filter(
+          pmod(xxhash64(col("sn")), lit(numShards.toLong)) === shard))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      if (shardStats.isEmpty) None else Some {
+        // broadcast, not a task-binary reference object: one automaton
+        // copy per executor JVM (see AcFindAll scaladoc)
+        val ac = spark.sparkContext.broadcast(graft.functions.AhoCorasick.build(
+          shardStats.map(_._1.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        val stats = shardStats.zipWithIndex
+          .map { case ((_, cnt, minId), pid) => (pid, cnt, minId) }.toSeq
+          .toDF("pid", "cnt", "min_bench_id")
+        val matched = spread(candidates).select(col("doc_id"),
+            explode(graft.functions.AcFunctions.ac_find_all(col("text"), ac)).as("pid"))
+          .join(broadcast(stats), Seq("pid"))
+          .groupBy("doc_id")
+          .agg(sum("cnt").as("n_hits"), min("min_bench_id").as("first_bench_id"))
+        // sharded: run each scan eagerly and destroy its broadcast so at
+        // most ONE automaton is alive at a time (the checkpointed
+        // partial is per-doc-sized, text-free); single-shard keeps the
+        // lazy one-plan shape it always had
+        if (numShards == 1) matched
+        else {
+          val partial = matched.localCheckpoint()
+          ac.destroy()
+          partial
+        }
+      }
+    }
+    if (partials.sizeIs <= 1) partials.headOption.getOrElse {
+      // zero patterns: empty dictionary matches nothing, with the schema
+      // the aggregation would have produced
+      spark.emptyDataset[(Long, Long, Long)]
+        .toDF("doc_id", "n_hits", "first_bench_id")
+    }
+    else partials.reduce(_ unionByName _)
       .groupBy("doc_id")
-      .agg(sum("cnt").as("n_hits"), min("min_bench_id").as("first_bench_id"))
+      .agg(sum("n_hits").as("n_hits"), min("first_bench_id").as("first_bench_id"))
   }
 
   /** Wired exact-decon query: same benchmark split as

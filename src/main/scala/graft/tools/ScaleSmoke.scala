@@ -152,6 +152,43 @@ object ScaleSmoke {
         println(f"[scale-smoke] CURATION exact-decon-tiled patterns=$nPats " +
           f"docs=$nDocs hits=$hits time=${s}%.1fs")
       }
+      // SHARDED regime — a synthetic ~10⁶-tile benchmark "suite": every
+      // doc replicated 12×, each replica carrying the ORIGINAL text
+      // (so candidate-side match density stays realistic) plus ~16
+      // guaranteed-distinct tiles of appended md5 hex keyed by
+      // (doc, replica) — the dictionary grows to ~10⁶ distinct tiles,
+      // past the single-automaton budget. exactContaminationTiled
+      // auto-shards (8 MB pattern bytes per automaton → one corpus scan
+      // per shard); the wall time must be ~numShards × one scan at the
+      // same match density, never patterns ×.
+      locally {
+        val bigBench = docs.select("doc_id", "text")
+          .crossJoin(spark.range(12).select(col("id").as("_r")))
+          .withColumn("text", concat(col("text"), lit(" "), expr(
+            "concat_ws('', transform(sequence(1, 8), i -> " +
+              "md5(concat(doc_id, '-', _r, '-', i))))")))
+          .withColumn("doc_id", col("doc_id") * 12 + col("_r"))
+          .drop("_r")
+        val nPats = bigBench.filter(length(col("text")) >= 32).select(explode(expr(
+          "transform(sequence(1, length(text) - 15, 16), s -> substring(text, s, 16))"))
+            .as("sn")).distinct().count()
+        val shards = math.ceil(nPats * 16.0 / Curation.MaxAutomatonBytes).toInt
+        val (hits, s) = timed(
+          Curation.exactContaminationTiled(rep, bigBench).count())
+        println(f"[scale-smoke] CURATION exact-decon-tiled-sharded " +
+          f"patterns=$nPats shards~=$shards docs=$nDocs hits=$hits " +
+          f"time=${s}%.1fs (${s / math.max(1, shards)}%.1fs/shard)")
+        // same dictionary through ONE automaton (budget lifted): the
+        // apples-to-apples cost of sharding — expect the sharded run at
+        // ~K× the single scan, the price of bounding per-executor
+        // automaton memory, never patterns ×
+        val (hits1, s1) = timed(
+          Curation.exactContaminationTiled(rep, bigBench,
+            maxAutomatonBytes = Curation.MaxDictBytes).count())
+        assert(hits1 == hits, s"sharded/single hit mismatch: $hits vs $hits1")
+        println(f"[scale-smoke] CURATION exact-decon-tiled-single " +
+          f"patterns=$nPats shards=1 docs=$nDocs hits=$hits1 time=${s1}%.1fs")
+      }
 
       // Composed-pipeline smoke: the full quality→dedup→decon→mix chain
       // on the replicated corpus (written out so the wired (spark, dir)

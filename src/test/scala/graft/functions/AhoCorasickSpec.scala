@@ -49,7 +49,8 @@ class AhoCorasickSpec extends SparkSpec {
   }
 
   test("ac_find_all expression evaluates through codegen and handles null") {
-    val ac = AhoCorasick.build(Array("fox", "dog").map(_.getBytes("UTF-8")))
+    val ac = spark.sparkContext.broadcast(
+      AhoCorasick.build(Array("fox", "dog").map(_.getBytes("UTF-8"))))
     val out = Seq(
       (1L, "the quick brown fox"),
       (2L, "lazy dog and a fox"),

@@ -106,6 +106,40 @@ class CurationSpec extends SparkSpec {
     assert(tiled === Map(0L -> ((1L, 100L))))
   }
 
+  test("sharded automata reproduce the single-automaton decon result exactly") {
+    // a benchmark big enough for several distinct tiles, candidates
+    // carrying tiles from DIFFERENT shards of the dictionary
+    // each bench doc = 4 exactly-16-char pieces, so the tiling yields
+    // the pieces themselves as patterns
+    val bench = (0 until 8).map { i =>
+      (100L + i, (0 until 4).map(t => f"b$i%02dt$t%02d-payload00").mkString)
+    }.toDF("doc_id", "text")
+    val candidates = Seq(
+      (0L, "xx b00t01-payload00 yy b05t02-payload00 zz"), // tiles of two bench docs
+      (1L, "b07t03-payload00b07t03-payload00"),           // same tile twice
+      (2L, "no benchmark content here at all")).toDF("doc_id", "text")
+    def result(maxAutomatonBytes: Long) =
+      Curation.exactContaminationTiled(candidates, bench,
+          maxAutomatonBytes = maxAutomatonBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val single = result(Long.MaxValue)
+    // 32 distinct 16-byte tiles = 512 pattern bytes → 64-byte budget
+    // forces 8 hash-sharded automata (8 corpus scans, re-aggregated)
+    val sharded = result(64L)
+    assert(single === sharded)
+    assert(single.map(_._1) === Set(0L, 1L))
+  }
+
+  test("a dictionary above the hard byte cap fails loudly, not slowly") {
+    val bench = Seq((100L, "aaaabbbbccccddddeeeeffffgggghhhh")).toDF("doc_id", "text")
+    val candidates = Seq((0L, "whatever")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.exactContaminationTiled(candidates, bench, maxDictBytes = 16L)
+    }
+    assert(e.getMessage.contains("above the driver-compiled bound"))
+    assert(e.getMessage.contains("needs a distributed matcher"))
+  }
+
   test("tf-idf ranks a document's distinctive term first; ubiquitous terms score 0") {
     // 'common' appears in every doc → idf = ln(1) = 0; each doc's unique
     // repeated term must outrank it
