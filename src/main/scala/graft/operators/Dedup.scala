@@ -131,29 +131,34 @@ object Dedup {
 
   /** The MinHash+LSH pipeline over any `(doc_id, text)` frame —
    * exposed so scale smokes / callers with their own corpus reuse the
-   * exact wired plan. */
-  def minhashLshPairs(corpus: DataFrame): DataFrame = {
+   * exact wired plan. `materialize = false` skips the signature-table
+   * checkpoints (every consumer then recomputes the hash kernels from
+   * the text scan) — it exists so the scale smoke keeps the
+   * materialization trade measured per round; wired queries use the
+   * default. */
+  def minhashLshPairs(corpus: DataFrame, materialize: Boolean = true): DataFrame = {
+    def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
     // No size(sh)>0 filter (see `shingled`): posexplode drops empty band
     // arrays itself, and the pushed-down filter would re-run the hash
     // kernel serially below the spread repartition.
-    // Both intermediates are localCheckpointed — this is the INDEX BUILD
-    // of a real minhash pipeline (hash once, store the signature table):
     // `d` feeds the banding AND both rerank re-attach joins, `banded`
-    // feeds both sides of the bucket self-join, and Spark does not dedupe
-    // common subtrees, so without materialization the shingle kernel
-    // would re-scan the corpus four times and the minhash fold twice.
-    // At sf0.1 the bench line is FLAT (the one-time materialization cost
-    // of the small corpus cancels the saved recompute); the case is the
-    // 100 TB one — three extra full text-corpus passes vs storing one
-    // hashes-only table, which is exactly the signature table a real
-    // minhash index persists. Text never enters either checkpoint.
-    val d = spread(corpus) // CPU-bound hashing scan
-      .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh"))
-      .localCheckpoint()
-    val banded = d.select(col("doc_id"),
+    // feeds both sides of the bucket self-join, and Spark does not
+    // dedupe common subtrees — so unmaterialized, the shingle kernel
+    // runs four times and the minhash fold twice. r10 checkpointed both
+    // ("hash once", the signature table a real minhash index persists);
+    // r11 measured the trade FAIRLY (warmed, best-of-2 — the first
+    // post-JIT run reads ~2× slow, which fooled the first attempt at
+    // this comparison): a TIE at 10× the bench corpus (3.8s vs 3.9s)
+    // and a 2.2× WIN for materialization at 40× (8.8s vs 19.5s), where
+    // recompute-inside-join-branches dominates. The ~0.2s it costs at
+    // the sf0.1 bench (one-time materialization of a small corpus) is
+    // the documented price of the scale-correct default. Numbers in
+    // BASELINE.md; re-measured every ScaleSmoke dedup run.
+    val d = mat(spread(corpus) // CPU-bound hashing scan
+      .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh")))
+    val banded = mat(d.select(col("doc_id"),
       posexplode(minhash_bands(col("sh"), NumBands, RowsPerBand)))
-      .toDF("doc_id", "band", "bucket")
-      .localCheckpoint()
+      .toDF("doc_id", "band", "bucket"))
     val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
         Seq("band", "bucket"))
@@ -257,7 +262,10 @@ object Dedup {
     // → signature 0, same bucket behavior as an empty token list.
     // localCheckpoint: the banded view below feeds BOTH sides of the
     // bucket self-join — unmaterialized, the simhash kernel would scan
-    // the corpus twice (the signature table is the index; hash once)
+    // the corpus twice. Same trade as the minhash signature table,
+    // measured fairly in r11 (tie at 10×, 2.2× win for materialization
+    // at 40× — BASELINE.md); the ~0.2s r10 bench delta is the one-time
+    // materialization cost at the small bench corpus.
     val d = spread(docs(spark, dir)) // CPU-bound hashing scan
       .select(col("doc_id"),
         simhash64(tokens(coalesce(col("text"), lit("")))).as("sig"))

@@ -92,9 +92,25 @@ object ScaleSmoke {
         .drop("_r").repartition(64)
         .localCheckpoint() // don't re-replicate inside both timed runs
       val nDocs = rep.count()
-      val (nPairs, pairSecs) = timed(Dedup.minhashLshPairs(rep).count())
+      // the materialized default ("hash once") vs kernel recompute,
+      // measured FAIRLY: the first post-JIT run of either variant reads
+      // ~2× slower than steady state (run order dominated the first r11
+      // attempt at this comparison), so warm both plans once untimed,
+      // then report each variant's best of 2 timed runs. r11 verdict:
+      // tie at 10×, materialization 2.2× ahead at 40× — the default.
+      Dedup.minhashLshPairs(rep).count()
+      Dedup.minhashLshPairs(rep, materialize = false).count()
+      def bestOf2(mat: Boolean): (Long, Double) = {
+        val runs = (1 to 2).map(_ =>
+          timed(Dedup.minhashLshPairs(rep, materialize = mat).count()))
+        (runs.head._1, runs.map(_._2).min)
+      }
+      val (nPairs, pairSecs) = bestOf2(mat = true)
+      val (nPairs2, pairSecs2) = bestOf2(mat = false)
+      assert(nPairs2 == nPairs, s"materialized/raw pair mismatch: $nPairs vs $nPairs2")
       println(f"[scale-smoke] DEDUP docs=$nDocs lsh-pairs=$nPairs " +
-        f"pairs+rerank=${pairSecs}%.1fs")
+        f"pairs+rerank=${pairSecs}%.1fs materialized-default " +
+        f"vs ${pairSecs2}%.1fs recompute (best of 2 each, warmed)")
       val (nClusters, ccSecs) = timed(
         Dedup.connectedComponents(
           Dedup.minhashLshPairs(rep).select(col("id_a"), col("id_b")))
