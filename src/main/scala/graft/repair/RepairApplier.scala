@@ -13,15 +13,20 @@ import org.apache.spark.sql.types.DataType
  * a live cluster: reconcile → plan → apply → reconcile must converge to
  * all-CONSISTENT.
  *
- * Mechanics (one shuffle of the plan on the MV PK + one full-outer merge):
- *  - DELETE rows drop their MV key (left-anti join; the reference's
- *    point-delete);
- *  - UPSERT rows pivot back to wide via map_from_entries, then each MV
- *    regular column takes the upserted value (with its writetime/ttl)
- *    when present, else keeps the existing cell — exactly the reference's
- *    per-column INSERT semantics, including untouched columns surviving
- *    on INCONSISTENT rows (shouldSkipField skips equal columns, so they
- *    never appear in the plan).
+ * Mechanics (ONE aggregation of the plan on the MV PK + ONE full-outer
+ * merge — r11 fused the former separate delete anti-join into the merge,
+ * dropping one full-MV-wide join from the plan):
+ *  - the plan pivots per key to (delete?, mutation map) in one groupBy
+ *    (a key is never both: deletes come from ORPHAN keys, upserts from
+ *    MISSING/INCONSISTENT — disjoint classifications);
+ *  - DELETE-marked keys drop their MV row in the merge's post-filter
+ *    (the reference's point-delete);
+ *  - UPSERT maps apply per column: each MV regular column takes the
+ *    upserted value (with its writetime/ttl) when present, else keeps
+ *    the existing cell — exactly the reference's per-column INSERT
+ *    semantics, including untouched columns surviving on INCONSISTENT
+ *    rows (shouldSkipField skips equal columns, so they never appear in
+ *    the plan).
  *
  * At 100 TB the plan is proportional to the damage, not the table — the
  * merge joins a (typically tiny, broadcast-able) upsert side against the
@@ -55,15 +60,21 @@ object RepairApplier {
     val pk = mvSchema.sortedPk
     val pkCols = pk.map(col)
 
-    val deletes = plan.filter(col("op") === "DELETE").select(pkCols: _*)
-    val upserts = plan.filter(col("op") === "UPSERT")
+    // one damage-proportional aggregate serves both ops: collect_list
+    // skips the null structs DELETE rows produce, so a delete key
+    // carries an empty mutation map plus the _del flag
+    val byKey = plan
       .groupBy(pkCols: _*)
-      .agg(map_from_entries(collect_list(struct(
-        col("column"),
-        struct(col("value"), col("writetime"), col("ttl"))))).as("_mut"))
+      .agg(
+        max(col("op") === "DELETE").as("_del"),
+        map_from_entries(collect_list(when(col("op") === "UPSERT", struct(
+          col("column"),
+          struct(col("value"), col("writetime"), col("ttl")))))).as("_mut"))
 
-    val kept = mv.join(deletes, pk, "left_anti")
-    val merged = kept.join(upserts, pk, "full_outer")
+    val merged = mv.join(byKey, pk, "full_outer")
+      // DELETE keys (and any plan-only row with nothing to upsert) drop
+      // here — the fused replacement for the former left-anti join
+      .filter(!coalesce(col("_del"), lit(false)))
 
     val outCols: Seq[Column] = pkCols ++ mvSchema.sortedRegular.flatMap { c =>
       val mut = col("_mut").getItem(c)
