@@ -361,11 +361,17 @@ object Curation {
    * consumers.
    */
   def tfidfTopK(d: DataFrame, k: Int): DataFrame = {
-    val n = d.count()
     val tf = spread(d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    tfidfFromTf(tf, d.count(), k)
+  }
+
+  /** The scoring core over an already-built `(doc_id, term, tf)`
+   * relation — shared by [[tfidfTopK]] (ad-hoc corpus, checkpointed tf)
+   * and [[textTfidfTopk]] (persisted gram-counts table). */
+  private def tfidfFromTf(tf: DataFrame, n: Long, k: Int): DataFrame = {
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val score = col("tf") * log(lit(n.toDouble) / col("df"))
     val w = Window.partitionBy("doc_id").orderBy(score.desc, col("term"))
@@ -376,9 +382,17 @@ object Curation {
         round(score, 6).as("tfidf"), col("rank").cast("bigint").as("rank"))
   }
 
-  /** Top-3 TF-IDF terms per document of the testdata corpus. */
+  /** Top-3 TF-IDF terms per document of the testdata corpus. r11: the
+   * `(doc, term, tf)` input is the k = 1 slice of the persisted
+   * [[TextAnalysis.gramCounts]] corpus-statistics table, so this query
+   * and text_repetition share ONE tokenize pass per corpus snapshot
+   * (zero on cache hit) instead of one each — same rows, since the
+   * table is built by the identical tokens kernel and aggregate. */
   def textTfidfTopk(spark: SparkSession, dir: String): DataFrame =
-    tfidfTopK(docs(spark, dir), 3)
+    tfidfFromTf(
+      TextAnalysis.gramCounts(spark, dir).filter(col("k") === 1)
+        .select(col("doc_id"), col("g").as("term"), col("cnt").as("tf")),
+      docs(spark, dir).count(), 3)
 
   // ------------------------------------------------------ composed pipeline
 

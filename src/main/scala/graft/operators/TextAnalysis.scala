@@ -130,6 +130,49 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document n-gram counts `(doc_id, k, g, cnt)` (k = 1 unigrams,
+   * k = 2 bigrams) — the shared corpus-statistics table behind
+   * [[textRepetition]] and the wired TF-IDF
+   * ([[Curation.textTfidfTopk]]): both aggregate exactly this relation,
+   * and the tokenize scan that produces it is each query's dominant
+   * corpus-side cost (r10 verdict #6: the two queries tokenized the
+   * corpus once EACH). Persisted via the shared
+   * [[graft.sources.ModelCache]] (dataset-identity key, atomic publish,
+   * HIT/MISS line under `graft-grams`) like the LM vocabulary — real
+   * pipelines materialize corpus statistics once per corpus snapshot,
+   * not per query. Unlike the MB-scale models this table is
+   * corpus-derived (one row per distinct per-doc gram), so it keeps its
+   * partitioning on write (`singleFile = false`): at 100 TB it is an
+   * index-build output, and one writer task would be the bottleneck.
+   * The fit is deterministic, so hit and miss are bit-identical and the
+   * DuckDB oracles (which re-derive from raw text) stay exact.
+   *
+   * Plan shape of the fit: ONE explode emits every unigram and bigram
+   * as a tagged struct, so the corpus is scanned and tokenized once;
+   * the aggregation shuffle carries one row per distinct (doc, kind,
+   * gram), never text. The bigram array is built with an index-aware
+   * `transform` whose `greatest(…, 0)` slice length makes 0/1-token
+   * docs yield an empty array instead of a slice error, and keeps the
+   * explode child COMPLEX so InferFiltersFromGenerate cannot clone the
+   * tokenizer below the spread repartition (r07 plan-audit trap).
+   */
+  def gramCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ModelCache.loadOrFit(spark, s"$dir/documents.parquet",
+      "gramcounts-v1",
+      sys.env.getOrElse("GRAFT_GRAMS_CACHE", "/tmp/graft-grams-cache"),
+      "graft-grams", singleFile = false) {
+      val base = spread(docs(spark, dir).select(col("doc_id"), col("text")))
+      val uniS = transform(toks, t => struct(lit(1).as("k"), t.as("g")))
+      val biS = transform(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        (t, i) => struct(lit(2).as("k"),
+          concat(t, lit(" "), element_at(toks, i + lit(2))).as("g")))
+      base.select(col("doc_id"), explode(concat(uniS, biS)).as("kg"))
+        .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
+        .groupBy("doc_id", "k", "g").agg(count(lit(1)).as("cnt"))
+    }
+
+  /**
    * Repetition metrics — the Gopher-style "repetitious document" filters
    * (Rae et al. 2021 §A1.1): distinct-token ratio, most-frequent-unigram
    * fraction, most-frequent-bigram fraction. Boilerplate, templated spam
@@ -154,18 +197,14 @@ object TextAnalysis {
    * could clone below the spread (r07 plan-audit trap; the explode
    * child stays COMPLEX, so InferFiltersFromGenerate does not clone
    * the tokenizer below the spread either).
+   *
+   * r11: the (doc, kind, gram, cnt) relation moved into the shared
+   * [[gramCounts]] corpus-statistics table (persisted, ModelCache), so
+   * this query and the wired TF-IDF aggregate ONE tokenize pass between
+   * them — and repeat runs tokenize nothing at all.
    */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val base = spread(docs(spark, dir).select(col("doc_id"), col("text")))
-    val uniS = transform(toks, t => struct(lit(1).as("k"), t.as("g")))
-    val biS = transform(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      (t, i) => struct(lit(2).as("k"),
-        concat(t, lit(" "), element_at(toks, i + lit(2))).as("g")))
-    val grams = base.select(col("doc_id"), explode(concat(uniS, biS)).as("kg"))
-      .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
-    val stats = grams
-      .groupBy("doc_id", "k", "g").agg(count(lit(1)).as("cnt"))
+    val stats = gramCounts(spark, dir)
       .groupBy("doc_id").agg(
         sum(when(col("k") === 1, col("cnt"))).as("n_tokens"),
         count(when(col("k") === 1, lit(1))).as("n_distinct"),

@@ -55,7 +55,8 @@ object ModelCache {
    * hit and miss return byte-identical artifacts.
    */
   def loadOrFit(spark: SparkSession, dataPath: String, variant: String,
-      root: String, tag: String)(fit: => DataFrame): DataFrame = {
+      root: String, tag: String, singleFile: Boolean = true)(
+      fit: => DataFrame): DataFrame = {
     val path = cachePath(dataPath, variant, root)
     if (new java.io.File(path, "_SUCCESS").exists()) {
       System.err.println(s"[$tag] model cache HIT $path")
@@ -64,7 +65,12 @@ object ModelCache {
       sweepStaleTmp(new java.io.File(path))
       val tmp = new java.io.File(
         path + s".tmp-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
-      fit.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      // singleFile suits MB-scale models (vocab, quantizer); corpus-
+      // DERIVED statistics tables (per-doc gram counts) keep their
+      // partitioning — at scale those are index-build tables, and one
+      // writer task would be the bottleneck
+      (if (singleFile) fit.coalesce(1) else fit)
+        .write.mode("overwrite").parquet(tmp.getPath)
       if (!tmp.renameTo(new java.io.File(path))) {
         // another writer won the race: discard ours, read the winner's
         def rm(f: java.io.File): Unit = {
