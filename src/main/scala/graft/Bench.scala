@@ -37,6 +37,10 @@ object Bench {
     // format-pluggability proof: writes both sides to CSV then
     // reconciles — its file IO would drown the extended trend in noise
     "recon_classify_csv",
+    // Z-order write round-trip of the curated output: same argument —
+    // tmpfs write IO, not an operator; pruning is measured in the
+    // curation scale smoke
+    "pipeline_curate_layout",
     // streaming-replay correctness harnesses: write parquet feeds and
     // replay micro-batches through the streaming engine — they measure
     // micro-batch scheduling, not the operators

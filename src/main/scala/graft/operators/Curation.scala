@@ -447,6 +447,38 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** [[pipelineCurate]] closed through the WRITE path (the r10
+   * verdict's layout loop): the curated output is Z-order-clustered on
+   * (doc_id, n_chars) — [[Layout.clusterByZOrder]], the columns later
+   * point/range probes filter on — written to parquet, and read BACK
+   * with the Morton layout key attached per surviving doc. The oracle
+   * re-derives the whole curation chain AND the bit interleave in
+   * DuckDB, so a row lost, duplicated, or mutated anywhere in the
+   * clustered write round-trip turns the hash red. File-level pruning
+   * on this exact written layout is MEASURED in ScaleSmoke `curation`
+   * (curated-output probe). The write is tmpfs IO, so the query is
+   * benchExcluded like the CSV round-trip. */
+  def pipelineCurateLayout(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curated-z").toString
+    Layout.clusterByZOrder(pipelineCurate(spark, dir), 8,
+      col("doc_id"), col("n_chars"))
+      .write.mode("overwrite").parquet(tmp)
+    // eager checkpoint so the round-trip files can be deleted before
+    // the caller consumes the result (the recon_classify_csv pattern)
+    val out = spark.read.parquet(tmp)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        graft.functions.LayoutFunctions.morton2(col("doc_id"), col("n_chars"))
+          .as("zvalue"))
+      .localCheckpoint()
+    deleteRecursively(new java.io.File(tmp))
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_bernoulli" -> sampleBernoulli,
     "sample_stratified" -> sampleStratified,
@@ -455,7 +487,8 @@ object Curation {
     "decon_exact_substring" -> deconExactSubstring,
     "decon_exact_tiled" -> deconExactTiled,
     "text_tfidf_topk" -> textTfidfTopk,
-    "pipeline_curate" -> pipelineCurate)
+    "pipeline_curate" -> pipelineCurate,
+    "pipeline_curate_layout" -> pipelineCurateLayout)
 
   private val Mix32Sql =
     s"((doc_id % $PreMod) * $KnuthA) % 4294967296"
@@ -497,6 +530,16 @@ object Curation {
          WHERE c.doc_id % 50 <> 0
          GROUP BY c.doc_id""",
     "pipeline_curate" -> HashOracleSql.pipelineCurate(Mix32Sql),
+    // the curated rows again, surviving the Z-order write round-trip,
+    // each with its Morton layout key (the q_zorder_values bit fold)
+    "pipeline_curate_layout" ->
+      s"""WITH _cur AS (${HashOracleSql.pipelineCurate(Mix32Sql)})
+          SELECT doc_id, lang, source, n_chars,
+            CAST(list_sum(list_transform(range(0, 32),
+              i -> (((doc_id >> i) & 1) << (2 * i))
+                 + (((n_chars >> i) & 1) << (2 * i + 1)))) AS BIGINT)
+              AS zvalue
+          FROM _cur""",
     "text_tfidf_topk" ->
       """WITH tk AS (
            SELECT doc_id,

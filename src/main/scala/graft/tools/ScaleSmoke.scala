@@ -210,10 +210,16 @@ object ScaleSmoke {
       // on the replicated corpus (written out so the wired (spark, dir)
       // query runs unmodified). The replicas are distinct doc_ids with
       // identical text, so the dedup stage does real work at scale.
+      // key shift preserves doc_id % 50 (10M % 50 == 0), so the chain's
+      // benchmark split stays the 2% slice it is on the real corpus —
+      // the old doc_id*factor+r remap promoted 20% of TEXTS into the
+      // benchmark and the decon stage flagged the entire corpus: the
+      // timed chain was producing ZERO curated rows (caught by the r11
+      // layout probe's min/max read)
       val curDir = "/tmp/graft-smoke-cur"
       spark.read.parquet(s"$dir/documents.parquet")
         .crossJoin(spark.range(factor).select(col("id").as("_r")))
-        .withColumn("doc_id", col("doc_id") * factor + col("_r"))
+        .withColumn("doc_id", col("doc_id") + col("_r") * 10000000L)
         .drop("_r").repartition(64)
         .write.mode("overwrite").parquet(s"$curDir/documents.parquet")
       def execute(df: DataFrame): Unit =
@@ -222,6 +228,44 @@ object ScaleSmoke {
       val (_, pipeSecs) = timed(execute(Curation.pipelineCurate(spark, curDir)))
       println(f"[scale-smoke] CURATION pipeline_curate docs=$nDocs " +
         f"time=${pipeSecs}%.1fs (${nDocs / pipeSecs / 1000}%.0fk docs/s)")
+
+      // Curated-output layout probe (r11): the chain's output written
+      // TWO ways — ingest-order and Z-order-clustered on
+      // (doc_id, n_chars), the write a 100 TB curation job ends with —
+      // probed with ~2% range filters on each key column. "Files" =
+      // outputs whose parquet footer min/max overlap the probe (what
+      // row-group pruning reads); the Z copy must collapse both probes,
+      // the flat copy neither.
+      locally {
+        import graft.operators.Layout
+        val curated = Curation.pipelineCurate(spark, curDir).localCheckpoint()
+        val nCur = curated.count()
+        assert(nCur > 0, "curated output is EMPTY — the timed chain above measured nothing")
+        println(s"[scale-smoke] CURATION curated-rows=$nCur")
+        val flatDir = "/tmp/graft-smoke-cur-flat"
+        val zDir = "/tmp/graft-smoke-cur-z"
+        curated.repartition(32).write.mode("overwrite").parquet(flatDir)
+        Layout.clusterByZOrder(curated, 32, col("doc_id"), col("n_chars"))
+          .write.mode("overwrite").parquet(zDir)
+        val b = curated.agg(min("doc_id"), max("doc_id"),
+          min("n_chars"), max("n_chars")).head()
+        val idCut = (b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 50,
+          b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 25)
+        val ncCut = (b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 50,
+          b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 25)
+        def candidates(path: String, c: String, cut: (Long, Long)): Int =
+          new java.io.File(path).listFiles()
+            .filter(_.getName.endsWith(".parquet")).count { f =>
+              val r = spark.read.parquet(f.getPath)
+                .agg(min(col(c)), max(col(c))).head()
+              r.getLong(0) <= cut._2 && r.getLong(1) >= cut._1
+            }
+        def both(c: String, cut: (Long, Long)): String =
+          s"flat=${candidates(flatDir, c, cut)}/32 " +
+            s"zorder=${candidates(zDir, c, cut)}/32"
+        println(s"[scale-smoke] CURATION layout doc_id-probe:  ${both("doc_id", idCut)}")
+        println(s"[scale-smoke] CURATION layout n_chars-probe: ${both("n_chars", ncCut)}")
+      }
     }
 
     if (args.contains("relational")) {
