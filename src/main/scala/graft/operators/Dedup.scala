@@ -327,6 +327,20 @@ object Dedup {
     semanticKeepers(e, Similarity.loadOrFitCentroids(spark, dir, e))
   }
 
+  /** [[dedupSemantic]] with cell assignment through the bucket-pruned
+   * [[graft.functions.CentroidIndex]] at `numPlanes = 1`, where the
+   * probe set covers both buckets and the indexed argmax is provably
+   * exact (see [[Similarity.simAnnIvfPruned]]) — so this row shares
+   * dedup_semantic's unrolled-Lloyd DuckDB oracle verbatim and the
+   * C ≳ 10⁴ assignment path is driver-verified through BOTH its
+   * consumers (ANN probe and SemDeDup keeper search). */
+  def dedupSemanticPruned(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    semanticKeepers(e, Similarity.loadOrFitCentroids(spark, dir, e),
+      indexPlanes = Some(1))
+  }
+
   /** The cell-bucketed keeper search behind [[dedupSemantic]],
    * parameterized over the quantizer so the scale smoke can grow the
    * centroid count with the corpus (the contract that keeps per-cell
@@ -364,7 +378,8 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
-    "dedup_semantic" -> dedupSemantic)
+    "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_pruned" -> dedupSemanticPruned)
 
   private val ShSql =
     """list_distinct(list_transform(
@@ -429,5 +444,7 @@ object Dedup {
     "dedup_minhash_lsh" -> HashOracleSql.minhashLsh,
     "dedup_clusters_lsh" -> HashOracleSql.minhashLshClusters,
     "dedup_simhash" -> HashOracleSql.simhashPairs,
-    "dedup_semantic" -> HashOracleSql.semDedup)
+    "dedup_semantic" -> HashOracleSql.semDedup,
+    // the pruned path at numPlanes=1 is exact — identical oracle
+    "dedup_semantic_pruned" -> HashOracleSql.semDedup)
 }
