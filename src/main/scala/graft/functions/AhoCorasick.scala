@@ -25,8 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * Representation: trie nodes as parallel int arrays (`fail`, `emit`,
  * `outLink`) plus ONE open-addressing hash table for all goto edges
  * (key = state·256 + byte) — no per-node objects, so a dictionary of
- * 10⁵ × 16-byte patterns is a few MB of flat arrays that ship to
- * executors once, inside the task binary, like the IVF centroid matrix.
+ * 10⁵ × 16-byte patterns is a few MB of flat arrays, shipped to
+ * executors as ONE broadcast per JVM (see [[AcFindAll]] — a task-binary
+ * copy per task OOMs at 10⁶-tile dictionaries).
  * Matching follows fail links (NFA form): each input byte raises the
  * trie depth by at most one and every fail hop lowers it, so a document
  * scan is amortized O(len) plus O(1) per reported match via `outLink`

@@ -169,7 +169,7 @@ object Curation {
    * per-string (occurrences, min bench id) stats, collected to the
    * driver like the IVF centroid model, and compiled ONCE into an
    * Aho–Corasick automaton ([[graft.functions.AhoCorasick]]) that ships
-   * to executors as a single reference object. Each document is then
+   * to executors as a single broadcast per JVM. Each document is then
    * scanned in ONE amortized-linear pass that finds every occurring
    * snippet regardless of the dictionary size — the r9 form joined on
    * `text.contains(sn)`, a broadcast nested loop scanning each document
