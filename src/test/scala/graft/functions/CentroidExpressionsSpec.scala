@@ -47,6 +47,16 @@ class CentroidExpressionsSpec extends SparkSpec {
     assert(out === 3)
   }
 
+  test("an index with more than 63 planes is rejected (bucket shifts would wrap)") {
+    val m = Array(Array(1f, 0f), Array(0f, 1f))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.CentroidIndex.build(m, Array(1, 2), numPlanes = 64)
+    }
+    assert(e.getMessage.contains("[0, 63]"))
+    // 63 itself is the legal ceiling
+    graft.functions.CentroidIndex.build(m, Array(1, 2), numPlanes = 63): Unit
+  }
+
   test("an empty centroid model is rejected at construction") {
     // the r9 literal form silently yielded null cids on an empty model;
     // the kernel fails fast with a diagnosable message instead

@@ -39,6 +39,26 @@ class ModelCacheSpec extends SparkSpec {
     assert(before !== after)
   }
 
+  test("a stale orphaned tmp dir is swept on the next fit; a fresh one is spared") {
+    val data = freshData("sweep")
+    val root = java.nio.file.Files.createTempDirectory("graft-mc-root").toString
+    val target = new java.io.File(ModelCache.cachePath(data, "v1", root))
+    target.getParentFile.mkdirs()
+    // a crashed fit's leftover: old enough to be unambiguously dead
+    val stale = new java.io.File(target.getPath + ".tmp-999-1")
+    stale.mkdirs()
+    new java.io.File(stale, "part-junk").createNewFile()
+    stale.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    // a concurrent live fit's tmp dir: recent mtime, must survive
+    val fresh = new java.io.File(target.getPath + ".tmp-999-2")
+    fresh.mkdirs()
+    ModelCache.loadOrFit(spark, data, "v1", root, "graft-test") {
+      Seq(("x", 1L)).toDF("term", "cnt")
+    }.collect()
+    assert(!stale.exists(), "stale tmp dir should have been swept")
+    assert(fresh.exists(), "recent tmp dir must be spared")
+  }
+
   test("variant (hyperparameter) changes key; identical params share it") {
     val data = freshData("var")
     val root = "/tmp/graft-mc-any"
