@@ -327,8 +327,13 @@ object ScaleSmoke {
       ).foreach { case (name, q) =>
         execute(q(spark, relDir)) // warmup: codegen/JIT outside timing
         val (_, s) = timed(execute(q(spark, relDir)))
+        // rows printed and asserted non-empty: a degenerate replication
+        // that filtered everything out would otherwise read as a FAST
+        // run (the r11 curation-smoke lesson)
+        val rows = q(spark, relDir).count()
+        assert(rows > 0, s"$name produced no rows on the replicated corpus")
         println(f"[scale-smoke] RELATIONAL $name lineitem=$nLi " +
-          f"time=${s}%.1fs (${nLi / s / 1e6}%.2fM rows/s)")
+          f"time=${s}%.1fs (${nLi / s / 1e6}%.2fM rows/s, $rows rows)")
       }
     }
 
