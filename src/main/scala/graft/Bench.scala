@@ -37,6 +37,9 @@ object Bench {
     // format-pluggability proof: writes both sides to CSV then
     // reconciles — its file IO would drown the extended trend in noise
     "recon_classify_csv",
+    // rate-limiter row-transparency proof: deliberately sleeps inside
+    // the scan; bench runs unthrottled per BASELINE.md
+    "recon_classify_throttled",
     // Z-order write round-trip of the curated output: same argument —
     // tmpfs write IO, not an operator; pruning is measured in the
     // curation scale smoke

@@ -121,6 +121,25 @@ object ReconQueries {
     f.delete(): Unit
   }
 
+  /** Operators D/N (scan/mutation rate limiting) driver-verified: the
+   * SAME classification as [[reconClassify]] with BOTH scans wrapped in
+   * [[graft.sources.Throttle.perPartitionRows]] — the reference's
+   * guava-RateLimiter-per-row ceiling (MvSync.java:250-255). The
+   * throughput EFFECT is spec'd (ThrottleSpec) and disabled for bench
+   * per BASELINE.md; what the oracle pins is that the token bucket is
+   * ROW-TRANSPARENT — a hash match proves every partition forwards
+   * every row unchanged through the rate-limited iterator. The rate is
+   * set high enough (100k rows/s/partition) that the sf0.01 run pays
+   * microseconds, not the reference's 10-rows/s default. */
+  def reconClassifyThrottled(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Throttle
+    MvReconciler.reconcile(
+      Throttle.perPartitionRows(MvSyncDemo.baseDf(spark, dir), 100000),
+      Throttle.perPartitionRows(MvSyncDemo.mvDf(spark, dir), 100000),
+      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+      .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
+  }
+
   /** Stats aggregation (operator J): category counts. */
   def reconStats(spark: SparkSession, dir: String): DataFrame =
     StatsCollector.byProblem(classified(spark, dir))
@@ -288,6 +307,7 @@ object ReconQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recon_classify" -> reconClassify,
     "recon_classify_csv" -> reconClassifyCsv,
+    "recon_classify_throttled" -> reconClassifyThrottled,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
     "recon_stream_replay" -> reconStreamReplay,
     "recon_report_lines" -> reconReportLines,
@@ -303,6 +323,9 @@ object ReconQueries {
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     // same oracle as recon_classify: the CSV round-trip must be invisible
     "recon_classify_csv" ->
+      (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
+    // same oracle again: the rate limiter must be row-transparent
+    "recon_classify_throttled" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     "recon_classify_alltypes" -> AllTypesFixture.oracleSql,
     // the streaming replay settles to the SAME classification the batch
