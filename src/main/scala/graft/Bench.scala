@@ -40,6 +40,9 @@ object Bench {
     // rate-limiter row-transparency proof: deliberately sleeps inside
     // the scan; bench runs unthrottled per BASELINE.md
     "recon_classify_throttled",
+    // stats-LINE format proof: same classify cost as the already-swept
+    // recon_stats plus driver string assembly — a duplicate trend line
+    "recon_stats_line",
     // Z-order write round-trip of the curated output: same argument —
     // tmpfs write IO, not an operator; pruning is measured in the
     // curation scale smoke

@@ -140,6 +140,22 @@ object ReconQueries {
       .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
   }
 
+  /** Operator P's observable — the reference's one-line stats summary
+   * (JobStats.java:43-75, the exact line MvSync prints and stats.txt
+   * stores) — as an oracle row: [[StatsCollector.collect]] assembles
+   * the line for the fully-enabled repair configuration from the
+   * classified frame (category counts via one aggregation; the repair
+   * counters are the same flag-gated arithmetic the reference applies,
+   * MvSync.java:380-414), and DuckDB reconstructs the identical string
+   * from the classified CTE — a hash match pins every counter AND the
+   * exact `name: value, ` formatting byte-for-byte. */
+  def reconStatsLine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = StatsCollector.collect(classified(spark, dir),
+      fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
+    Seq(stats.toString).toDF("stats_line")
+  }
+
   /** Stats aggregation (operator J): category counts. */
   def reconStats(spark: SparkSession, dir: String): DataFrame =
     StatsCollector.byProblem(classified(spark, dir))
@@ -312,6 +328,7 @@ object ReconQueries {
     "recon_stream_replay" -> reconStreamReplay,
     "recon_report_lines" -> reconReportLines,
     "recon_stats" -> reconStats,
+    "recon_stats_line" -> reconStatsLine,
     "recon_timescope" -> reconTimescope,
     "recon_repair_plan" -> reconRepairPlan,
     "recon_repair_plan_guarded" -> reconRepairPlanGuarded,
@@ -334,6 +351,25 @@ object ReconQueries {
     "recon_report_lines" -> AllTypesFixture.reportOracleSql,
     "recon_stats" ->
       (Cte + "SELECT problem, CAST(count(*) AS BIGINT) AS n FROM classified GROUP BY problem"),
+    // the reference stats LINE rebuilt as one string: all-fix-flags
+    // arithmetic (del = missing-in-base, upsert = missing-in-mv +
+    // inconsistent; the offline sink never errs)
+    "recon_stats_line" ->
+      (Cte + """, c AS (SELECT count(*) AS tot,
+        count(*) FILTER (WHERE problem = 'CONSISTENT') AS cons,
+        count(*) FILTER (WHERE problem = 'INCONSISTENT') AS inc,
+        count(*) FILTER (WHERE problem = 'MISSING_IN_BASE_TABLE') AS mb,
+        count(*) FILTER (WHERE problem = 'MISSING_IN_MV_TABLE') AS mm
+        FROM classified)
+      SELECT 'totRecords: ' || tot || ', skippedRecords: 0, consistentRecords: '
+        || cons || ', inConsistentRecords: ' || inc
+        || ', missingBaseTableRecords: ' || mb || ', missingMvRecords: ' || mm
+        || ', repairRecords: ' || (mb + mm + inc) || ', notRepairRecords: 0'
+        || ', delAttemptedRecords: ' || mb || ', delErrRecords: 0'
+        || ', delSuccessRecords: ' || mb || ', notDelRecords: 0'
+        || ', upsertAttemptedRecords: ' || (mm + inc) || ', upsertErrRecords: 0'
+        || ', upsertSuccessRecords: ' || (mm + inc) AS stats_line
+      FROM c"""),
     "recon_timescope" ->
       (Cte +
         """SELECT CASE WHEN (b_wt < 820454400000000 OR b_wt > 915148800000000)
