@@ -43,6 +43,9 @@ object Bench {
     // stats-LINE format proof: same classify cost as the already-swept
     // recon_stats plus driver string assembly — a duplicate trend line
     "recon_stats_line",
+    // observe-channel metrics proof: runs its own internal noop action
+    // (the observation needs one) — same classify cost again
+    "recon_observe",
     // Z-order write round-trip of the curated output: same argument —
     // tmpfs write IO, not an operator; pruning is measured in the
     // curation scale smoke

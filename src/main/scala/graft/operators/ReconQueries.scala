@@ -156,6 +156,26 @@ object ReconQueries {
     Seq(stats.toString).toDF("stats_line")
   }
 
+  /** Operator U (metrics registry, the reference's Codahale counters —
+   * MvSyncJobMetrics.java:6-24) driver-verified: the zero-extra-job
+   * [[StatsCollector.observed]] path piggybacks category counts onto
+   * the classify action via `Dataset.observe`, and this row emits the
+   * OBSERVATION itself (not a second aggregation) as one row — the
+   * DuckDB oracle recomputes the same five counters from the classified
+   * CTE, so a hash match proves the observe-channel metrics equal the
+   * data they were observed from. */
+  def reconObserve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (df, obs) = StatsCollector.observed(classified(spark, dir))
+    df.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    def g(k: String): Long = m(k).asInstanceOf[Long]
+    Seq((g("totRecords"), g(MvReconciler.Consistent), g(MvReconciler.Inconsistent),
+      g(MvReconciler.MissingInBase), g(MvReconciler.MissingInMv)))
+      .toDF("tot_records", "n_consistent", "n_inconsistent",
+        "n_missing_base", "n_missing_mv")
+  }
+
   /** Stats aggregation (operator J): category counts. */
   def reconStats(spark: SparkSession, dir: String): DataFrame =
     StatsCollector.byProblem(classified(spark, dir))
@@ -329,6 +349,7 @@ object ReconQueries {
     "recon_report_lines" -> reconReportLines,
     "recon_stats" -> reconStats,
     "recon_stats_line" -> reconStatsLine,
+    "recon_observe" -> reconObserve,
     "recon_timescope" -> reconTimescope,
     "recon_repair_plan" -> reconRepairPlan,
     "recon_repair_plan_guarded" -> reconRepairPlanGuarded,
@@ -370,6 +391,14 @@ object ReconQueries {
         || ', upsertAttemptedRecords: ' || (mm + inc) || ', upsertErrRecords: 0'
         || ', upsertSuccessRecords: ' || (mm + inc) AS stats_line
       FROM c"""),
+    // the observe-channel metrics must equal a direct recount
+    "recon_observe" ->
+      (Cte + """SELECT count(*) AS tot_records,
+        count(*) FILTER (WHERE problem = 'CONSISTENT') AS n_consistent,
+        count(*) FILTER (WHERE problem = 'INCONSISTENT') AS n_inconsistent,
+        count(*) FILTER (WHERE problem = 'MISSING_IN_BASE_TABLE') AS n_missing_base,
+        count(*) FILTER (WHERE problem = 'MISSING_IN_MV_TABLE') AS n_missing_mv
+      FROM classified"""),
     "recon_timescope" ->
       (Cte +
         """SELECT CASE WHEN (b_wt < 820454400000000 OR b_wt > 915148800000000)
