@@ -97,6 +97,33 @@ object Curation {
     bernoulli(docs(spark, dir), col("doc_id"), 10)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
+  /**
+   * Deterministic train/val/test split — the assignment every training
+   * run needs before anything else: each row lands in exactly one split
+   * as a pure function of its KEY (the same multiplicative-hash
+   * decision as [[bernoulli]]), so the split is reproducible across
+   * runs, engines, and repartitions, rows never migrate between splits
+   * when the corpus is appended to (a new doc's assignment does not
+   * depend on the old docs), and NO shuffle or global count is involved
+   * — a scan-local codegen'd CASE at any scale. `pcts` are cumulative
+   * upper bounds in [0,100): e.g. (90, 95) → 90% train, 5% val, 5%
+   * test. */
+  def splitAssign(df: DataFrame, key: Column,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"train/val percentages must leave room for test: $trainPct/$valPct")
+    val h = mix32(key) % 100
+    df.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Wired 90/5/5 split of the documents table. */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(docs(spark, dir), col("doc_id"), 90, 5)
+      .select(col("doc_id"), col("source"), col("split"))
+
   /** Exactly 20 documents per language stratum. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
     stratified(docs(spark, dir), col("lang"), col("doc_id"), 20)
@@ -523,6 +550,7 @@ object Curation {
     "sample_bernoulli" -> sampleBernoulli,
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
+    "sample_split" -> sampleSplit,
     "decon_ngram_overlap" -> deconNgramOverlap,
     "decon_exact_substring" -> deconExactSubstring,
     "decon_exact_tiled" -> deconExactTiled,
@@ -548,6 +576,12 @@ object Curation {
           WHERE ($Mix32Sql) % 100 <
             CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
                         WHEN 'src2' THEN 25 ELSE 10 END""",
+    "sample_split" ->
+      s"""SELECT doc_id, source,
+            CASE WHEN ($Mix32Sql) % 100 < 90 THEN 'train'
+                 WHEN ($Mix32Sql) % 100 < 95 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents""",
     "decon_ngram_overlap" -> HashOracleSql.deconOverlap,
     "decon_exact_substring" ->
       """WITH snip AS (

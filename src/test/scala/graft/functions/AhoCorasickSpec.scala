@@ -35,6 +35,26 @@ class AhoCorasickSpec extends SparkSpec {
     assert(matches(ac, "baab") === Seq(0, 1))
   }
 
+  test("property: agrees with brute-force contains on random 3-letter-alphabet inputs") {
+    // a tiny alphabet maximizes pattern overlap, nesting, and repeated
+    // occurrences — the adversarial regime for fail/output links that
+    // structured fixtures undersample
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val abc = Gen.oneOf('a', 'b', 'c')
+    val pat = Gen.choose(1, 6).flatMap(n => Gen.stringOfN(n, abc))
+    val cases = for {
+      pats <- Gen.choose(1, 30).flatMap(k => Gen.listOfN(k, pat)).map(_.distinct)
+      text <- Gen.choose(0, 200).flatMap(n => Gen.stringOfN(n, abc))
+    } yield (pats, text)
+    val prop = Prop.forAll(cases) { case (pats, text) =>
+      val ac = AhoCorasick.build(pats.map(_.getBytes("UTF-8")).toArray)
+      val expected = pats.indices.filter(i => text.contains(pats(i)))
+      matches(ac, text) == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("agrees with a brute-force contains sweep") {
     val pats = (0 until 300).map(i => s"pat${i}x${i % 7}").toArray
     val ac = AhoCorasick.build(pats.map(_.getBytes("UTF-8")))

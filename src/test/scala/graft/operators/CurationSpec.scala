@@ -27,6 +27,29 @@ class CurationSpec extends SparkSpec {
     assert(a.size > 350 && a.size < 650, s"got ${a.size} of 5000")
   }
 
+  test("train/val/test split is key-pure, covering, and append-stable") {
+    val d = spark.range(0, 4000).toDF("doc_id")
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Curation.splitAssign(df, col("doc_id"), 90, 5)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splits(d)
+    // every row in exactly one split; proportions near 90/5/5
+    assert(a.size === 4000)
+    val byLabel = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel("train") > 3400 && byLabel("val") > 100 && byLabel("test") > 100)
+    // partitioning-invariant
+    assert(splits(d.repartition(7)) === a)
+    // append-stable: the original rows keep their assignment when the
+    // corpus grows (no dependence on global state)
+    val grown = splits(spark.range(0, 8000).toDF("doc_id"))
+    assert(a.forall { case (k, v) => grown(k) == v })
+    // degenerate percentages rejected
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign(d, col("doc_id"), 95, 5)
+    }
+  }
+
   test("weighted sampling applies per-stratum rates; rate 100 keeps all") {
     val d = spark.range(0, 3000).toDF("doc_id")
       .withColumn("src", concat(lit("s"), (col("doc_id") % 3).cast("string")))
