@@ -42,12 +42,17 @@ object Curation {
   /** Knuth's multiplicative constant ⌊2³²/φ⌋ (golden-ratio hashing). */
   private val KnuthA = 2654435761L
 
-  /** Deterministic 32-bit mix of a non-negative id column. NOT a
-   * cryptographic or even avalanche-quality hash — it is a seedable,
-   * engine-portable spreader: multiplicative hashing scrambles the low
-   * bits thoroughly (Knuth TAOCP §6.4), which is what `% rate` and
-   * rank-ordering consume. */
-  private def mix32(c: Column): Column = ((c % PreMod) * KnuthA) % 4294967296L
+  /** Deterministic 32-bit mix of an id column. NOT a cryptographic or
+   * even avalanche-quality hash — it is a seedable, engine-portable
+   * spreader: multiplicative hashing scrambles the low bits thoroughly
+   * (Knuth TAOCP §6.4), which is what `% rate` and rank-ordering
+   * consume. The final reduction is `pmod`, not `%`: a negative key's
+   * sign-preserving remainder would be negative, and every downstream
+   * `h % 100 < pct` test would silently class such rows as kept/'train'.
+   * With pmod the result is in [0, 2³²) for ANY key, and the DuckDB
+   * oracle ([[Mix32Sql]]) applies the same positive-mod fold. */
+  private def mix32(c: Column): Column =
+    pmod((c % PreMod) * KnuthA, lit(4294967296L))
 
   /** Reproducible Bernoulli sample: keep a row iff
    * `mix32(key) % 100 < pct`. Unlike `df.sample()`, the decision is a
@@ -105,9 +110,9 @@ object Curation {
    * runs, engines, and repartitions, rows never migrate between splits
    * when the corpus is appended to (a new doc's assignment does not
    * depend on the old docs), and NO shuffle or global count is involved
-   * — a scan-local codegen'd CASE at any scale. `pcts` are cumulative
-   * upper bounds in [0,100): e.g. (90, 95) → 90% train, 5% val, 5%
-   * test. */
+   * — a scan-local codegen'd CASE at any scale. The parameters are
+   * split WIDTHS, not cumulative bounds: (trainPct=90, valPct=5) →
+   * 90% train, 5% val, and the remaining 5% test. */
   def splitAssign(df: DataFrame, key: Column,
       trainPct: Int, valPct: Int): DataFrame = {
     require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
@@ -558,8 +563,9 @@ object Curation {
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_layout" -> pipelineCurateLayout)
 
+  // positive-mod fold matching mix32's pmod (DuckDB % is sign-preserving)
   private val Mix32Sql =
-    s"((doc_id % $PreMod) * $KnuthA) % 4294967296"
+    s"((((doc_id % $PreMod) * $KnuthA) % 4294967296) + 4294967296) % 4294967296"
 
   val oracleSql: Map[String, String] = Map(
     "sample_bernoulli" ->
@@ -605,7 +611,10 @@ object Curation {
          GROUP BY c.doc_id""",
     "pipeline_curate" -> HashOracleSql.pipelineCurate(Mix32Sql),
     // the curated rows again, surviving the Z-order write round-trip,
-    // each with its Morton layout key (the q_zorder_values bit fold)
+    // each with its Morton layout key (the q_zorder_values bit fold;
+    // same <2^31 input assumption as documented at Layout.oracleSql —
+    // the i=31 odd term's <<63 goes through HUGEINT in DuckDB but wraps
+    // into the sign bit in Scala, identical only below 2^31)
     "pipeline_curate_layout" ->
       s"""WITH _cur AS (${HashOracleSql.pipelineCurate(Mix32Sql)})
           SELECT doc_id, lang, source, n_chars,

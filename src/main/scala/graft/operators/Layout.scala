@@ -77,6 +77,12 @@ object Layout {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_values" -> qZorderValues)
 
+  // NOTE: the fold's i=31 odd-bit term shifts <<63; DuckDB evaluates it
+  // via HUGEINT promotion where Scala wraps into the long sign bit, so
+  // the two agree only while doc_id and n_chars stay below 2^31. That
+  // holds for doc ids and char counts at any testdata SF (and for any
+  // realistic per-doc char count); a key domain reaching 2^31 would need
+  // a pre-mask on BOTH sides, not a wider fold.
   val oracleSql: Map[String, String] = Map(
     "q_zorder_values" ->
       """SELECT doc_id, n_chars,

@@ -62,7 +62,10 @@ object RepairApplier {
 
     // one damage-proportional aggregate serves both ops: collect_list
     // skips the null structs DELETE rows produce, so a delete key
-    // carries an empty mutation map plus the _del flag
+    // carries an empty mutation map plus the _del flag. The merge below
+    // drops _del keys outright, discarding any upsert the same key
+    // hypothetically carried — sound because plan ops are DISJOINT per
+    // key (pinned by the op-disjointness spec in RepairPlannerSpec)
     val byKey = plan
       .groupBy(pkCols: _*)
       .agg(

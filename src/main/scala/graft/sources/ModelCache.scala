@@ -83,15 +83,23 @@ object ModelCache {
   }
 
   /** Delete orphaned `<target>.tmp-*` siblings left by a JVM that died
-   * between writing its temp dir and the rename. Only sweeps dirs older
-   * than an hour so a concurrent live fit's temp dir is never touched
-   * (the rename-race path already handles same-instant writers). */
+   * between writing its temp dir and the rename. Staleness is judged by
+   * the NEWEST mtime anywhere under the tmp tree, not the top-level dir:
+   * Spark writes under `_temporary/`, so the tmp dir's own mtime goes
+   * stale minutes into a long fit while part files inside are still
+   * being appended — a top-level check would let another process's MISS
+   * sweep a live writer and fail its later rename. Any file written in
+   * the last hour keeps the whole tree alive (the rename-race path
+   * already handles same-instant writers). */
   private def sweepStaleTmp(target: java.io.File): Unit = {
     val prefix = target.getName + ".tmp-"
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    def newestMtime(f: java.io.File): Long =
+      Option(f.listFiles()).map(_.foldLeft(f.lastModified())((m, c) =>
+        math.max(m, newestMtime(c)))).getOrElse(f.lastModified())
     Option(target.getParentFile).flatMap(p => Option(p.listFiles()))
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
+      .filter(f => f.getName.startsWith(prefix) && newestMtime(f) < cutoff)
       .foreach { stale =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -73,6 +73,32 @@ class RepairPlannerSpec extends SparkSpec {
     assert(guarded.filter(col("op") === "DELETE").count() == 0)
   }
 
+  test("plan ops are disjoint per MV key (fused-merge apply invariant)") {
+    // RepairApplier's fused merge drops any _del-marked key OUTRIGHT,
+    // discarding whatever upsert mutations the same key might carry —
+    // sound only because a plan never emits both ops for one PK
+    // (deletes come from MISSING_IN_BASE keys, upserts from
+    // MISSING_IN_MV/INCONSISTENT — disjoint classifications). This spec
+    // pins that invariant over a plan containing ALL THREE damage kinds
+    // at once, so a planner change that starts mixing ops per key fails
+    // here instead of silently changing apply semantics.
+    val s = Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
+    val base = baseBoth(spark) // rows 1,2
+    val row1Pk = Map[String, Any]("pk" -> "Driver1", "ck1" -> "SF", "ck2" -> 2020)
+    val row3Pk = Map[String, Any]("pk" -> "Driver3", "ck1" -> "LA", "ck2" -> 2022)
+    val mv = df(spark, mvSchema, // row1 mismatched, row2 absent, row3 orphan
+      mvRow(mvSchema, row1Pk, 10, Seq(20, 30, 40), Wt1, c4Override = Some(401)),
+      mvRow(mvSchema, row3Pk, 12, Seq(23, 34, 45), Wt2))
+    val plan = RepairPlanner.plan(classified(base, mv, s), baseSchema, mvSchema, s)
+    // all three damage kinds are actually present in this plan
+    assert(plan.filter(col("op") === "DELETE").count() == 1)
+    assert(plan.filter(col("op") === "UPSERT").count() >= 2)
+    val mixed = plan.groupBy(mvSchema.sortedPk.map(col): _*)
+      .agg(countDistinct(col("op")).as("n_ops"))
+      .filter(col("n_ops") > 1)
+    assert(mixed.count() == 0, "a PK carried both DELETE and UPSERT ops")
+  }
+
   test("applyPlan round-trips every damage scenario to CONSISTENT") {
     val s = Settings(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
     // Damage: row2 price mismatched in MV + an orphan MV row (Driver3,

@@ -44,19 +44,33 @@ class ModelCacheSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft-mc-root").toString
     val target = new java.io.File(ModelCache.cachePath(data, "v1", root))
     target.getParentFile.mkdirs()
-    // a crashed fit's leftover: old enough to be unambiguously dead
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    // a crashed fit's leftover: EVERY file old enough to be
+    // unambiguously dead (staleness = newest mtime under the tree)
     val stale = new java.io.File(target.getPath + ".tmp-999-1")
     stale.mkdirs()
-    new java.io.File(stale, "part-junk").createNewFile()
-    stale.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    val staleJunk = new java.io.File(stale, "part-junk")
+    staleJunk.createNewFile()
+    staleJunk.setLastModified(old)
+    stale.setLastModified(old)
     // a concurrent live fit's tmp dir: recent mtime, must survive
     val fresh = new java.io.File(target.getPath + ".tmp-999-2")
     fresh.mkdirs()
+    // a long-running live fit: the tmp dir's OWN mtime went stale while
+    // Spark keeps writing parts under _temporary/ — must survive (the
+    // r11 ADVICE scenario: top-level-mtime sweeping killed this writer)
+    val longFit = new java.io.File(target.getPath + ".tmp-999-3")
+    val tempPart = new java.io.File(longFit, "_temporary/0/part-0")
+    tempPart.getParentFile.mkdirs()
+    tempPart.createNewFile() // fresh mtime: the fit is mid-write
+    longFit.setLastModified(old)
     ModelCache.loadOrFit(spark, data, "v1", root, "graft-test") {
       Seq(("x", 1L)).toDF("term", "cnt")
     }.collect()
     assert(!stale.exists(), "stale tmp dir should have been swept")
     assert(fresh.exists(), "recent tmp dir must be spared")
+    assert(tempPart.exists(),
+      "live long-running fit (stale top-level mtime, fresh inner write) must be spared")
   }
 
   test("variant (hyperparameter) changes key; identical params share it") {
