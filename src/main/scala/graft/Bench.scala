@@ -40,6 +40,11 @@ object Bench {
     // rate-limiter row-transparency proof: deliberately sleeps inside
     // the scan; bench runs unthrottled per BASELINE.md
     "recon_classify_throttled",
+    // zero-exchange-configuration proof: writes both sides as bucketed
+    // catalog tables each run — its bucketed-table write IO would drown
+    // the classify cost it exists to remove (the perf evidence is the
+    // r07 bucketed smoke's 2.2×, measured without the write)
+    "recon_classify_bucketed",
     // stats-LINE format proof: same classify cost as the already-swept
     // recon_stats plus driver string assembly — a duplicate trend line
     "recon_stats_line",

@@ -288,6 +288,80 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
   }
 
+  // ------------------------------------------- repeated substrings (self)
+
+  /**
+   * Corpus-internal repeated-substring self-dedup — the Lee et al. 2022
+   * recipe ("Deduplicating Training Data Makes Language Models Better",
+   * arXiv:2107.06499): long passages repeated ACROSS the corpus itself
+   * (boilerplate headers, licence blocks, templated paragraphs) are cut
+   * down to one kept occurrence. A damage mode none of the other dedup
+   * operators catch — the duplicated passage hides inside
+   * otherwise-distinct documents, so whole-doc digests, MinHash and
+   * SimHash all miss it; and a different JOIN SHAPE from the decon
+   * matchers, which compare the corpus against a driver-collected
+   * benchmark dictionary: here both sides are the corpus, so nothing
+   * can be collected or broadcast.
+   *
+   * The paper's exact tool is a corpus-wide suffix array; the
+   * distributed approximation is the aligned-tile scheme the decon
+   * matcher established ([[graft.operators.Curation.exactContaminationTiled]]'s
+   * derivation): every `tileLen`-char tile of every document (positions
+   * 1, 1+L, 1+2L, … — full windows only) is digested SCAN-SIDE, a tile
+   * whose digest occurs ≥ 2 times anywhere in the corpus is repeated,
+   * and every occurrence after the lexicographic-min (doc_id, pos)
+   * keeper is emitted as a span to cut. Aligned tiles trade the suffix
+   * array's any-offset guarantee for one-pass scan cost: a repeated
+   * passage of length ≥ 2L−1 always contains a full aligned tile, so
+   * the detection floor is 2L−1 chars (31 here), with per-span
+   * granularity L.
+   *
+   * Scale shape: ONE corpus scan; the only full-corpus exchanges carry
+   * (digest, doc_id, pos) triples — text never shuffles. The digest
+   * groupBy partial-aggregates map-side (count + min are algebraic), so
+   * even a pathologically hot tile arrives at its reducer as one
+   * partial row per map task, and the join-back's skew is AQE's to
+   * split. No stage is pairwise in the corpus: cost is O(chars) scan +
+   * O(tiles) shuffle however much repetition exists (ScaleSmoke
+   * `substrself` pins near-linear growth under replication), and the
+   * output alone is repetition-proportional. Digesting with md5 keeps
+   * the oracle value-exact: DuckDB folds tiles through the same
+   * function, so both engines group identically even under a
+   * (vanishingly unlikely) collision.
+   */
+  def substrSelfSpans(documents: DataFrame, tileLen: Int = 16): DataFrame = {
+    // the length guard is a plain scan-column predicate (pushdown-safe:
+    // no kernel below it to clone); explode's child stays a complex
+    // expression so InferFiltersFromGenerate leaves the plan alone
+    val tiles = spread(documents.filter(length(col("text")) >= tileLen))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${tileLen - 1}, $tileLen)," +
+          s" s -> struct(CAST(s AS BIGINT) AS pos," +
+          s" md5(substring(text, s, $tileLen)) AS h))")).as("t"))
+      .select(col("doc_id"), col("t.pos").as("pos"), col("t.h").as("h"))
+      // feeds the aggregate AND the join-back: unmaterialized, the
+      // corpus would be scanned and re-tiled twice (common subtrees are
+      // not deduped). Digest-only rows — the signature-table trade,
+      // measured 2.2× ahead at 40× scale (BASELINE.md r11)
+      .localCheckpoint()
+    val repeated = tiles.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("n_occ") >= 2)
+    tiles.join(repeated, Seq("h"))
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"),
+        col("keep.doc_id").as("keep_doc_id"), col("keep.pos").as("keep_pos"),
+        col("n_occ"))
+  }
+
+  /** Wired self-dedup query: the repeated-tile spans of the documents
+   * corpus against itself (within-doc repeats count — a doc repeating
+   * its own boilerplate is damage too, exactly as in the paper). */
+  def dedupSubstrSelf(spark: SparkSession, dir: String): DataFrame =
+    substrSelfSpans(docs(spark, dir).select(col("doc_id"), col("text")))
+
   // ----------------------------------------------------- embedding cosine
 
   /** Embedding-cosine near-dup pairs (brute force at small SF; the ANN
@@ -377,6 +451,7 @@ object Dedup {
     "dedup_clusters_lsh" -> dedupClustersLsh,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_substr_self" -> dedupSubstrSelf,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_pruned" -> dedupSemanticPruned)
@@ -431,6 +506,28 @@ object Dedup {
             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           SELECT a AS doc_id, least(a, min(b)) AS cluster_id
           FROM reach GROUP BY a""",
+    // same tile derivation as decon_exact_tiled, self-joined via the
+    // shared md5 digest; keeper + occurrence rank restated as windows
+    "dedup_substr_self" ->
+      """WITH tiles AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(text) - 14, 16),
+               s -> struct_pack(pos := CAST(s AS BIGINT),
+                 h := md5(substr(text, CAST(s AS INTEGER), 16))))) AS t
+           FROM documents),
+         flat AS (SELECT doc_id, t.pos AS pos, t.h AS h FROM tiles),
+         w AS (
+           SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS n_occ,
+             first_value(doc_id) OVER
+               (PARTITION BY h ORDER BY doc_id, pos) AS keep_doc_id,
+             first_value(pos) OVER
+               (PARTITION BY h ORDER BY doc_id, pos) AS keep_pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           FROM flat)
+         SELECT doc_id, pos, keep_doc_id, keep_pos,
+           CAST(n_occ AS BIGINT) AS n_occ
+         FROM w WHERE n_occ >= 2 AND rn > 1""",
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(

@@ -140,6 +140,52 @@ object ReconQueries {
       .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
   }
 
+  /** The reconcile plan a periodic 100 TB job would ACTUALLY run,
+   * driver-verified: both sides written `bucketBy(8, MV PK).sortBy` into
+   * the session catalog, then the SAME classification as
+   * [[reconClassify]] through the exchange-free sort-merge join the
+   * bucketing enables — the one reconcile shuffle disappears entirely
+   * (BucketedJoinSpec pins the zero-exchange plan; the r07 scale smoke
+   * measured the 2.2× win with the network-bound exchange eliminated).
+   * Shares recon_classify's oracle SQL, so a hash match proves the
+   * exchange-free configuration computes the identical classification —
+   * and the function itself re-asserts zero ShuffleExchanges in the
+   * plan it executes, so a driver run fails loudly if bucketed SMJ
+   * ever regresses to a shuffle. Eagerly materialized (with broadcast +
+   * AQE pinned off so the executed plan IS the audited one); the
+   * bucketed tables are per-invocation-named and dropped after. */
+  def reconClassifyBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val (baseT, mvT) = (s"graft_bucketed_base_$tag", s"graft_bucketed_mv_$tag")
+    def writeBucketed(df: DataFrame, table: String): Unit =
+      df.write.bucketBy(8, "o_custkey", "o_orderkey")
+        .sortBy("o_custkey", "o_orderkey").saveAsTable(table)
+    writeBucketed(MvSyncDemo.baseDf(spark, dir), baseT)
+    writeBucketed(MvSyncDemo.mvDf(spark, dir), mvT)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = MvReconciler.reconcile(
+        spark.table(baseT), spark.table(mvT),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        (if (p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) 1
+         else 0) + p.children.map(shuffles).sum
+      val n = shuffles(out.queryExecution.executedPlan)
+      require(n == 0, s"bucketed reconcile planned $n exchanges — the " +
+        "zero-exchange configuration regressed")
+      out.localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql(s"DROP TABLE IF EXISTS $baseT")
+      spark.sql(s"DROP TABLE IF EXISTS $mvT")
+    }
+  }
+
   /** Operator P's observable — the reference's one-line stats summary
    * (JobStats.java:43-75, the exact line MvSync prints and stats.txt
    * stores) — as an oracle row: [[StatsCollector.collect]] assembles
@@ -344,6 +390,7 @@ object ReconQueries {
     "recon_classify" -> reconClassify,
     "recon_classify_csv" -> reconClassifyCsv,
     "recon_classify_throttled" -> reconClassifyThrottled,
+    "recon_classify_bucketed" -> reconClassifyBucketed,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
     "recon_stream_replay" -> reconStreamReplay,
     "recon_report_lines" -> reconReportLines,
@@ -364,6 +411,10 @@ object ReconQueries {
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     // same oracle again: the rate limiter must be row-transparent
     "recon_classify_throttled" ->
+      (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
+    // same oracle again: the zero-exchange bucketed plan must compute
+    // the identical classification
+    "recon_classify_bucketed" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     "recon_classify_alltypes" -> AllTypesFixture.oracleSql,
     // the streaming replay settles to the SAME classification the batch

@@ -119,6 +119,41 @@ object ScaleSmoke {
         f"cluster-propagation=${ccSecs}%.1fs (includes pair regeneration)")
     }
 
+    if (args.contains("substrself")) {
+      // Repeated-substring self-dedup growth curve: replicate the corpus
+      // f× with BYTE-IDENTICAL replicas — the worst-case repetition
+      // regime, every tile becomes f-times repeated — and time the span
+      // extraction at f = 1, 2, 4. The digest-groupBy design's cost is
+      // O(chars) scan + O(tiles) shuffle + O(spans) output, all ~f; a
+      // pairwise (corpus × corpus) design would grow 1:4:16. The 4×/1×
+      // wall ratio must stay well under the quadratic envelope even
+      // though the 4× corpus is ALSO maximally repetitive — i.e. cost
+      // tracks corpus size and true repetition, never corpus².
+      import graft.operators.Dedup
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val curve = Seq(1, 2, 4).map { f =>
+        val rep = docs
+          .crossJoin(spark.range(f).select(col("id").as("_r")))
+          .withColumn("doc_id", col("doc_id") + col("_r") * 10000000L)
+          .drop("_r").repartition(64)
+          .localCheckpoint() // replication cost stays outside the timing
+        val n = rep.count()
+        Dedup.substrSelfSpans(rep).count() // warm (post-JIT, see above)
+        val runs = (1 to 2).map(_ => timed(Dedup.substrSelfSpans(rep).count()))
+        val (spans, secs) = (runs.head._1, runs.map(_._2).min)
+        assert(spans > 0, "substr-self produced ZERO spans — smoke measured nothing")
+        println(f"[scale-smoke] SUBSTRSELF factor=$f docs=$n spans=$spans " +
+          f"time=${secs}%.1fs (best of 2, warmed)")
+        (f, secs)
+      }
+      val growth = curve.last._2 / curve.head._2
+      println(f"[scale-smoke] SUBSTRSELF 4x/1x wall ratio=${growth}%.1f " +
+        "(linear=4, quadratic=16)")
+      assert(growth < 10.0,
+        f"substr-self grew ${growth}%.1f× at 4× corpus — not the linear-ish design")
+    }
+
     if (args.contains("curation")) {
       // Decontamination scale smoke: the CANDIDATE corpus grows factor×
       // while the benchmark set stays fixed (the realistic regime — eval

@@ -59,6 +59,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(grouped == Map(5L -> 2L, 7L -> 1L))
   }
 
+  test("substr self-dedup: planted shared passage is cut everywhere but its keeper") {
+    // a 48-char passage of three DISTINCT tiles (so the passage does not
+    // repeat within itself), planted in three docs at different
+    // tile-aligned offsets, with short (< 2L) unique paddings so no
+    // padding tile can repeat
+    val passage = "0123456789abcdef" + "ghijklmnopqrstuv" + "ABCDEFGHIJKLMNOP"
+    val d0 = passage + "tail of doc zero xx" // passage at pos 1
+    val d1 = "doc one prefix.." + passage + "tail of doc one" // pos 17
+    val d2 = passage + "doc two trailer"
+    val unique = (3 to 10).map(i => (i.toLong, doc(i + 500)))
+    val docsDf = (Seq((0L, d0), (1L, d1), (2L, d2)) ++ unique).toDF("doc_id", "text")
+
+    val spans = Dedup.substrSelfSpans(docsDf).collect()
+    // keeper is doc 0 pos 1 (lexicographic min): doc 0's passage tiles
+    // never appear as spans; docs 1 and 2 lose all three passage tiles
+    val passageSpans = spans.filter(_.getAs[Long]("keep_doc_id") == 0L)
+    assert(!passageSpans.exists(_.getAs[Long]("doc_id") == 0L))
+    val byDoc = passageSpans.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.length).toMap
+    assert(byDoc == Map(1L -> 3, 2L -> 3), s"expected 3 spans each, got $byDoc")
+    // doc 1's copy sits at aligned positions 17/33/49, keepers at 1/17/33
+    assert(passageSpans.filter(_.getAs[Long]("doc_id") == 1L)
+      .map(_.getAs[Long]("pos")).sorted.toSeq == Seq(17L, 33L, 49L))
+    assert(passageSpans.forall(r => r.getAs[Long]("n_occ") == 3L))
+    // within-doc repetition counts too: a doc repeating ITSELF keeps the
+    // first occurrence and cuts the second
+    val selfRep = Seq((100L, "qrstuvwxyz012345" * 2 + "unique tail here"))
+      .toDF("doc_id", "text")
+    val selfSpans = Dedup.substrSelfSpans(
+      unique.toDF("doc_id", "text").union(selfRep)).collect()
+    assert(selfSpans.exists(r => r.getAs[Long]("doc_id") == 100L &&
+      r.getAs[Long]("pos") == 17L && r.getAs[Long]("keep_doc_id") == 100L &&
+      r.getAs[Long]("keep_pos") == 1L))
+  }
+
   test("ANN LSH bucket recall on planted near-duplicate vectors") {
     val rnd = new scala.util.Random(7)
     def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
