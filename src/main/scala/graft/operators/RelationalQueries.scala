@@ -417,6 +417,115 @@ object RelationalQueries {
         round(col("pct").getItem(1), 4).as("p50"),
         round(col("pct").getItem(2), 4).as("p75"))
 
+  /**
+   * [[qPercentiles]]' 100 TB path: EXACT interpolated percentiles
+   * without ever buffering a group — `percentile()` holds every group
+   * value in executor memory (16 MB per 2M-row group; a 10¹²-row group
+   * is simply impossible), where this runs in three bounded passes:
+   *
+   *  1. one scan folding each group through the mergeable
+   *     [[graft.functions.KllRankSketch]] (O(k·log n) state,
+   *     map-side partial merges) + exact count/min/max;
+   *  2. on the driver (sketch summaries are model-sized, the quantizer
+   *     precedent): for each (group, q) derive the CERTIFIED value
+   *     window [lo, hi] that must contain both order statistics
+   *     x₍k0₎, x₍k0+1₎ from the sketch's hard ±err rank certificate —
+   *     then one cheap counting scan computes the exact ranks at the
+   *     window edges AND re-verifies the certificate against reality
+   *     (a violated bound throws; the answer can never be silently
+   *     wrong);
+   *  3. one filtered scan (value-range predicates pushed to parquet)
+   *     selects the two order statistics exactly by global rank =
+   *     edge count + in-window row_number, and interpolates.
+   *
+   * In-window rows ≈ 2·err per (group, q) — sketch-error-proportional,
+   * not group-proportional. The final numbers are EXACT, merge-order
+   * invariant, and hash-checked against the SAME DuckDB quantile_cont
+   * oracle as q_percentiles — the sketch narrows the search, it never
+   * decides the answer. */
+  def sketchPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], k: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kll = udaf(new graft.functions.KllRankSketch(k),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val li = df.select(col(groupCol), col(valueCol))
+    // pass 1: bounded-state sketch + exact n/min/max per group
+    val fitted = li.groupBy(groupCol)
+      .agg(kll(col(valueCol)).as("sk"), count(lit(1)).as("n"),
+        min(valueCol).as("mn"), max(valueCol).as("mx"))
+      .collect()
+    val windows = fitted.flatMap { r =>
+      val g = r.getString(0)
+      val s = r.getStruct(1)
+      val summary = graft.functions.KllSummary(
+        s.getSeq[Double](0).toArray, s.getSeq[Long](1).toArray,
+        s.getLong(2), s.getLong(3))
+      val n = r.getLong(2)
+      require(summary.n == n, s"sketch folded ${summary.n} of $n rows")
+      val (mn, mx) = (r.getDouble(3), r.getDouble(4))
+      qs.map { q =>
+        val p = (n - 1) * q
+        val k0 = math.floor(p).toLong
+        (g, q, k0, p - k0, n,
+          graft.functions.KllRankSketch.lowerBound(summary, k0, mn),
+          graft.functions.KllRankSketch.upperBound(summary, k0, mx), mx)
+      }
+    }.toSeq
+    val wdf = broadcast(windows
+      .toDF(groupCol, "q", "k0", "frac", "n", "lo", "hi", "mx"))
+    // pass 2: exact ranks at the window edges; verifies the certificate
+    val edges = li.join(wdf, groupCol)
+      .groupBy(groupCol, "q")
+      .agg(sum(when(col(valueCol) < col("lo"), 1L).otherwise(0L)).as("c_lo"),
+        sum(when(col(valueCol) < col("hi"), 1L).otherwise(0L)).as("c_hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val certified = windows.map { case (g, q, k0, frac, n, lo, hi, mx) =>
+      val (cLo, cHi) = edges((g, q))
+      require(cLo <= k0 && (cHi >= k0 + 2 || hi == mx),
+        s"sketch rank certificate violated for ($g, $q): " +
+          s"c_lo=$cLo k0=$k0 c_hi=$cHi — the err bound did not hold")
+      (g, q, k0, frac, lo, hi, cLo)
+    }
+    val cdf = broadcast(certified
+      .toDF(groupCol, "q", "k0", "frac", "lo", "hi", "c_lo"))
+    // pass 3: in-window exact selection + interpolation (distributed).
+    // The windows also go in as a LITERAL disjunctive pre-filter: the
+    // joined lo/hi columns can never reach the scan, but the same
+    // bounds as literals push to parquet (`PushedFilters: Or(And(...`)
+    // where row-group stats prune everything outside the certified
+    // windows — on a value-clustered 100 TB layout pass 3 reads almost
+    // nothing
+    val preFilter = certified.map { case (g, _, _, _, lo, hi, _) =>
+      col(groupCol) === g && col(valueCol) >= lo && col(valueCol) <= hi
+    }.reduce(_ || _)
+    val w = Window.partitionBy(groupCol, "q").orderBy(valueCol)
+    li.filter(preFilter).join(cdf, groupCol)
+      .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
+      .withColumn("grank", col("c_lo") + row_number().over(w) - 1)
+      .filter(col("grank") === col("k0") || col("grank") === col("k0") + 1)
+      .groupBy(groupCol, "q", "frac")
+      .agg(min(when(col("grank") === col("k0"), col(valueCol))).as("v0"),
+        min(when(col("grank") === col("k0") + 1, col(valueCol))).as("v1"))
+      .withColumn("v", when(col("frac") === 0d, col("v0"))
+        .otherwise(col("v0") + col("frac") * (col("v1") - col("v0"))))
+      .select(col(groupCol), col("q"), col("v"))
+  }
+
+  /** Wired sketch-percentile query — same quartiles, same output
+   * schema, same DuckDB oracle as [[qPercentiles]]: a hash match
+   * proves the bounded-state path reproduces the exact answers. */
+  def qPercentilesSketch(spark: SparkSession, dir: String): DataFrame =
+    sketchPercentiles(t(spark, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull),
+        "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.75))
+      .groupBy("l_returnflag")
+      .agg(round(min(when(col("q") === 0.25, col("v"))), 4).as("p25"),
+        round(min(when(col("q") === 0.5, col("v"))), 4).as("p50"),
+        round(min(when(col("q") === 0.75, col("v"))), 4).as("p75"))
+
   /** Semi-structured access: JSON property extraction pushed through an
    * aggregation (get_json_object stays codegen'd — no UDF). */
   def qJsonProps(spark: SparkSession, dir: String): DataFrame =
@@ -995,6 +1104,7 @@ object RelationalQueries {
   /** All queries of this layer, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct" -> qKmvDistinct,
+    "q_percentiles_sketch" -> qPercentilesSketch,
     "q17_small_quantity" -> q17SmallQuantity,
     "q10_returned_items" -> q10ReturnedItems,
     "q7_nation_volume" -> q7NationVolume,
@@ -1440,6 +1550,14 @@ object RelationalQueries {
          CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
          FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)""",
     "q_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+         FROM lineitem GROUP BY l_returnflag""",
+    // same oracle as q_percentiles: the sketch-guided bounded-state
+    // path must reproduce the exact interpolated quartiles
+    "q_percentiles_sketch" ->
       """SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
