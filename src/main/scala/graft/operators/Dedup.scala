@@ -362,6 +362,47 @@ object Dedup {
   def dedupSubstrSelf(spark: SparkSession, dir: String): DataFrame =
     substrSelfSpans(docs(spark, dir).select(col("doc_id"), col("text")))
 
+  /**
+   * [[substrSelfSpans]] APPLIED — the cleaned corpus the Lee et al.
+   * pipeline actually outputs (spans alone are a report; training reads
+   * text with the repeats cut). Every document is rebuilt keeping its
+   * unique tiles, its keeper occurrences of repeated tiles, and the
+   * sub-tile tail — only the non-keeper repeated spans drop.
+   *
+   * Scale shape: the span set is damage-proportional; per doc it
+   * collapses to one `cuts` position array (a groupBy of the span rows,
+   * never the text) that LEFT-joins back to the corpus, and the rebuild
+   * itself is a single codegen'd row-local expression — slice positions
+   * filtered against `cuts`, concatenated, tail appended. Documents
+   * shorter than one tile pass through untouched. The oracle re-derives
+   * the whole rebuild in DuckDB list SQL, so the driver hash pins the
+   * reconstructed STRINGS byte-for-byte, not just the span bookkeeping.
+   */
+  def substrSelfApply(documents: DataFrame, tileLen: Int = 16): DataFrame = {
+    val L = tileLen
+    val cuts = substrSelfSpans(documents, tileLen)
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("cuts"))
+    documents.join(cuts, Seq("doc_id"), "left")
+      .withColumn("cuts",
+        coalesce(col("cuts"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .select(col("doc_id"),
+        size(col("cuts")).cast("bigint").as("n_cut"),
+        expr(s"""concat(
+          CASE WHEN length(text) >= $L THEN
+            array_join(transform(filter(sequence(1, length(text) - ${L - 1}, $L),
+              p -> NOT array_contains(cuts, CAST(p AS BIGINT))),
+              p -> substring(text, p, $L)), '')
+          ELSE '' END,
+          substring(text, CASE WHEN length(text) >= $L
+            THEN (((length(text) - $L) div $L) + 1) * $L + 1
+            ELSE 1 END))""").as("clean_text"))
+  }
+
+  /** Wired apply query: the documents corpus with its non-keeper
+   * repeated spans cut. */
+  def dedupSubstrApply(spark: SparkSession, dir: String): DataFrame =
+    substrSelfApply(docs(spark, dir).select(col("doc_id"), col("text")))
+
   // ----------------------------------------------------- embedding cosine
 
   /** Embedding-cosine near-dup pairs (brute force at small SF; the ANN
@@ -452,6 +493,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_substr_self" -> dedupSubstrSelf,
+    "dedup_substr_apply" -> dedupSubstrApply,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_pruned" -> dedupSemanticPruned)
@@ -528,6 +570,37 @@ object Dedup {
          SELECT doc_id, pos, keep_doc_id, keep_pos,
            CAST(n_occ AS BIGINT) AS n_occ
          FROM w WHERE n_occ >= 2 AND rn > 1""",
+    // the cleaned corpus rebuilt in DuckDB list SQL over the same tile
+    // CTEs — the hash pins the reconstructed strings byte-for-byte
+    "dedup_substr_apply" ->
+      """WITH tiles AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(text) - 14, 16),
+               s -> struct_pack(pos := CAST(s AS BIGINT),
+                 h := md5(substr(text, CAST(s AS INTEGER), 16))))) AS t
+           FROM documents),
+         flat AS (SELECT doc_id, t.pos AS pos, t.h AS h FROM tiles),
+         w AS (
+           SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS n_occ,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           FROM flat),
+         cuts AS (SELECT doc_id, list(pos) AS cuts FROM w
+                  WHERE n_occ >= 2 AND rn > 1 GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(len(c.cuts), 0) AS BIGINT) AS n_cut,
+           (CASE WHEN len(d.text) >= 16 THEN
+             -- coalesce: DuckDB's array_to_string over an EMPTY list
+             -- (a fully-cut doc) is NULL where Spark's array_join is ''
+             coalesce(array_to_string(list_transform(
+               list_filter(range(1, len(d.text) - 14, 16),
+                 p -> c.cuts IS NULL OR NOT list_contains(c.cuts, p)),
+               p -> substr(d.text, CAST(p AS INTEGER), 16)), ''), '')
+            ELSE '' END) ||
+           substr(d.text, CASE WHEN len(d.text) >= 16
+             THEN CAST(((len(d.text) - 16) // 16 + 1) * 16 + 1 AS INTEGER)
+             ELSE 1 END) AS clean_text
+         FROM documents d LEFT JOIN cuts c USING (doc_id)""",
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(

@@ -94,6 +94,21 @@ class LlmOpsSpec extends SparkSpec {
       r.getAs[Long]("keep_pos") == 1L))
   }
 
+  test("substr apply: keeper text survives, copies lose the passage, tail intact") {
+    val passage = "0123456789abcdef" + "ghijklmnopqrstuv" + "ABCDEFGHIJKLMNOP"
+    val d0 = passage + "tail of doc zero xx"
+    val d1 = "doc one prefix.." + passage + "tail of doc one"
+    val full = passage // a doc that is ONLY a copy: cleans to empty
+    val docsDf = Seq((0L, d0), (1L, d1), (2L, full), (3L, "tiny")).toDF("doc_id", "text")
+    val out = Dedup.substrSelfApply(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_cut"), r.getAs[String]("clean_text"))).toMap
+    assert(out(0L) == (0L, d0)) // keeper: byte-identical
+    assert(out(1L) == (3L, "doc one prefix..tail of doc one"))
+    assert(out(2L) == (3L, "")) // pure copy: fully cut
+    assert(out(3L) == (0L, "tiny")) // sub-tile doc passes through
+  }
+
   test("ANN LSH bucket recall on planted near-duplicate vectors") {
     val rnd = new scala.util.Random(7)
     def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
