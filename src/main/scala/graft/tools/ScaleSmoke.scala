@@ -154,6 +154,53 @@ object ScaleSmoke {
         f"substr-self grew ${growth}%.1f× at 4× corpus — not the linear-ish design")
     }
 
+    if (args.contains("percentiles")) {
+      // Sketch-guided exact percentiles vs the buffering percentile()
+      // at a grown corpus: replicate lineitem f× (values perturbed per
+      // replica so the quantiles genuinely move) and run both paths.
+      // The numbers must MATCH EXACTLY (the sketch certifies a window,
+      // the answer is exact selection); the sketch path's state stays
+      // O(k log n) per group where percentile() buffers the whole
+      // group — the difference that decides 100 TB feasibility, here
+      // evidenced by both paths staying wall-clock-comparable while
+      // the exactness assertion pins equality.
+      import graft.operators.RelationalQueries
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val rep = li
+        .crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn("l_extendedprice",
+          col("l_extendedprice") + col("_r").cast("double") / 7.0)
+        .drop("_r").repartition(64)
+        .localCheckpoint()
+      val n = rep.count()
+      def exact() = rep.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("pct"))
+        .select(col("l_returnflag"),
+          round(col("pct").getItem(0), 4).as("p25"),
+          round(col("pct").getItem(1), 4).as("p50"),
+          round(col("pct").getItem(2), 4).as("p75"))
+      def sketch() = RelationalQueries
+        .sketchPercentiles(rep, "l_returnflag", "l_extendedprice",
+          Seq(0.25, 0.5, 0.75))
+        .groupBy("l_returnflag")
+        .agg(round(min(when(col("q") === 0.25, col("v"))), 4).as("p25"),
+          round(min(when(col("q") === 0.5, col("v"))), 4).as("p50"),
+          round(min(when(col("q") === 0.75, col("v"))), 4).as("p75"))
+      // warm both paths untimed (run-order JIT bias, see dedup above)
+      exact().collect(); sketch().collect()
+      def bestOf2(f: () => Array[org.apache.spark.sql.Row]) = {
+        val runs = (1 to 2).map(_ => timed(f().sortBy(_.getString(0)).toSeq))
+        (runs.head._1, runs.map(_._2).min)
+      }
+      val (e, eSecs) = bestOf2(() => exact().collect())
+      val (s, sSecs) = bestOf2(() => sketch().collect())
+      assert(e == s, s"sketch path diverged from exact percentile():\n$e\n$s")
+      println(f"[scale-smoke] PERCENTILES factor=$factor rows=$n " +
+        f"exact-buffering=${eSecs}%.1fs sketch-guided=${sSecs}%.1fs " +
+        "(best of 2 warmed; results asserted EQUAL)")
+    }
+
     if (args.contains("curation")) {
       // Decontamination scale smoke: the CANDIDATE corpus grows factor×
       // while the benchmark set stays fixed (the realistic regime — eval
