@@ -203,14 +203,26 @@ object KllRankSketch {
 
   /** Smallest sketch value CERTIFIED ≥ the (k0+1)-th order statistic:
    * sketchRank − err ≥ k0 + 2 ⇒ at least k0+2 inputs are < v ⇒
-   * x₍k0+1₎ < v. Falls back to the group maximum. */
+   * x₍k0+1₎ < v. Falls back to the group maximum.
+   *
+   * Tie discipline: only the FIRST occurrence of each distinct value
+   * may certify. A duplicated sketch value's later entries carry
+   * cumulative ranks that include the tie class ITSELF, so their
+   * `rank − err` exceeds the true below-count by up to the class
+   * weight — on a heavily-tied column that mis-certified the tied
+   * value as an upper bound (caught by the percentile query's exact
+   * runtime certificate check, which exists for exactly this class of
+   * bug). [[lowerBound]] needs no such guard: later duplicates only
+   * RAISE rank + err, making its condition strictly harder — any
+   * qualifying occurrence is sound. */
   def upperBound(s: KllSummary, k0: Long, mx: Double): Double = {
-    var best = mx
-    var i = s.values.length - 1
-    while (i >= 0) {
-      if (s.ranks(i) - s.err >= k0 + 2) best = s.values(i) // descending: keep last
-      i -= 1
+    var i = 0
+    while (i < s.values.length) {
+      if ((i == 0 || s.values(i) != s.values(i - 1)) &&
+        s.ranks(i) - s.err >= k0 + 2)
+        return s.values(i) // ascending first-occurrence scan: smallest wins
+      i += 1
     }
-    best
+    mx
   }
 }

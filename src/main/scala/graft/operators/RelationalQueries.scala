@@ -434,15 +434,21 @@ object RelationalQueries {
    *     window edges AND re-verifies the certificate against reality
    *     (a violated bound throws; the answer can never be silently
    *     wrong);
-   *  3. one filtered scan (value-range predicates pushed to parquet)
-   *     selects the two order statistics exactly by global rank =
-   *     edge count + in-window row_number, and interpolates.
+   *     The edge counts also pin any BOUNDARY-VALUED order statistic
+   *     arithmetically — a quantile landing on a giant tie class
+   *     resolves from counts alone, so ties of any size never flood a
+   *     selection window;
+   *  3. one filtered scan (strict-interior value-range predicates
+   *     pushed to parquet) selects any remaining interior order
+   *     statistic exactly by global rank = edge count + in-window
+   *     row_number, and interpolates.
    *
-   * In-window rows ≈ 2·err per (group, q) — sketch-error-proportional,
-   * not group-proportional. The final numbers are EXACT, merge-order
-   * invariant, and hash-checked against the SAME DuckDB quantile_cont
-   * oracle as q_percentiles — the sketch narrows the search, it never
-   * decides the answer. */
+   * Interior rows ≤ c_hi − c_le_lo ≈ 2·err per (group, q) —
+   * sketch-error-proportional, never group- or tie-class-proportional.
+   * The final numbers are EXACT, merge-order invariant, and
+   * hash-checked against the SAME DuckDB quantile_cont oracle as
+   * q_percentiles — the sketch narrows the search, it never decides
+   * the answer. */
   def sketchPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], k: Int = 1024): DataFrame = {
     val spark = df.sparkSession
@@ -474,44 +480,77 @@ object RelationalQueries {
     }.toSeq
     val wdf = broadcast(windows
       .toDF(groupCol, "q", "k0", "frac", "n", "lo", "hi", "mx"))
-    // pass 2: exact ranks at the window edges; verifies the certificate
+    // pass 2: exact counts at the window edges — below lo, at-or-below
+    // lo, below hi. These (a) re-verify the sketch certificate against
+    // reality, and (b) pin any BOUNDARY-VALUED order statistic
+    // arithmetically: x₍j₎ = lo iff c_lo ≤ j < c_le_lo, x₍j₎ = hi iff
+    // j ≥ c_hi. That second use is the 100 TB tie guard — when a
+    // quantile lands on or beside a giant tie class (constant fields,
+    // sentinel prices), the certified window NECESSARILY contains the
+    // whole class, and a naive in-window selection would pour it
+    // through one window partition; resolving boundary stats from
+    // counts means pass 3 only ever selects from the STRICT interior,
+    // whose size is ≤ c_hi − c_le_lo ≈ 2·err by construction.
     val edges = li.join(wdf, groupCol)
       .groupBy(groupCol, "q")
       .agg(sum(when(col(valueCol) < col("lo"), 1L).otherwise(0L)).as("c_lo"),
+        sum(when(col(valueCol) <= col("lo"), 1L).otherwise(0L)).as("c_le_lo"),
         sum(when(col(valueCol) < col("hi"), 1L).otherwise(0L)).as("c_hi"))
       .collect()
-      .map(r => (r.getString(0), r.getDouble(1)) -> (r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
     val certified = windows.map { case (g, q, k0, frac, n, lo, hi, mx) =>
-      val (cLo, cHi) = edges((g, q))
+      val (cLo, cLeLo, cHi) = edges((g, q))
       require(cLo <= k0 && (cHi >= k0 + 2 || hi == mx),
         s"sketch rank certificate violated for ($g, $q): " +
           s"c_lo=$cLo k0=$k0 c_hi=$cHi — the err bound did not hold")
-      (g, q, k0, frac, lo, hi, cLo)
+      def boundary(j: Long): Option[Double] =
+        if (cLo <= j && j < cLeLo) Some(lo)
+        else if (j >= cHi) Some(hi)
+        else None
+      (g, q, k0, frac, lo, hi, cLeLo, boundary(k0), boundary(k0 + 1))
     }
-    val cdf = broadcast(certified
-      .toDF(groupCol, "q", "k0", "frac", "lo", "hi", "c_lo"))
-    // pass 3: in-window exact selection + interpolation (distributed).
-    // The windows also go in as a LITERAL disjunctive pre-filter: the
-    // joined lo/hi columns can never reach the scan, but the same
+    // (group, q) tuples with BOTH stats boundary-pinned finish on the
+    // driver; the rest go to pass 3 with any known stat riding along
+    val (solved, open) = certified.partition {
+      case (_, _, _, frac, _, _, _, v0, v1) =>
+        v0.isDefined && (frac == 0d || v1.isDefined)
+    }
+    val solvedDf = solved
+      .map { case (g, q, _, frac, _, _, _, v0, v1) =>
+        (g, q, if (frac == 0d) v0.get else v0.get + frac * (v1.get - v0.get))
+      }
+      .toDF(groupCol, "q", "v")
+    if (open.isEmpty) return solvedDf
+    val cdf = broadcast(open
+      .toDF(groupCol, "q", "k0", "frac", "lo", "hi", "c_le_lo",
+        "known_v0", "known_v1"))
+    // pass 3: STRICT-interior exact selection + interpolation. The
+    // interior windows also go in as a LITERAL disjunctive pre-filter:
+    // the joined lo/hi columns can never reach the scan, but the same
     // bounds as literals push to parquet (`PushedFilters: Or(And(...`)
     // where row-group stats prune everything outside the certified
     // windows — on a value-clustered 100 TB layout pass 3 reads almost
-    // nothing
-    val preFilter = certified.map { case (g, _, _, _, lo, hi, _) =>
-      col(groupCol) === g && col(valueCol) >= lo && col(valueCol) <= hi
+    // nothing. An interior stat is itself an interior row, so every
+    // open tuple emits; boundary-pinned stats coalesce in from cdf.
+    val preFilter = open.map { case (g, _, _, _, lo, hi, _, _, _) =>
+      col(groupCol) === g && col(valueCol) > lo && col(valueCol) < hi
     }.reduce(_ || _)
     val w = Window.partitionBy(groupCol, "q").orderBy(valueCol)
-    li.filter(preFilter).join(cdf, groupCol)
-      .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
-      .withColumn("grank", col("c_lo") + row_number().over(w) - 1)
+    val selected = li.filter(preFilter).join(cdf, groupCol)
+      .filter(col(valueCol) > col("lo") && col(valueCol) < col("hi"))
+      .withColumn("grank", col("c_le_lo") + row_number().over(w) - 1)
       .filter(col("grank") === col("k0") || col("grank") === col("k0") + 1)
-      .groupBy(groupCol, "q", "frac")
-      .agg(min(when(col("grank") === col("k0"), col(valueCol))).as("v0"),
-        min(when(col("grank") === col("k0") + 1, col(valueCol))).as("v1"))
+      .groupBy(groupCol, "q", "frac", "known_v0", "known_v1")
+      .agg(min(when(col("grank") === col("k0"), col(valueCol))).as("sel_v0"),
+        min(when(col("grank") === col("k0") + 1, col(valueCol))).as("sel_v1"))
+      .withColumn("v0", coalesce(col("known_v0"), col("sel_v0")))
+      .withColumn("v1", coalesce(col("known_v1"), col("sel_v1")))
       .withColumn("v", when(col("frac") === 0d, col("v0"))
         .otherwise(col("v0") + col("frac") * (col("v1") - col("v0"))))
       .select(col(groupCol), col("q"), col("v"))
+    if (solved.isEmpty) selected else selected.unionByName(solvedDf)
   }
 
   /** Wired sketch-percentile query — same quartiles, same output
