@@ -329,21 +329,36 @@ object Dedup {
    * function, so both engines group identically even under a
    * (vanishingly unlikely) collision.
    */
-  def substrSelfSpans(documents: DataFrame, tileLen: Int = 16): DataFrame = {
-    // the length guard is a plain scan-column predicate (pushdown-safe:
-    // no kernel below it to clone); explode's child stays a complex
-    // expression so InferFiltersFromGenerate leaves the plan alone
-    val tiles = spread(documents.filter(length(col("text")) >= tileLen))
+  /** The `(doc_id, pos, md5-digest)` tile derivation shared by the span
+   * finder and the apply rebuild. The length guard is a plain
+   * scan-column predicate (pushdown-safe: no kernel below it to clone);
+   * explode's child stays a complex expression so
+   * InferFiltersFromGenerate leaves the plan alone. */
+  private def tilesOf(documents: DataFrame, tileLen: Int): DataFrame =
+    spread(documents.filter(length(col("text")) >= tileLen))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(text) - ${tileLen - 1}, $tileLen)," +
           s" s -> struct(CAST(s AS BIGINT) AS pos," +
           s" md5(substring(text, s, $tileLen)) AS h))")).as("t"))
       .select(col("doc_id"), col("t.pos").as("pos"), col("t.h").as("h"))
-      // feeds the aggregate AND the join-back: unmaterialized, the
-      // corpus would be scanned and re-tiled twice (common subtrees are
-      // not deduped). Digest-only rows — the signature-table trade,
-      // measured 2.2× ahead at 40× scale (BASELINE.md r11)
-      .localCheckpoint()
+
+  /** Persisted tile-hash table for the wired (spark, dir) queries — the
+   * [[graft.operators.TextAnalysis]] gramCounts / shingleHashTable
+   * pattern applied to tiles: BOTH substr-self consumers (span finder,
+   * apply rebuild) read ONE corpus-snapshot-keyed table, so the corpus
+   * is tiled once per snapshot and zero times on a cache HIT.
+   * Deterministic kernel (positions + md5) → hit and miss are
+   * bit-identical; the DuckDB oracles re-derive from raw text. */
+  def tileHashTable(spark: SparkSession, dir: String, tileLen: Int = 16): DataFrame =
+    graft.sources.ModelCache.loadOrFit(spark, s"$dir/documents.parquet",
+      s"tilehashes-L$tileLen-v1",
+      sys.env.getOrElse("GRAFT_GRAMS_CACHE", "/tmp/graft-grams-cache"),
+      "graft-tiles", singleFile = false) {
+      tilesOf(docs(spark, dir).select("doc_id", "text"), tileLen)
+    }
+
+  /** The span derivation over an already-materialized tile table. */
+  private def spansFromTiles(tiles: DataFrame): DataFrame = {
     val repeated = tiles.groupBy("h")
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("pos"))).as("keep"))
@@ -356,11 +371,20 @@ object Dedup {
         col("n_occ"))
   }
 
+  def substrSelfSpans(documents: DataFrame, tileLen: Int = 16): DataFrame =
+    // ad-hoc frames (smokes, specs) checkpoint inline: the tile table
+    // feeds the aggregate AND the join-back, and unmaterialized the
+    // corpus would be scanned and re-tiled twice (common subtrees are
+    // not deduped). Digest-only rows — the signature-table trade,
+    // measured 2.2× ahead at 40× scale (BASELINE.md r11). The wired
+    // queries ride the persisted [[tileHashTable]] instead.
+    spansFromTiles(tilesOf(documents, tileLen).localCheckpoint())
+
   /** Wired self-dedup query: the repeated-tile spans of the documents
    * corpus against itself (within-doc repeats count — a doc repeating
    * its own boilerplate is damage too, exactly as in the paper). */
   def dedupSubstrSelf(spark: SparkSession, dir: String): DataFrame =
-    substrSelfSpans(docs(spark, dir).select(col("doc_id"), col("text")))
+    spansFromTiles(tileHashTable(spark, dir))
 
   /**
    * [[substrSelfSpans]] APPLIED — the cleaned corpus the Lee et al.
@@ -378,9 +402,15 @@ object Dedup {
    * the whole rebuild in DuckDB list SQL, so the driver hash pins the
    * reconstructed STRINGS byte-for-byte, not just the span bookkeeping.
    */
-  def substrSelfApply(documents: DataFrame, tileLen: Int = 16): DataFrame = {
+  def substrSelfApply(documents: DataFrame, tileLen: Int = 16): DataFrame =
+    applyFromSpans(documents, substrSelfSpans(documents, tileLen), tileLen)
+
+  /** The rebuild over an already-derived span set (the wired query
+   * passes spans off the persisted [[tileHashTable]]). */
+  private def applyFromSpans(documents: DataFrame, spans: DataFrame,
+      tileLen: Int): DataFrame = {
     val L = tileLen
-    val cuts = substrSelfSpans(documents, tileLen)
+    val cuts = spans
       .groupBy("doc_id").agg(collect_list(col("pos")).as("cuts"))
     documents.join(cuts, Seq("doc_id"), "left")
       .withColumn("cuts",
@@ -399,9 +429,11 @@ object Dedup {
   }
 
   /** Wired apply query: the documents corpus with its non-keeper
-   * repeated spans cut. */
+   * repeated spans cut — spans derived off the SAME persisted tile
+   * table as dedup_substr_self (tiled once per corpus snapshot). */
   def dedupSubstrApply(spark: SparkSession, dir: String): DataFrame =
-    substrSelfApply(docs(spark, dir).select(col("doc_id"), col("text")))
+    applyFromSpans(docs(spark, dir).select(col("doc_id"), col("text")),
+      spansFromTiles(tileHashTable(spark, dir)), 16)
 
   // ----------------------------------------------------- embedding cosine
 
