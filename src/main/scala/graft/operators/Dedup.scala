@@ -80,6 +80,81 @@ object Dedup {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  // --------------------------------------------------------- incremental
+
+  /** Bloom sizing for the incremental path: 2¹⁷ bits / 7 hashes ≈ 10
+   * bits per element at the demo history size (~0.8% FP). The knob a
+   * deployment turns is bits-per-element; the words array itself is
+   * what ModelCache persists. */
+  val BloomBits = 1 << 17
+  val BloomHashes = 7
+
+  /** History fingerprint bloom, fitted once per corpus snapshot and
+   * persisted ([[graft.sources.ModelCache]], the quantizer pattern):
+   * the summary a 100 TB deployment ships to every new batch instead
+   * of re-joining the full history. Collected to one words array —
+   * 16 KB here; histories past ~10⁹ fingerprints take the decon
+   * automaton's hash-shard recipe (K blooms by fingerprint hash). */
+  private def historyBloom(spark: SparkSession, dir: String,
+      hist: DataFrame): Array[Long] = {
+    import spark.implicits._
+    val words = graft.sources.ModelCache.loadOrFit(spark,
+      s"$dir/documents.parquet", s"bloom-prefix64-m$BloomBits-k$BloomHashes-v1",
+      sys.env.getOrElse("GRAFT_BLOOM_CACHE", "/tmp/graft-bloom-cache"),
+      "graft-bloom") {
+      val agg = new graft.functions.BloomAgg(BloomBits, BloomHashes)
+      // typed select → Dataset[BloomBuf], whose product encoder flattens
+      // to a single `words` array column; posexplode pairs each word
+      // with its index so the cached table round-trips order-stably
+      hist.select(xxhash64(col("fp")).as("h")).as[Long]
+        .select(agg.toColumn)
+        .select(posexplode(col("words")).as(Seq("idx", "word")))
+    }
+    words.orderBy("idx").collect().map(_.getLong(1))
+  }
+
+  /**
+   * Incremental dedup — the arriving-batch-vs-historical-corpus mode
+   * (the one dedup shape [[dedupExact]]'s whole-corpus groupBy does
+   * not cover, and the standard production form: CCNet / RefinedWeb
+   * dedup new crawl snapshots against everything already kept). The
+   * fingerprint is md5 of the first 64 chars — the cheap prefix key
+   * crawl pipelines use for boilerplate-headed near-dups (the corpus
+   * has no full-text exact dups across the split; prefix collisions
+   * exist, so the positive path is genuinely exercised).
+   *
+   * Shape: history (doc_id % 4 ≠ 0) is summarized by a persisted
+   * 16 KB bloom ([[historyBloom]]); the batch (doc_id % 4 = 0) groups
+   * by fingerprint ONCE (the only batch-sized shuffle), probes the
+   * bloom row-locally, and only the positives — true dups + ~0.8% FP
+   * — reach the exact confirm: history scanned once against the
+   * BROADCAST candidate set, then a broadcast anti-join of candidates
+   * against the confirmed-present set. The result is EXACTLY the
+   * anti-join of batch groups vs history (the bloom is one-sided:
+   * negatives are proof of novelty), so the oracle is plain SQL and
+   * the FP rate can only affect the confirm-join size, never the
+   * answer. At 100 TB: no history-vs-batch shuffle exists anywhere —
+   * history moves zero bytes on a bloom-cache HIT beyond the one
+   * membership scan, whose probe set is candidate-sized.
+   */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("fp"))
+    val hist = d.filter(pmod(col("doc_id"), lit(4)) =!= 0).select("fp")
+    val batch = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val words = historyBloom(spark, dir, hist)
+    val groups = batch.groupBy("fp")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .withColumn("maybe", graft.functions.BloomFunctions
+        .bloom_might_contain(xxhash64(col("fp")), words, BloomHashes))
+    val cands = groups.filter(col("maybe"))
+    val present = hist.join(broadcast(cands.select("fp")), Seq("fp"))
+      .select("fp").distinct()
+    groups.filter(!col("maybe"))
+      .unionByName(cands.join(broadcast(present), Seq("fp"), "left_anti"))
+      .select(col("fp"), col("canonical_id"), col("n_copies"))
+  }
+
   // ------------------------------------------------------------- jaccard
 
   /** Exact n-gram (word 3-shingle) Jaccard near-dup pairs, brute-force —
@@ -519,6 +594,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_exact_keep_first" -> dedupExactKeepFirst,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_lsh" -> dedupClustersLsh,
@@ -545,6 +621,15 @@ object Dedup {
            SELECT doc_id, n_chars,
              min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
            FROM documents) WHERE doc_id = keep_id""",
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, md5(substring(text, 1, 64)) AS fp
+                    FROM documents),
+          h AS (SELECT DISTINCT fp FROM d WHERE doc_id % 4 <> 0)
+          SELECT fp, min(doc_id) AS canonical_id,
+            CAST(count(*) AS BIGINT) AS n_copies
+          FROM d WHERE doc_id % 4 = 0
+            AND fp NOT IN (SELECT fp FROM h)
+          GROUP BY fp""",
     "dedup_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id,
             list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS toks
