@@ -143,16 +143,19 @@ object Dedup {
     val hist = d.filter(pmod(col("doc_id"), lit(4)) =!= 0).select("fp")
     val batch = d.filter(pmod(col("doc_id"), lit(4)) === 0)
     val words = historyBloom(spark, dir, hist)
-    val groups = batch.groupBy("fp")
-      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
-      .withColumn("maybe", graft.functions.BloomFunctions
+    // bloom-positive batch fingerprints — the ONLY ones that can be in
+    // history (no false negatives), so `present` is complete and one
+    // broadcast anti-join over all groups finishes the job (no
+    // union-of-branches: that shape re-scanned the batch per branch)
+    val candFps = batch
+      .filter(graft.functions.BloomFunctions
         .bloom_might_contain(xxhash64(col("fp")), words, BloomHashes))
-    val cands = groups.filter(col("maybe"))
-    val present = hist.join(broadcast(cands.select("fp")), Seq("fp"))
       .select("fp").distinct()
-    groups.filter(!col("maybe"))
-      .unionByName(cands.join(broadcast(present), Seq("fp"), "left_anti"))
-      .select(col("fp"), col("canonical_id"), col("n_copies"))
+    val present = hist.join(broadcast(candFps), Seq("fp"))
+      .select("fp").distinct()
+    batch.groupBy("fp")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .join(broadcast(present), Seq("fp"), "left_anti")
   }
 
   // ------------------------------------------------------------- jaccard
