@@ -439,6 +439,34 @@ WHERE doc_id % 50 <> 0
    * exactly like the sketch's duplicate-free insert), then the
    * estimator — exact hash count below k, else round((k−1)/u) with
    * u = ((kth >>> 11) + 0.5) / 2⁵³ (KmvSketch.scala `finish`). */
+  /** `text_cms_counts` oracle: the Count-Min sketch's point estimates
+   * rebuilt from first principles — row-j counter of a term = the SUM
+   * of exact counts over ALL terms colliding in that (row, bucket)
+   * cell, estimate = min over rows. Term hash = avalanche(fnv1a(t))
+   * ([[graft.functions.SimHash64.hash64]]); row-j bucket =
+   * avalanche((h + (j+1)·GOLD) mod 2⁶⁴) mod w — the minhash
+   * permutation family, same staged HUGEINT chains as above. */
+  def cmsCounts(depth: Int, width: Int): String = {
+    val (av1, l1) = stagedAvalanche("_cf", "fv", "h64", Seq("t", "exact_cnt"), "ch")
+    val (av2, l2) =
+      stagedAvalanche("_cg0", "gv0", "gv", Seq("t", "exact_cnt", "j"), "cg")
+    s"""WITH
+_ct0 AS (SELECT unnest($Toks) AS t FROM documents),
+_ct AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_cnt FROM _ct0 GROUP BY t),
+_cf AS (SELECT t, exact_cnt, ${fnv("t")} AS fv FROM _ct),
+$av1,
+_cj AS (SELECT t, exact_cnt, h64, unnest(range(1, ${depth + 1})) AS j FROM $l1),
+_cg0 AS (SELECT t, exact_cnt, j,
+  (h64 + (j::HUGEINT * $Gold::HUGEINT) % $M64) % $M64 AS gv0 FROM _cj),
+$av2,
+_cb AS (SELECT t, exact_cnt, j, gv % $width AS b FROM $l2),
+_cell AS (SELECT j, b, sum(exact_cnt) AS cellv FROM _cb GROUP BY j, b),
+_est AS (SELECT t, exact_cnt, min(cellv) AS est
+  FROM _cb JOIN _cell USING (j, b) GROUP BY t, exact_cnt)
+SELECT t AS term, exact_cnt, CAST(est AS BIGINT) AS cms_est,
+  CAST(est - exact_cnt AS BIGINT) AS overcount FROM _est"""
+  }
+
   def kmvDistinct: String = {
     val k = 256
     val (av, last) =

@@ -349,7 +349,46 @@ object TextAnalysis {
       col("doc_id"),
       simhash64(toks).as("fp_simhash"))
 
+  /** Demo CMS geometry: 3×8 cells against the testdata's ~31-term
+   * vocabulary FORCES collisions (pigeonhole), so the min-over-rows
+   * estimate and the ≥-exact guarantee are genuinely exercised — a
+   * deployment sizes width = e/ε (the cells stay d·w·8 bytes however
+   * large the corpus; only collision mass changes). */
+  val CmsDepth = 3
+  val CmsWidth = 8
+
+  /**
+   * Count-Min point-frequency estimates vs exact counts — the
+   * frequency member of the sketch family, sketch-vs-truth in one
+   * table (the heavy-hitters row's presentation, value-level). The
+   * sketch is built from the aggregated (term, count) relation
+   * (count-weighted insertion ≡ occurrence stream by linearity —
+   * property-tested in CmsSpec); its 100 TB mode aggregates raw
+   * occurrences instead, where the d·w counter state is the ONLY
+   * memory regardless of vocabulary size — the point a vocab-sized
+   * exact groupBy cannot match when the vocabulary itself overflows
+   * executor memory (URLs, n-grams, user ids). The 192-byte model
+   * collects to the driver (quantizer pattern) and estimates attach
+   * row-locally through the codegen'd [[graft.functions.CmsEstimate]]
+   * — no join. Oracle: [[HashOracleSql.cmsCounts]] rebuilds counters
+   * as collision sums and takes the same min, value-for-value.
+   */
+  def textCmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = docs(spark, dir).select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("h", graft.functions.CmsFunctions.hash64(col("term")))
+    val agg = new graft.functions.CmsAgg(CmsDepth, CmsWidth)
+    val cells = cnt.select(col("h"), col("exact_cnt")).as[(Long, Long)]
+      .select(agg.toColumn).head().cells
+    cnt.select(col("term"), col("exact_cnt"),
+      graft.functions.CmsFunctions
+        .cms_estimate(col("h"), cells, CmsDepth, CmsWidth).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cms_counts" -> textCmsCounts,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
@@ -364,6 +403,7 @@ object TextAnalysis {
   private val TokSql = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_cms_counts" -> HashOracleSql.cmsCounts(CmsDepth, CmsWidth),
     "text_tokens" ->
       s"""SELECT doc_id,
           CAST(len($TokSql) AS BIGINT) AS n_tokens,
