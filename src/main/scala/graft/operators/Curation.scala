@@ -90,6 +90,50 @@ object Curation {
     df.filter(mix32(key) % 100 < rate)
   }
 
+  /**
+   * Token-budget mixing — the other half of the data-mixing knob:
+   * [[weightedBernoulli]] hits a RATE per source in expectation, but a
+   * training recipe is specified in TOKENS per source ("300B crawl,
+   * 30B books, 15B code"). Each source's documents are ranked in the
+   * deterministic hash order (mix32 asc, key tie-break — the same
+   * priority every sampler here uses, so re-runs and engine ports pick
+   * identical documents) and kept while the running token total stays
+   * within the source's budget (strict: the first overflowing document
+   * is dropped, not truncated — document-level mixing; intra-document
+   * packing to a length budget is [[graft.operators.SeqPack]]'s job).
+   *
+   * Scale shape: ONE hash-partition exchange on the source key feeds a
+   * running-sum window per source — no global sort, no driver state,
+   * and the window's ROWS frame is a streaming accumulation within
+   * each partition. Per-source data volume is the only skew concern;
+   * a pathological single-source corpus degrades to the SeqPack
+   * two-pass prefix-sum shape, which this deliberately does not need
+   * at realistic source counts (pretraining mixes have 10s-100s of
+   * sources, each a manageable fraction of the corpus).
+   */
+  def tokenBudget(df: DataFrame, key: Column, source: Column,
+      nTokens: Column, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(source === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(source).orderBy(mix32(key), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Wired token-budget query: 800 tokens of src0, 400 of src1, 200 of
+   * src2, 100 of every other source (each source carries ~1.3k tokens
+   * at sf0.01, so every budget BINDS — partial selection everywhere). */
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(docs(spark, dir), col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("bigint"),
+      Map("src0" -> 800L, "src1" -> 400L, "src2" -> 200L),
+      defaultBudget = 100L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+
   /** Wired mixing query: keep all of src0, half of src1, a quarter of
    * src2, 10% of everything else. */
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
@@ -555,6 +599,7 @@ object Curation {
     "sample_bernoulli" -> sampleBernoulli,
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
+    "sample_token_budget" -> sampleTokenBudget,
     "sample_split" -> sampleSplit,
     "decon_ngram_overlap" -> deconNgramOverlap,
     "decon_exact_substring" -> deconExactSubstring,
@@ -588,6 +633,20 @@ object Curation {
                  WHEN ($Mix32Sql) % 100 < 95 THEN 'val'
                  ELSE 'test' END AS split
           FROM documents""",
+    "sample_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+            CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+              t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+            ($Mix32Sql) AS mk FROM documents),
+          c AS (SELECT doc_id, source, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY source ORDER BY mk, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cum_tokens FROM d)
+          SELECT doc_id, source, n_tokens,
+            CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c
+          WHERE cum_tokens <=
+            CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
+                        WHEN 'src2' THEN 200 ELSE 100 END""",
     "decon_ngram_overlap" -> HashOracleSql.deconOverlap,
     "decon_exact_substring" ->
       """WITH snip AS (

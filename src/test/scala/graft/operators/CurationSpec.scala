@@ -50,6 +50,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("token budget keeps the greedy hash-order prefix per source, strictly") {
+    val d = (0L until 200L).map(i => (i, s"src${i % 3}", 10L + i % 7))
+      .toDF("doc_id", "source", "nt")
+    val out = Curation.tokenBudget(d, col("doc_id"), col("source"), col("nt"),
+      Map("src0" -> 120L, "src1" -> 60L), defaultBudget = 35L)
+      .select("doc_id", "source", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // strict: no source exceeds its budget
+    val maxCum = out.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    assert(maxCum("src0") <= 120L && maxCum("src1") <= 60L && maxCum("src2") <= 35L)
+    // greedy prefix: recompute the expected pick in plain Scala — the
+    // window keeps accumulating past a dropped doc (cum includes it),
+    // so expected membership = rows whose RUNNING total (incl. all
+    // prior in hash order) fits
+    def mix32(id: Long) = Math.floorMod((id % 3037000493L) * 2654435761L, 4294967296L)
+    val expect2 = (0L until 200L).map(i => (i, s"src${i % 3}", 10L + i % 7))
+      .groupBy(_._2).flatMap { case (src, rows) =>
+        val budget = Map("src0" -> 120L, "src1" -> 60L).getOrElse(src, 35L)
+        var cum = 0L
+        rows.sortBy(r => (mix32(r._1), r._1)).map { r =>
+          cum += r._3; (r._1, src, cum)
+        }.filter(_._3 <= budget)
+      }.toSet
+    assert(out.toSet == expect2, s"got ${out.toSet}\nexpected $expect2")
+    // determinism across partitionings
+    val out7 = Curation.tokenBudget(d.repartition(7), col("doc_id"),
+      col("source"), col("nt"), Map("src0" -> 120L, "src1" -> 60L), 35L)
+      .select("doc_id", "source", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out7 == out.toSet)
+  }
+
   test("weighted sampling applies per-stratum rates; rate 100 keeps all") {
     val d = spark.range(0, 3000).toDF("doc_id")
       .withColumn("src", concat(lit("s"), (col("doc_id") % 3).cast("string")))
