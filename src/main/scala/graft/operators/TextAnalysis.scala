@@ -260,7 +260,7 @@ object TextAnalysis {
     // coalesce: sum over zero rows is null — an empty corpus must yield
     // an empty result, not an NPE
     val charBound = base.agg(coalesce(sum(col("n_chars").cast("long")), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
     val derived = charBound / threshold + 1
     require(derived <= MaxHeavyHitterK,
       s"corpus too large for threshold=$threshold: derived k=$derived exceeds " +
