@@ -508,6 +508,88 @@ object Curation {
         .select(col("doc_id"), col("g").as("term"), col("cnt").as("tf")),
       docs(spark, dir).count(), 3)
 
+  // ----------------------------------------------------------------- dsir
+
+  /** Hashed-feature space for DSIR: 16 buckets vs the testdata's ~31
+   * distinct tokens FORCES collisions (pigeonhole — the CMS-geometry
+   * argument), so the hashed-n-gram reduction is genuinely exercised;
+   * a deployment uses 10⁴-10⁵ buckets, and the model stays
+   * `buckets × 8` bytes either way. Power of two, so the bucket index
+   * is the hash's low bits — identical under signed (Spark `& 15`) and
+   * unsigned (DuckDB `% 16`) views of the same 64-bit value. */
+  val DsirBuckets = 16
+
+  /**
+   * Data Selection via Importance Resampling (DSIR; Xie et al. 2023,
+   * arXiv:2302.03169) in its exactly-reproducible hashed-unigram form:
+   * fit bag-of-hashed-feature unigram models on a TARGET corpus (the
+   * distribution you want more of — a curated source, a domain) and on
+   * the RAW pool, and score every document by its importance log-weight
+   * `Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)]` (Laplace
+   * +1-smoothed). High scores read "target-like"; resampling
+   * proportionally to the weight is then [[weightedBernoulli]] /
+   * [[stratifiedBySource]] on the scored output.
+   *
+   * `tf` is a per-document term-count relation `(doc_id, term, cnt)`;
+   * `target` maps `doc_id -> is_target` (the target corpus is a subset
+   * of the pool here, as in within-corpus selection; an external
+   * target corpus just unions in with `is_target = true`).
+   *
+   * Scale shape: terms collapse to `buckets` cells per document BEFORE
+   * anything joins or aggregates globally — the per-doc bucket relation
+   * is ≤ `buckets` rows per document — and the fitted model is
+   * `buckets` longs collected to the driver (the IVF-quantizer
+   * pattern), re-attached as a literal array indexed row-locally. The
+   * only exchanges are one join with the slim `(doc_id, is_target)`
+   * relation keyed by doc_id and two id-keyed aggregates; text never
+   * moves (the wired query's tf comes from the persisted gram-counts
+   * table, so the corpus is tokenized ZERO times on a snapshot hit).
+   */
+  def dsirScore(tf: DataFrame, target: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two: $buckets")
+    val db = tf
+      .withColumn("bucket", graft.functions.CmsFunctions.hash64(col("term"))
+        .bitwiseAND(lit(buckets - 1L)))
+      .groupBy("doc_id", "bucket").agg(sum("cnt").as("cnt"))
+    val fit = db.join(target, Seq("doc_id"))
+      .groupBy("bucket").agg(
+        sum("cnt").as("raw"),
+        sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("tgt"))
+      .collect()
+    val raw = new Array[Long](buckets)
+    val tgt = new Array[Long](buckets)
+    fit.foreach { r =>
+      val b = r.getLong(0).toInt; raw(b) = r.getLong(1); tgt(b) = r.getLong(2)
+    }
+    val rawTot = raw.sum.toDouble
+    val tgtTot = tgt.sum.toDouble
+    val lam = (0 until buckets).map { b =>
+      math.log((tgt(b) + 1.0) / (tgtTot + buckets)) -
+        math.log((raw(b) + 1.0) / (rawTot + buckets))
+    }
+    db.withColumn("lam",
+        element_at(typedLit(lam), col("bucket").cast("int") + 1))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"), sum(col("cnt") * col("lam")).as("s"))
+      .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+        round(col("s"), 6).as("dsir_logw"),
+        (col("s") > 0).as("target_like"))
+  }
+
+  /** Wired DSIR: target = the `src0` slice of the corpus (the "I want
+   * more like this source" selection run), tf = the k = 1 slice of the
+   * persisted [[TextAnalysis.gramCounts]] table (third consumer of the
+   * one-tokenize-pass-per-snapshot statistics table, after
+   * text_repetition and text_tfidf_topk). */
+  def curateDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirScore(
+      TextAnalysis.gramCounts(spark, dir).filter(col("k") === 1)
+        .select(col("doc_id"), col("g").as("term"), col("cnt")),
+      docs(spark, dir)
+        .select(col("doc_id"), (col("source") === "src0").as("is_target")),
+      DsirBuckets)
+
   // ------------------------------------------------------ composed pipeline
 
   /**
@@ -605,6 +687,7 @@ object Curation {
     "decon_exact_substring" -> deconExactSubstring,
     "decon_exact_tiled" -> deconExactTiled,
     "text_tfidf_topk" -> textTfidfTopk,
+    "curate_dsir" -> curateDsir,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_layout" -> pipelineCurateLayout)
 
@@ -647,6 +730,7 @@ object Curation {
           WHERE cum_tokens <=
             CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
                         WHEN 'src2' THEN 200 ELSE 100 END""",
+    "curate_dsir" -> HashOracleSql.dsirScore(DsirBuckets),
     "decon_ngram_overlap" -> HashOracleSql.deconOverlap,
     "decon_exact_substring" ->
       """WITH snip AS (

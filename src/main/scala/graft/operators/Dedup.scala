@@ -181,6 +181,75 @@ object Dedup {
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
   }
 
+  // --------------------------------------------------------- containment
+
+  /** Posting-list df cap for the containment join: 4 binds at sf0.01
+   * (max df is 7 there — ~1% of shingles are dropped as
+   * "stop-shingles", so the cap path is genuinely exercised, and the
+   * planted near-dup pairs still surface). A deployment caps in the
+   * hundreds; the cap is what BOUNDS the pair expansion — each kept
+   * shingle emits ≤ cap² ordered pairs — making the join linear in
+   * true co-occurrence instead of corpus². */
+  val ContainmentDfCap = 4
+
+  /**
+   * Asymmetric containment near-dup pairs — C(A→B) =
+   * |sh(A) ∩ sh(B)| / |sh(A)| over df-capped distinct shingles —
+   * the sub-document-duplication detector Jaccard misses: a short doc
+   * quoted wholesale inside a long one scores C ≈ 1 while Jaccard ≈
+   * |A|/|B| ≈ 0. Both sides of the ratio live in the capped
+   * ("informative") shingle space, so C = 1 ⇔ every informative
+   * shingle of A appears in B; dropping stop-shingles before pairing
+   * is the standard production trade (the cap is mirrored exactly in
+   * the oracle, so it is semantics, not approximation).
+   *
+   * Scale shape vs [[dedupJaccardPairs]] (the documented O(n²) rerank
+   * baseline): this is the scalable form — an inverted-index self-join
+   * whose posting lists are df-capped, so the pair expansion is
+   * Σ_shingle df² ≤ cap · Σ df = cap · corpus-postings, LINEAR in the
+   * corpus with a cap-bounded constant, and every exchange carries
+   * ids/hashes only. The df filter runs as an aggregate + co-partitioned
+   * join (NOT a collect_list-then-filter, which would buffer an
+   * unbounded stop-shingle posting in one aggregation buffer before
+   * discarding it). Pairs explode from grouped lists bounded at ≤ cap
+   * elements, ≤ cap² structs per row.
+   */
+  def containmentPairs(postings: DataFrame, cap: Int): DataFrame = {
+    val dfc = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    // co-partitioned on s with the groupBy below — one exchange chain.
+    // The grouped posting lists feed BOTH consumers (sizes + pairs);
+    // without materialization the whole scan+df+collect subtree runs
+    // twice (Spark shares no common subtrees) — localCheckpoint is the
+    // q15/tfidf pattern, and the relation is ids/hashes only, capped
+    // at ≤ cap elements per row.
+    val kept = postings.join(dfc.filter(col("df") <= cap), Seq("s"))
+    val posts = kept.groupBy("s")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .localCheckpoint()
+    val sizes = posts.select(explode(col("ids")).as("id_a"))
+      .groupBy("id_a").agg(count(lit(1)).as("n_sh_a"))
+    val pairs = posts
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(col("ids"), b =>
+          struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    pairs.join(sizes, Seq("id_a"))
+      .filter(col("n_common") * 2 >= col("n_sh_a"))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_sh_a"),
+        round(col("n_common").cast("double") / col("n_sh_a"), 6)
+          .as("containment"))
+  }
+
+  /** Wired containment pairs over the persisted
+   * [[Curation.shingleHashTable]] — the corpus is shingled ZERO times
+   * on a snapshot hit (the decon/pipeline queries' table, reused). */
+  def dedupContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(
+      Curation.shingleHashTable(spark, dir).select(col("doc_id"), col("s")),
+      ContainmentDfCap)
+
   // ------------------------------------------------------------- minhash
 
   val NumHashes = 16
@@ -599,6 +668,7 @@ object Dedup {
     "dedup_exact_keep_first" -> dedupExactKeepFirst,
     "dedup_incremental" -> dedupIncremental,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
+    "dedup_containment_pairs" -> dedupContainmentPairs,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_lsh" -> dedupClustersLsh,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -648,6 +718,8 @@ object Dedup {
           WHERE a.doc_id < b.doc_id
             AND len(list_intersect(a.sh, b.sh)) * 2 >=
                 len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))""",
+    "dedup_containment_pairs" ->
+      graft.operators.HashOracleSql.containmentPairs(ContainmentDfCap),
     "dedup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id,
             list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS toks

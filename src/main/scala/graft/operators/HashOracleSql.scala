@@ -467,6 +467,60 @@ SELECT t AS term, exact_cnt, CAST(est AS BIGINT) AS cms_est,
   CAST(est - exact_cnt AS BIGINT) AS overcount FROM _est"""
   }
 
+  /** Oracle for Curation.curateDsir — DSIR hashed-unigram importance
+   * log-weights: per-doc term counts hashed once per distinct
+   * (doc, term) through the staged fnv+avalanche chain, bucket = the
+   * unsigned hash's low bits (`% buckets`, power of two — identical to
+   * the Scala side's signed `& (buckets-1)`), target/raw bucket models
+   * Laplace-smoothed, score = Σ cnt·λ. */
+  def dsirScore(buckets: Int): String = {
+    val (av, last) =
+      stagedAvalanche("_qf", "fv", "h64", Seq("doc_id", "cnt"), "qd")
+    s"""WITH
+_q0 AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+_qc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt
+        FROM _q0 GROUP BY 1, 2),
+_qf AS (SELECT doc_id, cnt, ${fnv("t")} AS fv FROM _qc),
+$av,
+_qb AS (SELECT doc_id, h64 % $buckets AS bkt, sum(cnt) AS cnt
+        FROM $last GROUP BY 1, 2),
+_qs AS (SELECT doc_id, source = 'src0' AS is_target FROM documents),
+_qfit AS (SELECT bkt, sum(cnt) AS raw,
+          sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS tgt
+          FROM _qb JOIN _qs USING (doc_id) GROUP BY bkt),
+_qtot AS (SELECT sum(raw) AS rawtot, sum(tgt) AS tgttot FROM _qfit),
+_qlam AS (SELECT bkt,
+          ln((tgt + 1.0) / (tgttot + $buckets))
+            - ln((raw + 1.0) / (rawtot + $buckets)) AS lam
+          FROM _qfit, _qtot),
+_qsc AS (SELECT doc_id, sum(cnt) AS n_tokens, sum(cnt * lam) AS s
+         FROM _qb JOIN _qlam USING (bkt) GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(s, 6) AS dsir_logw, s > 0 AS target_like FROM _qsc"""
+  }
+
+  /** Oracle for Dedup.dedupContainmentPairs — df-capped shingle
+   * postings self-joined; C(A→B) = |capped(A) ∩ B| / |capped(A)| at a
+   * ≥50% integer-cross-multiplied threshold. Both the numerator and
+   * the denominator live in the capped ("informative") shingle space,
+   * so C = 1 ⇔ every informative shingle of A appears in B. */
+  def containmentPairs(cap: Int): String =
+    s"""WITH
+$shingleCtes,
+_cu AS (SELECT doc_id, unnest(sh) AS s FROM _sh),
+_cdf AS (SELECT s, count(*) AS df FROM _cu GROUP BY s),
+_ck AS (SELECT _cu.doc_id, _cu.s FROM _cu JOIN _cdf USING (s)
+        WHERE df <= $cap),
+_csz AS (SELECT doc_id, count(*) AS n_sh FROM _ck GROUP BY doc_id),
+_cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM _ck a JOIN _ck b USING (s) WHERE a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+  CAST(z.n_sh AS BIGINT) AS n_sh_a,
+  round(CAST(n_common AS DOUBLE) / z.n_sh, 6) AS containment
+FROM _cp JOIN _csz z ON z.doc_id = _cp.id_a
+WHERE n_common * 2 >= z.n_sh"""
+
   def kmvDistinct: String = {
     val k = 256
     val (av, last) =

@@ -59,6 +59,51 @@ class LlmOpsSpec extends SparkSpec {
     assert(grouped == Map(5L -> 2L, 7L -> 1L))
   }
 
+  test("containment pairs: subset doc scores 1.0, superset direction 0.5; stop-shingles capped out") {
+    // doc 1's shingles {1,2,3} ⊂ doc 2's {1..6}; doc 3 disjoint; shingle
+    // 99 appears in 5 docs (df 5 > cap 4) and must not count anywhere
+    val postings = (
+      Seq(1L -> 1L, 1L -> 2L, 1L -> 3L, 1L -> 99L) ++
+      (1L to 6L).map(2L -> _) ++ Seq(2L -> 99L) ++
+      Seq(3L -> 10L, 3L -> 99L, 4L -> 99L, 5L -> 99L)
+    ).toDF("doc_id", "s")
+    val out = Dedup.containmentPairs(postings, cap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // C(1→2) = 3/3 = 1.0; C(2→1) = 3/6 = 0.5 (kept at the ≥50% bound);
+    // doc 3 pairs with nothing (its only shared shingle was capped out)
+    assert(out.keySet == Set((1L, 2L), (2L, 1L)))
+    assert(out((1L, 2L)) == ((3L, 3L, 1.0)))
+    assert(out((2L, 1L)) == ((3L, 6L, 0.5)))
+  }
+
+  test("DSIR separates target-marker docs from raw-marker docs, deterministically") {
+    import graft.functions.SimHash64
+    import org.apache.spark.unsafe.types.UTF8String
+    // two marker terms guaranteed to land in different hash buckets
+    def bucket(t: String): Long =
+      SimHash64.hash64(UTF8String.fromString(t)) & 15L
+    val cands = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val t1 = cands.head
+    val t2 = cands.tail.find(bucket(_) != bucket(t1)).get
+    val tf = Seq((1L, t1, 10L), (2L, t1, 10L), (3L, t2, 10L), (4L, t2, 10L),
+      (5L, t1, 9L), (5L, t2, 1L)).toDF("doc_id", "term", "cnt")
+    val target = Seq((1L, true), (2L, true), (3L, false), (4L, false),
+      (5L, false)).toDF("doc_id", "is_target")
+    val out = Curation.dsirScore(tf, target, 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1)._3 && out(2)._3, "pure-target-marker docs read target-like")
+    assert(!out(3)._3 && !out(4)._3, "raw-marker docs do not")
+    // the mixed doc sits strictly between the pure docs
+    assert(out(3)._2 < out(5)._2 && out(5)._2 < out(1)._2)
+    assert(out(5)._1 == 10L, "n_tokens sums the term counts")
+    // pure function of the data: partitioning cannot change a score
+    val again = Curation.dsirScore(tf.repartition(7), target, 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.map { case (k, v) => k -> v._2 } == again)
+  }
+
   test("substr self-dedup: planted shared passage is cut everywhere but its keeper") {
     // a 48-char passage of three DISTINCT tiles (so the passage does not
     // repeat within itself), planted in three docs at different
