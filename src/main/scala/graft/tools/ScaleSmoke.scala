@@ -640,6 +640,87 @@ object ScaleSmoke {
         s"range=${probe(rangeDir, "l_partkey", pkCut)}  " +
         s"zorder=${probe(zDir, "l_partkey", pkCut)}")
     }
+    if (args.contains("containment")) {
+      // Bounded-posting containment growth curve: byte-identical f×
+      // replicas multiply every shingle's df by f — the maximal
+      // true-duplication regime. The inverted-index design's pair
+      // expansion is bounded by cap·postings (postings grow f×, the cap
+      // is fixed), so WALL must track that linear-with-constant bound,
+      // never the 1:4:16 of a pairwise design. Measured: the pair COUNT
+      // actually shrinks as f grows (7708 → 1858 at 2×) — replication
+      // pushes formerly-informative shingles over the fixed cap, which
+      // is the cap doing exactly its job (a deployment re-tunes cap to
+      // its corpus's duplication level); wall stays flat. The shingling
+      // scan is checkpointed outside the timing: the smoke measures the
+      // JOIN design, not the shared tokenize kernel.
+      import graft.functions.ShingleFunctions._
+      import graft.operators.Dedup
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val curve = Seq(1, 2, 4).map { f =>
+        val postings = docs
+          .crossJoin(spark.range(f).select(col("id").as("_r")))
+          .withColumn("doc_id", col("doc_id") + col("_r") * 10000000L)
+          .drop("_r").repartition(64)
+          .select(col("doc_id"),
+            explode(array_distinct(shingle_hashes(col("text"), 3))).as("s"))
+          .localCheckpoint()
+        val n = postings.count()
+        Dedup.containmentPairs(postings, Dedup.ContainmentDfCap).count() // warm
+        val runs = (1 to 2).map(_ =>
+          timed(Dedup.containmentPairs(postings, Dedup.ContainmentDfCap).count()))
+        val (pairs, secs) = (runs.head._1, runs.map(_._2).min)
+        assert(pairs > 0, "containment produced ZERO pairs — smoke measured nothing")
+        println(f"[scale-smoke] CONTAINMENT factor=$f postings=$n pairs=$pairs " +
+          f"time=${secs}%.1fs (best of 2, warmed)")
+        (f, secs)
+      }
+      val growth = curve.last._2 / curve.head._2
+      println(f"[scale-smoke] CONTAINMENT 4x/1x wall ratio=${growth}%.1f " +
+        "(cap-bounded linear envelope ~4-8, quadratic=16)")
+      assert(growth < 12.0,
+        f"containment grew ${growth}%.1f× at 4× postings — the cap is not bounding")
+    }
+
+    if (args.contains("dsir")) {
+      // DSIR cost curve: the fitted model is `buckets` longs at ANY
+      // corpus size, and per-doc work collapses to ≤ buckets cells
+      // before anything aggregates globally — so fit+score wall must
+      // grow ~linearly in docs. tf is checkpointed outside the timing
+      // (the wired query reads the persisted gram-counts table; the
+      // smoke isolates the DSIR aggregates themselves).
+      import graft.functions.TextFunctions._
+      import graft.operators.Curation
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "source")
+      val curve = Seq(1, 2, 4).map { f =>
+        val rep = docs
+          .crossJoin(spark.range(f).select(col("id").as("_r")))
+          .withColumn("doc_id", col("doc_id") + col("_r") * 10000000L)
+          .drop("_r").repartition(64)
+          .localCheckpoint()
+        val tf = rep
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val target = rep.select(col("doc_id"),
+          (col("source") === "src0").as("is_target")).localCheckpoint()
+        val n = rep.count()
+        Curation.dsirScore(tf, target, Curation.DsirBuckets).count() // warm
+        val runs = (1 to 2).map(_ =>
+          timed(Curation.dsirScore(tf, target, Curation.DsirBuckets).count()))
+        val (scored, secs) = (runs.head._1, runs.map(_._2).min)
+        assert(scored == n, s"DSIR scored $scored of $n docs")
+        println(f"[scale-smoke] DSIR factor=$f docs=$n " +
+          f"time=${secs}%.1fs (best of 2, warmed)")
+        (f, secs)
+      }
+      val growth = curve.last._2 / curve.head._2
+      println(f"[scale-smoke] DSIR 4x/1x wall ratio=${growth}%.1f (linear=4)")
+      assert(growth < 10.0,
+        f"DSIR grew ${growth}%.1f× at 4× corpus — fit/score is not linear")
+    }
+
     spark.stop()
   }
 }
