@@ -454,6 +454,67 @@ object Curation {
       d.filter(col("doc_id") % 50 === 0))
   }
 
+  // ------------------------------------------------------- semantic decon
+
+  /** Demo threshold: the synthetic corpus plants no cross-split
+   * semantic dups, so 0.3 flags the label-cluster structure (48 rows
+   * at sf0.01, max cross-split cosine ≈ 0.45) — the mechanism, not a
+   * production calibration (deployments run ~0.8 against genuinely
+   * contaminated corpora). */
+  val SemDeconTau = 0.3
+
+  /**
+   * Semantic decontamination — the embedding-space complement of the
+   * n-gram/substring decon ops: flag corpus documents whose embedding
+   * is close to ANY benchmark document's (paraphrased or translated
+   * benchmark leakage that no lexical overlap catches). Statistic =
+   * max cosine over the benchmark set; output = flagged docs with
+   * their nearest benchmark id.
+   *
+   * Scale shape: the benchmark embedding matrix is a driver MODEL
+   * (benchmarks are small by definition — the decon dictionary
+   * argument), riding into codegen as ONE reference-object slot via
+   * the [[graft.functions.VectorExpressions.CentroidAssign]] kernel —
+   * the corpus scan computes its nearest benchmark row-locally
+   * (O(B·dim) per row, no join, no candidate materialization), and
+   * only FLAGGED rows reach the one broadcast join that re-attaches
+   * the winning benchmark vector for the exact cosine emit. The
+   * corpus never shuffles; a benchmark too large for one matrix takes
+   * the decon automaton's hash-shard recipe.
+   */
+  def semanticDecon(corpus: DataFrame, bench: DataFrame, tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val benchRows = bench.select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0))
+    require(benchRows.nonEmpty, "semantic decon needs a non-empty benchmark")
+    val cids = benchRows.map { r =>
+      val id = r.getLong(0)
+      require(id >= 0 && id <= Int.MaxValue, s"bench id $id overflows the kernel's int cid")
+      id.toInt
+    }
+    val matrix = benchRows.map(_.getSeq[Float](1).toArray)
+    val benchSlim = bench.select(col("vec_id").as("bench_id"),
+      col("embedding").as("bench_emb"))
+    corpus
+      .withColumn("bench_id",
+        centroid_assign(col("embedding"), matrix, cids).cast("bigint"))
+      .join(broadcast(benchSlim), Seq("bench_id"))
+      .withColumn("cos", cosine_sim(col("embedding"), col("bench_emb")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_id"), col("bench_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Wired semantic decon: benchmark = the `vec_id % 50 = 0` slice of
+   * the embeddings table (the text decon ops' split convention). */
+  def deconSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    semanticDecon(
+      e.filter(col("vec_id") % 50 =!= 0),
+      e.filter(col("vec_id") % 50 === 0),
+      SemDeconTau)
+  }
+
   // --------------------------------------------------------------- tf-idf
 
   /**
@@ -686,6 +747,7 @@ object Curation {
     "decon_ngram_overlap" -> deconNgramOverlap,
     "decon_exact_substring" -> deconExactSubstring,
     "decon_exact_tiled" -> deconExactTiled,
+    "decon_semantic" -> deconSemantic,
     "text_tfidf_topk" -> textTfidfTopk,
     "curate_dsir" -> curateDsir,
     "pipeline_curate" -> pipelineCurate,
@@ -752,6 +814,23 @@ object Curation {
          FROM documents c JOIN snip s ON position(s.sn IN c.text) > 0
          WHERE c.doc_id % 50 <> 0
          GROUP BY c.doc_id""",
+    // float→double casts are exact and both engines fold the dot
+    // product in dimension order, so the cosine doubles agree before
+    // rounding (the dedup_embedding precedent); argmax ties break to
+    // the lowest bench id in both (kernel cid order / ORDER BY bench_id)
+    "decon_semantic" ->
+      s"""WITH b AS (SELECT vec_id AS bench_id,
+            CAST(embedding AS DOUBLE[]) AS be
+          FROM embeddings WHERE vec_id % 50 = 0),
+          c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+          FROM embeddings WHERE vec_id % 50 <> 0),
+          s AS (SELECT vec_id, bench_id,
+            list_cosine_similarity(ce, be) AS cos,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY list_cosine_similarity(ce, be) DESC, bench_id) AS rk
+          FROM c, b)
+          SELECT vec_id, bench_id, round(cos, 6) AS cos
+          FROM s WHERE rk = 1 AND cos >= $SemDeconTau""",
     "pipeline_curate" -> HashOracleSql.pipelineCurate(Mix32Sql),
     // the curated rows again, surviving the Z-order write round-trip,
     // each with its Morton layout key (the q_zorder_values bit fold;

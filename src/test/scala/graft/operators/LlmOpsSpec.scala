@@ -104,6 +104,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map { case (k, v) => k -> v._2 } == again)
   }
 
+  test("semantic decon flags the planted benchmark clone and spares the orthogonal doc") {
+    // bench 100 = e1, bench 200 = e2; corpus 1 = e1 (clone, cos 1.0),
+    // corpus 2 = e3 (orthogonal to both, cos 0)
+    def unit(i: Int): Seq[Float] =
+      (0 until 4).map(d => if (d == i) 1.0f else 0.0f)
+    val bench = Seq((100L, unit(0)), (200L, unit(1)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((1L, unit(0)), (2L, unit(2)))
+      .toDF("vec_id", "embedding")
+    val out = Curation.semanticDecon(corpus, bench, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 100L, 1.0)))
+  }
+
   test("substr self-dedup: planted shared passage is cut everywhere but its keeper") {
     // a 48-char passage of three DISTINCT tiles (so the passage does not
     // repeat within itself), planted in three docs at different
