@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
  */
 object RelationalQueries {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // events carries a generator-version-dependent ts encoding; pin it
+    if (name == "events") EventTs.canonical(raw) else raw
+  }
 
   /**
    * Order-independent EXACT sum of a fixed-point money expression.
@@ -233,10 +236,10 @@ object RelationalQueries {
         quarter(col("o_orderdate")).as("o_quarter"))
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").as("total"))
 
-  /** Event timestamps: the parquet carries TIMESTAMP(NANOS), which the
-   * session reads as an exact nanosecond LongType
-   * (spark.sql.legacy.parquet.nanosAsLong). Integer division to µs —
-   * never through double, 1.7e18 ns exceeds a double's 53-bit mantissa. */
+  /** Event timestamps: `t` canonicalizes events.ts to an exact
+   * nanosecond LongType whatever the parquet encoding (EventTs). Integer
+   * division to µs — never through double, 1.7e18 ns exceeds a double's
+   * 53-bit mantissa. */
   private def tsMicros = expr("ts DIV 1000")
 
   /** Event-stream time bucketing: hourly tumbling aggregation (batch

@@ -23,8 +23,10 @@ import org.apache.spark.sql.types._
  */
 object EventPipeline {
 
-  /** events.parquet schema with ts as exact nanosecond epoch (read under
-   * spark.sql.legacy.parquet.nanosAsLong). */
+  /** Canonical feed schema: ts as exact nanosecond epoch. The replay
+   * harness writes its own feed files in this shape (via
+   * EventTs.canonical); the direct file stream probes the actual file
+   * schema instead, since the generator's ts encoding varies by round. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -33,14 +35,20 @@ object EventPipeline {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source with a proper event-time column. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      // file-stream sources take a directory; select just the events table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+  /** Streaming source with a proper event-time column. A file stream
+   * needs a declared schema; probe it from the file itself (one
+   * footer-only batch read) so either ts encoding streams correctly,
+   * then canonicalize to the nanos contract. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.operators.EventTs.canonical(
+      spark.readStream
+        .schema(fileSchema)
+        // file-stream sources take a directory; select just the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Hourly tumbling-window counts per event type (streaming form of
    * qEventsHourly). */
@@ -179,7 +187,8 @@ object EventPipeline {
     val tmp = java.nio.file.Files.createTempDirectory("graft-events-replay").toString
     // ntile over a global sort: a correctness-harness-only single-task
     // window (these queries are benchExcluded), NOT a scale pattern
-    val sliced = spark.read.parquet(s"$dir/events.parquet")
+    val sliced = graft.operators.EventTs.canonical(
+        spark.read.parquet(s"$dir/events.parquet"))
       .withColumn("_slice", ntile(4).over(Window.orderBy(orderCols.map(col): _*)))
     // The file source orders its backlog by mtime; write-time stamps can
     // TIE under coarse filesystem granularity, which would make batch
