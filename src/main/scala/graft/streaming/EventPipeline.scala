@@ -78,6 +78,57 @@ object EventPipeline {
     sessions.groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
 
+  /**
+   * Stream-stream interval self-join — the streaming form of
+   * RelationalQueries.qRangeJoin (every click within the 6-hour window
+   * after an error by the same user). This is the one stateful streaming
+   * mechanism the pipeline didn't yet carry: BOTH sides buffer keyed
+   * state, and the time-interval condition plus the two watermarks give
+   * Spark the bound it needs to evict it (an error row is dropped from
+   * state once the click-side watermark passes e_ts + 6h; clicks conversely
+   * — state is O(events inside the watermark+interval horizon), never
+   * O(stream)). Inner joins emit each matched pair in the micro-batch
+   * that completes it, so the settled append-mode sink is exactly the
+   * batch join; the replay feed is globally time-ordered, so a matching
+   * click arrives at most one 6h-interval after its error and eviction
+   * (watermark 1h behind max seen) can never outrun a live match.
+   */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"),
+        col("event_id").as("err_event_id"), col("ets").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_event_id"), col("ets").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    errs.join(clicks, expr(
+      "e_user = c_user AND c_ts >= e_ts AND c_ts <= e_ts + interval 6 hours"))
+      .select(col("e_user").as("user_id"), col("err_event_id"),
+        col("click_event_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("e_ts"))).as("delta_us"))
+  }
+
+  /**
+   * Built-in watermarked streaming dedup — `dropDuplicatesWithinWatermark`,
+   * Spark's native keep-first-arrival operator (vs streamingDedup's
+   * custom mapGroupsWithState form, which also counts duplicates). State
+   * is one entry per key, expiring once the event-time watermark passes
+   * the first-seen row's time + the delay — the knob that bounds an
+   * unbounded production stream. The replay feed is finite and spans 30
+   * days, so a 31-day delay makes the settled result EXACTLY first
+   * arrival per key under the (ts, event_id)-ordered feed: the row with
+   * the minimal (ts, event_id) — which is what the oracle states. Each
+   * slice is a single file (one upstream partition), so per-key arrival
+   * order inside a micro-batch is the file's sort order — the same
+   * determinism contract the mapGroupsWithState replay row relies on.
+   */
+  def watermarkDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ets", "31 days")
+      .dropDuplicatesWithinWatermark("user_id")
+      .select(col("user_id").as("dedup_key"), col("event_id"))
+
   /** Per-key first-seen record for streaming dedup state. */
   final case class SeenState(firstEventId: Long, nSeen: Long)
   final case class DedupOut(dedup_key: Long, event_id: Long, n_dupes: Long)
@@ -220,10 +271,25 @@ object EventPipeline {
     settled
   }
 
+  /** The stream-stream interval join under the ordered replay: both
+   * sides' keyed state genuinely accumulates and matches across the 4
+   * micro-batches, and the settled append-mode sink must equal the batch
+   * RangeJoin — the row shares `q_range_join`'s oracle SQL verbatim. */
+  def qEventsStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    orderedReplay(spark, dir, outputMode = "append")(intervalJoin)
+
+  /** dropDuplicatesWithinWatermark under the same replay: append-mode
+   * kept rows settle to the first (ts, event_id)-ordered arrival per
+   * user — stated exactly by the oracle's row_number() window. */
+  def qEventsDedupWmStream(spark: SparkSession, dir: String): DataFrame =
+    orderedReplay(spark, dir, outputMode = "append")(watermarkDedup)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly_stream" -> qEventsHourlyStream,
     "q_events_sessions_stream" -> qEventsSessionsStream,
-    "q_events_dedup_stream" -> qEventsDedupStream)
+    "q_events_dedup_stream" -> qEventsDedupStream,
+    "q_events_stream_join" -> qEventsStreamJoin,
+    "q_events_dedup_wm_stream" -> qEventsDedupWmStream)
 
   /** Share the batch queries' oracles — streaming must settle to them. */
   val oracleSql: Map[String, String] = Map(
@@ -234,5 +300,13 @@ object EventPipeline {
     "q_events_dedup_stream" ->
       """SELECT user_id AS dedup_key, min(event_id) AS event_id,
            CAST(count(*) - 1 AS BIGINT) AS n_dupes
-         FROM events GROUP BY user_id""")
+         FROM events GROUP BY user_id""",
+    "q_events_stream_join" ->
+      graft.operators.RelationalQueries.oracleSql("q_range_join"),
+    "q_events_dedup_wm_stream" ->
+      """SELECT user_id AS dedup_key, event_id FROM (
+           SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE rn = 1""")
 }

@@ -30,6 +30,25 @@ class EventPipelineSpec extends SparkSpec {
     assert(perUser.except(batch).isEmpty && batch.except(perUser).isEmpty)
   }
 
+  test("stream-stream interval join settles to the batch range join") {
+    val streamed = EventPipeline.qEventsStreamJoin(spark, dir)
+    val batch = RelationalQueries.queries("q_range_join")(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark settles to first (ts, event_id) per key") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = EventPipeline.qEventsDedupWmStream(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = graft.operators.EventTs.canonical(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id").as("dedup_key"), col("event_id"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("streaming dedup (mapGroupsWithState) equals the batch groupBy form") {
     val streamed = EventPipeline.runToMemory(
       EventPipeline.streamingDedup(EventPipeline.eventsStream(spark, dir)).toDF(),
