@@ -383,6 +383,60 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
   round(cos, 6) AS cos
 FROM _ranked WHERE rank <= 10"""
 
+  /** Oracle for Similarity.simAnnPq — the full spherical-PQ chain,
+   * value-level: per-subspace (two 32-dim halves) unrolled 2-round
+   * cosine-Lloyd codebook fits on the 1/3 sample (the [[annIvf]]
+   * assign/update CTEs, parameterized by slice), full-table encoding
+   * (= the same argmax CTE over the sliced table), per-query LUT
+   * scores, approx = s0 + s1 (that addition order on both engines),
+   * top-50 candidate cut by (approx DESC, neighbor_id), exact-cosine
+   * rerank to top-10. Every float op is the shared bit-exact cosine
+   * fold, so cos AND approx_score compare value-for-value. */
+  def annPq: String = {
+    val perSub = (0 until 2).map { m =>
+      val lo = 1 + m * 32
+      val hi = (m + 1) * 32
+      s"""_pqs$m AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+_pqsamp$m AS (SELECT vec_id, embedding FROM _pqs$m WHERE vec_id % 3 = 0),
+_pqc0_$m AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding AS cvec
+  FROM (SELECT * FROM _pqsamp$m ORDER BY vec_id LIMIT 8)),
+${assignCte(s"_pqa1_$m", s"_pqsamp$m", s"_pqc0_$m")},
+${updateCte(s"_pqc1_$m", s"_pqa1_$m")},
+${assignCte(s"_pqa2_$m", s"_pqsamp$m", s"_pqc1_$m")},
+${updateCte(s"_pqc2_$m", s"_pqa2_$m")},
+${assignCte(s"_pqcode$m", s"_pqs$m", s"_pqc2_$m")},
+_pqlut$m AS (SELECT q.vec_id AS query_id, c.cid,
+  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                         CAST(c.cvec AS DOUBLE[])) AS s
+  FROM _pqs$m q, _pqc2_$m c WHERE q.vec_id < 5)"""
+    }.mkString(",\n")
+    s"""WITH
+$perSub,
+_pqapprox AS (
+  SELECT l0.query_id, k0.vec_id AS neighbor_id, l0.s + l1.s AS approx
+  FROM _pqcode0 k0
+  JOIN _pqcode1 k1 USING (vec_id)
+  JOIN _pqlut0 l0 ON l0.cid = k0.cid
+  JOIN _pqlut1 l1 ON l1.cid = k1.cid AND l1.query_id = l0.query_id
+  WHERE k0.vec_id <> l0.query_id),
+_pqcand AS (SELECT query_id, neighbor_id, approx FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY approx DESC, neighbor_id) AS crank FROM _pqapprox)
+  WHERE crank <= 50),
+_pqexact AS (
+  SELECT c.query_id, c.neighbor_id, c.approx,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                           CAST(v.embedding AS DOUBLE[])) AS cos
+  FROM _pqcand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings v ON v.vec_id = c.neighbor_id),
+_pqranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+  ORDER BY cos DESC, neighbor_id) AS rank FROM _pqexact)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+  round(cos, 6) AS cos, round(approx, 6) AS approx_score
+FROM _pqranked WHERE rank <= 10"""
+  }
+
   /** Oracle for Curation.deconNgramOverlap: the same staged word-3-
    * shingle-hash CTEs as the LSH oracles ([[shingleCtes]] → `_sh`),
    * then distinct benchmark shingles (docs with id % 50 = 0) joined

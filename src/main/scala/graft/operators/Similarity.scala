@@ -289,11 +289,110 @@ object Similarity {
         col("rank").cast("bigint").as("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  val PqM = 2          // subspaces
+  val PqK = 8          // codewords per subspace
+  val PqSubDim = 32    // 64-dim vectors split in half
+  val PqCand = 50      // PQ-scored candidates per query before exact rerank
+
+  private def pqSub(m: Int)(v: Column): Column =
+    slice(v, 1 + m * PqSubDim, PqSubDim)
+
+  /** Per-subspace PQ codebooks — the same deterministic Lloyd fit as the
+   * IVF quantizer, run on each 32-dim half of the 1/3 fit sample, and
+   * persisted as ONE (m, cid, cvec) model table via ModelCache (a PQ
+   * index fits its codebooks once and stores them beside the codes). */
+  def loadOrFitPqCodebooks(spark: SparkSession, dir: String,
+      e: DataFrame): Map[Int, Centroids] = {
+    import spark.implicits._
+    graft.sources.ModelCache.loadOrFit(spark, s"$dir/embeddings.parquet",
+      s"pq-m$PqM-k$PqK-i$LloydIters-s3",
+      sys.env.getOrElse("GRAFT_IVF_CACHE", "/tmp/graft-ivf-cache"), "graft-pq") {
+      (0 until PqM).flatMap { m =>
+        fitCentroids(
+          e.filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id"), pqSub(m)(col("embedding")).as("embedding")),
+          c = PqK, iters = LloydIters)
+          .map { case (cid, v) => (m, cid, v.toSeq) }
+      }.toDF("m", "cid", "cvec")
+    }.collect()
+      .map(r => (r.getInt(0), (r.getInt(1), r.getSeq[Float](2).toArray)))
+      .groupBy(_._1).map { case (m, rows) =>
+        m -> rows.map(_._2).sortBy(_._1).toSeq
+      }
+  }
+
+  /**
+   * ANN top-k via product quantization — the vector-COMPRESSION scale
+   * path the LSH/IVF rows don't cover: each 64-dim float vector (256 B)
+   * is encoded as M=2 codebook ids (2 B here; 8 B at production M=8/
+   * K=256), and candidate scoring runs entirely on the code table via
+   * per-query lookup tables — the 100 TB property is that the full
+   * embedding payload is scanned ONCE at encode time and never again;
+   * queries touch 256-B-compressed codes plus a LUT join.
+   *
+   * Spherical-PQ variant: codebooks are cosine-Lloyd fits per subspace
+   * (the exact [[fitCentroids]] machinery on each half), the asymmetric
+   * score of query q vs code (c0, c1) is cos(q_0, cvec_c0) +
+   * cos(q_1, cvec_c1), and the top-[[PqCand]] PQ candidates get an
+   * exact-cosine rerank (standard ADC + rerank). Every arithmetic step
+   * runs in the bit-exact cosine kernel, so the DuckDB oracle
+   * ([[HashOracleSql.annPq]]) reproduces fit, codes, LUT scores,
+   * candidate cut, and rerank value-for-value.
+   */
+  def simAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val books = loadOrFitPqCodebooks(spark, dir, e)
+    // encode: one scan-local projection, M kernel argmaxes per row — the
+    // only pass that touches the full vectors (coalesce: plan hygiene,
+    // see ivfAssign)
+    val codes = e.select(
+      col("vec_id").as("neighbor_id"),
+      coalesce(assignCid(pqSub(0)(col("embedding")), books(0)), lit(-1)).as("c0"),
+      coalesce(assignCid(pqSub(1)(col("embedding")), books(1)), lit(-1)).as("c1"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    // per-query LUT: Q×K rows per subspace, via the same kernel — tiny,
+    // broadcast into the code-table scan
+    def lut(m: Int): DataFrame = {
+      val book = books(m).map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("cid", s"cvec$m")
+      queries.crossJoin(broadcast(book))
+        .select(col("query_id"), col("cid").as(s"c$m"),
+          cosine(pqSub(m)(col("q")), col(s"cvec$m")).as(s"s$m"))
+    }
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = codes
+      .join(broadcast(lut(0)), Seq("c0"))
+      .join(broadcast(lut(1)), Seq("query_id", "c1"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx", col("s0") + col("s1"))
+      .withColumn("crank", row_number().over(wApprox))
+      .filter(col("crank") <= PqCand)
+      .select("query_id", "neighbor_id", "approx")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("v")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", cosine(col("q"), col("v")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), round(col("cos"), 6).as("cos"),
+        round(col("approx"), 6).as("approx_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
-    "sim_ann_ivf_pruned" -> simAnnIvfPruned)
+    "sim_ann_ivf_pruned" -> simAnnIvfPruned,
+    "sim_ann_pq" -> simAnnPq)
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
@@ -316,5 +415,8 @@ object Similarity {
     "sim_ann_ivf" -> HashOracleSql.annIvf,
     // the pruned path at numPlanes=1 is exact (full bucket coverage),
     // so it must reproduce the identical exact-Lloyd result
-    "sim_ann_ivf_pruned" -> HashOracleSql.annIvf)
+    "sim_ann_ivf_pruned" -> HashOracleSql.annIvf,
+    // full value-level PQ oracle: per-subspace unrolled Lloyd, codes,
+    // LUT scores, candidate cut, exact rerank
+    "sim_ann_pq" -> HashOracleSql.annPq)
 }

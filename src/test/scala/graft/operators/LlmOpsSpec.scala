@@ -209,6 +209,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(top1.length == 5)
   }
 
+  test("PQ ANN retrieves planted near-duplicates at rank 1 with exact rerank cos") {
+    val rnd = new scala.util.Random(17)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 30).map(_ => vec())
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v.toSeq),
+        ((100 + i).toLong, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat).toSeq))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("pq").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Similarity.simAnnPq(spark, tmp).collect()
+    // a twin (cos ≈ 0.999) co-encodes in every subspace, so PQ ranks it
+    // into the candidate set and the exact rerank puts it at rank 1
+    out.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == 100 + r.getAs[Long]("query_id"),
+        s"query ${r.getAs[Long]("query_id")} missed its twin")
+    }
+    // rerank cos is EXACT: must equal the brute-force cosine for the pair
+    val brute = Similarity.simTopkBruteforce(spark, tmp)
+      .select("query_id", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(k).foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+  }
+
   test("semantic dedup drops planted twins toward their lower-id keeper") {
     val rnd = new scala.util.Random(13)
     def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
