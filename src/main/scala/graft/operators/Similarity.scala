@@ -296,30 +296,29 @@ object Similarity {
   val PqSubDim = 32    // 64-dim vectors split in half
   val PqCand = 50      // PQ-scored candidates per query before exact rerank
 
-  private def pqSub(m: Int)(v: Column): Column =
-    slice(v, 1 + m * PqSubDim, PqSubDim)
-
   /** Per-subspace PQ codebooks — the same deterministic Lloyd fit as the
-   * IVF quantizer, run on each 32-dim half of the 1/3 fit sample, and
-   * persisted as ONE (m, cid, cvec) model table via ModelCache (a PQ
+   * IVF quantizer, run on each `64/m`-dim slice of the 1/3 fit sample,
+   * and persisted as ONE (m, cid, cvec) model table via ModelCache (a PQ
    * index fits its codebooks once and stores them beside the codes). */
-  def loadOrFitPqCodebooks(spark: SparkSession, dir: String,
-      e: DataFrame): Map[Int, Centroids] = {
+  def loadOrFitPqCodebooks(spark: SparkSession, dir: String, e: DataFrame,
+      m: Int = PqM, k: Int = PqK): Map[Int, Centroids] = {
     import spark.implicits._
+    val subDim = 64 / m
+    def sub(i: Int)(v: Column): Column = slice(v, 1 + i * subDim, subDim)
     graft.sources.ModelCache.loadOrFit(spark, s"$dir/embeddings.parquet",
-      s"pq-m$PqM-k$PqK-i$LloydIters-s3",
+      s"pq-m$m-k$k-i$LloydIters-s3",
       sys.env.getOrElse("GRAFT_IVF_CACHE", "/tmp/graft-ivf-cache"), "graft-pq") {
-      (0 until PqM).flatMap { m =>
+      (0 until m).flatMap { i =>
         fitCentroids(
           e.filter(col("vec_id") % 3 === 0)
-            .select(col("vec_id"), pqSub(m)(col("embedding")).as("embedding")),
-          c = PqK, iters = LloydIters)
-          .map { case (cid, v) => (m, cid, v.toSeq) }
+            .select(col("vec_id"), sub(i)(col("embedding")).as("embedding")),
+          c = k, iters = LloydIters)
+          .map { case (cid, v) => (i, cid, v.toSeq) }
       }.toDF("m", "cid", "cvec")
     }.collect()
       .map(r => (r.getInt(0), (r.getInt(1), r.getSeq[Float](2).toArray)))
-      .groupBy(_._1).map { case (m, rows) =>
-        m -> rows.map(_._2).sortBy(_._1).toSeq
+      .groupBy(_._1).map { case (i, rows) =>
+        i -> rows.map(_._2).sortBy(_._1).toSeq
       }
   }
 
@@ -341,37 +340,61 @@ object Similarity {
    * ([[HashOracleSql.annPq]]) reproduces fit, codes, LUT scores,
    * candidate cut, and rerank value-for-value.
    */
-  def simAnnPq(spark: SparkSession, dir: String): DataFrame = {
+  def simAnnPq(spark: SparkSession, dir: String): DataFrame =
+    simAnnPqWith(spark, dir)
+
+  /** [[simAnnPq]]'s parameterized core. The oracle row runs the
+   * demo-sized default (m=2, k=8 — value-level-verifiable SQL); the
+   * scale smoke runs the production shape (m=4, k=64 → 24-bit codes)
+   * on a replicated corpus. Left-to-right `s0 + s1 + …` addition order
+   * is part of the contract with the oracle. */
+  def simAnnPqWith(spark: SparkSession, dir: String, m: Int = PqM,
+      k: Int = PqK, nCand: Int = PqCand): DataFrame = {
     import spark.implicits._
+    require(64 % m == 0, s"PQ subspaces must divide dim 64, got $m")
+    val subDim = 64 / m
+    def sub(i: Int)(v: Column): Column = slice(v, 1 + i * subDim, subDim)
     val e = emb(spark, dir)
-    val books = loadOrFitPqCodebooks(spark, dir, e)
-    // encode: one scan-local projection, M kernel argmaxes per row — the
+    val books = loadOrFitPqCodebooks(spark, dir, e, m, k)
+    // encode: one scan-local projection, m kernel argmaxes per row — the
     // only pass that touches the full vectors (coalesce: plan hygiene,
-    // see ivfAssign)
-    val codes = e.select(
-      col("vec_id").as("neighbor_id"),
-      coalesce(assignCid(pqSub(0)(col("embedding")), books(0)), lit(-1)).as("c0"),
-      coalesce(assignCid(pqSub(1)(col("embedding")), books(1)), lit(-1)).as("c1"))
+    // see ivfAssign). The code table IS the PQ index: it's built once
+    // per corpus snapshot and persisted (gramCounts pattern,
+    // partitioning kept — at scale this is an index-build table), so
+    // repeat queries scan 2-3 B/vec codes, never the 256 B/vec vectors.
+    // Deterministic encode ⇒ hit and miss are byte-identical.
+    val codes = graft.sources.ModelCache.loadOrFit(spark,
+      s"$dir/embeddings.parquet", s"pqcodes-m$m-k$k-i$LloydIters-s3",
+      sys.env.getOrElse("GRAFT_IVF_CACHE", "/tmp/graft-ivf-cache"),
+      "graft-pq", singleFile = false) {
+      e.select(
+        col("vec_id").as("neighbor_id") +:
+          (0 until m).map(i => coalesce(
+            assignCid(sub(i)(col("embedding")), books(i)), lit(-1)).as(s"c$i")): _*)
+    }
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    // per-query LUT: Q×K rows per subspace, via the same kernel — tiny,
+    // per-query LUT: Q×k rows per subspace, via the same kernel — tiny,
     // broadcast into the code-table scan
-    def lut(m: Int): DataFrame = {
-      val book = books(m).map { case (cid, v) => (cid, v.toSeq) }
-        .toDF("cid", s"cvec$m")
+    def lut(i: Int): DataFrame = {
+      val book = books(i).map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("cid", s"cvec$i")
       queries.crossJoin(broadcast(book))
-        .select(col("query_id"), col("cid").as(s"c$m"),
-          cosine(pqSub(m)(col("q")), col(s"cvec$m")).as(s"s$m"))
+        .select(col("query_id"), col("cid").as(s"c$i"),
+          cosine(sub(i)(col("q")), col(s"cvec$i")).as(s"s$i"))
     }
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("neighbor_id"))
-    val cand = codes
-      .join(broadcast(lut(0)), Seq("c0"))
-      .join(broadcast(lut(1)), Seq("query_id", "c1"))
+    val withLuts = (1 until m).foldLeft(
+      codes.join(broadcast(lut(0)), Seq("c0"))) { (acc, i) =>
+      acc.join(broadcast(lut(i)), Seq("query_id", s"c$i"))
+    }
+    val cand = withLuts
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("approx", col("s0") + col("s1"))
+      .withColumn("approx",
+        (1 until m).foldLeft[Column](col("s0"))((a, i) => a + col(s"s$i")))
       .withColumn("crank", row_number().over(wApprox))
-      .filter(col("crank") <= PqCand)
+      .filter(col("crank") <= nCand)
       .select("query_id", "neighbor_id", "approx")
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
