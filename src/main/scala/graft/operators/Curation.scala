@@ -179,6 +179,49 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         col("sample_rank").cast("bigint").as("sample_rank"))
 
+  // --------------------------------------------------------- chunking
+
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /**
+   * Fixed-window token chunking — the context-window prep step between
+   * curation and packing: each document's token sequence splits into
+   * windows of [[ChunkSize]] tokens starting every [[ChunkStride]]
+   * (overlap = size − stride, here 8 tokens, the standard recipe so no
+   * boundary context is lost to truncation). A window starts at every
+   * stride offset `< n_tokens`; the final windows run short rather than
+   * padding. Generic core: any (id, text) frame.
+   *
+   * Scale shape: tokenize once, one scan-local explode — zero
+   * exchanges, zero joins; output order is (doc_id, chunk_id) within
+   * the scan, so downstream packing (SeqPack) can consume it without a
+   * sort. The token array is materialized as an attribute BEFORE the
+   * lambda (TextFunctions.shingles caveat: an inlined tokenizer
+   * re-evaluates per output element).
+   */
+  def chunk(df: DataFrame, id: Column, text: Column,
+      size0: Int = ChunkSize, stride: Int = ChunkStride): DataFrame = {
+    require(size0 >= stride && stride > 0,
+      s"chunk windows must tile with non-negative overlap: $size0/$stride")
+    df.select(id.as("doc_id"),
+        graft.functions.TextFunctions.tokens(text).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(stride)).cast("int")))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(size0)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("bigint").as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+
+  /** Wired 32/24 chunking of the documents table. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunk(docs(spark, dir), col("doc_id"), col("text"))
+
   // --------------------------------------------------- decontamination
 
   /**
@@ -744,6 +787,7 @@ object Curation {
     "sample_weighted" -> sampleWeighted,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_split" -> sampleSplit,
+    "chunk_documents" -> chunkDocuments,
     "decon_ngram_overlap" -> deconNgramOverlap,
     "decon_exact_substring" -> deconExactSubstring,
     "decon_exact_tiled" -> deconExactTiled,
@@ -792,6 +836,19 @@ object Curation {
           WHERE cum_tokens <=
             CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
                         WHEN 'src2' THEN 200 ELSE 100 END""",
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)
+             AS toks FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         c AS (SELECT doc_id, n, toks,
+           unnest(range(0, ((n - 1) // 24) + 1)) AS chunk_id FROM s)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[chunk_id*24 + 1 : least(chunk_id*24 + 32, n)])
+             AS BIGINT) AS n_tokens,
+           array_to_string(toks[chunk_id*24 + 1 : least(chunk_id*24 + 32, n)],
+             ' ') AS chunk_text
+         FROM c""",
     "curate_dsir" -> HashOracleSql.dsirScore(DsirBuckets),
     "decon_ngram_overlap" -> HashOracleSql.deconOverlap,
     "decon_exact_substring" ->

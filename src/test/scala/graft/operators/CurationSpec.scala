@@ -108,6 +108,32 @@ class CurationSpec extends SparkSpec {
       Map("0" -> 7, "1" -> 7, "2" -> 7))
   }
 
+  test("chunking covers every token: stride-heads reconstruct the document") {
+    // docs sized to hit all window regimes: shorter than one window (n=5),
+    // exact multiple of stride (n=48), mid-window tail (n=60, 70)
+    val df = Seq(5, 48, 60, 70).zipWithIndex
+      .map { case (n, i) => (i.toLong, doc(100 + i, n)) }.toDF("doc_id", "text")
+    val out = Curation.chunk(df, col("doc_id"), col("text")).collect()
+      .groupBy(_.getLong(0))
+    df.collect().foreach { r =>
+      val toks = r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq
+      val chunks = out(r.getLong(0)).sortBy(_.getLong(1))
+      // every stride offset < n starts a chunk; none beyond
+      assert(chunks.length == (toks.length - 1) / Curation.ChunkStride + 1)
+      // taking each chunk's first `stride` tokens (all of the last chunk)
+      // reconstructs the document exactly — nothing lost, nothing invented
+      val rebuilt = chunks.init.flatMap(
+        _.getString(3).split(" ").take(Curation.ChunkStride)) ++
+        chunks.last.getString(3).split(" ")
+      assert(rebuilt.toSeq == toks, s"doc ${r.getLong(0)} reconstruction mismatch")
+      // overlap: each non-final chunk carries size tokens unless the doc
+      // ends first
+      chunks.init.foreach(c => assert(
+        c.getLong(2) == math.min(Curation.ChunkSize,
+          toks.length - c.getLong(1) * Curation.ChunkStride)))
+    }
+  }
+
   test("contamination flags a planted benchmark copy, not unrelated docs") {
     val benchText = doc(1)
     val bench = Seq((100L, benchText)).toDF("doc_id", "text")
