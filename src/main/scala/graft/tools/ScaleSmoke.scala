@@ -230,6 +230,69 @@ object ScaleSmoke {
       rm(new java.io.File(tmp))
     }
 
+    if (args.contains("streamjoin")) {
+      // Stream-stream interval join state bound, MEASURED: replicate the
+      // events table factor× into disjoint user universes (per-user
+      // density constant, key count grows), replay through the real
+      // engine in 8 event-time-ordered micro-batches, and read
+      // numRowsTotal from the join's state-operator progress. The claim
+      // that makes the operator 100 TB-runnable is that buffered state
+      // tracks the watermark+interval HORIZON (≈ the trailing 7h of
+      // each batch), never the stream length — and the settled output
+      // must still equal the batch range join exactly (each replica
+      // universe is independent, so expected = factor × batch count).
+      import graft.streaming.EventPipeline
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.operators.EventTs.canonical(
+        spark.read.parquet(s"$dir/events.parquet"))
+      val rep = ev.crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn("user_id", col("user_id") + col("_r") * 1000000L)
+        .withColumn("event_id", col("event_id") + col("_r") * 100000000L)
+        .drop("_r")
+      val nIn = rep.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sj-smoke").toString
+      val sliced = rep.withColumn("_slice",
+        ntile(8).over(Window.orderBy("ts", "event_id")))
+      val stamped = scala.collection.mutable.Set[String]()
+      val tBase = System.currentTimeMillis()
+      (1 to 8).foreach { s =>
+        sliced.filter(col("_slice") === s).drop("_slice")
+          .coalesce(1).write.mode("append").parquet(tmp)
+        new java.io.File(tmp).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") && !stamped(f.getName))
+          .foreach { f =>
+            f.setLastModified(tBase + s * 1000L): Unit
+            stamped += f.getName
+          }
+      }
+      val stream = spark.readStream.schema(EventPipeline.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      val q = EventPipeline.intervalJoin(stream).writeStream
+        .outputMode("append").format("memory").queryName("sj_smoke").start()
+      try q.processAllAvailable() finally {
+        val maxState = q.recentProgress
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsTotal) match { case a if a.nonEmpty => a.max; case _ => -1L }
+        q.stop()
+        val out = spark.table("sj_smoke").count()
+        spark.catalog.dropTempView("sj_smoke")
+        val expected = graft.operators.RelationalQueries
+          .queries("q_range_join")(spark, dir).count() * factor
+        println(f"[scale-smoke] STREAMJOIN factor=$factor events=$nIn " +
+          f"joined=$out (expected $expected) max-state-rows=$maxState " +
+          f"(${maxState * 100.0 / nIn}%.1f%% of stream)")
+        assert(out == expected,
+          s"stream-stream join diverged from batch: $out vs $expected")
+        assert(maxState > 0 && maxState * 10 < nIn,
+          s"join state $maxState not an order below stream size $nIn")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }
+
     if (args.contains("percentiles")) {
       // Sketch-guided exact percentiles vs the buffering percentile()
       // at a grown corpus: replicate lineitem f× (values perturbed per
