@@ -121,6 +121,30 @@ object ReconQueries {
     f.delete(): Unit
   }
 
+  /** The same classification through a [[graft.sources.JsonSource]]
+   * round-trip — the third Source implementation driver-verified
+   * against recon_classify's oracle. JSON's native null needs no
+   * marker convention (the CSV variant's r9 trap); what the hash pins
+   * is type fidelity through the text round-trip: longs, doubles, and
+   * the writetime/ttl sibling columns re-parse exactly under the
+   * explicit schema. */
+  def reconClassifyJson(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JsonSource
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json-source").toString
+    val base = MvSyncDemo.baseDf(spark, dir)
+    val mv = MvSyncDemo.mvDf(spark, dir)
+    base.write.json(s"$tmp/base")
+    mv.write.json(s"$tmp/mv")
+    val out = MvReconciler.reconcile(
+      JsonSource(s"$tmp/base", base.schema).load(spark, MvSyncDemo.baseSchema),
+      JsonSource(s"$tmp/mv", mv.schema).load(spark, MvSyncDemo.mvSchema),
+      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+      .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
+      .localCheckpoint()
+    deleteRecursively(new java.io.File(tmp))
+    out
+  }
+
   /** Operators D/N (scan/mutation rate limiting) driver-verified: the
    * SAME classification as [[reconClassify]] with BOTH scans wrapped in
    * [[graft.sources.Throttle.perPartitionRows]] — the reference's
@@ -389,6 +413,7 @@ object ReconQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "recon_classify" -> reconClassify,
     "recon_classify_csv" -> reconClassifyCsv,
+    "recon_classify_json" -> reconClassifyJson,
     "recon_classify_throttled" -> reconClassifyThrottled,
     "recon_classify_bucketed" -> reconClassifyBucketed,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
@@ -408,6 +433,9 @@ object ReconQueries {
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     // same oracle as recon_classify: the CSV round-trip must be invisible
     "recon_classify_csv" ->
+      (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
+    // same oracle again: the JSON round-trip must be invisible too
+    "recon_classify_json" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     // same oracle again: the rate limiter must be row-transparent
     "recon_classify_throttled" ->

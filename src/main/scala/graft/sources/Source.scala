@@ -76,6 +76,23 @@ object CsvSource {
 }
 
 /**
+ * JSON-lines-backed table — a third offline implementation of the
+ * trait boundary. Unlike CSV, JSON carries a native `null` literal (no
+ * marker convention needed) and distinguishes it from `""` lexically;
+ * like CSV it carries no column TYPES, so the read schema stays
+ * explicit (inference would scan every file twice — wrong at scale,
+ * and a sampled inference can mistype all-null columns). Spark's JSON
+ * writer emits round-trippable doubles and ISO-8601 timestamps, which
+ * the explicit schema parses back exactly under the pinned UTC
+ * session.
+ */
+final case class JsonSource(path: String,
+    readSchema: org.apache.spark.sql.types.StructType) extends Source {
+  override def load(spark: SparkSession, schema: TableSchema): DataFrame =
+    Source.project(spark.read.schema(readSchema).json(path), schema)
+}
+
+/**
  * Scan-rate throttle (reference operator D: a guava `RateLimiter.acquire()`
  * per row per executor, default 10 rows/s, MvSync.java:38,250-255;
  * MVSyncSettings.java:86-88).

@@ -44,4 +44,30 @@ class CsvSourceSpec extends SparkSpec {
     assert(viaCsv.schema == viaParquet.schema)
     assert(viaCsv.exceptAll(viaParquet).isEmpty && viaParquet.exceptAll(viaCsv).isEmpty)
   }
+
+  test("JsonSource round-trips native null vs empty string without a marker") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json-spec").toString + "/t"
+    val df = Seq(
+      (1L, Option("a"), Option(100L), Option(60)),
+      (2L, None: Option[String], None: Option[Long], None: Option[Int]),
+      (3L, Option(""), Option(300L), Option(30)))
+      .toDF("id", "v", "writetime_v", "ttl_v")
+      .withColumn("extra", lit("dropme"))
+    df.write.json(tmp)
+    val schema = TableSchema(pk = Seq("id"), types = Map("id" -> "BIGINT", "v" -> "TEXT"))
+    val got = JsonSource(tmp, df.schema).load(spark, schema)
+    assert(got.columns.toSeq == Seq("id", "v", "writetime_v", "ttl_v"))
+    val rows = got.orderBy("id").collect()
+    assert(rows(0).toSeq == Seq(1L, "a", 100L, 60))
+    assert(rows(1).toSeq == Seq(2L, null, null, null))
+    assert(rows(2).toSeq == Seq(3L, "", 300L, 30))
+  }
+
+  test("JSON-sourced reconciliation matches the parquet-sourced classification") {
+    val dir = "/root/testdata/sf0.001"
+    val viaParquet = ReconQueries.reconClassify(spark, dir)
+    val viaJson = ReconQueries.reconClassifyJson(spark, dir)
+    assert(viaJson.schema == viaParquet.schema)
+    assert(viaJson.exceptAll(viaParquet).isEmpty && viaParquet.exceptAll(viaJson).isEmpty)
+  }
 }
