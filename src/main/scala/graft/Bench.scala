@@ -59,7 +59,8 @@ object Bench {
     // replay micro-batches through the streaming engine — they measure
     // micro-batch scheduling, not the operators
     "recon_stream_replay", "q_events_hourly_stream", "q_events_sessions_stream",
-    "q_events_dedup_stream", "q_events_stream_join", "q_events_dedup_wm_stream")
+    "q_events_dedup_stream", "q_events_stream_join", "q_events_dedup_wm_stream",
+    "q_events_sliding_stream", "q_events_stream_join_left")
 
   /** Extended sweep: EVERY other SparkEntry query not already in the
    * frozen 20-query headline set. Derived, not listed, so each new

@@ -253,6 +253,25 @@ object RelationalQueries {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(18,4)")), 2).cast("double").as("total_value"))
 
+  /** Sliding (hopping) windows — the third windowing mode beside the
+   * tumbling hour and the session gap: 2-hour windows starting every 30
+   * minutes, so each event lands in 4 overlapping windows. Spark's
+   * `window(col, windowDuration, slideDuration)` expands the membership
+   * row-locally (a 4-element explode inside the scan projection — no
+   * join); both engines align 30-minute buckets on the epoch, so the
+   * oracle can regenerate membership with a 4-step range unnest. */
+  def qEventsSliding(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        window(timestamp_micros(tsMicros), "2 hours", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Sessionization via lag(): session starts when the gap to the
    * previous event of the same user exceeds 30 minutes. All time math on
    * truncated epoch µs (ns-vs-µs parity with the oracle). */
@@ -1193,6 +1212,7 @@ object RelationalQueries {
     "q_scalar_functions" -> qScalarFunctions,
     "q_date_parts" -> qDateParts,
     "q_events_hourly" -> qEventsHourly,
+    "q_events_sliding" -> qEventsSliding,
     "q_events_sessions" -> qEventsSessions,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_retention" -> qEventsRetention)
@@ -1553,6 +1573,14 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
          event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q_events_sliding" ->
+      """WITH w AS (SELECT event_type, value,
+           time_bucket(INTERVAL 30 MINUTE, ts) - (k * INTERVAL 30 MINUTE) AS ws
+         FROM events, (SELECT unnest(range(0, 4)) AS k))
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+         FROM w GROUP BY 1, 2""",
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -63,6 +63,21 @@ object EventPipeline {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding (hopping) windows — the streaming form of
+   * RelationalQueries.qEventsSliding: each event enters 4 overlapping
+   * 2h/30min windows, expanded row-locally before the stateful
+   * aggregation; watermarked state holds only open windows. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double")
+          .as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Per-user sessions via native session windows (30-minute gap; the
    * streaming form of qEventsSessions' lag-based sessionization). One
    * stateful aggregation only — streaming disallows chaining them; the
@@ -93,7 +108,17 @@ object EventPipeline {
    * click arrives at most one 6h-interval after its error and eviction
    * (watermark 1h behind max seen) can never outrun a live match.
    */
-  def intervalJoin(events: DataFrame): DataFrame = {
+  def intervalJoin(events: DataFrame): DataFrame =
+    intervalJoinWith(events, "inner")
+
+  /** [[intervalJoin]]'s core with the join type exposed: `left_outer`
+   * adds the watermark-GATED emission mechanism — an unmatched error
+   * row may only emit its null-click form once the watermark proves no
+   * in-horizon click can still arrive, which happens while processing a
+   * LATER micro-batch. A finite replay therefore needs sentinel batches
+   * past the real data to drive the watermark over the final horizon
+   * (see qEventsStreamJoinLeft) — the standard finite-source flush. */
+  def intervalJoinWith(events: DataFrame, joinType: String): DataFrame = {
     val errs = events.filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"),
         col("event_id").as("err_event_id"), col("ets").as("e_ts"))
@@ -103,7 +128,8 @@ object EventPipeline {
         col("event_id").as("click_event_id"), col("ets").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
     errs.join(clicks, expr(
-      "e_user = c_user AND c_ts >= e_ts AND c_ts <= e_ts + interval 6 hours"))
+      "e_user = c_user AND c_ts >= e_ts AND c_ts <= e_ts + interval 6 hours"),
+      joinType)
       .select(col("e_user").as("user_id"), col("err_event_id"),
         col("click_event_id"),
         (unix_micros(col("c_ts")) - unix_micros(col("e_ts"))).as("delta_us"))
@@ -232,7 +258,8 @@ object EventPipeline {
    * be cleaned up before the caller consumes them. */
   private def orderedReplay(spark: SparkSession, dir: String,
       orderCols: Seq[String] = Seq("ts", "event_id"),
-      outputMode: String = "complete")(
+      outputMode: String = "complete",
+      epilogue: Seq[DataFrame] = Nil)(
       agg: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tmp = java.nio.file.Files.createTempDirectory("graft-events-replay").toString
@@ -248,16 +275,21 @@ object EventPipeline {
     // increasing mtime explicitly instead of trusting the write clock.
     val stamped = scala.collection.mutable.Set[String]()
     val base = System.currentTimeMillis()
-    (1 to 4).foreach { s =>
-      sliced.filter(col("_slice") === s).drop("_slice")
-        .coalesce(1).write.mode("append").parquet(tmp)
+    def writeSlice(df: DataFrame, seq: Int): Unit = {
+      df.coalesce(1).write.mode("append").parquet(tmp)
       new java.io.File(tmp).listFiles()
         .filter(f => f.isFile && f.getName.endsWith(".parquet") && !stamped(f.getName))
         .foreach { f =>
-          f.setLastModified(base + s * 1000L): Unit
+          f.setLastModified(base + seq * 1000L): Unit
           stamped += f.getName
         }
     }
+    (1 to 4).foreach { s =>
+      writeSlice(sliced.filter(col("_slice") === s).drop("_slice"), s)
+    }
+    // epilogue batches (e.g. watermark-flush sentinels for outer joins)
+    // replay strictly after the real slices, one micro-batch each
+    epilogue.zipWithIndex.foreach { case (df, i) => writeSlice(df, 5 + i) }
     val stream = spark.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(tmp)
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
@@ -278,6 +310,43 @@ object EventPipeline {
   def qEventsStreamJoin(spark: SparkSession, dir: String): DataFrame =
     orderedReplay(spark, dir, outputMode = "append")(intervalJoin)
 
+  /**
+   * The LEFT-OUTER stream-stream interval join under the replay — the
+   * watermark-GATED emission mechanism: an unmatched error emits its
+   * null-click form only in a micro-batch processed AFTER the watermark
+   * proves no in-horizon click can still arrive. Two sentinel batches
+   * (an error + a click at T+8h and T+16h, impossible user ids — both
+   * sides must see data because the query watermark is the MIN across
+   * inputs) drive the watermark past every real error's horizon so the
+   * finite replay settles to the batch LEFT JOIN exactly; the sentinels
+   * themselves are filtered from the settled output. */
+  def qEventsStreamJoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxTs = graft.operators.EventTs.canonical(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .agg(max("ts")).head().getLong(0)
+    val h8 = 8L * 3600 * 1000000000L
+    def sentinels(at: Long): DataFrame = Seq(
+      (-1L, at, -1L, "error", 0.0, null.asInstanceOf[String]),
+      (-2L, at, -2L, "click", 0.0, null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // three flush batches: outer emission for a row at e_ts needs the
+    // batch-START watermark STRICTLY past e_ts + interval + the other
+    // side's delay, so the batch processing sentinel k emits rows the
+    // (k-1)th sentinel's watermark advance unlocked — two reach
+    // everything but the final horizon's boundary, the third closes it
+    orderedReplay(spark, dir, outputMode = "append",
+      epilogue = (1 to 3).map(k => sentinels(maxTs + k * h8)))(
+      df => intervalJoinWith(df, "left_outer"))
+      .filter(col("user_id") >= 0) // drop only the negative-id sentinels
+  }
+
+  /** The sliding-window aggregation under the same complete-mode replay
+   * — overlapping-window state accumulating across micro-batches must
+   * settle to the batch query; shares `q_events_sliding`'s oracle. */
+  def qEventsSlidingStream(spark: SparkSession, dir: String): DataFrame =
+    orderedReplay(spark, dir)(slidingAgg)
+
   /** dropDuplicatesWithinWatermark under the same replay: append-mode
    * kept rows settle to the first (ts, event_id)-ordered arrival per
    * user — stated exactly by the oracle's row_number() window. */
@@ -289,6 +358,8 @@ object EventPipeline {
     "q_events_sessions_stream" -> qEventsSessionsStream,
     "q_events_dedup_stream" -> qEventsDedupStream,
     "q_events_stream_join" -> qEventsStreamJoin,
+    "q_events_sliding_stream" -> qEventsSlidingStream,
+    "q_events_stream_join_left" -> qEventsStreamJoinLeft,
     "q_events_dedup_wm_stream" -> qEventsDedupWmStream)
 
   /** Share the batch queries' oracles — streaming must settle to them. */
@@ -303,6 +374,17 @@ object EventPipeline {
          FROM events GROUP BY user_id""",
     "q_events_stream_join" ->
       graft.operators.RelationalQueries.oracleSql("q_range_join"),
+    "q_events_sliding_stream" ->
+      graft.operators.RelationalQueries.oracleSql("q_events_sliding"),
+    "q_events_stream_join_left" ->
+      """SELECT e.user_id, e.event_id AS err_event_id,
+           c.event_id AS click_event_id,
+           epoch_us(c.ts) - epoch_us(e.ts) AS delta_us
+         FROM (SELECT * FROM events WHERE event_type='error') e
+         LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+           ON e.user_id = c.user_id
+          AND epoch_us(c.ts) >= epoch_us(e.ts)
+          AND epoch_us(c.ts) <= epoch_us(e.ts) + 21600000000""",
     "q_events_dedup_wm_stream" ->
       """SELECT user_id AS dedup_key, event_id FROM (
            SELECT user_id, event_id,

@@ -49,6 +49,35 @@ class EventPipelineSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming sliding windows equal the batch hopping aggregation") {
+    val streaming = EventPipeline.runToMemory(
+      EventPipeline.slidingAgg(EventPipeline.eventsStream(spark, dir)), "sliding_out")
+    val batch = RelationalQueries.queries("q_events_sliding")(spark, dir)
+    assert(streaming.count() == batch.count())
+    assert(streaming.except(batch).isEmpty && batch.except(streaming).isEmpty)
+  }
+
+  test("left-outer stream-stream join settles to the batch left join") {
+    val streamed = EventPipeline.qEventsStreamJoinLeft(spark, dir)
+    // batch form: errors left-joined to same-user clicks within 6h
+    val ev = graft.operators.EventTs.canonical(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .selectExpr("user_id", "event_id", "event_type", "ts DIV 1000 AS us")
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_event_id"),
+        col("us").as("e_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_event_id"), col("us").as("c_us"))
+    val batch = errs.join(clicks,
+        col("user_id") === col("c_user") && col("c_us") >= col("e_us") &&
+          col("c_us") <= col("e_us") + 21600000000L, "left_outer")
+      .select(col("user_id"), col("err_event_id"), col("click_event_id"),
+        (col("c_us") - col("e_us")).as("delta_us"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("streaming dedup (mapGroupsWithState) equals the batch groupBy form") {
     val streamed = EventPipeline.runToMemory(
       EventPipeline.streamingDedup(EventPipeline.eventsStream(spark, dir)).toDF(),
