@@ -37,6 +37,10 @@ object Bench {
     // format-pluggability proof: writes both sides to CSV then
     // reconciles — its file IO would drown the extended trend in noise
     "recon_classify_csv",
+    // same argument for the JSON twin (r13 verdict: it swept at 1.8s —
+    // the slowest extended line — measuring tmpfs write+read, not an
+    // operator)
+    "recon_classify_json",
     // rate-limiter row-transparency proof: deliberately sleeps inside
     // the scan; bench runs unthrottled per BASELINE.md
     "recon_classify_throttled",

@@ -94,26 +94,28 @@ object ReconQueries {
     // two concurrent runs race each other's overwrite (r9 advice), and
     // the files are now cleaned up after the eager materialization below
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv-source").toString
-    val base = MvSyncDemo.baseDf(spark, dir)
-    val mv = MvSyncDemo.mvDf(spark, dir)
-    // default emptyValue (quoted "") + explicit null marker: NULL and
-    // empty string occupy distinct encodings (see CsvSource.NullMarker)
-    def writeCsv(df: DataFrame, path: String): Unit =
-      df.write.option("header", "true")
-        .option("nullValue", graft.sources.CsvSource.NullMarker).csv(path)
-    writeCsv(base, s"$tmp/base")
-    writeCsv(mv, s"$tmp/mv")
-    // eager checkpoint: the classification is damage-proportional-small,
-    // and materializing it lets the CSV round-trip files be deleted
-    // before the caller consumes the result
-    val out = MvReconciler.reconcile(
-      CsvSource(s"$tmp/base", base.schema).load(spark, MvSyncDemo.baseSchema),
-      CsvSource(s"$tmp/mv", mv.schema).load(spark, MvSyncDemo.mvSchema),
-      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
-      .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
-      .localCheckpoint()
-    deleteRecursively(new java.io.File(tmp))
-    out
+    // try/finally: the tmp dir must not outlive a failed write or
+    // reconcile (r13 advice — the leak only bit under failure)
+    try {
+      val base = MvSyncDemo.baseDf(spark, dir)
+      val mv = MvSyncDemo.mvDf(spark, dir)
+      // default emptyValue (quoted "") + explicit null marker: NULL and
+      // empty string occupy distinct encodings (see CsvSource.NullMarker)
+      def writeCsv(df: DataFrame, path: String): Unit =
+        df.write.option("header", "true")
+          .option("nullValue", graft.sources.CsvSource.NullMarker).csv(path)
+      writeCsv(base, s"$tmp/base")
+      writeCsv(mv, s"$tmp/mv")
+      // eager checkpoint: the classification is damage-proportional-small,
+      // and materializing it lets the CSV round-trip files be deleted
+      // before the caller consumes the result
+      MvReconciler.reconcile(
+        CsvSource(s"$tmp/base", base.schema).load(spark, MvSyncDemo.baseSchema),
+        CsvSource(s"$tmp/mv", mv.schema).load(spark, MvSyncDemo.mvSchema),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(tmp))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -131,18 +133,19 @@ object ReconQueries {
   def reconClassifyJson(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.JsonSource
     val tmp = java.nio.file.Files.createTempDirectory("graft-json-source").toString
-    val base = MvSyncDemo.baseDf(spark, dir)
-    val mv = MvSyncDemo.mvDf(spark, dir)
-    base.write.json(s"$tmp/base")
-    mv.write.json(s"$tmp/mv")
-    val out = MvReconciler.reconcile(
-      JsonSource(s"$tmp/base", base.schema).load(spark, MvSyncDemo.baseSchema),
-      JsonSource(s"$tmp/mv", mv.schema).load(spark, MvSyncDemo.mvSchema),
-      MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
-      .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
-      .localCheckpoint()
-    deleteRecursively(new java.io.File(tmp))
-    out
+    // try/finally: same failure-leak guard as the CSV twin (r13 advice)
+    try {
+      val base = MvSyncDemo.baseDf(spark, dir)
+      val mv = MvSyncDemo.mvDf(spark, dir)
+      base.write.json(s"$tmp/base")
+      mv.write.json(s"$tmp/mv")
+      MvReconciler.reconcile(
+        JsonSource(s"$tmp/base", base.schema).load(spark, MvSyncDemo.baseSchema),
+        JsonSource(s"$tmp/mv", mv.schema).load(spark, MvSyncDemo.mvSchema),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(tmp))
   }
 
   /** Operators D/N (scan/mutation rate limiting) driver-verified: the

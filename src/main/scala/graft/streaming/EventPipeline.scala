@@ -275,11 +275,23 @@ object EventPipeline {
     // increasing mtime explicitly instead of trusting the write clock.
     val stamped = scala.collection.mutable.Set[String]()
     val base = System.currentTimeMillis()
+    // A slice file that outgrew spark.sql.files.maxPartitionBytes would
+    // be SPLIT into several input partitions at read, and per-key
+    // intra-batch arrival order — the determinism contract the
+    // update-mode dedup replays state (first arrival == the file's
+    // (ts, event_id) sort) — would no longer hold. Fail fast at write
+    // time rather than settle nondeterministically (r13 advice).
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     def writeSlice(df: DataFrame, seq: Int): Unit = {
       df.coalesce(1).write.mode("append").parquet(tmp)
       new java.io.File(tmp).listFiles()
         .filter(f => f.isFile && f.getName.endsWith(".parquet") && !stamped(f.getName))
         .foreach { f =>
+          require(f.length < maxPart,
+            s"replay slice ${f.getName} (${f.length} B) would be split at " +
+              s"read (spark.sql.files.maxPartitionBytes=$maxPart) — " +
+              "single-file-per-micro-batch determinism no longer holds")
           f.setLastModified(base + seq * 1000L): Unit
           stamped += f.getName
         }

@@ -212,7 +212,11 @@ object ScaleSmoke {
       val cacheRoot = new java.io.File(
         sys.env.getOrElse("GRAFT_IVF_CACHE", "/tmp/graft-ivf-cache"))
       val codesBytes = Option(cacheRoot.listFiles()).toSeq.flatten
-        .filter(_.getName.endsWith("-pqcodes-m4-k64-i2-s3"))
+        .filter(_.getName.endsWith(
+          // interpolated from the same key expression simAnnPqWith uses,
+          // so a LloydIters change cannot silently break the lookup
+          // (r13 advice)
+          s"-pqcodes-m4-k64-i${graft.operators.Similarity.LloydIters}-s3"))
         .sortBy(_.lastModified).lastOption.map(du).getOrElse(-1L)
       val vecBytes = du(new java.io.File(s"$tmp/embeddings.parquet"))
       println(f"[scale-smoke] PQ n=$n m=4 k=64 cand=200 " +
