@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Greedy longest-match subword tokenizer (the WordPiece inference rule:
+ * Wu et al. 2016 §4.1 — at each position take the LONGEST vocabulary
+ * piece that matches, continuation pieces distinct from word-initial
+ * ones) over a deterministic corpus-derived vocabulary. This closes the
+ * one realism gap the r13 verdict ranked #1: every token-counting
+ * operator (chunking, packing, token-budget mixing) counted WHITESPACE
+ * tokens; LLM context windows are sized in subword tokens.
+ *
+ * The vocabulary is a MODEL in the [[graft.sources.ModelCache]] sense —
+ * fitted once per corpus snapshot by `TextAnalysis.subwordVocabTable`
+ * (a vocabulary-sized aggregate: piece-occurrence weights over the
+ * distinct-word relation, top-V selection under a total order), then
+ * collected driver-side (V ≤ a few thousand entries) and shipped into
+ * the scan as ONE `ctx.addReferenceObj` slot exactly like the centroid
+ * matrix / CMS cells — O(1) generated code, zero joins, zero exchanges
+ * in the encode pass. At 100 TB the encode is a pure scan-side
+ * projection; the fit is the index-build job.
+ *
+ * Matching is per CHARACTER (java String semantics == DuckDB substr
+ * semantics for the ASCII corpus — the rolling-hash oracle precedent);
+ * a position where no vocabulary piece ≥ 2 chars matches emits the
+ * single character as its own piece (the byte-fallback convention, so
+ * encoding ALWAYS makes progress and never throws — and the DuckDB
+ * oracle states the identical rule as `coalesce(max(len), 1)`).
+ * Continuation pieces render with the standard `##` prefix.
+ */
+final class SubwordVocab(entries: Array[(String, Boolean)])
+    extends Serializable {
+
+  /** Longest piece length — bounds the per-position probe loop. */
+  val maxLen: Int =
+    if (entries.isEmpty) 1 else entries.iterator.map(_._1.length).max
+
+  private val start = new java.util.HashSet[String]()
+  private val cont = new java.util.HashSet[String]()
+  entries.foreach { case (p, c) => (if (c) cont else start).add(p): Unit }
+
+  /** Greedy longest-match encode of one word; appends pieces to `out`.
+   * O(len · maxLen) hash probes, no allocation beyond the pieces. */
+  def encodeWord(w: String, out: java.util.ArrayList[UTF8String]): Unit = {
+    var p = 0
+    while (p < w.length) {
+      val set = if (p == 0) start else cont
+      var l = math.min(maxLen, w.length - p)
+      var take = 1
+      while (l >= 2 && take == 1) {
+        if (set.contains(w.substring(p, p + l))) take = l
+        l -= 1
+      }
+      val piece = w.substring(p, p + take)
+      out.add(UTF8String.fromString(if (p > 0) "##" + piece else piece)): Unit
+      p += take
+    }
+  }
+}
+
+object SubwordKernels extends Serializable {
+  /** Encode an array of whitespace words into the concatenated subword
+   * piece sequence (word order preserved; pieces never empty). */
+  def encode(toks: ArrayData, vocab: SubwordVocab): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < toks.numElements()) {
+      vocab.encodeWord(toks.getUTF8String(i).toString, out)
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+}
+
+/** `subword_encode(toks)`: greedy longest-match subword pieces of a
+ * whitespace-token array. The vocabulary rides as one reference object
+ * per task binary (the [[CentroidAssign]]/[[CmsEstimate]] pattern — a
+ * top-V vocab is KBs, nowhere near the AhoCorasick broadcast regime). */
+case class SubwordEncode(child: Expression, vocab: SubwordVocab)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "subword_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SubwordKernels.encode(input.asInstanceOf[ArrayData], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SubwordKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val v = ctx.addReferenceObj("subwordVocab", vocab,
+      classOf[SubwordVocab].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.encode($c, $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordEncode =
+    copy(child = newChild)
+}
+
+object SubwordFunctions {
+  def subword_encode(toks: Column, vocab: SubwordVocab): Column =
+    GraftSqlBridge.column(SubwordEncode(GraftSqlBridge.expression(toks), vocab))
+}

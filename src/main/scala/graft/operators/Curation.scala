@@ -201,11 +201,20 @@ object Curation {
    * re-evaluates per output element).
    */
   def chunk(df: DataFrame, id: Column, text: Column,
+      size0: Int = ChunkSize, stride: Int = ChunkStride): DataFrame =
+    chunkTokens(df, id, graft.functions.TextFunctions.tokens(text),
+      size0, stride)
+
+  /** Same windowing over an ALREADY-TOKENIZED array column — the
+   * subword twin chunks `subword_encode` output instead of whitespace
+   * tokens (r13 verdict #1: context windows are sized in subword
+   * tokens); pieces contain no whitespace, so `chunk_text` still
+   * round-trips through a single-space join. */
+  def chunkTokens(df: DataFrame, id: Column, toksCol: Column,
       size0: Int = ChunkSize, stride: Int = ChunkStride): DataFrame = {
     require(size0 >= stride && stride > 0,
       s"chunk windows must tile with non-negative overlap: $size0/$stride")
-    df.select(id.as("doc_id"),
-        graft.functions.TextFunctions.tokens(text).as("toks"))
+    df.select(id.as("doc_id"), toksCol.as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),
@@ -221,6 +230,27 @@ object Curation {
   /** Wired 32/24 chunking of the documents table. */
   def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
     chunk(docs(spark, dir), col("doc_id"), col("text"))
+
+  /** The chunking re-based on SUBWORD token counts: windows cut over
+   * the `subword_encode` piece sequence (vocab fitted + persisted via
+   * ModelCache, encode row-local — the added cost over the whitespace
+   * twin is one codegen'd kernel in the same scan, still zero
+   * exchanges). The oracle replays fit + greedy walk + windowing
+   * end-to-end in DuckDB. */
+  def chunkDocumentsSubword(spark: SparkSession, dir: String): DataFrame = {
+    val model = TextAnalysis.subwordModel(spark, dir)
+    // materialize the whitespace-token array as an attribute before the
+    // kernel (the shingles caveat — an inlined tokenizer would re-split
+    // per consumer of the encode output)
+    chunkTokens(
+      docs(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("t0"))
+        .select(col("doc_id"),
+          graft.functions.SubwordFunctions.subword_encode(col("t0"), model)
+            .as("swtoks")),
+      col("doc_id"), col("swtoks"))
+  }
 
   // --------------------------------------------------- decontamination
 
@@ -788,6 +818,7 @@ object Curation {
     "sample_token_budget" -> sampleTokenBudget,
     "sample_split" -> sampleSplit,
     "chunk_documents" -> chunkDocuments,
+    "chunk_documents_subword" -> chunkDocumentsSubword,
     "decon_ngram_overlap" -> deconNgramOverlap,
     "decon_exact_substring" -> deconExactSubstring,
     "decon_exact_tiled" -> deconExactTiled,
@@ -849,6 +880,19 @@ object Curation {
            array_to_string(toks[chunk_id*24 + 1 : least(chunk_id*24 + 32, n)],
              ' ') AS chunk_text
          FROM c""",
+    "chunk_documents_subword" ->
+      s"""WITH RECURSIVE ${TextAnalysis.subwordCtes()},
+         ct AS (SELECT doc_id, string_split(subword_text, ' ') AS toks
+                FROM sw WHERE len(subword_text) > 0),
+         cs AS (SELECT doc_id, toks, len(toks) AS n FROM ct),
+         cc AS (SELECT doc_id, n, toks,
+                  unnest(range(0, ((n - 1) // 24) + 1)) AS chunk_id FROM cs)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[chunk_id*24 + 1 : least(chunk_id*24 + 32, n)])
+             AS BIGINT) AS n_tokens,
+           array_to_string(toks[chunk_id*24 + 1 : least(chunk_id*24 + 32, n)],
+             ' ') AS chunk_text
+         FROM cc""",
     "curate_dsir" -> HashOracleSql.dsirScore(DsirBuckets),
     "decon_ngram_overlap" -> HashOracleSql.deconOverlap,
     "decon_exact_substring" ->

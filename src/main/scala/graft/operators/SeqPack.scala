@@ -67,9 +67,14 @@ object SeqPack {
    * straddle a boundary — that is the semantics of concat-and-chunk
    * pretraining, where windows are cut mid-document. */
   def packContiguous(d: DataFrame, capacity: Long): DataFrame =
-    runningTotal(
+    packCounts(
       d.select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("n_tokens")),
-      "doc_id", "n_tokens", "running_total")
+      capacity)
+
+  /** The packing core over an explicit `(doc_id, n_tokens)` relation —
+   * shared by the whitespace form and the subword-count twin. */
+  def packCounts(counts: DataFrame, capacity: Long): DataFrame =
+    runningTotal(counts, "doc_id", "n_tokens", "running_total")
       // integer DIV, not Column./ (double division) — exact at any
       // magnitude and identical to the oracle's `//` for non-negatives
       .withColumn("bin_id",
@@ -81,8 +86,25 @@ object SeqPack {
     packContiguous(
       spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), 2048L)
 
+  /** Packing re-based on SUBWORD counts (r13 verdict #1): the context
+   * window is a 2048-SUBWORD budget, so bin boundaries move relative to
+   * the whitespace twin (the corpus measures ~3× more subword tokens).
+   * Cost over the whitespace form is the codegen'd encode kernel inside
+   * the same scan; the distributed prefix sum is unchanged. */
+  def packSequencesSubword(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.operators.TextAnalysis.subwordModel(spark, dir)
+    packCounts(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), tokens(col("text")).as("t0"))
+        .select(col("doc_id"),
+          size(graft.functions.SubwordFunctions.subword_encode(col("t0"), model))
+            .cast("bigint").as("n_tokens")),
+      2048L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pack_sequences" -> packSequences)
+    "pack_sequences" -> packSequences,
+    "pack_sequences_subword" -> packSequencesSubword)
 
   val oracleSql: Map[String, String] = Map(
     "pack_sequences" ->
@@ -99,5 +121,16 @@ object SeqPack {
          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(running AS BIGINT) AS running_total,
            CAST((running - n_tokens) // 2048 AS BIGINT) AS bin_id
-         FROM c""")
+         FROM c""",
+    "pack_sequences_subword" ->
+      s"""WITH RECURSIVE ${graft.operators.TextAnalysis.subwordCtes()},
+         pc AS (
+           SELECT doc_id, n_subword_tokens AS n_tokens,
+             sum(n_subword_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+           FROM sw)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(running AS BIGINT) AS running_total,
+           CAST((running - n_tokens) // 2048 AS BIGINT) AS bin_id
+         FROM pc""")
 }
