@@ -38,29 +38,45 @@ import org.apache.spark.unsafe.types.UTF8String
 final class SubwordVocab(entries: Array[(String, Boolean)])
     extends Serializable {
 
-  /** Longest piece length — bounds the per-position probe loop. */
+  /** Longest piece length in CODE POINTS — bounds the per-position
+   * probe loop. Code points, not UTF-16 units: the Spark-side fit
+   * (`substr`/`length` on UTF8String) and the DuckDB oracle both count
+   * code points, so the kernel must too or a supplementary-plane
+   * character would silently shift every match boundary (r14 advice). */
   val maxLen: Int =
-    if (entries.isEmpty) 1 else entries.iterator.map(_._1.length).max
+    if (entries.isEmpty) 1
+    else entries.iterator.map(p => p._1.codePointCount(0, p._1.length)).max
 
   private val start = new java.util.HashSet[String]()
   private val cont = new java.util.HashSet[String]()
   entries.foreach { case (p, c) => (if (c) cont else start).add(p): Unit }
 
   /** Greedy longest-match encode of one word; appends pieces to `out`.
-   * O(len · maxLen) hash probes, no allocation beyond the pieces. */
+   * O(len · maxLen) hash probes, no allocation beyond the pieces.
+   * Iterates by CODE POINT (offsetByCodePoints), matching the fit's
+   * UTF8String substr semantics and the oracle's DuckDB substr — for
+   * the ASCII corpus this is byte-identical to the old UTF-16 walk, and
+   * for supplementary characters it no longer diverges from the fitted
+   * vocabulary (r14 advice). */
   def encodeWord(w: String, out: java.util.ArrayList[UTF8String]): Unit = {
-    var p = 0
-    while (p < w.length) {
+    val n = w.codePointCount(0, w.length)
+    var p = 0  // code-point index
+    var pi = 0 // UTF-16 index of code point p
+    while (p < n) {
       val set = if (p == 0) start else cont
-      var l = math.min(maxLen, w.length - p)
+      var l = math.min(maxLen, n - p)
       var take = 1
+      var takeEnd = 0
       while (l >= 2 && take == 1) {
-        if (set.contains(w.substring(p, p + l))) take = l
+        val end = w.offsetByCodePoints(pi, l)
+        if (set.contains(w.substring(pi, end))) { take = l; takeEnd = end }
         l -= 1
       }
-      val piece = w.substring(p, p + take)
+      if (take == 1) takeEnd = w.offsetByCodePoints(pi, 1)
+      val piece = w.substring(pi, takeEnd)
       out.add(UTF8String.fromString(if (p > 0) "##" + piece else piece)): Unit
       p += take
+      pi = takeEnd
     }
   }
 }

@@ -275,22 +275,34 @@ object EventPipeline {
     // increasing mtime explicitly instead of trusting the write clock.
     val stamped = scala.collection.mutable.Set[String]()
     val base = System.currentTimeMillis()
-    // A slice file that outgrew spark.sql.files.maxPartitionBytes would
-    // be SPLIT into several input partitions at read, and per-key
+    // A slice file that outgrew Spark's effective split size would be
+    // SPLIT into several input partitions at read, and per-key
     // intra-batch arrival order — the determinism contract the
     // update-mode dedup replays state (first arrival == the file's
     // (ts, event_id) sort) — would no longer hold. Fail fast at write
-    // time rather than settle nondeterministically (r13 advice).
-    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    // time rather than settle nondeterministically (r13 advice). The
+    // effective bound is min(maxPartitionBytes, max(openCostInBytes,
+    // totalBytes/defaultParallelism)) — on a small corpus the
+    // parallelism term shrinks toward zero, so the CONSERVATIVE floor
+    // is min(maxPartitionBytes, openCostInBytes): a file under that can
+    // never be split whatever the backlog size (r14 advice — the old
+    // guard compared against maxPartitionBytes alone, which a 5 MB file
+    // on a tiny corpus could pass while still being split at the ~4 MB
+    // openCost boundary).
+    def bytesConf(key: String, dflt: String) =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get(key, dflt))
+    val maxPart = math.min(
+      bytesConf("spark.sql.files.maxPartitionBytes", "128m"),
+      bytesConf("spark.sql.files.openCostInBytes", "4194304"))
     def writeSlice(df: DataFrame, seq: Int): Unit = {
       df.coalesce(1).write.mode("append").parquet(tmp)
       new java.io.File(tmp).listFiles()
         .filter(f => f.isFile && f.getName.endsWith(".parquet") && !stamped(f.getName))
         .foreach { f =>
           require(f.length < maxPart,
-            s"replay slice ${f.getName} (${f.length} B) would be split at " +
-              s"read (spark.sql.files.maxPartitionBytes=$maxPart) — " +
+            s"replay slice ${f.getName} (${f.length} B) could be split at " +
+              s"read (min(maxPartitionBytes, openCostInBytes)=$maxPart) — " +
               "single-file-per-micro-batch determinism no longer holds")
           f.setLastModified(base + seq * 1000L): Unit
           stamped += f.getName

@@ -55,7 +55,7 @@ class SubwordSpec extends SparkSpec {
     }
   }
 
-  test("corpus-fit vocab round-trips the corpus and is partitioning-invariant") {
+  test("corpus-fit vocab round-trips the corpus") {
     val dir = "/root/testdata/sf0.001"
     val model = graft.operators.TextAnalysis.subwordModel(spark, dir)
     val out = graft.operators.TextAnalysis.textTokensSubword(spark, dir)
@@ -71,14 +71,73 @@ class SubwordSpec extends SparkSpec {
           .as("rebuilt"), col("squashed"))
     assert(joined.filter(col("rebuilt") =!= col("squashed")).count() == 0)
     assert(out.agg(sum("n_subword_tokens")).head().getLong(0) > 0)
-    // the fitted vocab is a deterministic function of the corpus: the
-    // fit re-run over a repartitioned word relation through the cache
-    // (HIT path) and a direct kernel pass agree on every word's encode
-    val m2 = graft.operators.TextAnalysis.subwordModel(spark, dir)
-    val words = Seq("customer", "window", "filter", "aggregate", "zzqx")
-    val o1 = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
-    val o2 = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
-    words.foreach { w => model.encodeWord(w, o1); m2.encodeWord(w, o2) }
-    assert(o1 == o2)
+  }
+
+  test("vocabulary FIT is partitioning-invariant (cache bypassed)") {
+    // r14 advice: the old check re-called subwordModel, which takes the
+    // ModelCache HIT path — it only tested the cache round-trip. Run
+    // the raw fit twice, once over the scan as-read and once over the
+    // input explicitly repartitioned, and compare the vocab TABLES.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def fitted(df: org.apache.spark.sql.DataFrame): Seq[(String, Boolean, Long, Long)] =
+      graft.operators.TextAnalysis.fitSubwordVocab(df).collect().toSeq
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    val v1 = fitted(d)
+    val v2 = fitted(d.repartition(7))
+    val v3 = fitted(d.repartition(1))
+    assert(v1.nonEmpty)
+    assert(v1 == v2)
+    assert(v1 == v3)
+  }
+
+  test("property: greedy encode invariants over random vocabs and words") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small alphabet forces dense piece collisions; supplementary-plane
+    // rocket (U+1F680, two UTF-16 units) exercises the code-point walk
+    val alpha = Gen.oneOf("a", "b", "c", "🚀")
+    val genPiece = for {
+      n <- Gen.choose(2, 4)
+      cs <- Gen.listOfN(n, alpha)
+      cont <- Gen.oneOf(true, false)
+    } yield (cs.mkString, cont)
+    val genCase = for {
+      vocab <- Gen.listOf(genPiece).map(_.distinct)
+      wlen <- Gen.choose(0, 12)
+      w <- Gen.listOfN(wlen, alpha).map(_.mkString)
+    } yield (vocab, w)
+    def cp(s: String): Int = s.codePointCount(0, s.length)
+    val prop = Prop.forAll(genCase) { case (entries, w) =>
+      val v = new SubwordVocab(entries.toArray)
+      val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+      v.encodeWord(w, out)
+      val pieces = (0 until out.size()).map(i => out.get(i).toString)
+      val stripped = pieces.zipWithIndex.map { case (p, i) =>
+        if (i > 0) { assert(p.startsWith("##")); p.drop(2) } else p
+      }
+      val starts = entries.filter(!_._2).map(_._1).toSet
+      val conts = entries.filter(_._2).map(_._1).toSet
+      // 1. pieces concatenate back to the word (nothing lost/invented)
+      val roundTrip = stripped.mkString == w
+      // 2. every multi-char piece is in the right position-class set
+      val inVocab = stripped.zipWithIndex.forall { case (p, i) =>
+        cp(p) == 1 || (if (i == 0) starts(p) else conts(p))
+      }
+      // 3. single-char fallback ONLY when no >=2-cp piece matches there
+      var pos = 0
+      val fallbackMinimal = stripped.zipWithIndex.forall { case (p, i) =>
+        val set = if (i == 0) starts else conts
+        val rest = cp(w) - pos
+        val start16 = w.offsetByCodePoints(0, pos)
+        val ok = cp(p) > 1 || !(2 to math.min(v.maxLen, rest)).exists { l =>
+          set(w.substring(start16, w.offsetByCodePoints(start16, l)))
+        }
+        pos += cp(p)
+        ok
+      }
+      roundTrip && inVocab && fallbackMinimal && pieces.forall(_.nonEmpty)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
   }
 }
