@@ -51,7 +51,7 @@ object Curation {
    * `h % 100 < pct` test would silently class such rows as kept/'train'.
    * With pmod the result is in [0, 2³²) for ANY key, and the DuckDB
    * oracle ([[Mix32Sql]]) applies the same positive-mod fold. */
-  private def mix32(c: Column): Column =
+  private[operators] def mix32(c: Column): Column =
     pmod((c % PreMod) * KnuthA, lit(4294967296L))
 
   /** Reproducible Bernoulli sample: keep a row iff
@@ -856,7 +856,7 @@ object Curation {
     "pipeline_curate_layout" -> pipelineCurateLayout)
 
   // positive-mod fold matching mix32's pmod (DuckDB % is sign-preserving)
-  private val Mix32Sql =
+  private[operators] val Mix32Sql =
     s"((((doc_id % $PreMod) * $KnuthA) % 4294967296) + 4294967296) % 4294967296"
 
   val oracleSql: Map[String, String] = Map(

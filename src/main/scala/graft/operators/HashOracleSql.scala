@@ -553,6 +553,66 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   round(s, 6) AS dsir_logw, s > 0 AS target_like FROM _qsc"""
   }
 
+  /** Oracle for TextAnalysis.textQualityModel — the trained
+   * hashed-n-gram quality classifier replayed end to end: heuristic
+   * labels + deterministic train split re-derived, unigram+bigram
+   * features hashed through the staged fnv+avalanche chain into
+   * `buckets` cells (unsigned `%` == the kernel's signed `&` on a
+   * power of two), naive-Bayes log-count-ratio weights over the train
+   * slice (every bucket materialized via range() so absent buckets get
+   * the smoothed weight, exactly like the Scala arrays), then
+   * per-document dot + bias + sigmoid. A drift anywhere — labels,
+   * split, hashing, smoothing, or inference — turns the row red. */
+  def qualityModelScore(buckets: Int, mix32Sql: String): String = {
+    val (av, last) =
+      stagedAvalanche("_qmf", "fv", "h64", Seq("doc_id", "cnt"), "qz")
+    s"""WITH
+_qmt AS (SELECT doc_id, $Toks AS toks FROM documents),
+_qlt AS (SELECT doc_id, length(text) AS n_chars,
+  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+  ($mix32Sql) % 100 < 50 AS is_train FROM documents),
+_qlab AS (SELECT t.doc_id, len(t.toks) AS ntoks,
+  (len(t.toks) BETWEEN 20 AND 100000
+    AND CAST(l.n_punct AS DOUBLE) / l.n_chars < 0.1) AS label,
+  l.is_train
+  FROM _qmt t JOIN _qlt l ON l.doc_id = t.doc_id),
+_qg0 AS (SELECT doc_id, unnest(toks) AS g FROM _qmt),
+_qg1 AS (SELECT doc_id,
+  unnest(list_transform(range(1, greatest(len(toks), 1)),
+    i -> toks[i] || ' ' || toks[i + 1])) AS g FROM _qmt),
+_qgg AS (SELECT doc_id, g FROM _qg0 UNION ALL SELECT doc_id, g FROM _qg1),
+_qmc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+         FROM _qgg GROUP BY 1, 2),
+_qmf AS (SELECT doc_id, cnt, ${fnv("g")} AS fv FROM _qmc),
+$av,
+_qmb AS (SELECT doc_id, h64 % $buckets AS bkt, sum(cnt) AS cnt
+         FROM $last GROUP BY 1, 2),
+_qfit AS (SELECT bkt,
+  sum(CASE WHEN label THEN cnt ELSE 0 END) AS pos,
+  sum(CASE WHEN NOT label THEN cnt ELSE 0 END) AS neg
+  FROM _qmb JOIN _qlab USING (doc_id) WHERE is_train GROUP BY bkt),
+_qmtot AS (SELECT coalesce(sum(pos), 0) AS postot,
+  coalesce(sum(neg), 0) AS negtot FROM _qfit),
+_qmn AS (SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS npos,
+  sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS nneg
+  FROM _qlab WHERE is_train),
+_qmw AS (SELECT b.bkt,
+  ln((coalesce(f.pos, 0) + 1.0) / (postot + $buckets))
+    - ln((coalesce(f.neg, 0) + 1.0) / (negtot + $buckets)) AS w
+  FROM (SELECT unnest(range(0, $buckets)) AS bkt) b
+  LEFT JOIN _qfit f USING (bkt), _qmtot),
+_qbias AS (SELECT ln((npos + 1.0) / (nneg + 1.0)) AS bias FROM _qmn),
+_qmsc AS (SELECT doc_id, sum(cnt * w) AS dot
+          FROM _qmb JOIN _qmw USING (bkt) GROUP BY doc_id),
+_qout AS (SELECT l.doc_id, l.is_train, l.label,
+  CASE WHEN l.ntoks > 0 THEN 2 * l.ntoks - 1 ELSE 0 END AS n_grams,
+  coalesce(s.dot, 0) + bias AS sv
+  FROM _qlab l LEFT JOIN _qmsc s ON s.doc_id = l.doc_id, _qbias)
+SELECT doc_id, is_train, label, CAST(n_grams AS BIGINT) AS n_grams,
+  round(sv, 6) AS score, round(1.0 / (1.0 + exp(-sv)), 6) AS prob,
+  sv > 0 AS predicted FROM _qout"""
+  }
+
   /** Oracle for Dedup.dedupContainmentPairs — df-capped shingle
    * postings self-joined; C(A→B) = |capped(A) ∩ B| / |capped(A)| at a
    * ≥50% integer-cross-multiplied threshold. Both the numerator and

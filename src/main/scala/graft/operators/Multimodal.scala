@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
  * Multimodal-column plumbing: media payloads as opaque `binary` columns
  * with a typed metadata struct, plus batch feature extraction.
  *
- * The container has no image/audio codecs, so the actual decode is a
- * clearly-marked stub (`decodeStub`) producing deterministic fake
- * features from the bytes; everything Spark-side — schema, batch shape,
- * partition-local decoding, feature columns — is real and tested. On a
- * cluster with codecs, only `decodeStub`'s body changes (e.g. javax
- * ImageIO / ffmpeg via a mapPartitions worker pool); the plan stays
- * identical.
+ * The IMAGE path is real end to end (r14 verdict #2): `pngMediaTable`
+ * encodes deterministic RGB rasters to actual PNG bytes and `mmDecode`
+ * decodes them back through `javax.imageio.ImageIO` — a genuine codec
+ * shipping in the JDK, zero new dependencies — inside the same
+ * per-partition decode boundary, with the pixel statistics verified
+ * value-level against a DuckDB recomputation of the raster arithmetic
+ * (PNG is lossless, so the round trip must be bit-exact). The
+ * audio/video-shaped ops (`decodeStub` features, frame sampling) keep
+ * the clearly-marked deterministic stand-in — those codecs don't ship
+ * in the JDK — behind the identical boundary, so swapping in ffmpeg
+ * changes one function body, not the plan.
  *
  * Scale notes: decode runs inside `mapPartitions` so codec state is
  * initialized once per partition (not per row); payloads stay columnar
@@ -165,10 +169,103 @@ object Multimodal {
         col("width").cast("bigint").as("width"),
         col("height").cast("bigint").as("height"))
 
+  // --------------------------------------------- real PNG decode path
+
+  /** Deterministic raster: pixel (x, y) of doc d has channel values
+   * r = (d + 7x + 13y) % 256, g = (3d + 5x + 11y) % 256,
+   * b = (5d + 3x + 17y) % 256 — pure integer arithmetic both engines
+   * can restate, so the DECODED stats are oracle-checkable even though
+   * the bytes in between are a real PNG container. */
+  private def channel(d: Long, x: Int, y: Int, md: Long, mx: Long, my: Long): Int =
+    ((d * md + mx * x + my * y) % 256L).toInt
+
+  /** Documents → real PNG payloads: one raster per doc (width 8-16 ×
+   * height 8-12 from doc_id), encoded through `ImageIO.write` — the
+   * payloads entering the decode boundary are genuine PNG containers
+   * (signature, IHDR, zlib-compressed scanlines), not fakes. Encoding
+   * runs per partition like every codec op here. */
+  def pngMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val w = (8 + d % 9).toInt
+          val h = (8 + d % 5).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (channel(d, x, y, 1, 7, 13) << 16) |
+                  (channel(d, x, y, 3, 5, 11) << 8) |
+                  channel(d, x, y, 5, 3, 17))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRow(d, bos.toByteArray, "image/png", "raster")
+        }
+      }
+  }
+
+  final case class DecodedImage(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_pixels: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** REAL decode through the codec boundary: `ImageIO.read` parses the
+   * PNG container and inflates the scanlines; dimensions and per-channel
+   * pixel sums come from the decoded raster. A corrupt byte, a codec
+   * regression, or an encode/decode asymmetry turns the oracle row red
+   * — the boundary the stub stood in for, finally exercised by a real
+   * codec. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // ImageIO plugin scanning happens once per partition, not per row
+      it.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.media))
+        require(img != null, s"doc ${row.doc_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(row.doc_id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
+      }
+    }
+  }
+
+  /** Oracle-checked PNG round trip: encode deterministic rasters to
+   * real PNG, decode with ImageIO, compare the pixel statistics against
+   * DuckDB's recomputation of the raster arithmetic (lossless ⇒ exact). */
+  def mmDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeImages(pngMediaTable(spark, dir)).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_resize" -> mmResize)
+    "mm_resize" -> mmResize,
+    "mm_decode" -> mmDecode)
 
   val oracleSql: Map[String, String] = Map(
     "mm_features" ->
@@ -188,5 +285,18 @@ object Multimodal {
       """SELECT doc_id, CAST(32*16*3 AS BIGINT) AS n_bytes,
            CAST(64 + (32*16*3) % 64 AS BIGINT) AS width,
            CAST(64 + (32*16*3) % 48 AS BIGINT) AS height
-         FROM documents""")
+         FROM documents""",
+    // the raster arithmetic recomputed pixel-by-pixel: what ImageIO
+    // must hand back after the real PNG encode/decode round trip
+    "mm_decode" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+           FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM g),
+         v AS (SELECT doc_id, w, h, k % w AS x, k // w AS y FROM px)
+         SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 3 + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 5 + 3 * x + 17 * y) % 256) AS BIGINT) AS sum_b
+         FROM v GROUP BY doc_id, w, h""")
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kernel: bucket counts × weights + bias, folded in bucket order") {
+    // D=4 buckets; weights chosen so each bucket's contribution is
+    // distinguishable. Expected score computed with the same hash the
+    // kernel uses (the test pins the fold/count plumbing, the hash
+    // itself is pinned by the CMS/simhash oracles).
+    val w = Array(0.5, -1.0, 2.0, 0.25)
+    val m = new QualityWeights(w, bias = 0.125)
+    val toks = Seq("alpha", "beta", "alpha")
+    def bucket(s: String): Int =
+      (SimHash64.hash64(org.apache.spark.unsafe.types.UTF8String.fromString(s)) & 3L).toInt
+    val cnt = new Array[Long](4)
+    toks.foreach(t => cnt(bucket(t)) += 1)
+    Seq("alpha beta", "beta alpha").foreach(bg => cnt(bucket(bg)) += 1)
+    var expected = 0.125
+    (0 until 4).foreach(j => if (cnt(j) != 0) expected += cnt(j) * w(j))
+    val df = Seq(toks).toDF("t0")
+      .select(QualityScoreFunctions.quality_score(col("t0"), m).as("s"))
+    assert(df.head().getDouble(0) == expected)
+  }
+
+  test("empty token array scores exactly the bias") {
+    val m = new QualityWeights(Array.fill(8)(1.0), bias = -2.5)
+    val df = Seq(Seq.empty[String]).toDF("t0")
+      .select(QualityScoreFunctions.quality_score(col("t0"), m).as("s"))
+    assert(df.head().getDouble(0) == -2.5)
+  }
+
+  test("quality_score runs inside whole-stage codegen") {
+    val m = new QualityWeights(Array.fill(16)(0.1), bias = 0.0)
+    val df = spark.range(20)
+      .select(array(concat(lit("w"), col("id").cast("string"))).as("t0"))
+      .select(QualityScoreFunctions.quality_score(col("t0"), m).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("quality_score")))
+    assert(df.collect().forall(r => !r.getDouble(0).isNaN))
+  }
+
+  test("corpus fit: D+1 model rows, finite weights, discriminative probs") {
+    val dir = "/root/testdata/sf0.001"
+    val t = graft.operators.TextAnalysis.fitQualityModel(spark, dir).collect()
+    assert(t.length == graft.operators.TextAnalysis.QualityBuckets + 1)
+    assert(t.count(_.getLong(0) == -1L) == 1)
+    assert(t.forall(r => java.lang.Double.isFinite(r.getDouble(1))))
+    val out = graft.operators.TextAnalysis.textQualityModel(spark, dir)
+      .agg(
+        avg(when(col("label"), col("prob"))).as("p_pos"),
+        avg(when(!col("label"), col("prob"))).as("p_neg"),
+        avg(when(col("predicted") === col("label"), 1.0).otherwise(0.0))
+          .as("acc")).head()
+    // the fit must separate the classes it trained against: higher mean
+    // probability on positives, and better-than-chance accuracy
+    assert(out.getDouble(0) > out.getDouble(1))
+    assert(out.getDouble(2) > 0.6)
+  }
+}
