@@ -38,14 +38,28 @@ object TextAnalysis {
       expr("CAST((length(text) + 3) DIV 4 AS BIGINT)").as("est_bpe_tokens"))
 
   /** Quality scoring: length/punctuation/stopword/mean-word-length
-   * heuristics (the C4/Gopher-style filters, deterministic form). */
+   * heuristics (the C4/Gopher-style filters, deterministic form).
+   *
+   * The token ARRAY is materialized as an attribute in a first
+   * projection (the shingles caveat, r15 plan audit): higher-order
+   * `filter` keeps the projection out of whole-stage codegen, where
+   * no common-subexpression elimination runs — inlining `toks` into
+   * every consumer re-split the text 3× per row. CollapseProject
+   * leaves the two-projection shape alone because `t0` is referenced
+   * more than once; `size` over the attribute is O(1). */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val nChars = length(col("text"))
-    val nTokens = size(toks)
-    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val stop = size(filter(toks, t =>
+    val pre = docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("nc"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("np"),
+      toks.as("t0"))
+    val nChars = col("nc")
+    val nTokens = size(col("t0"))
+    val punct = col("np")
+    val stop = size(filter(col("t0"), t =>
       t.isin("the", "a", "and", "of", "to", "in", "is")))
-    docs(spark, dir).select(
+    pre.select(
       col("doc_id"),
       nChars.cast("bigint").as("n_chars"),
       nTokens.cast("bigint").as("n_tokens"),
@@ -70,8 +84,12 @@ object TextAnalysis {
       "fr" -> Seq("le", "la", "et", "les"),
       "es" -> Seq("el", "los", "y", "de"),
       "zh" -> Seq("的", "是", "了"))
+    // token array materialized once (the textQuality rationale): the
+    // five marker filters probe the attribute instead of re-splitting
+    // the text per language
     val scores: Seq[Column] = markers.map { case (lang, words) =>
-      size(filter(toks, t => t.isin(words: _*))).cast("bigint").as(s"score_$lang")
+      size(filter(col("t0"), t => t.isin(words: _*)))
+        .cast("bigint").as(s"score_$lang")
     }
     val best = markers.foldRight(lit("und")) { case ((lang, _), acc) =>
       when(col(s"score_$lang") > 0 &&
@@ -80,7 +98,8 @@ object TextAnalysis {
         }, lang).otherwise(acc)
     }
     docs(spark, dir)
-      .select(col("doc_id") +: col("lang").as("labeled_lang") +: scores: _*)
+      .select(col("doc_id"), col("lang").as("labeled_lang"), toks.as("t0"))
+      .select(col("doc_id") +: col("labeled_lang") +: scores: _*)
       .withColumn("predicted_lang", best)
   }
 
@@ -493,11 +512,19 @@ object TextAnalysis {
   def textQualityModel(spark: SparkSession, dir: String): DataFrame = {
     val model = qualityModel(spark, dir)
     val n = size(col("t0"))
+    // label derived from the MATERIALIZED token array (the textQuality
+    // rationale — computing passesQuality alongside t0 re-split the
+    // text 3× per row in a non-codegen projection; r15 plan audit)
+    val label = n.between(20, 100000) &&
+      (col("np").cast("double") / col("nc")) < 0.1
     docs(spark, dir)
-      .select(col("doc_id"), passesQuality.as("label"), toks.as("t0"))
+      .select(col("doc_id"), toks.as("t0"),
+        length(col("text")).as("nc"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("np"))
       .select(col("doc_id"),
         (Curation.mix32(col("doc_id")) % 100 < 50).as("is_train"),
-        col("label"),
+        label.as("label"),
         when(n > 0, n * 2 - 1).otherwise(0).cast("bigint").as("n_grams"),
         graft.functions.QualityScoreFunctions.quality_score(col("t0"), model)
           .as("s"))
