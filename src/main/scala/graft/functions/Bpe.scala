@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Byte-pair-encoding tokenization with ITERATIVE merge training
+ * (Sennrich et al. 2016) — the real BPE recipe, closing the one
+ * honesty note the subword family carried: `SubwordVocab` fits a
+ * single-pass frequency top-V (WordPiece-style inference over it),
+ * where actual BPE training repeatedly merges the currently most
+ * frequent adjacent symbol pair and re-counts. Here the merge loop is
+ * genuine: V' iterations, each picking the global argmax pair under a
+ * total order (count DESC, pair lexicographic) and rewriting every
+ * word's segmentation.
+ *
+ * The representation is what makes the fit and the DuckDB oracle
+ * bit-equal: a word's segmentation is its symbols each wrapped in
+ * single spaces and concatenated — "abc" → " a  b  c " — so applying
+ * merge (a,b) is ONE literal `replace(" a  b ", " ab ")`. Every symbol
+ * carries its own delimiters, so adjacent merge sites never share a
+ * boundary character: left-to-right non-overlapping replacement (the
+ * shared semantics of Java `String.replace` and DuckDB `replace`)
+ * IS canonical BPE merging — runs like "aaaa" merge to [aa, aa], not
+ * [aa, a, a]. The oracle unrolls the same loop as generated CTE levels
+ * and replays encode as the final segmentation join.
+ *
+ * Scale shape (the SentencePiece/HF-tokenizers precedent): the corpus
+ * pass is the distinct-word frequency aggregate — the only thing that
+ * sees the data; the merge loop runs driver-side over the
+ * VOCABULARY-sized word-frequency dict (collect documented, the
+ * quantizer pattern) and is O(V' · Σ|word|). The fitted merge list is
+ * persisted via ModelCache and ships into the scan as ONE reference
+ * object; encode is a zero-exchange scan projection.
+ */
+final class BpeMerges(val pairs: Array[(String, String)]) extends Serializable {
+  /** Precompiled literal (pattern, replacement) per merge, rank order. */
+  private val pats: Array[(String, String)] =
+    pairs.map { case (a, b) => (s" $a  $b ", s" $a$b ") }
+
+  /** Canonical space-wrapped segmentation of a raw word. */
+  def wrap(w: String): String = w.map(c => s" $c ").mkString
+
+  /** Symbols of a segmentation string (inverse of [[wrap]]+merges). */
+  def symbols(seg: String): Array[String] = seg.trim.split("  ")
+
+  /** Apply every merge in rank order; returns the final segmentation. */
+  def segment(w: String): String = {
+    var s = wrap(w)
+    var i = 0
+    while (i < pats.length) {
+      s = s.replace(pats(i)._1, pats(i)._2)
+      i += 1
+    }
+    s
+  }
+
+  def encodeWord(w: String, out: java.util.ArrayList[UTF8String]): Unit =
+    symbols(segment(w)).foreach { sym =>
+      out.add(UTF8String.fromString(sym)): Unit
+    }
+}
+
+object BpeKernels extends Serializable {
+  def encode(toks: ArrayData, m: BpeMerges): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < toks.numElements()) {
+      m.encodeWord(toks.getUTF8String(i).toString, out)
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+
+  /** The training loop — shared by the operator fit and the specs so a
+   * hand-checked case pins exactly the production code path. `wf` MUST
+   * be sorted by word for a deterministic iteration order (counts and
+   * argmax are order-independent; sorting makes that visible). */
+  def train(wf: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    val m0 = new BpeMerges(Array.empty)
+    var segs: Seq[(String, Long)] =
+      wf.sortBy(_._1).map { case (w, f) => (m0.wrap(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+       segs.foreach { case (seg, f) =>
+        val syms = m0.symbols(seg)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b))
+        val (pat, rep) = (s" $a  $b ", s" $a$b ")
+        segs = segs.map { case (s, f) => (s.replace(pat, rep), f) }
+      }
+    }
+    merges.toSeq
+  }
+}
+
+/** `bpe_encode(toks)`: BPE segmentation of a whitespace-token array
+ * under the fitted merge list (reference-object model, the
+ * subword_encode pattern). */
+case class BpeEncode(child: Expression, model: BpeMerges)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernels.encode(input.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = BpeKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val m = ctx.addReferenceObj("bpeMerges", model, classOf[BpeMerges].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.encode($c, $m);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+object BpeFunctions {
+  def bpe_encode(toks: Column, model: BpeMerges): Column =
+    GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(toks), model))
+}

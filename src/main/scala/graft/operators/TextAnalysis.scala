@@ -403,6 +403,129 @@ object TextAnalysis {
         array_join(col("sw"), " ").as("subword_text"))
   }
 
+  // ------------------------------------------------- BPE merge training
+
+  /** Merge-iteration count. 24 against the corpus's 31 distinct words
+   * keeps the unrolled oracle tractable while the loop genuinely
+   * re-counts and re-segments every round — the property that
+   * distinguishes BPE training from the single-pass frequency fit. */
+  val NumBpeMerges = 24
+
+  /**
+   * ITERATIVE BPE merge training (Sennrich et al. 2016) — closing the
+   * honesty note the subword family carried since r14: the greedy
+   * WordPiece inference runs over a single-pass frequency top-V;
+   * real BPE TRAINING is the loop this implements — V' rounds, each
+   * counting adjacent symbol pairs over the CURRENT segmentation of
+   * the distinct-word dict (frequency-weighted), merging the argmax
+   * pair under a total order (count DESC, pair ASC), and rewriting
+   * every segmentation before the next count.
+   *
+   * Scale shape: the corpus pass is the distinct-word frequency
+   * aggregate (one shuffle, one row per distinct word) — the merge
+   * loop itself runs driver-side over that VOCABULARY-sized dict,
+   * exactly like SentencePiece/HF-tokenizers train from a word-count
+   * table; the collect is the documented quantizer-pattern model
+   * fit. The loop lives in [[graft.functions.BpeKernels.train]] so
+   * the specs pin the production code path on hand-checked cases.
+   * Oracle: the SAME loop unrolled as [[bpeCtes]] CTE levels — the
+   * space-wrapped segmentation representation makes each merge ONE
+   * literal `replace`, with identical left-to-right non-overlapping
+   * semantics in Java and DuckDB, so fit and inference are verified
+   * value-level end to end.
+   */
+  def fitBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val wf = docs(spark, dir).select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.functions.BpeKernels.train(wf, NumBpeMerges)
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "a", "b")
+  }
+
+  /** The fitted merge list, persisted via the shared ModelCache. */
+  def bpeMergesTable(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ModelCache.loadOrFit(spark, s"$dir/documents.parquet",
+      s"bpemerges-M$NumBpeMerges-v1",
+      sys.env.getOrElse("GRAFT_BPE_CACHE", "/tmp/graft-bpe-cache"),
+      "graft-bpe") {
+      fitBpeMerges(spark, dir)
+    }
+
+  /** Merge table → the scan-side reference object (V' rows collect). */
+  def bpeModel(spark: SparkSession, dir: String): graft.functions.BpeMerges =
+    new graft.functions.BpeMerges(
+      bpeMergesTable(spark, dir).orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))))
+
+  /** BPE token counts + the full encoded sequence per document — the
+   * merge-trained twin of [[textTokensSubword]]; encode is the same
+   * zero-exchange scan-projection shape with the merge list riding as
+   * one reference object. */
+  def textTokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    val model = bpeModel(spark, dir)
+    docs(spark, dir).select(col("doc_id"), toks.as("t0"))
+      .select(col("doc_id"),
+        graft.functions.BpeFunctions.bpe_encode(col("t0"), model).as("bp"))
+      .select(col("doc_id"),
+        size(col("bp")).cast("bigint").as("n_bpe_tokens"),
+        array_join(col("bp"), " ").as("bpe_text"))
+  }
+
+  /**
+   * DuckDB replay of BPE training + inference: the merge loop UNROLLED
+   * as `n` CTE levels — level k splits every word's current
+   * segmentation, counts frequency-weighted adjacent pairs, picks the
+   * argmax under the identical total order, and applies it as one
+   * literal `replace` (LEFT JOIN ON TRUE + CASE so an exhausted-pairs
+   * level is a no-op, mirroring the Scala loop's early stop). The
+   * space-wrapped representation (" a  b  c ") gives every symbol its
+   * own delimiters, so left-to-right non-overlapping replace IS
+   * canonical BPE merging in both engines. Inference = the final
+   * segmentation joined back through document word order.
+   */
+  def bpeCtes(n: Int = NumBpeMerges): String = {
+    val sb = new StringBuilder
+    sb ++= s"""t AS (SELECT doc_id, $TokSql AS toks FROM documents),
+        words AS (SELECT doc_id, i AS widx, toks[CAST(i AS INTEGER)] AS w
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
+        wf AS (SELECT w, count(*) AS f FROM words GROUP BY 1),
+        seg0 AS MATERIALIZED (SELECT w, f,
+          ' ' || array_to_string(list_transform(range(1, len(w)+1),
+            i -> w[CAST(i AS INTEGER)]), '  ') || ' ' AS seg FROM wf)"""
+    for (k <- 1 to n) {
+      val p = s"seg${k - 1}"
+      sb ++= s""",
+        sy$k AS (SELECT w, f, string_split(trim(seg), '  ') AS syms FROM $p),
+        pr$k AS (SELECT syms[CAST(i AS INTEGER)] AS a,
+                   syms[CAST(i AS INTEGER) + 1] AS b, sum(f) AS cnt
+                 FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i
+                       FROM sy$k)
+                 GROUP BY 1, 2),
+        bs$k AS (SELECT a, b FROM pr$k ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        seg$k AS MATERIALIZED (SELECT p.w, p.f,
+            CASE WHEN bs.a IS NULL THEN p.seg
+                 ELSE replace(p.seg, ' ' || bs.a || '  ' || bs.b || ' ',
+                              ' ' || bs.a || bs.b || ' ') END AS seg
+          FROM $p p LEFT JOIN bs$k bs ON TRUE)"""
+    }
+    sb ++= s""",
+        bseg AS (SELECT w, string_split(trim(seg), '  ') AS syms FROM seg$n),
+        bagg AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_pieces,
+                   array_to_string(syms, ' ') AS wstr FROM bseg),
+        bp AS (SELECT d.doc_id,
+                 coalesce(CAST(sum(g.n_pieces) AS BIGINT), 0) AS n_bpe_tokens,
+                 coalesce(string_agg(g.wstr, ' ' ORDER BY words.widx), '')
+                   AS bpe_text
+               FROM documents d
+               LEFT JOIN words ON words.doc_id = d.doc_id
+               LEFT JOIN bagg g ON g.w = words.w
+               GROUP BY 1)"""
+    sb.toString
+  }
+
   // ------------------------------------- trained quality classifier
 
   /** Hashed-feature space for the trained quality classifier: 64
@@ -647,6 +770,7 @@ object TextAnalysis {
     "text_cms_counts" -> textCmsCounts,
     "text_tokens" -> textTokens,
     "text_tokens_subword" -> textTokensSubword,
+    "text_tokens_bpe" -> textTokensBpe,
     "text_quality" -> textQuality,
     "text_quality_model" -> textQualityModel,
     "text_langid" -> textLangId,
@@ -728,6 +852,9 @@ object TextAnalysis {
     "text_tokens_subword" ->
       s"""WITH RECURSIVE ${subwordCtes()}
           SELECT doc_id, n_subword_tokens, subword_text FROM sw""",
+    "text_tokens_bpe" ->
+      s"""WITH ${bpeCtes()}
+          SELECT doc_id, n_bpe_tokens, bpe_text FROM bp""",
     "text_tokens" ->
       s"""SELECT doc_id,
           CAST(len($TokSql) AS BIGINT) AS n_tokens,
