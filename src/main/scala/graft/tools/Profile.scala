@@ -1,19 +1,21 @@
 package graft.tools
 
-import graft.operators.RelationalQueries
+import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
 /** Scratch profiler for operator stages (builder-side tool; the
  * question rotates per round — r06: decimal-vs-long money sums; r07:
- * the defensive dropDuplicates cost; results recorded in PLANS.md/
- * BASELINE.md). Round-10 question: q21's two count_distinct
- * aggregations were the slowest extended line (2.12s driver r9) — how
- * much does replacing them with min≠max multiplicity tests (full-fact
- * side) and a min/max window over the checkpointed lateF (late side)
- * recover? The r9 shape is inlined below as the baseline; the wired
- * query is the new shape. */
+ * the defensive dropDuplicates cost; r10: q21 count_distinct vs
+ * min/max multiplicity, measured 2.12s → 1.18s, recorded in
+ * BASELINE.md). Round-15 question: the BPE encode kernel applies V'
+ * literal replaces per word (allocating a fresh string each) where
+ * subword_encode does O(len·maxLen) hash probes — how do the three
+ * tokenizer rows compare at the bench SF, and is BPE's extended line
+ * going to read as a regression when it lands? ANSWER (sf0.1, median
+ * of 3 warmed): whitespace 0.38s, subword 0.56s, BPE 0.72s unmemoized
+ * → 0.49s with the model-scoped word→pieces memo (the HF-tokenizers
+ * cache; Zipfian corpora make the hit rate ~100%), i.e. BPE encode
+ * lands at subword-kernel parity. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -31,41 +33,11 @@ object Profile {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); noop(df); (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"$name%-34s median=${ts(1)}%6.2fs  (${ts.mkString(", ")})")
+      println(f"$name%-34s median=${ts(1)}%6.2fs  (${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
-
-    /** The r9 q21 shape: per-order count_distinct on both the full fact
-     * table and lateF, joined back. */
-    def q21CountDistinct(): DataFrame = {
-      def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
-      val li = t("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-      val fOrders = t("orders").filter(col("o_orderstatus") === "F")
-        .select("o_orderkey", "o_orderdate")
-      val lateF = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .localCheckpoint()
-      val osup = li.groupBy(col("l_orderkey").as("a_orderkey"))
-        .agg(count_distinct(col("l_suppkey")).as("nsup"))
-      val lsup = lateF.groupBy(col("l_orderkey").as("b_orderkey"))
-        .agg(count_distinct(col("l_suppkey")).as("nlate"))
-      lateF
-        .join(osup, col("l_orderkey") === col("a_orderkey"))
-        .join(lsup, col("l_orderkey") === col("b_orderkey"))
-        .filter(col("nsup") > 1 && col("nlate") === 1)
-        .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
-    }
-
-    time("q21 r9 (2x count_distinct)")(q21CountDistinct())
-    time("q21 r10 (min/max + window)")(RelationalQueries.q21WaitSuppliers(spark, dir))
-    // results must be identical row-for-row
-    val diff = RelationalQueries.q21WaitSuppliers(spark, dir)
-      .except(q21CountDistinct())
-      .union(q21CountDistinct().except(RelationalQueries.q21WaitSuppliers(spark, dir)))
-      .count()
-    println(s"q21 shape diff rows: $diff (must be 0)")
+    time("text_tokens (whitespace)")(TextAnalysis.textTokens(spark, dir))
+    time("text_tokens_subword (hash probes)")(TextAnalysis.textTokensSubword(spark, dir))
+    time("text_tokens_bpe (V' replaces)")(TextAnalysis.textTokensBpe(spark, dir))
     spark.stop()
   }
 }
