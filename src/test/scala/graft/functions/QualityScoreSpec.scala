@@ -61,4 +61,25 @@ class QualityScoreSpec extends SparkSpec {
     assert(out.getDouble(0) > out.getDouble(1))
     assert(out.getDouble(2) > 0.6)
   }
+
+  test("single-class corpus: smoothing keeps the fit finite, not NaN") {
+    // a corpus where EVERY doc passes the heuristic gate (or every doc
+    // fails) must still produce finite weights — Laplace smoothing
+    // handles the empty class; a driver corpus with a degenerate label
+    // distribution must not crash or emit NaN scores
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("qm1c").toString
+    // 40 docs, all with 25 clean tokens -> all pass (no punctuation)
+    (0L until 40L).map(i => (i, Seq.fill(25)(s"tok${i % 5}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val t = graft.operators.TextAnalysis.fitQualityModel(spark, tmp).collect()
+    assert(t.forall(r => java.lang.Double.isFinite(r.getDouble(1))))
+    val out = graft.operators.TextAnalysis.textQualityModel(spark, tmp).collect()
+    assert(out.length == 40)
+    assert(out.forall(r => java.lang.Double.isFinite(r.getAs[Double]("prob"))))
+    // all-positive labels -> every prediction lands positive
+    assert(out.forall(_.getAs[Boolean]("label")))
+    assert(out.forall(_.getAs[Boolean]("predicted")))
+  }
 }
