@@ -537,17 +537,6 @@ object TextAnalysis {
    * (Spark `& 63`) and unsigned (DuckDB `% 64`) views. */
   val QualityBuckets = 64
 
-  /** Labeled-slice predicate: the heuristic gate stands in for human
-   * labels (the CCNet recipe trains against a REFERENCE corpus; here
-   * the reference class is "passes the oracle-proven heuristic gate",
-   * so the oracle can re-derive the labels exactly). */
-  private def passesQuality: Column = {
-    val nChars = length(col("text"))
-    val nTokens = size(toks)
-    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    nTokens.between(20, 100000) && (punct.cast("double") / nChars) < 0.1
-  }
-
   /**
    * Closed-form classifier fit — naive-Bayes log-count-ratio weights
    * (the NBSVM recipe, Wang & Manning 2012): over the TRAIN half of the
@@ -570,8 +559,19 @@ object TextAnalysis {
    */
   def fitQualityModel(spark: SparkSession, dir: String): DataFrame = {
     val d = QualityBuckets
+    // labels = the oracle-proven heuristic gate standing in for human
+    // labels (the CCNet recipe trains against a REFERENCE corpus; here
+    // the reference class is "passes the heuristic gate", so the
+    // oracle re-derives the labels exactly); token array materialized
+    // first (the textQuality rationale)
     val lab = docs(spark, dir)
-      .select(col("doc_id"), passesQuality.as("is_pos"))
+      .select(col("doc_id"), toks.as("t0"),
+        length(col("text")).as("nc"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("np"))
+      .select(col("doc_id"),
+        (size(col("t0")).between(20, 100000) &&
+          (col("np").cast("double") / col("nc")) < 0.1).as("is_pos"))
       .filter(Curation.mix32(col("doc_id")) % 100 < 50)
     val buckets = gramCounts(spark, dir)
       .withColumn("bucket", graft.functions.CmsFunctions.hash64(col("g"))
