@@ -58,8 +58,22 @@ final class BpeMerges(val pairs: Array[(String, String)]) extends Serializable {
     new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
   private val MaxMemoEntries = 1 << 16
 
-  /** Canonical space-wrapped segmentation of a raw word. */
-  def wrap(w: String): String = w.map(c => s" $c ").mkString
+  /** Canonical space-wrapped segmentation of a raw word. Initial
+   * symbols are CODE POINTS, not UTF-16 units (the Subword.encodeWord
+   * precedent, r15 review): a supplementary-plane character must enter
+   * as one symbol or the fit diverges from the DuckDB oracle's
+   * code-point indexing — and a lone surrogate would not even survive
+   * UTF8String encoding. */
+  def wrap(w: String): String = {
+    val sb = new java.lang.StringBuilder(w.length * 3)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      sb.append(' ').appendCodePoint(cp).append(' '): Unit
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
 
   /** Symbols of a segmentation string (inverse of [[wrap]]+merges). */
   def symbols(seg: String): Array[String] = seg.trim.split("  ")

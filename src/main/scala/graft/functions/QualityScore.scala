@@ -40,11 +40,15 @@ final class QualityWeights(val w: Array[Double], val bias: Double)
 object QualityKernels extends Serializable {
   private val Space = UTF8String.fromString(" ")
 
-  /** bias + Σ_buckets cnt_b · w_b, with bucket counts accumulated from
-   * unigram and bigram hashes and the dot product folded in ASCENDING
-   * BUCKET ORDER — a canonical summation order, so the float fold is
-   * reproducible independent of token order (the oracle sums identical
-   * addends). O(tokens) hash probes + O(buckets) fold per row. */
+  /** Σ_buckets cnt_b · w_b + bias, with bucket counts accumulated from
+   * unigram and bigram hashes and the dot product folded from 0.0 in
+   * ASCENDING BUCKET ORDER with the bias added LAST — a canonical
+   * summation sequence the oracle replays term-for-term
+   * (`list_reduce(list(... ORDER BY bkt))` then `+ bias`), so the
+   * float fold is bit-reproducible independent of token order and of
+   * either engine's aggregate ordering (the textLmScore discipline;
+   * r15 review hardened this from an unordered SQL sum). O(tokens)
+   * hash probes + O(buckets) fold per row. */
   def score(toks: ArrayData, m: QualityWeights): Double = {
     val d = m.w.length
     val mask = d - 1
@@ -60,13 +64,13 @@ object QualityKernels extends Serializable {
       }
       i += 1
     }
-    var s = m.bias
+    var s = 0.0
     var j = 0
     while (j < d) {
       if (cnt(j) != 0) s += cnt(j) * m.w(j)
       j += 1
     }
-    s
+    s + m.bias
   }
 }
 

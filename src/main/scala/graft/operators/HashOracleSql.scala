@@ -561,7 +561,11 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
    * power of two), naive-Bayes log-count-ratio weights over the train
    * slice (every bucket materialized via range() so absent buckets get
    * the smoothed weight, exactly like the Scala arrays), then
-   * per-document dot + bias + sigmoid. A drift anywhere — labels,
+   * per-document dot + bias + sigmoid. The dot product folds from 0.0
+   * in ascending bucket order with the bias added last — the EXACT
+   * summation sequence of QualityKernels.score, stated as an ordered
+   * list_reduce so neither engine's aggregate ordering enters the
+   * doubles (the textLmScore discipline). A drift anywhere — labels,
    * split, hashing, smoothing, or inference — turns the row red. */
   def qualityModelScore(buckets: Int, mix32Sql: String): String = {
     val (av, last) =
@@ -602,7 +606,9 @@ _qmw AS (SELECT b.bkt,
   FROM (SELECT unnest(range(0, $buckets)) AS bkt) b
   LEFT JOIN _qfit f USING (bkt), _qmtot),
 _qbias AS (SELECT ln((npos + 1.0) / (nneg + 1.0)) AS bias FROM _qmn),
-_qmsc AS (SELECT doc_id, sum(cnt * w) AS dot
+_qmsc AS (SELECT doc_id,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(cnt * w ORDER BY bkt)), (acc, x) -> acc + x) AS dot
           FROM _qmb JOIN _qmw USING (bkt) GROUP BY doc_id),
 _qout AS (SELECT l.doc_id, l.is_train, l.label,
   CASE WHEN l.ntoks > 0 THEN 2 * l.ntoks - 1 ELSE 0 END AS n_grams,

@@ -48,18 +48,12 @@ object TextAnalysis {
    * leaves the two-projection shape alone because `t0` is referenced
    * more than once; `size` over the attribute is O(1). */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val pre = docs(spark, dir).select(
-      col("doc_id"),
-      length(col("text")).as("nc"),
-      (length(col("text")) -
-        length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("np"),
-      toks.as("t0"))
     val nChars = col("nc")
     val nTokens = size(col("t0"))
     val punct = col("np")
     val stop = size(filter(col("t0"), t =>
       t.isin("the", "a", "and", "of", "to", "in", "is")))
-    pre.select(
+    labeledDocs(spark, dir).select(
       col("doc_id"),
       nChars.cast("bigint").as("n_chars"),
       nTokens.cast("bigint").as("n_tokens"),
@@ -69,9 +63,29 @@ object TextAnalysis {
       round(punct.cast("double") / nChars, 6).as("punct_ratio"),
       round(stop.cast("double") / nTokens, 6).as("stopword_ratio"),
       round((nChars - nTokens + 1).cast("double") / nTokens, 6).as("mean_word_len"),
-      (nTokens.between(20, 100000) && (punct.cast("double") / nChars) < 0.1)
-        .as("passes_quality"))
+      col("label").as("passes_quality"))
   }
+
+  /** Shared heuristic-gate projection `(doc_id, t0, nc, np, label)` —
+   * the single definition point of the C4-style quality label that
+   * [[textQuality]] reports, [[fitQualityModel]] trains against, and
+   * [[textQualityModel]] scores beside (r15 review: the expression was
+   * copy-pasted at three sites — a threshold change would have let the
+   * trained model silently diverge from the reported gate). The token
+   * ARRAY is materialized as an attribute in a first projection
+   * (higher-order `filter` keeps these projections out of whole-stage
+   * codegen, where no common-subexpression elimination runs — the
+   * inlined form re-split the text per consumer; measured in
+   * tools/TokGateProbe). */
+  private def labeledDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"), toks.as("t0"),
+      length(col("text")).as("nc"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("np"))
+      .withColumn("label",
+        size(col("t0")).between(20, 100000) &&
+          (col("np").cast("double") / col("nc")) < 0.1)
 
   /** Language identification: stopword-marker n-gram heuristic. Scores
    * per language = marker-token hits; argmax with a fixed tie-break
@@ -562,17 +576,14 @@ object TextAnalysis {
     // labels = the oracle-proven heuristic gate standing in for human
     // labels (the CCNet recipe trains against a REFERENCE corpus; here
     // the reference class is "passes the heuristic gate", so the
-    // oracle re-derives the labels exactly); token array materialized
-    // first (the textQuality rationale)
-    val lab = docs(spark, dir)
-      .select(col("doc_id"), toks.as("t0"),
-        length(col("text")).as("nc"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("np"))
-      .select(col("doc_id"),
-        (size(col("t0")).between(20, 100000) &&
-          (col("np").cast("double") / col("nc")) < 0.1).as("is_pos"))
+    // oracle re-derives the labels exactly). Checkpointed: two actions
+    // consume it (bucket masses + doc counts) and the slice is
+    // (doc_id, bool)-narrow — one tokenize pass instead of two
+    // (r15 review).
+    val lab = labeledDocs(spark, dir)
+      .select(col("doc_id"), col("label").as("is_pos"))
       .filter(Curation.mix32(col("doc_id")) % 100 < 50)
+      .localCheckpoint()
     val buckets = gramCounts(spark, dir)
       .withColumn("bucket", graft.functions.CmsFunctions.hash64(col("g"))
         .bitwiseAND(lit((d - 1).toLong)))
@@ -591,6 +602,11 @@ object TextAnalysis {
     val nDocs = lab.agg(
       sum(when(col("is_pos"), 1L).otherwise(0L)),
       sum(when(!col("is_pos"), 1L).otherwise(0L))).head()
+    // fail fast with a diagnosis, not an NPE: a handful-of-docs corpus
+    // can land nothing in the hash train split (r15 review)
+    require(!nDocs.isNullAt(0),
+      "quality-classifier train slice is empty — the mix32 split kept no " +
+        "documents; the corpus is too small to fit against")
     val bias = math.log((nDocs.getLong(0) + 1.0) / (nDocs.getLong(1) + 1.0))
     import spark.implicits._
     ((-1L, bias) +: (0 until d).map(b => (b.toLong,
@@ -635,19 +651,10 @@ object TextAnalysis {
   def textQualityModel(spark: SparkSession, dir: String): DataFrame = {
     val model = qualityModel(spark, dir)
     val n = size(col("t0"))
-    // label derived from the MATERIALIZED token array (the textQuality
-    // rationale — computing passesQuality alongside t0 re-split the
-    // text 3× per row in a non-codegen projection; r15 plan audit)
-    val label = n.between(20, 100000) &&
-      (col("np").cast("double") / col("nc")) < 0.1
-    docs(spark, dir)
-      .select(col("doc_id"), toks.as("t0"),
-        length(col("text")).as("nc"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("np"))
+    labeledDocs(spark, dir)
       .select(col("doc_id"),
         (Curation.mix32(col("doc_id")) % 100 < 50).as("is_train"),
-        label.as("label"),
+        col("label"),
         when(n > 0, n * 2 - 1).otherwise(0).cast("bigint").as("n_grams"),
         graft.functions.QualityScoreFunctions.quality_score(col("t0"), model)
           .as("s"))

@@ -228,9 +228,12 @@ object ScaleSmoke {
       // trend file (r14 verdict #4): every pq run appends its recall +
       // bytes-scanned line, so a codebook-fit or kernel change surfaces
       // as a recall/ratio REGRESSION against the recorded history
-      // instead of a silent change. Tracked in git next to BASELINE.md.
+      // instead of a silent change. Tracked in git next to BASELINE.md;
+      // path relative to the working directory (sbt runs tools from the
+      // repo root) so the tool is not pinned to one checkout (r15
+      // review).
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/PQ_TREND.log"),
+        java.nio.file.Paths.get("PQ_TREND.log"),
         java.time.Instant.now().toString + " " + pqLine + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND): Unit
@@ -306,6 +309,16 @@ object ScaleSmoke {
         .drop("_r")
       val nIn = rep.count()
       val tmp = java.nio.file.Files.createTempDirectory("graft-sj-smoke").toString
+      // the replay feed is multi-GB at factor 40 — clean up even when
+      // an assertion below fails (r15 review: the restructure had moved
+      // the delete behind the asserts)
+      def rmTmp(): Unit = {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+      try {
       val sliced = rep.withColumn("_slice",
         ntile(8).over(Window.orderBy("ts", "event_id")))
       val stamped = scala.collection.mutable.Set[String]()
@@ -416,11 +429,7 @@ object ScaleSmoke {
         assert(stateW > 0 && stateW * 100 < nIn,
           s"sliding state $stateW not two orders below stream size $nIn")
       }
-
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(tmp))
+      } finally rmTmp()
     }
 
     if (args.contains("percentiles")) {

@@ -39,6 +39,20 @@ class BpeSpec extends SparkSpec {
     assert(enc(m, "aaa") == Seq("aa", "a"))
   }
 
+  test("supplementary-plane characters enter as one symbol, not two surrogates") {
+    // 🚀 is U+1F680, two UTF-16 units — the wrap must walk code points
+    // (r15 review: same class of bug the Subword kernel fixed) or the
+    // fit diverges from the oracle's code-point indexing and lone
+    // surrogates corrupt the UTF8String output
+    val m0 = new BpeMerges(Array.empty)
+    assert(enc(m0, "🚀x") == Seq("🚀", "x"))
+    val merges = BpeKernels.train(Seq(("🚀x", 3L)), 2)
+    assert(merges == Seq(("🚀", "x")))
+    val m = new BpeMerges(merges.toArray)
+    assert(enc(m, "🚀x") == Seq("🚀x"))
+    assert(enc(m, "🚀🚀x") == Seq("🚀", "🚀x"))
+  }
+
   test("tie-break is lexicographic on the pair at equal counts") {
     // both (x,y) and (y,x) occur once; (x,y) < (y,x)
     val merges = BpeKernels.train(Seq(("xyx", 1L)), 1)
