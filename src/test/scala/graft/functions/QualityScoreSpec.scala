@@ -62,6 +62,21 @@ class QualityScoreSpec extends SparkSpec {
     assert(out.getDouble(2) > 0.6)
   }
 
+  test("classifier label == the heuristic gate's passes_quality, row for row") {
+    // both now derive from the shared labeledDocs projection; this
+    // guards the invariant the r15 review flagged (three copy-pasted
+    // label expressions could drift, silently training the model
+    // against different labels than textQuality reports)
+    val dir = "/root/testdata/sf0.001"
+    val gate = graft.operators.TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("passes_quality"))
+    val scored = graft.operators.TextAnalysis.textQualityModel(spark, dir)
+      .select(col("doc_id"), col("label"))
+    assert(gate.join(scored, "doc_id")
+      .filter(col("passes_quality") =!= col("label")).count() == 0)
+    assert(gate.count() == scored.count())
+  }
+
   test("single-class corpus: smoothing keeps the fit finite, not NaN") {
     // a corpus where EVERY doc passes the heuristic gate (or every doc
     // fails) must still produce finite weights — Laplace smoothing
