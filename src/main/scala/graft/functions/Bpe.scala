@@ -134,7 +134,17 @@ object BpeKernels extends Serializable {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((a, b), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break in UTF-8 BYTE order (UTF8String.compareTo), not
+        // Scala String order: java.lang.String compares UTF-16 code
+        // units, which diverges from DuckDB's binary collation for
+        // supplementary-plane symbols vs U+E000..U+FFFF — a tied
+        // argmax on a non-BMP corpus would pick different merges in
+        // the two engines (the subword vocab's collation discipline)
+        implicit val u8: Ordering[UTF8String] =
+          (x: UTF8String, y: UTF8String) => x.compareTo(y)
+        val ((a, b), _) = counts.minBy { case ((a, b), c) =>
+          (-c, UTF8String.fromString(a), UTF8String.fromString(b))
+        }
         merges += ((a, b))
         val (pat, rep) = (s" $a  $b ", s" $a$b ")
         segs = segs.map { case (s, f) => (s.replace(pat, rep), f) }

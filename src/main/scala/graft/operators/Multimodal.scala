@@ -190,6 +190,10 @@ object Multimodal {
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { d =>
+          // sign-preserving % below (matching the oracle's arithmetic)
+          // would bleed negative channel values across the packed RGB
+          // shifts — fail loudly rather than silently corrupt
+          require(d >= 0, s"pngMediaTable requires non-negative doc_id, got $d")
           val w = (8 + d % 9).toInt
           val h = (8 + d % 5).toInt
           val img = new java.awt.image.BufferedImage(

@@ -419,11 +419,42 @@ object TextAnalysis {
 
   // ------------------------------------------------- BPE merge training
 
-  /** Merge-iteration count. 24 against the corpus's 31 distinct words
-   * keeps the unrolled oracle tractable while the loop genuinely
-   * re-counts and re-segments every round — the property that
-   * distinguishes BPE training from the single-pass frequency fit. */
-  val NumBpeMerges = 24
+  /** Merge-iteration count. The unrolled oracle's cost was MEASURED at
+   * sf0.01 (r15 verdict #6): n=6 → 0.07s, n=24 → 0.18s, n=48 → 0.45s,
+   * n=100 → 2.35s DuckDB wall — mildly super-linear (each train level
+   * re-splits the dict segmentations) but 100 is perfectly feasible;
+   * 48 doubles r15's coverage at negligible oracle cost while the loop
+   * genuinely re-counts and re-segments every round — the property
+   * that distinguishes BPE training from the single-pass frequency
+   * fit. (The corpus ceiling: its 31 words × ≤7 merges each ≈ 217
+   * possible merges; at 48 the argmax is still picking among live
+   * pairs every round.) */
+  val NumBpeMerges = 48
+
+  /** Minimum corpus frequency for a word to enter the BPE TRAIN dict
+   * (the SentencePiece/HF-trainer word-count threshold). Inert on the
+   * fixture (every one of its 31 words occurs ≥26 times) but the
+   * mechanism is real: hapax noise — the bulk of a web corpus's
+   * distinct-word tail — never reaches the driver. Words below the
+   * threshold still ENCODE normally: [[graft.functions.BpeMerges]]
+   * applies the fitted merges to any word (the oracle's apply chain
+   * runs over ALL words, only its train chain over the capped dict). */
+  val BpeMinWordFreq = 2L
+
+  /** Top-N-by-frequency cap on the train dict (total order: frequency
+   * DESC, word ASC in UTF-8 byte collation — identical in Spark's
+   * UTF8String comparison and DuckDB's binary collation, the subword
+   * vocab's discipline). 2^16 words is the SentencePiece default
+   * ballpark and bounds the collect by CONSTRUCTION — a TakeOrdered,
+   * no global sort. */
+  val BpeMaxDictWords = 1 << 16
+
+  /** Hard byte budget for the collected train dict, checked BEFORE the
+   * collect on the already-vocabulary-sized aggregate (the decon
+   * automaton's sized-before-collect pattern, Curation.scala) — the
+   * count cap alone cannot bound bytes if a pathological corpus has
+   * MB-long "words". */
+  val BpeDictByteBudget = 64L << 20
 
   /**
    * ITERATIVE BPE merge training (Sennrich et al. 2016) — closing the
@@ -437,32 +468,77 @@ object TextAnalysis {
    *
    * Scale shape: the corpus pass is the distinct-word frequency
    * aggregate (one shuffle, one row per distinct word) — the merge
-   * loop itself runs driver-side over that VOCABULARY-sized dict,
-   * exactly like SentencePiece/HF-tokenizers train from a word-count
-   * table; the collect is the documented quantizer-pattern model
-   * fit. The loop lives in [[graft.functions.BpeKernels.train]] so
-   * the specs pin the production code path on hand-checked cases.
-   * Oracle: the SAME loop unrolled as [[bpeCtes]] CTE levels — the
-   * space-wrapped segmentation representation makes each merge ONE
-   * literal `replace`, with identical left-to-right non-overlapping
-   * semantics in Java and DuckDB, so fit and inference are verified
-   * value-level end to end.
+   * loop itself runs driver-side over a BOUNDED train dict, exactly
+   * like SentencePiece/HF-tokenizers train from a thresholded
+   * word-count table: words below [[BpeMinWordFreq]] are dropped
+   * (hapax noise — the bulk of a web corpus's distinct-word tail —
+   * never reaches the driver), the survivors are capped at
+   * [[BpeMaxDictWords]] by a TakeOrdered under the (freq DESC, word
+   * ASC UTF-8) total order, and the collect is byte-guarded BEFORE it
+   * runs (r15 verdict #1 — this was the repo's one driver-side state
+   * that grew with corpus content rather than a chosen parameter;
+   * ScaleSmoke `bpe` measures the dict flat as the corpus
+   * replicates). The loop lives in [[graft.functions.BpeKernels
+   * .train]] so the specs pin the production code path on
+   * hand-checked cases. Oracle: the SAME loop unrolled as [[bpeCtes]]
+   * CTE levels — the space-wrapped segmentation representation makes
+   * each merge ONE literal `replace`, with identical left-to-right
+   * non-overlapping semantics in Java and DuckDB, so fit and
+   * inference are verified value-level end to end.
    */
-  def fitBpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    val wf = docs(spark, dir).select(explode(toks).as("w"))
+  def fitBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    fitBpeMergesFrom(docs(spark, dir), BpeMinWordFreq, BpeMaxDictWords,
+      NumBpeMerges)
+
+  /** The thresholded + capped train dict `(w, f)` — vocabulary-sized
+   * by construction (TakeOrdered, never a global sort), checkpointed
+   * because two tiny jobs consume it (the byte guard and the
+   * collect). */
+  private[graft] def bpeTrainDict(d: DataFrame, minFreq: Long,
+      maxWords: Int): DataFrame =
+    d.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val merges = graft.functions.BpeKernels.train(wf, NumBpeMerges)
+      .filter(col("f") >= minFreq)
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxWords)
+      .localCheckpoint()
+
+  /** Measured driver cost of collecting a dict: UTF-8 payload plus a
+   * fixed per-entry overhead allowance. Shared with the ScaleSmoke
+   * `bpe` curve so the smoke measures exactly the guarded quantity. */
+  private[graft] def dictBytes(dict: DataFrame): Long = {
+    val r = dict.agg(coalesce(sum(octet_length(col("w"))), lit(0L)),
+      count(lit(1))).head()
+    r.getLong(0) + r.getLong(1) * 32L
+  }
+
+  /** The raw fit over any (text)-bearing frame — parameterized so the
+   * specs can exercise a BINDING threshold/cap on hand corpora (on the
+   * fixture both are inert: 31 words, min freq 26). */
+  private[graft] def fitBpeMergesFrom(d: DataFrame, minFreq: Long,
+      maxWords: Int, numMerges: Int,
+      byteBudget: Long = BpeDictByteBudget): DataFrame = {
+    val spark = d.sparkSession
+    val dict = bpeTrainDict(d, minFreq, maxWords)
+    val bytes = dictBytes(dict)
+    require(bytes <= byteBudget,
+      s"BPE train dict would cost ~$bytes driver bytes (budget " +
+        s"$byteBudget): raise minFreq above $minFreq or lower " +
+        s"maxWords below $maxWords")
+    val wf = dict.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.functions.BpeKernels.train(wf, numMerges)
     import spark.implicits._
     merges.zipWithIndex
       .map { case ((a, b), i) => (i.toLong, a, b) }
       .toDF("rank", "a", "b")
   }
 
-  /** The fitted merge list, persisted via the shared ModelCache. */
+  /** The fitted merge list, persisted via the shared ModelCache. Every
+   * fit parameter is in the key — a threshold/cap change can never
+   * serve a stale model. */
   def bpeMergesTable(spark: SparkSession, dir: String): DataFrame =
     graft.sources.ModelCache.loadOrFit(spark, s"$dir/documents.parquet",
-      s"bpemerges-M$NumBpeMerges-v1",
+      s"bpemerges-M$NumBpeMerges-F$BpeMinWordFreq-W$BpeMaxDictWords-v2",
       sys.env.getOrElse("GRAFT_BPE_CACHE", "/tmp/graft-bpe-cache"),
       "graft-bpe") {
       fitBpeMerges(spark, dir)
@@ -497,15 +573,29 @@ object TextAnalysis {
    * level is a no-op, mirroring the Scala loop's early stop). The
    * space-wrapped representation (" a  b  c ") gives every symbol its
    * own delimiters, so left-to-right non-overlapping replace IS
-   * canonical BPE merging in both engines. Inference = the final
-   * segmentation joined back through document word order.
+   * canonical BPE merging in both engines.
+   *
+   * Two chains, mirroring the bounded fit (r15 verdict #1): the TRAIN
+   * chain (`seg_k`: split → pair-count → argmax → replace) runs over
+   * the thresholded + capped dict `wf`; the APPLY chain (`app_k`: one
+   * replace per level, no counting) runs the fitted merges over ALL
+   * words `wfall` — exactly [[graft.functions.BpeMerges.segment]]'s
+   * semantics, where out-of-dict words still encode under the fitted
+   * merges. Inference = the final apply-chain segmentation joined back
+   * through document word order. The split also decouples oracle COST:
+   * the train chain's pair-count level is the heavy one (O(dict
+   * symbols) per level); the apply level is one literal replace
+   * (measured per-level costs in the scaladoc of the caller).
    */
-  def bpeCtes(n: Int = NumBpeMerges): String = {
+  def bpeCtes(n: Int = NumBpeMerges, minFreq: Long = BpeMinWordFreq,
+      maxWords: Int = BpeMaxDictWords): String = {
     val sb = new StringBuilder
     sb ++= s"""t AS (SELECT doc_id, $TokSql AS toks FROM documents),
         words AS (SELECT doc_id, i AS widx, toks[CAST(i AS INTEGER)] AS w
           FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM t)),
-        wf AS (SELECT w, count(*) AS f FROM words GROUP BY 1),
+        wfall AS (SELECT w, count(*) AS f FROM words GROUP BY 1),
+        wf AS (SELECT w, f FROM wfall WHERE f >= $minFreq
+               ORDER BY f DESC, w ASC LIMIT $maxWords),
         seg0 AS MATERIALIZED (SELECT w, f,
           ' ' || array_to_string(list_transform(range(1, len(w)+1),
             i -> w[CAST(i AS INTEGER)]), '  ') || ' ' AS seg FROM wf)"""
@@ -526,7 +616,20 @@ object TextAnalysis {
           FROM $p p LEFT JOIN bs$k bs ON TRUE)"""
     }
     sb ++= s""",
-        bseg AS (SELECT w, string_split(trim(seg), '  ') AS syms FROM seg$n),
+        app0 AS MATERIALIZED (SELECT w,
+          ' ' || array_to_string(list_transform(range(1, len(w)+1),
+            i -> w[CAST(i AS INTEGER)]), '  ') || ' ' AS seg FROM wfall)"""
+    for (k <- 1 to n) {
+      val p = s"app${k - 1}"
+      sb ++= s""",
+        app$k AS MATERIALIZED (SELECT p.w,
+            CASE WHEN bs.a IS NULL THEN p.seg
+                 ELSE replace(p.seg, ' ' || bs.a || '  ' || bs.b || ' ',
+                              ' ' || bs.a || bs.b || ' ') END AS seg
+          FROM $p p LEFT JOIN bs$k bs ON TRUE)"""
+    }
+    sb ++= s""",
+        bseg AS (SELECT w, string_split(trim(seg), '  ') AS syms FROM app$n),
         bagg AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_pieces,
                    array_to_string(syms, ' ') AS wstr FROM bseg),
         bp AS (SELECT d.doc_id,

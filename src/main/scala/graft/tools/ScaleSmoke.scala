@@ -260,32 +260,84 @@ object ScaleSmoke {
       def execute(df: DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       val qDir0 = "/tmp/graft-smoke-quality"
-      val curve = Seq(1, 2, 4).map { f =>
-        val qDir = s"$qDir0-$f"
-        spark.read.parquet(s"$dir/documents.parquet")
-          .crossJoin(spark.range(f).select(col("id").as("_r")))
-          .withColumn("doc_id", col("doc_id") + col("_r") * 10000000L)
-          .drop("_r").repartition(64)
-          .write.mode("overwrite").parquet(s"$qDir/documents.parquet")
-        val n = spark.read.parquet(s"$qDir/documents.parquet").count()
-        val (_, fitS) = timed(TextAnalysis.qualityModelTable(spark, qDir).count())
-        execute(TextAnalysis.textQualityModel(spark, qDir)) // warm (JIT)
-        val runs = (1 to 2).map(_ =>
-          timed(execute(TextAnalysis.textQualityModel(spark, qDir))))
-        val scoreS = runs.map(_._2).min
-        execute(TextAnalysis.textQuality(spark, qDir)) // warm
-        val heurS = (1 to 2).map(_ =>
-          timed(execute(TextAnalysis.textQuality(spark, qDir)))._2).min
-        println(f"[scale-smoke] QUALITY factor=$f docs=$n fit=${fitS}%.1fs " +
-          f"score=${scoreS}%.1fs heuristic-scan=${heurS}%.1fs " +
-          "(best of 2 warmed; model-cache MISS in fit)")
-        (f, scoreS)
+      // the 1+2+4x replicas are multi-MB at larger SFs — clean up even
+      // when an assertion fails (the streamjoin rmTmp treatment)
+      try {
+        val curve = Seq(1, 2, 4).map { f =>
+          val qDir = s"$qDir0-$f"
+          spark.read.parquet(s"$dir/documents.parquet")
+            .crossJoin(spark.range(f).select(col("id").as("_r")))
+            .withColumn("doc_id", col("doc_id") + col("_r") * 10000000L)
+            .drop("_r").repartition(64)
+            .write.mode("overwrite").parquet(s"$qDir/documents.parquet")
+          val n = spark.read.parquet(s"$qDir/documents.parquet").count()
+          val (_, fitS) = timed(TextAnalysis.qualityModelTable(spark, qDir).count())
+          execute(TextAnalysis.textQualityModel(spark, qDir)) // warm (JIT)
+          val runs = (1 to 2).map(_ =>
+            timed(execute(TextAnalysis.textQualityModel(spark, qDir))))
+          val scoreS = runs.map(_._2).min
+          execute(TextAnalysis.textQuality(spark, qDir)) // warm
+          val heurS = (1 to 2).map(_ =>
+            timed(execute(TextAnalysis.textQuality(spark, qDir)))._2).min
+          println(f"[scale-smoke] QUALITY factor=$f docs=$n fit=${fitS}%.1fs " +
+            f"score=${scoreS}%.1fs heuristic-scan=${heurS}%.1fs " +
+            "(best of 2 warmed; model-cache MISS in fit)")
+          (f, scoreS)
+        }
+        val growth = curve.last._2 / curve.head._2
+        println(f"[scale-smoke] QUALITY 4x/1x score wall ratio=${growth}%.1f " +
+          "(scan-bound linear=4)")
+        assert(growth < 10.0,
+          f"classifier scoring grew ${growth}%.1f× at 4× corpus — not scan-bound")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        Seq(1, 2, 4).foreach(f => rm(new java.io.File(s"$qDir0-$f")))
       }
-      val growth = curve.last._2 / curve.head._2
-      println(f"[scale-smoke] QUALITY 4x/1x score wall ratio=${growth}%.1f " +
-        "(scan-bound linear=4)")
-      assert(growth < 10.0,
-        f"classifier scoring grew ${growth}%.1f× at 4× corpus — not scan-bound")
+    }
+
+    if (args.contains("bpe")) {
+      // BPE fit driver-state bound, MEASURED (r15 verdict #1): the fit's
+      // only driver-side state is the thresholded + capped train dict;
+      // replicate the corpus 1/2/4× (occurrences grow, the distinct-word
+      // vocabulary saturates — exactly a web corpus's Zipf shape) and
+      // measure the bytes the guarded collect would pay. The claim that
+      // makes the fit 100 TB-safe is that this curve is FLAT: driver
+      // cost tracks the vocabulary ceiling min(minFreq-survivors,
+      // maxWords), never the corpus.
+      import graft.operators.TextAnalysis
+      val bDir0 = "/tmp/graft-smoke-bpe"
+      try {
+        val curve = Seq(1, 2, 4).map { f =>
+          val bDir = s"$bDir0-$f"
+          spark.read.parquet(s"$dir/documents.parquet")
+            .crossJoin(spark.range(f).select(col("id").as("_r")))
+            .withColumn("doc_id", col("doc_id") + col("_r") * 10000000L)
+            .drop("_r").repartition(64)
+            .write.mode("overwrite").parquet(s"$bDir/documents.parquet")
+          val docs = spark.read.parquet(s"$bDir/documents.parquet")
+          val dict = TextAnalysis.bpeTrainDict(docs,
+            TextAnalysis.BpeMinWordFreq, TextAnalysis.BpeMaxDictWords)
+          val words = dict.count()
+          val bytes = TextAnalysis.dictBytes(dict)
+          val (_, fitS) = timed(
+            TextAnalysis.fitBpeMergesFrom(docs, TextAnalysis.BpeMinWordFreq,
+              TextAnalysis.BpeMaxDictWords, TextAnalysis.NumBpeMerges).count())
+          println(s"[scale-smoke] BPE factor=$f docs=${docs.count()} " +
+            s"dict_words=$words dict_bytes=$bytes " +
+            f"fit=${fitS}%.1fs (model-cache bypassed)")
+          (words, bytes)
+        }
+        assert(curve.distinct.size == 1,
+          s"BPE train dict grew with corpus replication: $curve — driver " +
+            "state must track the vocabulary ceiling, not the corpus")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        Seq(1, 2, 4).foreach(f => rm(new java.io.File(s"$bDir0-$f")))
+      }
     }
 
     if (args.contains("streamjoin")) {

@@ -59,6 +59,39 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq(("x", "y")))
   }
 
+  test("tie-break collates UTF-8 bytes, not UTF-16 code units") {
+    // U+E000 (EE 80 80) precedes U+1F680 (F0 9F 9A 80) in UTF-8 byte
+    // order but FOLLOWS it in UTF-16 String order (0xE000 > the high
+    // surrogate 0xD83D) — the r15 advice: a tied argmax must pick the
+    // same merge as the DuckDB oracle's binary collation
+    val merges = BpeKernels.train(Seq(("x", 1L), ("🚀x", 1L)), 1)
+    assert(merges == Seq(("", "x")))
+  }
+
+  test("fit bounds: min-frequency threshold, top-N cap, byte budget") {
+    import graft.operators.TextAnalysis
+    val docs = Seq("aa aa aa bb bb cc").toDF("text")
+    // minFreq=2 drops the hapax cc; maxWords=1 keeps only aa (freq 3) —
+    // the only learnable merge is (a,a), and training on the capped
+    // dict must NOT see bb's (b,b)
+    val m1 = TextAnalysis.fitBpeMergesFrom(docs, 2L, 1, 8)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(m1.toSeq == Seq(("a", "a")))
+    // out-of-dict words still encode under the fitted merges
+    val m = new BpeMerges(m1)
+    assert(enc(m, "cc") == Seq("c", "c"))
+    assert(enc(m, "aaa") == Seq("aa", "a"))
+    // uncapped: bb enters the dict and (b,b) is learned second
+    val m2 = TextAnalysis.fitBpeMergesFrom(docs, 1L, 1000, 8)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(m2.take(2).toSeq == Seq(("a", "a"), ("b", "b")))
+    // the byte guard fails loudly BEFORE collecting an over-budget dict
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.fitBpeMergesFrom(docs, 1L, 1000, 8, byteBudget = 10L)
+    }
+    assert(e.getMessage.contains("driver bytes"))
+  }
+
   test("property: symbols concatenate back to the word") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val alpha = Gen.oneOf("a", "b", "c")
