@@ -148,6 +148,33 @@ object ReconQueries {
     } finally deleteRecursively(new java.io.File(tmp))
   }
 
+  /** The same classification through [[graft.sources.Dsv2ParquetSource]]
+   * — the fourth Source implementation, and the one whose read path is
+   * the DataSource V2 connector API itself (the seam a live Cassandra
+   * connector implements; r15 verdict #2). Shares recon_classify's
+   * oracle, so a hash match proves Catalyst's pruneColumns/pushFilters
+   * → parquet requested-schema/row-group-statistics path forwards every
+   * row and column value exactly. The audited plan tree (PLANS.md)
+   * shows the PushedFilters/ReadSchema lines at the GraftParquetScan
+   * node. */
+  def reconClassifyDsv2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dsv2ParquetSource
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-source").toString
+    // try/finally: same failure-leak guard as the CSV/JSON twins
+    try {
+      val base = MvSyncDemo.baseDf(spark, dir)
+      val mv = MvSyncDemo.mvDf(spark, dir)
+      base.write.parquet(s"$tmp/base")
+      mv.write.parquet(s"$tmp/mv")
+      MvReconciler.reconcile(
+        Dsv2ParquetSource(s"$tmp/base").load(spark, MvSyncDemo.baseSchema),
+        Dsv2ParquetSource(s"$tmp/mv").load(spark, MvSyncDemo.mvSchema),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
   /** Operators D/N (scan/mutation rate limiting) driver-verified: the
    * SAME classification as [[reconClassify]] with BOTH scans wrapped in
    * [[graft.sources.Throttle.perPartitionRows]] — the reference's
@@ -417,6 +444,7 @@ object ReconQueries {
     "recon_classify" -> reconClassify,
     "recon_classify_csv" -> reconClassifyCsv,
     "recon_classify_json" -> reconClassifyJson,
+    "recon_classify_dsv2" -> reconClassifyDsv2,
     "recon_classify_throttled" -> reconClassifyThrottled,
     "recon_classify_bucketed" -> reconClassifyBucketed,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
@@ -439,6 +467,10 @@ object ReconQueries {
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     // same oracle again: the JSON round-trip must be invisible too
     "recon_classify_json" ->
+      (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
+    // same oracle again: the DataSource V2 read path (pruneColumns +
+    // pushFilters into the parquet reader) must be invisible
+    "recon_classify_dsv2" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     // same oracle again: the rate limiter must be row-transparent
     "recon_classify_throttled" ->

@@ -1,0 +1,325 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, MessageTypeParser, PrimitiveType, Type}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * DataSource V2 `TableProvider` over parquet files — the API seam a
+ * LIVE connector implements (reference operator A/T: the Spark
+ * Cassandra connector is exactly a DSv2 `TableProvider` whose scan
+ * pushes projection and predicates to the cluster,
+ * MvSync.java:245-247). The three [[Source]] implementations prove the
+ * engine is format-agnostic; this provider proves the PUSHDOWN seam
+ * through the connector API itself (r15 verdict #2): Catalyst's
+ * `V2ScanRelationPushDown` hands required columns to
+ * [[SupportsPushDownRequiredColumns.pruneColumns]] and predicates to
+ * [[SupportsPushDownFilters.pushFilters]], and this scan forwards both
+ * INTO the parquet reader — the requested-projection `MessageType`
+ * skips non-projected column chunks entirely, and the translated
+ * `FilterPredicate` skips whole row groups via their min/max
+ * statistics. Swapping the data plane from parquet-hadoop calls to
+ * CQL token-range reads changes nothing above `newScanBuilder`.
+ *
+ * Deliberately NOT a replacement for Spark's built-in parquet source
+ * (which adds vectorized decoding, schema merge, partition discovery):
+ * the point is the connector-side seam, exercised end-to-end by
+ * `recon_classify_dsv2` against the same oracle as `recon_classify`.
+ *
+ * Scale shape: one [[InputPartition]] per parquet ROW GROUP (the same
+ * split unit Spark's own parquet source uses, and the moral equivalent
+ * of a Cassandra token range) — a 1000-executor cluster gets genuine
+ * parallelism from a multi-row-group file, and each reader touches
+ * only its byte range. Planning reads footers only (one per file).
+ *
+ * Supported leaf types: BOOLEAN, INT32, INT64, FLOAT, DOUBLE, UTF8
+ * BINARY, raw BINARY — the TableSchema surface (SURVEY §1.3). Nested
+ * and repeated groups fail fast at schema inference.
+ */
+class GraftParquetProvider extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Dsv2Parquet.sparkSchema(
+      Dsv2Parquet.footerSchema(Dsv2Parquet.pathOf(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    GraftParquetTable(
+      Dsv2Parquet.pathOf(new CaseInsensitiveStringMap(properties)), schema)
+}
+
+private[sources] case class GraftParquetTable(path: String,
+    override val schema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft-parquet:$path"
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftParquetScanBuilder(path, schema)
+}
+
+private[sources] class GraftParquetScanBuilder(path: String,
+    tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept the predicates parquet statistics can serve; return ALL of
+   * them as residual so Spark re-evaluates post-scan — pushdown here is
+   * an IO optimization (row-group skipping), never a correctness
+   * dependency. This is the conservative connector posture (the
+   * Cassandra connector does the same for clustering-key predicates):
+   * parquet record-level null/NaN semantics never get a chance to
+   * diverge from Spark's. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f =>
+      Dsv2Parquet.translate(f, tableSchema).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = GraftParquetScan(path, required, pushed)
+}
+
+private[sources] case class GraftParquetScan(path: String,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Explain surface: the audited plan tree must show what reached the
+   * source, exactly like the built-in scan's PushedFilters/ReadSchema
+   * lines. */
+  override def description(): String =
+    s"GraftParquetScan PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    Dsv2Parquet.dataFiles(path, conf).flatMap { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromStatus(f, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.map { b =>
+          // one partition per row group, addressed by byte range —
+          // ParquetReader selects row groups by midpoint offset
+          val start = b.getStartingPos
+          val end = start + b.getCompressedSize
+          GraftParquetPartition(f.getPath.toString, start, end): InputPartition
+        }.toArray
+      } finally reader.close()
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // resolve the requested projection against the FILE schema once on
+    // the driver (preserving the file's physical types/annotations),
+    // ship it as parquet's canonical message-text form
+    val fileSchema = Dsv2Parquet.footerSchema(path)
+    val fields = required.fieldNames.map { n =>
+      require(fileSchema.containsField(n),
+        s"column $n not present in parquet schema at $path")
+      fileSchema.getType(Seq(n): _*)
+    }
+    val projection = new MessageType(fileSchema.getName, fields: _*)
+    GraftParquetReaderFactory(projection.toString, required, pushed)
+  }
+}
+
+private[sources] case class GraftParquetPartition(file: String, start: Long,
+    end: Long) extends InputPartition
+
+private[sources] case class GraftParquetReaderFactory(projection: String,
+    required: StructType, pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftParquetPartition]
+    new GraftParquetPartitionReader(gp, projection, required, pushed)
+  }
+}
+
+private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
+    projection: String, required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection)
+    val b = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+      .withConf(conf)
+      .withFileRange(p.start, p.end)
+    val preds = pushed.flatMap(Dsv2Parquet.translate(_, required))
+    (if (preds.isEmpty) b
+     else b.withFilter(FilterCompat.get(preds.reduce(FilterApi.and)))).build()
+  }
+  private var row: Group = _
+
+  override def next(): Boolean = { row = reader.read(); row != null }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      // field index i aligns with the projection: createReaderFactory
+      // built the requested MessageType in required-schema order
+      vals(i) =
+        if (row.getFieldRepetitionCount(i) == 0) null
+        else required.fields(i).dataType match {
+          case LongType => row.getLong(i, 0)
+          case IntegerType => row.getInteger(i, 0)
+          case DoubleType => row.getDouble(i, 0)
+          case FloatType => row.getFloat(i, 0)
+          case BooleanType => row.getBoolean(i, 0)
+          case StringType => UTF8String.fromBytes(row.getBinary(i, 0).getBytes)
+          case BinaryType => row.getBinary(i, 0).getBytes
+          case dt => throw new UnsupportedOperationException(
+            s"graft-parquet: unsupported read type $dt")
+        }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+private[sources] object Dsv2Parquet {
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-parquet requires a path")
+    p
+  }
+
+  def dataFiles(path: String, conf: Configuration): Array[FileStatus] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory) fs.listStatus(p).filter(_.isFile)
+      else Array(st)
+    files.filter { f =>
+      val n = f.getPath.getName
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** File schema from the first data file's footer (metadata-only read
+   * — the connector analogue of reading cluster schema metadata,
+   * reference CassandraClient.java:14-68). */
+  def footerSchema(path: String): MessageType = {
+    val conf = new Configuration()
+    val files = dataFiles(path, conf)
+    require(files.nonEmpty, s"no parquet data files under $path")
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(files.head, conf))
+    try r.getFooter.getFileMetaData.getSchema
+    finally r.close()
+  }
+
+  def sparkSchema(m: MessageType): StructType =
+    StructType(m.getFields.asScala.map { f =>
+      require(f.isPrimitive && !f.isRepetition(Type.Repetition.REPEATED),
+        s"graft-parquet: unsupported nested/repeated field ${f.getName}")
+      val p = f.asPrimitiveType()
+      val dt = p.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT64 => LongType
+        case PrimitiveTypeName.INT32 => IntegerType
+        case PrimitiveTypeName.DOUBLE => DoubleType
+        case PrimitiveTypeName.FLOAT => FloatType
+        case PrimitiveTypeName.BOOLEAN => BooleanType
+        case PrimitiveTypeName.BINARY
+            if p.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.stringType() => StringType
+        case PrimitiveTypeName.BINARY => BinaryType
+        case other => throw new UnsupportedOperationException(
+          s"graft-parquet: unsupported parquet type $other (${f.getName})")
+      }
+      // always nullable, matching Spark's own file-source posture: the
+      // directory can accumulate files from writers with laxer schemas
+      StructField(f.getName, dt, nullable = true)
+    }.toArray)
+
+  /** Spark source filter → parquet statistics predicate, for the leaf
+   * types whose min/max ordering matches Spark's (no float/double:
+   * their NaN/-0.0 statistics ordering is a known divergence — those
+   * stay residual-only). None = not pushable. */
+  def translate(f: Filter, schema: StructType): Option[FilterPredicate] = {
+    def typed(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    def cmp(name: String, v: Any,
+        mkL: (org.apache.parquet.filter2.predicate.Operators.LongColumn,
+          java.lang.Long) => FilterPredicate,
+        mkI: (org.apache.parquet.filter2.predicate.Operators.IntColumn,
+          java.lang.Integer) => FilterPredicate,
+        mkB: (org.apache.parquet.filter2.predicate.Operators.BinaryColumn,
+          Binary) => FilterPredicate): Option[FilterPredicate] =
+      (typed(name), v) match {
+        case (Some(LongType), x: Long) =>
+          Some(mkL(FilterApi.longColumn(name), Long.box(x)))
+        case (Some(IntegerType), x: Int) =>
+          Some(mkI(FilterApi.intColumn(name), Int.box(x)))
+        case (Some(StringType), x: String) =>
+          Some(mkB(FilterApi.binaryColumn(name), Binary.fromString(x)))
+        case _ => None
+      }
+    f match {
+      case IsNotNull(n) => typed(n).collect {
+        case LongType => FilterApi.notEq(FilterApi.longColumn(n),
+          null.asInstanceOf[java.lang.Long])
+        case IntegerType => FilterApi.notEq(FilterApi.intColumn(n),
+          null.asInstanceOf[java.lang.Integer])
+        case StringType => FilterApi.notEq(FilterApi.binaryColumn(n),
+          null.asInstanceOf[Binary])
+      }
+      case EqualTo(n, v) => cmp(n, v, FilterApi.eq(_, _), FilterApi.eq(_, _),
+        FilterApi.eq(_, _))
+      case GreaterThan(n, v) => cmp(n, v, FilterApi.gt(_, _),
+        FilterApi.gt(_, _), FilterApi.gt(_, _))
+      case GreaterThanOrEqual(n, v) => cmp(n, v, FilterApi.gtEq(_, _),
+        FilterApi.gtEq(_, _), FilterApi.gtEq(_, _))
+      case LessThan(n, v) => cmp(n, v, FilterApi.lt(_, _),
+        FilterApi.lt(_, _), FilterApi.lt(_, _))
+      case LessThanOrEqual(n, v) => cmp(n, v, FilterApi.ltEq(_, _),
+        FilterApi.ltEq(_, _), FilterApi.ltEq(_, _))
+      case _ => None
+    }
+  }
+}
+
+/**
+ * [[Source]] implementation through the DSv2 provider — the fourth
+ * offline implementation of the trait boundary, and the one whose READ
+ * PATH is the connector API itself: `Source.project`'s select becomes a
+ * genuine `pruneColumns` call into [[GraftParquetScanBuilder]], so the
+ * scan's requested `MessageType` — not a post-scan projection — is what
+ * limits the bytes read.
+ */
+final case class Dsv2ParquetSource(path: String) extends Source {
+  override def load(spark: org.apache.spark.sql.SparkSession,
+      schema: graft.schema.TableSchema): org.apache.spark.sql.DataFrame =
+    Source.project(
+      spark.read.format(classOf[GraftParquetProvider].getName).load(path),
+      schema)
+}

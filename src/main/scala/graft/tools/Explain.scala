@@ -23,6 +23,7 @@ object Explain {
     names.foreach { n =>
       println(s"\n================ $n ================")
       if (n == "bucketed_recon") explainBucketedRecon(spark, dir)
+      else if (n == "dsv2_scan") explainDsv2Scan(spark, dir)
       else SparkEntry.queries(n)(spark, dir).explain("formatted")
     }
     spark.stop()
@@ -51,6 +52,31 @@ object Explain {
     finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  /** Audit target for the DataSource V2 seam (Dsv2ParquetSpec): the
+   * base table written to parquet, re-read through
+   * [[graft.sources.GraftParquetProvider]] with a projection and a
+   * filter — expect the GraftParquetScan node's PushedFilters and
+   * pruned ReadSchema lines to show Catalyst's pruneColumns/pushFilters
+   * reached the source. */
+  private def explainDsv2Scan(spark: SparkSession, dir: String): Unit = {
+    import graft.MvSyncDemo
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-explain").toString
+    try {
+      MvSyncDemo.baseDf(spark, dir).write.parquet(s"$tmp/base")
+      graft.sources.Dsv2ParquetSource(s"$tmp/base")
+        .load(spark, MvSyncDemo.baseSchema)
+        .filter(col("o_orderkey") > 1000L && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .explain("formatted")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
     }
   }
 }

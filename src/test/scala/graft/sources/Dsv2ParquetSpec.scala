@@ -1,0 +1,126 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+class Dsv2ParquetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fmt = classOf[GraftParquetProvider].getName
+
+  private def withTmp[A](f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-spec").toString
+    try f(tmp)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  private def fixture: DataFrame =
+    spark.range(200).select(
+      col("id").as("k"),
+      (col("id") % 7).cast("int").as("i"),
+      (col("id") * 1.5).as("d"),
+      concat(lit("s"), (col("id") % 11).cast("string")).as("s"),
+      (col("id") % 2 === 0).as("b"),
+      when(col("id") % 3 === 0, col("id") * 10).as("n")) // nullable long
+
+  private def scanDesc(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("round-trips all supported leaf types including nulls") {
+    withTmp { tmp =>
+      fixture.write.parquet(s"$tmp/t")
+      val back = spark.read.format(fmt).load(s"$tmp/t")
+      assert(back.schema == spark.read.parquet(s"$tmp/t").schema)
+      val exp = fixture.collect().map(_.toSeq).toSet
+      assert(back.collect().map(_.toSeq).toSet == exp)
+    }
+  }
+
+  test("prunes columns into the scan's requested schema") {
+    withTmp { tmp =>
+      fixture.write.parquet(s"$tmp/t")
+      val q = spark.read.format(fmt).load(s"$tmp/t").select("k", "s")
+      val plan = scanDesc(q)
+      assert(plan.contains("ReadSchema: struct<k:bigint,s:string>"), plan)
+      assert(q.collect().length == 200)
+    }
+  }
+
+  test("pushes supported predicates and keeps results exact") {
+    withTmp { tmp =>
+      fixture.write.parquet(s"$tmp/t")
+      val q = spark.read.format(fmt).load(s"$tmp/t")
+        .filter(col("k") > 150 && col("s") === "s3" && col("d") > 0.0)
+        .select("k", "s", "d")
+      val plan = scanDesc(q)
+      // long + string comparisons reach the source; the double one
+      // stays residual-only (NaN/-0.0 statistics ordering)
+      assert(plan.contains("GreaterThan(k,150)"), plan)
+      assert(plan.contains("EqualTo(s,s3)"), plan)
+      assert(!plan.contains("PushedFilters: [") ||
+        !plan.substring(plan.indexOf("PushedFilters: [")).takeWhile(_ != ']')
+          .contains("d,0.0"), plan)
+      val exp = spark.read.parquet(s"$tmp/t")
+        .filter(col("k") > 150 && col("s") === "s3" && col("d") > 0.0)
+        .select("k", "s", "d").collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet == exp)
+      assert(exp.nonEmpty)
+    }
+  }
+
+  test("filters are an IO optimization, not a correctness dependency: nulls") {
+    withTmp { tmp =>
+      fixture.write.parquet(s"$tmp/t")
+      // n is null on 2/3 of rows — IsNotNull + comparison must agree
+      // with the built-in source exactly
+      def q(read: DataFrame) = read.filter(col("n") >= 600).select("k", "n")
+      val got = q(spark.read.format(fmt).load(s"$tmp/t"))
+        .collect().map(_.toSeq).toSet
+      val exp = q(spark.read.parquet(s"$tmp/t")).collect().map(_.toSeq).toSet
+      assert(got == exp && exp.nonEmpty)
+    }
+  }
+
+  test("plans one input partition per parquet row group") {
+    withTmp { tmp =>
+      // 4 files -> at least 4 row groups -> at least 4 partitions
+      fixture.repartition(4).write.parquet(s"$tmp/t")
+      val scan = GraftParquetScan(s"$tmp/t",
+        spark.read.format(fmt).load(s"$tmp/t").schema, Array.empty)
+      val parts = scan.planInputPartitions()
+      assert(parts.length >= 4)
+      // byte ranges are per-file and non-overlapping
+      val byFile = parts.map(_.asInstanceOf[GraftParquetPartition])
+        .groupBy(_.file)
+      byFile.values.foreach { ps =>
+        val sorted = ps.sortBy(_.start)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a.end <= b.start)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("Dsv2ParquetSource projects through the trait boundary") {
+    withTmp { tmp =>
+      val base = graft.MvSyncDemo.baseDf(spark,
+        "/root/testdata/sf0.001")
+      base.write.parquet(s"$tmp/base")
+      val loaded = Dsv2ParquetSource(s"$tmp/base")
+        .load(spark, graft.MvSyncDemo.baseSchema)
+      assert(loaded.columns.toSeq == base.columns.toSeq)
+      assert(loaded.count() == base.count())
+      val plan = scanDesc(loaded.select("o_orderkey", "o_totalprice"))
+      assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+        plan)
+    }
+  }
+}
