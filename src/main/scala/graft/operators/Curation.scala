@@ -783,10 +783,40 @@ object Curation {
     // then drop the body — downstream stages ride on the digest and
     // metadata only. Codegen CSE collapses between()'s two tokenizer
     // copies inside the filter stage.
-    val q = spread(
-      d.filter(nToks.between(20, 100000) && punct.cast("double") / nChars < 0.1))
-      .select(col("doc_id"), md5(col("text")).as("fp"),
-        col("lang"), col("source"), col("n_chars"))
+    curateChain(spark, dir, spread(
+      d.filter(nToks.between(20, 100000) && punct.cast("double") / nChars < 0.1)))
+  }
+
+  /**
+   * [[pipelineCurate]] with the heuristic gate swapped for the TRAINED
+   * classifier (r15 verdict #5): the chain's first stage is now
+   * `quality_score(tokens(text), fittedWeights) > 0` — the same cached
+   * model `text_quality_model` verifies, its weights riding into the
+   * scan as one reference object, the dot+sigmoid a codegen'd kernel
+   * predicate evaluated BEFORE the body is dropped. Same plan shape as
+   * the heuristic chain (gate at the scan, digest-only shuffles), so
+   * scoring-vs-heuristics is purely a per-row flop difference — the
+   * production claim that upgrading the gate to a learned model is
+   * free at 100 TB. Oracle: the staged chain SQL with the gate CTE
+   * swapped for the NB block's `sv > 0`.
+   */
+  def pipelineCurateModel(spark: SparkSession, dir: String): DataFrame = {
+    val model = TextAnalysis.qualityModel(spark, dir)
+    val d = docs(spark, dir)
+    curateChain(spark, dir, spread(
+      d.filter(graft.functions.QualityScoreFunctions
+        .quality_score(tokens(col("text")), model) > 0)))
+  }
+
+  /** The shared post-gate chain: exact dedup (keep-first digest
+   * window) → benchmark decontamination (persisted shingle table,
+   * doc_id ANTI join) → weighted mixing sample. `q` is the gated
+   * corpus WITH text (digested here, then dropped — downstream stages
+   * ride on digest + metadata only). */
+  private def curateChain(spark: SparkSession, dir: String,
+      gated: DataFrame): DataFrame = {
+    val q = gated.select(col("doc_id"), md5(col("text")).as("fp"),
+      col("lang"), col("source"), col("n_chars"))
     val w = Window.partitionBy("fp")
     val deduped = q.withColumn("keep_id", min("doc_id").over(w))
       .filter(col("doc_id") === col("keep_id"))
@@ -853,6 +883,7 @@ object Curation {
     "text_tfidf_topk" -> textTfidfTopk,
     "curate_dsir" -> curateDsir,
     "pipeline_curate" -> pipelineCurate,
+    "pipeline_curate_model" -> pipelineCurateModel,
     "pipeline_curate_layout" -> pipelineCurateLayout)
 
   // positive-mod fold matching mix32's pmod (DuckDB % is sign-preserving)
@@ -975,6 +1006,8 @@ object Curation {
           SELECT vec_id, bench_id, round(cos, 6) AS cos
           FROM s WHERE rk = 1 AND cos >= $SemDeconTau""",
     "pipeline_curate" -> HashOracleSql.pipelineCurate(Mix32Sql),
+    "pipeline_curate_model" -> HashOracleSql.pipelineCurateModel(Mix32Sql,
+      TextAnalysis.QualityBuckets),
     // the curated rows again, surviving the Z-order write round-trip,
     // each with its Morton layout key (the q_zorder_values bit fold;
     // same <2^31 input assumption as documented at Layout.oracleSql —

@@ -486,6 +486,34 @@ WHERE doc_id % 50 <> 0
     CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
                 WHEN 'src2' THEN 25 ELSE 10 END"""
 
+  /** Oracle for Curation.pipelineCurateModel — the staged chain with
+   * the heuristic gate CTE swapped for the NB block's `sv > 0` (the
+   * SAME labels/weights text_quality_model verifies); dedup, decon and
+   * mixing stages are shared verbatim with [[pipelineCurate]]. */
+  def pipelineCurateModel(mix32Sql: String, buckets: Int): String =
+    s"""WITH
+$shingleCtes,
+_bsh AS (SELECT DISTINCT unnest(sh) AS s FROM _sh WHERE doc_id % 50 = 0),
+_tr AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+        FROM _sh WHERE doc_id % 50 <> 0),
+_contam AS (SELECT doc_id FROM (
+  SELECT doc_id, n_shingles, count(*) AS n_contaminated
+  FROM _tr JOIN _bsh USING (s) GROUP BY doc_id, n_shingles)
+  WHERE n_contaminated * 2 >= n_shingles),
+${nbCtesHeuristic(buckets, mix32Sql)},
+_q AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, d.text
+       FROM documents d JOIN _qout o ON o.doc_id = d.doc_id
+       WHERE o.sv > 0),
+_d AS (SELECT doc_id, lang, source, n_chars FROM (
+  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM _q)
+  WHERE doc_id = keep_id)
+SELECT doc_id, lang, source, n_chars FROM _d
+WHERE doc_id % 50 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM _contam)
+  AND ($mix32Sql) % 100 <
+    CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                WHEN 'src2' THEN 25 ELSE 10 END"""
+
   /** Oracle for RelationalQueries.qKmvDistinct — the KMV sketch
    * (graft.functions.KmvDistinct, k=256) on lineitem part keys per
    * return flag: avalanche each distinct key, keep the k smallest
@@ -567,19 +595,58 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
    * list_reduce so neither engine's aggregate ordering enters the
    * doubles (the textLmScore discipline). A drift anywhere — labels,
    * split, hashing, smoothing, or inference — turns the row red. */
-  def qualityModelScore(buckets: Int, mix32Sql: String): String = {
+  /** Heuristic-gate labels: the train class is the C4-style gate's own
+   * output (the CCNet reference-corpus recipe; held-out accuracy here
+   * measures MIMICRY of the gate — the planted twin below measures
+   * generalization). */
+  def qualityModelScore(buckets: Int, mix32Sql: String): String =
+    nbScoreSql(buckets, heuristicSrcCte(mix32Sql))
+
+  private def heuristicSrcCte(mix32Sql: String): String =
+    s"""SELECT doc_id, text AS qtext,
+  (len($Toks) BETWEEN 20 AND 100000
+    AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+          AS DOUBLE) / length(text) < 0.1) AS label,
+  ($mix32Sql) % 100 < 50 AS is_train FROM documents"""
+
+  /** Planted labels: a generator-known doc-class bit (doc_id parity)
+   * drives a class-marker SUFFIX appended to the text (passed verbatim,
+   * leading spaces included) — labels the model cannot derive from the
+   * heuristic gate (r15 verdict #3). */
+  def qualityModelScorePlanted(buckets: Int, mix32Sql: String,
+      posSuffix: String, negSuffix: String): String =
+    nbScoreSql(buckets,
+      s"""SELECT doc_id,
+  text || CASE WHEN doc_id % 2 = 0 THEN '$posSuffix'
+               ELSE '$negSuffix' END AS qtext,
+  doc_id % 2 = 0 AS label,
+  ($mix32Sql) % 100 < 50 AS is_train FROM documents""")
+
+  /** Shared NB fit+score replay over a caller-provided labeled corpus
+   * `srcCte` projecting `(doc_id, qtext, label, is_train)`: hashed
+   * unigram+bigram bucket masses over the TRAIN slice → log-count-ratio
+   * weights + bias → per-document canonical-order dot + sigmoid. */
+  private def nbScoreSql(buckets: Int, srcCte: String): String =
+    s"""WITH
+${nbCtes(buckets, srcCte)}
+SELECT doc_id, is_train, label, CAST(n_grams AS BIGINT) AS n_grams,
+  round(sv, 6) AS score, round(1.0 / (1.0 + exp(-sv)), 6) AS prob,
+  sv > 0 AS predicted FROM _qout"""
+
+  /** The NB CTE BLOCK (no WITH, no final SELECT), ending in
+   * `_qout(doc_id, is_train, label, n_grams, sv)` — composable into
+   * larger oracles (the subwordCtes/bpeCtes convention); the
+   * model-gated curation chain swaps its heuristic gate for
+   * `sv > 0` over this block. */
+  private[operators] def nbCtes(buckets: Int, srcCte: String): String = {
     val (av, last) =
       stagedAvalanche("_qmf", "fv", "h64", Seq("doc_id", "cnt"), "qz")
-    s"""WITH
-_qmt AS (SELECT doc_id, $Toks AS toks FROM documents),
-_qlt AS (SELECT doc_id, length(text) AS n_chars,
-  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-  ($mix32Sql) % 100 < 50 AS is_train FROM documents),
-_qlab AS (SELECT t.doc_id, len(t.toks) AS ntoks,
-  (len(t.toks) BETWEEN 20 AND 100000
-    AND CAST(l.n_punct AS DOUBLE) / l.n_chars < 0.1) AS label,
-  l.is_train
-  FROM _qmt t JOIN _qlt l ON l.doc_id = t.doc_id),
+    val qtoks =
+      """list_filter(regexp_split_to_array(qtext, '\s+'), t -> len(t) > 0)"""
+    s"""_qps AS ($srcCte),
+_qmt AS (SELECT doc_id, $qtoks AS toks FROM _qps),
+_qlab AS (SELECT t.doc_id, len(t.toks) AS ntoks, p.label, p.is_train
+  FROM _qmt t JOIN _qps p ON p.doc_id = t.doc_id),
 _qg0 AS (SELECT doc_id, unnest(toks) AS g FROM _qmt),
 _qg1 AS (SELECT doc_id,
   unnest(list_transform(range(1, greatest(len(toks), 1)),
@@ -613,11 +680,16 @@ _qmsc AS (SELECT doc_id,
 _qout AS (SELECT l.doc_id, l.is_train, l.label,
   CASE WHEN l.ntoks > 0 THEN 2 * l.ntoks - 1 ELSE 0 END AS n_grams,
   coalesce(s.dot, 0) + bias AS sv
-  FROM _qlab l LEFT JOIN _qmsc s ON s.doc_id = l.doc_id, _qbias)
-SELECT doc_id, is_train, label, CAST(n_grams AS BIGINT) AS n_grams,
-  round(sv, 6) AS score, round(1.0 / (1.0 + exp(-sv)), 6) AS prob,
-  sv > 0 AS predicted FROM _qout"""
+  FROM _qlab l LEFT JOIN _qmsc s ON s.doc_id = l.doc_id, _qbias)"""
   }
+
+  /** The heuristic-labeled NB block with its srcCte inlined — what the
+   * model-gated pipeline composes (labels must be the SAME ones
+   * text_quality_model trains on, or the chain would gate on a
+   * different model than the one the driver verified). */
+  private[operators] def nbCtesHeuristic(buckets: Int,
+      mix32Sql: String): String =
+    nbCtes(buckets, heuristicSrcCte(mix32Sql))
 
   /** Oracle for Dedup.dedupContainmentPairs — df-capped shingle
    * postings self-joined; C(A→B) = |capped(A) ∩ B| / |capped(A)| at a

@@ -194,16 +194,24 @@ object TextAnalysis {
       "gramcounts-v1",
       sys.env.getOrElse("GRAFT_GRAMS_CACHE", "/tmp/graft-grams-cache"),
       "graft-grams", singleFile = false) {
-      val base = spread(docs(spark, dir).select(col("doc_id"), col("text")))
-      val uniS = transform(toks, t => struct(lit(1).as("k"), t.as("g")))
-      val biS = transform(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        (t, i) => struct(lit(2).as("k"),
-          concat(t, lit(" "), element_at(toks, i + lit(2))).as("g")))
-      base.select(col("doc_id"), explode(concat(uniS, biS)).as("kg"))
-        .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
-        .groupBy("doc_id", "k", "g").agg(count(lit(1)).as("cnt"))
+      gramCountsFrom(
+        spread(docs(spark, dir).select(col("doc_id"), col("text"))))
     }
+
+  /** The tagged unigram+bigram per-doc count builder over any
+   * `(doc_id, text)` frame — extracted from the cached [[gramCounts]]
+   * so the planted-label classifier fit can derive grams from its
+   * MODIFIED text (r15 verdict #3) through the identical plan shape. */
+  private def gramCountsFrom(base: DataFrame): DataFrame = {
+    val uniS = transform(toks, t => struct(lit(1).as("k"), t.as("g")))
+    val biS = transform(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (t, i) => struct(lit(2).as("k"),
+        concat(t, lit(" "), element_at(toks, i + lit(2))).as("g")))
+    base.select(col("doc_id"), explode(concat(uniS, biS)).as("kg"))
+      .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
+      .groupBy("doc_id", "k", "g").agg(count(lit(1)).as("cnt"))
+  }
 
   /**
    * Repetition metrics — the Gopher-style "repetitious document" filters
@@ -674,20 +682,31 @@ object TextAnalysis {
    * D longs ×2 — the quantizer pattern. The returned table is
    * `(bucket, w)` for b ∈ [0, D) plus the bias row at bucket = −1.
    */
-  def fitQualityModel(spark: SparkSession, dir: String): DataFrame = {
-    val d = QualityBuckets
+  def fitQualityModel(spark: SparkSession, dir: String): DataFrame =
     // labels = the oracle-proven heuristic gate standing in for human
     // labels (the CCNet recipe trains against a REFERENCE corpus; here
     // the reference class is "passes the heuristic gate", so the
-    // oracle re-derives the labels exactly). Checkpointed: two actions
-    // consume it (bucket masses + doc counts) and the slice is
-    // (doc_id, bool)-narrow — one tokenize pass instead of two
-    // (r15 review).
-    val lab = labeledDocs(spark, dir)
-      .select(col("doc_id"), col("label").as("is_pos"))
+    // oracle re-derives the labels exactly).
+    fitNbWeightsFrom(
+      gramCounts(spark, dir).select(col("doc_id"), col("g"), col("cnt")),
+      labeledDocs(spark, dir)
+        .select(col("doc_id"), col("label").as("is_pos")),
+      QualityBuckets)
+
+  /** The closed-form NB log-count-ratio solve shared by the heuristic
+   * and planted-label fits: `grams` = per-doc gram counts
+   * `(doc_id, g, cnt)`, `lab` = per-doc labels `(doc_id, is_pos)` —
+   * the mix32 train split is applied HERE so every caller trains on
+   * the same half. Checkpointed: two actions consume the slice
+   * (bucket masses + doc counts) and it is (doc_id, bool)-narrow —
+   * one tokenize pass instead of two (r15 review). */
+  private def fitNbWeightsFrom(grams: DataFrame, lab0: DataFrame,
+      d: Int): DataFrame = {
+    val spark = grams.sparkSession
+    val lab = lab0
       .filter(Curation.mix32(col("doc_id")) % 100 < 50)
       .localCheckpoint()
-    val buckets = gramCounts(spark, dir)
+    val buckets = grams
       .withColumn("bucket", graft.functions.CmsFunctions.hash64(col("g"))
         .bitwiseAND(lit((d - 1).toLong)))
     val fit = buckets.join(lab, Seq("doc_id"))
@@ -755,6 +774,96 @@ object TextAnalysis {
     val model = qualityModel(spark, dir)
     val n = size(col("t0"))
     labeledDocs(spark, dir)
+      .select(col("doc_id"),
+        (Curation.mix32(col("doc_id")) % 100 < 50).as("is_train"),
+        col("label"),
+        when(n > 0, n * 2 - 1).otherwise(0).cast("bigint").as("n_grams"),
+        graft.functions.QualityScoreFunctions.quality_score(col("t0"), model)
+          .as("s"))
+      .select(col("doc_id"), col("is_train"), col("label"), col("n_grams"),
+        round(col("s"), 6).as("score"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6).as("prob"),
+        (col("s") > 0).as("predicted"))
+  }
+
+  // --------------------------- planted-label classifier (de-circularized)
+
+  /** Class-marker vocabularies for the PLANTED-label fit. Invented
+   * words absent from the corpus's 31-word vocabulary, so the only way
+   * the model can recover the label is by LEARNING their hashed-bucket
+   * weights from the supervision signal. */
+  val PlantedPosMarker = "veltran quibbex sormol"
+  val PlantedNegMarker = "drathic plunver wozzit"
+
+  /** Marker-phrase repetitions per document. One copy drowned: D=64
+   * buckets force every marker gram to share its bucket with heavy
+   * corpus grams (the deliberate pigeonhole), so ~4 marker-gram
+   * occurrences against ~200 noise grams/doc fit to only ~89% held-out
+   * — statistically fine, but too weak to distinguish "generalizes"
+   * from "mimics noise". 8 copies give the marker buckets decisive
+   * mass (measured: held-out accuracy 1.000 at sf0.001) while the
+   * collision regime stays. */
+  val PlantedMarkerRepeats = 8
+
+  /** The planted corpus: a generator-known doc-class bit (doc_id
+   * parity — arithmetic both engines restate, independent of anything
+   * the heuristic gate measures) drives class-specific marker
+   * vocabulary appended to the text — the self-generating-fixture
+   * pattern (AllTypesFixture, textPiiRedact). */
+  private def plantedDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit((" " + PlantedPosMarker) * PlantedMarkerRepeats))
+          .otherwise(lit((" " + PlantedNegMarker) * PlantedMarkerRepeats)))
+        .as("text"),
+      (col("doc_id") % 2 === 0).as("label"))
+
+  /** NB fit against the PLANTED label (r15 verdict #3 — the heuristic
+   * variant's labels ARE the gate's output, so its held-out accuracy
+   * measures mimicry; this fit's labels were planted into the fixture
+   * independently of the gate, so held-out accuracy measures whether
+   * the fit mechanics genuinely GENERALIZE from labeled examples). */
+  def fitQualityModelPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val planted = plantedDocs(spark, dir)
+    fitNbWeightsFrom(
+      gramCountsFrom(spread(planted.select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), col("g"), col("cnt")),
+      planted.select(col("doc_id"), col("label").as("is_pos")),
+      QualityBuckets)
+  }
+
+  /** The planted-label model, persisted via the shared ModelCache. */
+  def qualityPlantedModelTable(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ModelCache.loadOrFit(spark, s"$dir/documents.parquet",
+      s"qualityplanted-D$QualityBuckets-v1",
+      sys.env.getOrElse("GRAFT_QUALITY_CACHE", "/tmp/graft-quality-cache"),
+      "graft-quality") {
+      fitQualityModelPlanted(spark, dir)
+    }
+
+  private def qualityPlantedModel(spark: SparkSession,
+      dir: String): graft.functions.QualityWeights = {
+    val rows = qualityPlantedModelTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    new graft.functions.QualityWeights(
+      (0 until QualityBuckets).map(b => rows(b.toLong)).toArray, rows(-1L))
+  }
+
+  /** Planted-label scoring — same output shape and scoring kernel as
+   * [[textQualityModel]], labels the model could NOT have derived from
+   * the heuristic gate it previously mimicked. LlmOpsSpec pins held-out
+   * accuracy ≈ 1 (the markers separate perfectly, so anything less is a
+   * fit-mechanics regression) AND that the planted labels disagree
+   * with the gate on a nontrivial slice (de-circularity witness).
+   * Oracle: the same NB replay CTEs over the planted corpus
+   * ([[HashOracleSql.qualityModelScorePlanted]]), value-level. */
+  def textQualityPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val model = qualityPlantedModel(spark, dir)
+    val n = size(col("t0"))
+    plantedDocs(spark, dir)
+      .select(col("doc_id"), col("label"), toks.as("t0"))
       .select(col("doc_id"),
         (Curation.mix32(col("doc_id")) % 100 < 50).as("is_train"),
         col("label"),
@@ -883,6 +992,7 @@ object TextAnalysis {
     "text_tokens_bpe" -> textTokensBpe,
     "text_quality" -> textQuality,
     "text_quality_model" -> textQualityModel,
+    "text_quality_planted" -> textQualityPlanted,
     "text_langid" -> textLangId,
     "text_lm_score" -> textLmScore,
     "text_repetition" -> textRepetition,
@@ -959,6 +1069,11 @@ object TextAnalysis {
     "text_cms_counts" -> HashOracleSql.cmsCounts(CmsDepth, CmsWidth),
     "text_quality_model" ->
       HashOracleSql.qualityModelScore(QualityBuckets, Curation.Mix32Sql),
+    "text_quality_planted" ->
+      HashOracleSql.qualityModelScorePlanted(QualityBuckets,
+        Curation.Mix32Sql,
+        (" " + PlantedPosMarker) * PlantedMarkerRepeats,
+        (" " + PlantedNegMarker) * PlantedMarkerRepeats),
     "text_tokens_subword" ->
       s"""WITH RECURSIVE ${subwordCtes()}
           SELECT doc_id, n_subword_tokens, subword_text FROM sw""",

@@ -641,6 +641,22 @@ object ScaleSmoke {
       println(f"[scale-smoke] CURATION pipeline_curate docs=$nDocs " +
         f"time=${pipeSecs}%.1fs (${nDocs / pipeSecs / 1000}%.0fk docs/s)")
 
+      // Model-gated chain (r16): the same chain with the trained
+      // classifier as the first gate — the kernel predicate scores at
+      // the scan, so the wall must stay in the heuristic chain's band
+      // (a per-row flop difference, not a plan difference). Fit cost is
+      // excluded: qualityModelTable is warmed first (the production
+      // regime — the model is fitted once per corpus snapshot).
+      graft.operators.TextAnalysis.qualityModelTable(spark, curDir).count()
+      execute(Curation.pipelineCurateModel(spark, curDir)) // warmup
+      val (_, modelSecs) = timed(
+        execute(Curation.pipelineCurateModel(spark, curDir)))
+      println(f"[scale-smoke] CURATION pipeline_curate_model docs=$nDocs " +
+        f"time=${modelSecs}%.1fs (heuristic-gate chain ${pipeSecs}%.1fs)")
+      assert(modelSecs < pipeSecs * 3 + 2,
+        f"model-gated chain ${modelSecs}%.1fs is far outside the heuristic " +
+          f"chain's band ${pipeSecs}%.1fs — scoring is not scan-bound")
+
       // Curated-output layout probe (r11): the chain's output written
       // TWO ways — ingest-order and Z-order-clustered on
       // (doc_id, n_chars), the write a 100 TB curation job ends with —

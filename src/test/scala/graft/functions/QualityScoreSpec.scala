@@ -77,6 +77,32 @@ class QualityScoreSpec extends SparkSpec {
     assert(gate.count() == scored.count())
   }
 
+  test("planted labels: perfect held-out accuracy, de-circularized from the gate") {
+    // r15 verdict #3: the heuristic variant's labels ARE the gate's
+    // output, so its accuracy measures mimicry. The planted twin fits
+    // against a generator-known class bit (doc_id parity → marker
+    // vocabulary) the gate could not produce; held-out accuracy must be
+    // PERFECT (the markers separate the classes exactly — anything
+    // less is a fit-mechanics regression), and the planted labels must
+    // disagree with the gate on a nontrivial slice (the witness that
+    // this is not the same label column renamed)
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.TextAnalysis.textQualityPlanted(spark, dir)
+    val acc = out.groupBy("is_train").agg(
+      avg(when(col("predicted") === col("label"), 1.0).otherwise(0.0)).as("acc"),
+      count(lit(1)).as("n")).collect()
+      .map(r => r.getBoolean(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(acc(false)._2 > 100 && acc(true)._2 > 100)
+    assert(acc(false)._1 == 1.0, s"held-out accuracy ${acc(false)._1}")
+    assert(acc(true)._1 == 1.0)
+    val gate = graft.operators.TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("passes_quality"))
+    val disagree = out.join(gate, "doc_id")
+      .filter(col("label") =!= col("passes_quality")).count()
+    assert(disagree > out.count() / 10,
+      s"planted labels agree with the gate almost everywhere ($disagree)")
+  }
+
   test("single-class corpus: smoothing keeps the fit finite, not NaN") {
     // a corpus where EVERY doc passes the heuristic gate (or every doc
     // fails) must still produce finite weights — Laplace smoothing
