@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
  * shipping in the JDK, zero new dependencies — inside the same
  * per-partition decode boundary, with the pixel statistics verified
  * value-level against a DuckDB recomputation of the raster arithmetic
- * (PNG is lossless, so the round trip must be bit-exact). The
- * audio/video-shaped ops (`decodeStub` features, frame sampling) keep
- * the clearly-marked deterministic stand-in — those codecs don't ship
- * in the JDK — behind the identical boundary, so swapping in ffmpeg
- * changes one function body, not the plan.
+ * (PNG is lossless, so the round trip must be bit-exact). The AUDIO
+ * path is likewise real (r16): `wavMediaTable` renders deterministic
+ * 16-bit PCM signals into genuine WAV containers through
+ * `javax.sound.sampled.AudioSystem` and `mmDecodeWav` parses them back
+ * (RIFF header, format chunk, little-endian sample frames), with the
+ * decoded amplitude statistics oracle-checked the same way (PCM WAV is
+ * lossless too). Only the video-shaped ops (`decodeStub` features,
+ * frame sampling) keep the clearly-marked deterministic stand-in — no
+ * video codec ships in the JDK — behind the identical boundary, so
+ * swapping in ffmpeg changes one function body, not the plan.
  *
  * Scale notes: decode runs inside `mapPartitions` so codec state is
  * initialized once per partition (not per row); payloads stay columnar
@@ -265,11 +270,119 @@ object Multimodal {
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
     decodeImages(pngMediaTable(spark, dir)).toDF()
 
+  // --------------------------------------------- real WAV decode path
+
+  /** Deterministic PCM signal: sample i of doc d has amplitude
+   * a = (d·31 + 17·i) % 4096 − 2048 ∈ [−2048, 2047] — pure integer
+   * arithmetic both engines can restate, so the DECODED amplitude
+   * stats are oracle-checkable even though the bytes in between are a
+   * real RIFF/WAVE container. */
+  private def amp(d: Long, i: Int): Int =
+    ((d * 31L + 17L * i) % 4096L).toInt - 2048
+
+  /** 16-bit signed little-endian mono PCM at 8 kHz — the canonical WAV
+   * layout, and the one `AudioSystem.write` emits without a converter. */
+  val WavSampleRateHz = 8000
+
+  /** Documents → real WAV payloads: one mono PCM clip per doc (256-512
+   * samples from doc_id), written through
+   * `javax.sound.sampled.AudioSystem.write` — the payloads entering the
+   * decode boundary are genuine WAV containers (RIFF chunk, fmt chunk,
+   * data chunk with little-endian frames), not fakes. Encoding runs per
+   * partition like every codec op here. */
+  def wavMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // the AudioFormat is partition-level state, like ImageIO plugins
+        val fmt = new javax.sound.sampled.AudioFormat(
+          WavSampleRateHz.toFloat, 16, 1, true, false)
+        it.map { d =>
+          // sign-preserving % in amp() would shift the amplitude range
+          // for negative doc_ids and diverge from the oracle's
+          // arithmetic — fail loudly rather than silently corrupt
+          require(d >= 0, s"wavMediaTable requires non-negative doc_id, got $d")
+          val n = (256 + d % 257).toInt
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val a = amp(d, i)
+            data(2 * i) = (a & 0xff).toByte
+            data(2 * i + 1) = ((a >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRow(d, bos.toByteArray, "audio/wav", "pcm")
+        }
+      }
+  }
+
+  final case class DecodedAudio(
+      doc_id: Long,
+      n_samples: Long,
+      sample_rate: Long,
+      channels: Long,
+      sum_amp: Long,
+      sum_abs: Long,
+      peak: Long)
+
+  /** REAL decode through the codec boundary: `AudioSystem
+   * .getAudioInputStream` parses the RIFF/fmt/data chunks and hands
+   * back the PCM frames; sample count, rate, and amplitude sums come
+   * from the decoded signal. A corrupt byte, a codec regression, or an
+   * encode/decode asymmetry turns the oracle row red — the audio twin
+   * of [[decodeImages]]. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.media))
+        val fmt = ais.getFormat
+        require(
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+            && !fmt.isBigEndian,
+          s"doc ${row.doc_id}: unexpected WAV format $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L
+        var sabs = 0L
+        var peak = 0L
+        var i = 0
+        while (i < n) {
+          // little-endian signed 16-bit: sign-extended high byte | low
+          val a = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          sum += a
+          val ab = math.abs(a).toLong
+          sabs += ab
+          if (ab > peak) peak = ab
+          i += 1
+        }
+        DecodedAudio(row.doc_id, n.toLong, fmt.getSampleRate.toLong,
+          fmt.getChannels.toLong, sum, sabs, peak)
+      }
+    }
+  }
+
+  /** Oracle-checked WAV round trip: encode deterministic PCM to a real
+   * WAV container, decode with AudioSystem, compare the amplitude
+   * statistics against DuckDB's recomputation of the signal arithmetic
+   * (lossless ⇒ exact). */
+  def mmDecodeWav(spark: SparkSession, dir: String): DataFrame =
+    decodeAudio(wavMediaTable(spark, dir)).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize" -> mmResize,
-    "mm_decode" -> mmDecode)
+    "mm_decode" -> mmDecode,
+    "mm_decode_wav" -> mmDecodeWav)
 
   val oracleSql: Map[String, String] = Map(
     "mm_features" ->
@@ -302,5 +415,18 @@ object Multimodal {
            CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
            CAST(sum((doc_id * 3 + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g,
            CAST(sum((doc_id * 5 + 3 * x + 17 * y) % 256) AS BIGINT) AS sum_b
-         FROM v GROUP BY doc_id, w, h""")
+         FROM v GROUP BY doc_id, w, h""",
+    // the PCM signal recomputed sample-by-sample: what AudioSystem
+    // must hand back after the real WAV encode/decode round trip
+    "mm_decode_wav" ->
+      """WITH g AS (SELECT doc_id, 256 + doc_id % 257 AS n FROM documents),
+         s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM g),
+         v AS (SELECT doc_id, n,
+                 (doc_id * 31 + 17 * i) % 4096 - 2048 AS a FROM s)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+           CAST(sum(a) AS BIGINT) AS sum_amp,
+           CAST(sum(abs(a)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(a)) AS BIGINT) AS peak
+         FROM v GROUP BY doc_id, n""")
 }
