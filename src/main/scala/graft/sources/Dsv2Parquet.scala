@@ -19,9 +19,9 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -107,9 +107,38 @@ private[sources] class GraftParquetScanBuilder(path: String,
 }
 
 private[sources] case class GraftParquetScan(path: String,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Join-time filters, set by `BatchScanExec` AFTER planning: Spark
+   * calls [[filter]] with the `In(joinKey, values)` it derived from the
+   * broadcast side (dynamic partition pruning), then re-invokes
+   * [[planInputPartitions]] through `toBatch` — which returns this same
+   * instance, so the re-plan sees them. */
+  @transient private var runtime: Array[Filter] = Array.empty
+
+  /** The columns Spark may runtime-filter on — every leaf type this
+   * scan can serve from statistics or record-level predicates. A live
+   * Cassandra connector would list its partition-key columns here (the
+   * token-range analogue); for parquet row groups every stats-bearing
+   * column prunes. */
+  override def filterAttributes(): Array[NamedReference] =
+    required.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == StringType => Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // keep what EITHER path can use: record-level parquet predicates
+    // (translate) or driver-side row-group stats pruning (inBounds —
+    // which also covers the empty IN () that translate can't express)
+    runtime = filters.filter(f =>
+      Dsv2Parquet.translate(f, required).isDefined ||
+        Dsv2Parquet.inBounds(Array(f)).nonEmpty)
+    Dsv2RuntimeProbe.filterCalls.incrementAndGet()
+  }
 
   /** Explain surface: the audited plan tree must show what reached the
    * source, exactly like the built-in scan's PushedFilters/ReadSchema
@@ -120,19 +149,32 @@ private[sources] case class GraftParquetScan(path: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
-    Dsv2Parquet.dataFiles(path, conf).flatMap { f =>
+    val bounds = Dsv2Parquet.inBounds(runtime)
+    var planned = 0
+    val parts = Dsv2Parquet.dataFiles(path, conf).flatMap { f =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromStatus(f, conf))
       try {
-        reader.getFooter.getBlocks.asScala.map { b =>
+        reader.getFooter.getBlocks.asScala.flatMap { b =>
+          planned += 1
           // one partition per row group, addressed by byte range —
-          // ParquetReader selects row groups by midpoint offset
-          val start = b.getStartingPos
-          val end = start + b.getCompressedSize
-          GraftParquetPartition(f.getPath.toString, start, end): InputPartition
-        }.toArray
+          // ParquetReader selects row groups by midpoint offset;
+          // runtime-filtered re-plans drop row groups whose footer
+          // min/max exclude every join-side value BEFORE any task
+          // launches (the IO win dynamic pruning exists for)
+          if (!Dsv2Parquet.blockMayMatch(b, bounds)) None
+          else {
+            val start = b.getStartingPos
+            val end = start + b.getCompressedSize
+            Some(GraftParquetPartition(f.getPath.toString, start, end)
+              : InputPartition)
+          }
+        }.toArray[InputPartition]
       } finally reader.close()
     }
+    Dsv2RuntimeProbe.lastPlanned.set(planned)
+    Dsv2RuntimeProbe.lastKept.set(parts.length)
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -146,8 +188,25 @@ private[sources] case class GraftParquetScan(path: String,
       fileSchema.getType(Seq(n): _*)
     }
     val projection = new MessageType(fileSchema.getName, fields: _*)
-    GraftParquetReaderFactory(projection.toString, required, pushed)
+    // runtime filters ride along as record-level predicates too: a
+    // kept row group may still skip pages/records on them. BatchScanExec
+    // resolves filtered partitions before building the reader factory,
+    // so `runtime` is populated here whenever pruning ran. Correctness
+    // never depends on it: the join that produced the filter re-checks
+    // every surviving row.
+    GraftParquetReaderFactory(projection.toString, required, pushed ++ runtime)
   }
+}
+
+/** Observability for the runtime-filtering path (spec + plan-audit
+ * surface only — never read by query logic): how many times Spark
+ * handed this scan a join-time filter, and the planned vs kept row
+ * groups of the latest re-plan. */
+object Dsv2RuntimeProbe {
+  val filterCalls = new java.util.concurrent.atomic.AtomicInteger
+  val lastPlanned = new java.util.concurrent.atomic.AtomicInteger
+  val lastKept = new java.util.concurrent.atomic.AtomicInteger
+  def reset(): Unit = { filterCalls.set(0); lastPlanned.set(0); lastKept.set(0) }
 }
 
 private[sources] case class GraftParquetPartition(file: String, start: Long,
@@ -261,6 +320,50 @@ private[sources] object Dsv2Parquet {
       StructField(f.getName, dt, nullable = true)
     }.toArray)
 
+  /** Conjunctive [lo, hi] bounds per integer column from runtime `In`
+   * filters — the driver-side row-group pruning form. An empty or
+   * all-null value set yields the impossible range (MaxValue,
+   * MinValue), which prunes every stats-bearing block: `IN ()` matches
+   * no row. Non-integer columns prune record-level only (string
+   * min/max truncation semantics stay the parquet reader's problem). */
+  def inBounds(runtime: Array[Filter]): Map[String, (Long, Long)] = {
+    val ranges = runtime.flatMap {
+      case In(n, vs) if vs.forall(v =>
+          v == null || v.isInstanceOf[Long] || v.isInstanceOf[Int]) =>
+        val longs = vs.collect { case x: Long => x; case x: Int => x.toLong }
+        Some(n -> (if (longs.isEmpty) (Long.MaxValue, Long.MinValue)
+                   else (longs.min, longs.max)))
+      case _ => None
+    }
+    // multiple In filters on one column intersect
+    ranges.groupBy(_._1).map { case (n, rs) =>
+      n -> (rs.map(_._2._1).max, rs.map(_._2._2).min)
+    }
+  }
+
+  /** Can this row group contain any row inside every bound? Missing or
+   * empty statistics keep the block (pruning is an optimization, never
+   * a correctness dependency); a chunk whose min/max excludes the whole
+   * value range cannot match — nulls never satisfy `In`, so null counts
+   * are irrelevant. */
+  def blockMayMatch(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      bounds: Map[String, (Long, Long)]): Boolean =
+    bounds.forall { case (colName, (lo, hi)) =>
+      b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+        case None => true
+        case Some(c) =>
+          val st = c.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) true
+          else (st.genericGetMin, st.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              mx >= lo && mn <= hi
+            case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+              mx.longValue >= lo && mn.longValue <= hi
+            case _ => true
+          }
+      }
+    }
+
   /** Spark source filter → parquet statistics predicate, for the leaf
    * types whose min/max ordering matches Spark's (no float/double:
    * their NaN/-0.0 statistics ordering is a known divergence — those
@@ -303,6 +406,26 @@ private[sources] object Dsv2Parquet {
         FilterApi.lt(_, _), FilterApi.lt(_, _))
       case LessThanOrEqual(n, v) => cmp(n, v, FilterApi.ltEq(_, _),
         FilterApi.ltEq(_, _), FilterApi.ltEq(_, _))
+      // the runtime-filter shape: dynamic pruning hands the scan
+      // In(joinKey, broadcastSideValues). Null values are unpushable
+      // (IN's null never matches, but parquet's dictionary test has no
+      // null slot); the empty set is handled by inBounds pruning.
+      case In(n, vs) if vs.nonEmpty && !vs.contains(null) =>
+        typed(n) match {
+          case Some(LongType) if vs.forall(_.isInstanceOf[Long]) =>
+            val s = new util.HashSet[java.lang.Long]()
+            vs.foreach(v => s.add(Long.box(v.asInstanceOf[Long])))
+            Some(FilterApi.in(FilterApi.longColumn(n), s))
+          case Some(IntegerType) if vs.forall(_.isInstanceOf[Int]) =>
+            val s = new util.HashSet[java.lang.Integer]()
+            vs.foreach(v => s.add(Int.box(v.asInstanceOf[Int])))
+            Some(FilterApi.in(FilterApi.intColumn(n), s))
+          case Some(StringType) if vs.forall(_.isInstanceOf[String]) =>
+            val s = new util.HashSet[Binary]()
+            vs.foreach(v => s.add(Binary.fromString(v.asInstanceOf[String])))
+            Some(FilterApi.in(FilterApi.binaryColumn(n), s))
+          case _ => None
+        }
       case _ => None
     }
   }

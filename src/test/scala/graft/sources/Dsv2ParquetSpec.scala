@@ -109,6 +109,64 @@ class Dsv2ParquetSpec extends SparkSpec {
     }
   }
 
+  test("runtime In filter prunes row groups from footer stats on re-plan") {
+    withTmp { tmp =>
+      // range-partitioned write: each file's single row group covers a
+      // disjoint k range, so footer min/max stats are discriminating
+      spark.range(400).select(col("id").as("k"), (col("id") % 13).as("v"))
+        .repartitionByRange(8, col("k")).write.parquet(s"$tmp/fact")
+      val schema = spark.read.format(fmt).load(s"$tmp/fact").schema
+      val scan = GraftParquetScan(s"$tmp/fact", schema, Array.empty)
+      val all = scan.planInputPartitions().length
+      assert(all >= 8)
+      // join-time filter arrives: only two keys survive — at most one
+      // row group (file) can hold both
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.In("k",
+        Array(5L, 6L))))
+      val kept = scan.planInputPartitions()
+      assert(kept.length < all && kept.nonEmpty, s"kept=${kept.length} all=$all")
+      // (row-level parity under pruning is covered by the DPP test below)
+      val empty = GraftParquetScan(s"$tmp/fact", schema, Array.empty)
+      empty.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.In("k",
+        Array.empty[Any])))
+      assert(empty.planInputPartitions().isEmpty, "IN () must prune all")
+    }
+  }
+
+  test("dynamic partition pruning reaches the scan at join execution time") {
+    withTmp { tmp =>
+      spark.range(400).select(col("id").as("k"), (col("id") % 13).as("v"))
+        .repartitionByRange(8, col("k")).write.parquet(s"$tmp/fact")
+      val confs = Seq(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false")
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        Dsv2RuntimeProbe.reset()
+        val dim = spark.range(400).select(col("id").as("fk"))
+          .filter(col("fk") >= 390) // selective build side
+        val fact = spark.read.format(fmt).load(s"$tmp/fact")
+        val got = fact.join(broadcast(dim), col("k") === col("fk"))
+          .agg(count(lit(1)), sum("v")).collect().head
+        val exp = spark.read.parquet(s"$tmp/fact")
+          .join(broadcast(dim), col("k") === col("fk"))
+          .agg(count(lit(1)), sum("v")).collect().head
+        assert(got == exp && got.getLong(0) == 10L)
+        // Spark handed the scan the join-side key set...
+        assert(Dsv2RuntimeProbe.filterCalls.get() >= 1,
+          "runtime filter never reached the scan")
+        // ...and the re-plan dropped row groups before any task launched
+        assert(Dsv2RuntimeProbe.lastKept.get() < Dsv2RuntimeProbe.lastPlanned.get(),
+          s"kept=${Dsv2RuntimeProbe.lastKept.get()} " +
+            s"planned=${Dsv2RuntimeProbe.lastPlanned.get()}")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("Dsv2ParquetSource projects through the trait boundary") {
     withTmp { tmp =>
       val base = graft.MvSyncDemo.baseDf(spark,
