@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
  * `javax.sound.sampled.AudioSystem` and `mmDecodeWav` parses them back
  * (RIFF header, format chunk, little-endian sample frames), with the
  * decoded amplitude statistics oracle-checked the same way (PCM WAV is
- * lossless too). Only the video-shaped ops (`decodeStub` features,
- * frame sampling) keep the clearly-marked deterministic stand-in — no
- * video codec ships in the JDK — behind the identical boundary, so
- * swapping in ffmpeg changes one function body, not the plan.
+ * lossless too). The VIDEO path runs a real codec per FRAME (r16):
+ * `videoMediaTable` packs genuine PNG frames MJPEG-style behind a
+ * length index and `mmFrameDecode` seeks the index, decoding ONLY the
+ * sampled frames through ImageIO — no whole-stream video codec ships
+ * in the JDK, so the container is the documented packed-frame form,
+ * but every byte that is decoded goes through a real codec. Only the
+ * generic `decodeStub`/`resizeStub` feature stand-ins remain fakes,
+ * clearly marked, behind the identical boundary — swapping in ffmpeg
+ * changes one function body, not the plan.
  *
  * Scale notes: decode runs inside `mapPartitions` so codec state is
  * initialized once per partition (not per row); payloads stay columnar
@@ -377,12 +382,134 @@ object Multimodal {
   def mmDecodeWav(spark: SparkSession, dir: String): DataFrame =
     decodeAudio(wavMediaTable(spark, dir)).toDF()
 
+  // ------------------------------------- real frame decode (video path)
+
+  /** Decode only every `VideoFrameEvery`-th frame of a packed video
+   * payload. */
+  val VideoFrameEvery = 2
+
+  /** Per-frame raster arithmetic for the packed-frame container: frame
+   * f's pixels extend the still-image formula with a frame term, so
+   * every sampled frame's decoded sums are independently
+   * oracle-checkable. */
+  private def frameChannel(d: Long, f: Int, x: Int, y: Int,
+      md: Long, mf: Long, mx: Long, my: Long): Int =
+    ((d * md + mf * f + mx * x + my * y) % 256L).toInt
+
+  /** Documents → MJPEG-style packed-frame video payloads: 3-6 frames
+   * per doc, each a GENUINE PNG container, concatenated with 4-byte
+   * big-endian length prefixes (the Motion-JPEG idea — a video stream
+   * as independently decodable still frames — with the JDK's lossless
+   * still codec, so stats stay exact). The length index is what real
+   * frame sampling seeks over: non-sampled frames are SKIPPED, never
+   * decoded. */
+  def videoMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          require(d >= 0, s"videoMediaTable requires non-negative doc_id, got $d")
+          val w = (6 + d % 5).toInt
+          val h = (5 + d % 3).toInt
+          val nf = (3 + d % 4).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(bos)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  (frameChannel(d, f, x, y, 1, 19, 7, 13) << 16) |
+                    (frameChannel(d, f, x, y, 3, 23, 5, 11) << 8) |
+                    frameChannel(d, f, x, y, 5, 29, 3, 17))
+                x += 1
+              }
+              y += 1
+            }
+            val frame = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", frame)
+            out.writeInt(frame.size())
+            frame.writeTo(out)
+            f += 1
+          }
+          out.flush()
+          MediaRow(d, bos.toByteArray, "video/x-packed-png", "frames")
+        }
+      }
+  }
+
+  final case class DecodedFrame(
+      doc_id: Long,
+      frame_idx: Long,
+      width: Long,
+      height: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** REAL frame sampling + decode: walk the length index, decode ONLY
+   * every `everyN`-th frame through ImageIO (skipped frames cost a
+   * pointer bump, not a decode — the property that makes frame
+   * sampling worth doing at all), emit per-frame pixel sums. One input
+   * row fans out to its sampled frames (flatMap — output proportional
+   * to sampled frames, no driver involvement). */
+  def decodeSampledFrames(media: Dataset[MediaRow],
+      everyN: Int): Dataset[DecodedFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { row =>
+      val buf = java.nio.ByteBuffer.wrap(row.media)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[DecodedFrame]
+      var f = 0
+      while (buf.remaining() >= 4) {
+        val len = buf.getInt()
+        require(len >= 0 && len <= buf.remaining(),
+          s"doc ${row.doc_id}: corrupt frame index at frame $f")
+        if (f % everyN == 0) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              row.media, buf.position(), len))
+          require(img != null, s"doc ${row.doc_id}: frame $f not decodable")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          frames += DecodedFrame(row.doc_id, f.toLong,
+            img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
+        }
+        buf.position(buf.position() + len)
+        f += 1
+      }
+      frames
+    }
+  }
+
+  /** Oracle-checked packed-frame round trip: every sampled frame's
+   * decoded pixel sums vs DuckDB's recomputation of the per-frame
+   * raster arithmetic. */
+  def mmFrameDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeSampledFrames(videoMediaTable(spark, dir), VideoFrameEvery).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize" -> mmResize,
     "mm_decode" -> mmDecode,
-    "mm_decode_wav" -> mmDecodeWav)
+    "mm_decode_wav" -> mmDecodeWav,
+    "mm_frame_decode" -> mmFrameDecode)
 
   val oracleSql: Map[String, String] = Map(
     "mm_features" ->
@@ -428,5 +555,21 @@ object Multimodal {
            CAST(sum(a) AS BIGINT) AS sum_amp,
            CAST(sum(abs(a)) AS BIGINT) AS sum_abs,
            CAST(max(abs(a)) AS BIGINT) AS peak
-         FROM v GROUP BY doc_id, n""")
+         FROM v GROUP BY doc_id, n""",
+    // the per-frame raster arithmetic recomputed for SAMPLED frames
+    // only: what ImageIO must hand back for each kept frame of the
+    // packed-PNG video container
+    "mm_frame_decode" ->
+      """WITH g AS (SELECT doc_id, 6 + doc_id % 5 AS w, 5 + doc_id % 3 AS h,
+             3 + doc_id % 4 AS nf FROM documents),
+         f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM g),
+         sf AS (SELECT * FROM f WHERE fi % 2 = 0),
+         px AS (SELECT doc_id, w, h, fi, unnest(range(0, w * h)) AS k FROM sf),
+         v AS (SELECT doc_id, w, h, fi, k % w AS x, k // w AS y FROM px)
+         SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum((doc_id + 19 * fi + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 3 + 23 * fi + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 5 + 29 * fi + 3 * x + 17 * y) % 256) AS BIGINT) AS sum_b
+         FROM v GROUP BY doc_id, fi, w, h""")
 }

@@ -334,6 +334,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(dec.sum_amp == sum && dec.sum_abs == sabs && dec.peak == peak)
   }
 
+  test("multimodal packed-frame video: index-seek sampling, real PNG frames") {
+    val media = Multimodal.videoMediaTable(spark, "/root/testdata/sf0.001")
+    val rows = media.collect()
+    assert(rows.nonEmpty)
+    // every length-prefixed frame is a genuine PNG container
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    rows.take(5).foreach { r =>
+      val buf = java.nio.ByteBuffer.wrap(r.media)
+      var frames = 0
+      while (buf.remaining() >= 4) {
+        val len = buf.getInt()
+        assert(r.media.slice(buf.position(), buf.position() + 8)
+          .sameElements(sig), s"doc ${r.doc_id} frame $frames: not PNG")
+        buf.position(buf.position() + len)
+        frames += 1
+      }
+      assert(frames == (3 + r.doc_id % 4).toInt)
+    }
+    // only frames with idx % 2 == 0 are emitted, and their decoded sums
+    // match the per-frame raster arithmetic
+    val d = rows.head.doc_id
+    val (w, h, nf) = ((6 + d % 5).toInt, (5 + d % 3).toInt, (3 + d % 4).toInt)
+    val dec = Multimodal.decodeSampledFrames(media, Multimodal.VideoFrameEvery)
+      .filter(_.doc_id == d).collect().sortBy(_.frame_idx)
+    assert(dec.map(_.frame_idx).toSeq == (0 until nf).filter(_ % 2 == 0).map(_.toLong))
+    dec.foreach { fr =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (d + 19 * fr.frame_idx + 7 * x + 13 * y) % 256
+        sg += (d * 3 + 23 * fr.frame_idx + 5 * x + 11 * y) % 256
+        sb += (d * 5 + 29 * fr.frame_idx + 3 * x + 17 * y) % 256
+      }
+      assert(fr.width == w && fr.height == h)
+      assert(fr.sum_r == sr && fr.sum_g == sg && fr.sum_b == sb)
+    }
+  }
+
   test("repetition metrics expose templated docs; 1-token docs are null-safe") {
     val df = Seq(
       (1L, Seq.fill(10)("spam").mkString(" "), "en"),
