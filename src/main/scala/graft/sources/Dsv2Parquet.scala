@@ -147,32 +147,36 @@ private[sources] case class GraftParquetScan(path: String,
     s"GraftParquetScan PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Footer metadata, read ONCE per scan: Spark plans partitions at
+   * least twice when runtime filtering engages (initial plan, then the
+   * post-[[filter]] re-plan), and at fleet scale the footer pass over a
+   * large file count is itself real IO — cache it on the driver-side
+   * scan instance so the re-plan prunes from memory. */
+  @transient private lazy val footerBlocks
+      : Array[(String, org.apache.parquet.hadoop.metadata.BlockMetaData)] = {
     val conf = new Configuration()
-    val bounds = Dsv2Parquet.inBounds(runtime)
-    var planned = 0
-    val parts = Dsv2Parquet.dataFiles(path, conf).flatMap { f =>
+    Dsv2Parquet.dataFiles(path, conf).flatMap { f =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromStatus(f, conf))
-      try {
-        reader.getFooter.getBlocks.asScala.flatMap { b =>
-          planned += 1
-          // one partition per row group, addressed by byte range —
-          // ParquetReader selects row groups by midpoint offset;
-          // runtime-filtered re-plans drop row groups whose footer
-          // min/max exclude every join-side value BEFORE any task
-          // launches (the IO win dynamic pruning exists for)
-          if (!Dsv2Parquet.blockMayMatch(b, bounds)) None
-          else {
-            val start = b.getStartingPos
-            val end = start + b.getCompressedSize
-            Some(GraftParquetPartition(f.getPath.toString, start, end)
-              : InputPartition)
-          }
-        }.toArray[InputPartition]
-      } finally reader.close()
+      try reader.getFooter.getBlocks.asScala.toArray
+        .map(b => f.getPath.toString -> b)
+      finally reader.close()
     }
-    Dsv2RuntimeProbe.lastPlanned.set(planned)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val bounds = Dsv2Parquet.inBounds(runtime)
+    val parts = footerBlocks.flatMap { case (file, b) =>
+      // one partition per row group, addressed by byte range —
+      // ParquetReader selects row groups by midpoint offset;
+      // runtime-filtered re-plans drop row groups whose footer
+      // min/max exclude every join-side value BEFORE any task
+      // launches (the IO win dynamic pruning exists for)
+      if (!Dsv2Parquet.blockMayMatch(b, bounds)) None
+      else Some(GraftParquetPartition(file, b.getStartingPos,
+        b.getStartingPos + b.getCompressedSize): InputPartition)
+    }
+    Dsv2RuntimeProbe.lastPlanned.set(footerBlocks.length)
     Dsv2RuntimeProbe.lastKept.set(parts.length)
     parts
   }

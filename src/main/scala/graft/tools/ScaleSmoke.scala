@@ -1067,6 +1067,72 @@ object ScaleSmoke {
         f"DSIR grew ${growth}%.1f× at 4× corpus — fit/score is not linear")
     }
 
+    if (args.contains("dpp")) {
+      // Runtime-filtering smoke: fact = orders replicated f×, written
+      // range-partitioned on o_orderkey so each of the 64 row groups
+      // covers a disjoint key band; dim = a selective slice of the
+      // first band. With dynamic pruning ON the DSv2 scan must drop
+      // row groups from footer stats at the join-time re-plan; the
+      // same join with pruning OFF reads everything — the measured gap
+      // is what SupportsRuntimeFiltering buys a 100 TB fact scan.
+      import graft.sources.{Dsv2RuntimeProbe, GraftParquetProvider}
+      val dDir = "/tmp/graft-smoke-dpp"
+      val dppConfs = Seq(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false")
+      val saved = (dppConfs.map(_._1) :+
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        replicate(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            // the testdata orders table has no comment column —
+            // synthesize a wide payload so the probe side carries
+            // realistic per-row bytes
+            rpad(concat_ws(",", col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice")), 64, "x").as("payload")))
+          .repartitionByRange(64, col("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$dDir/fact")
+        val nf = spark.read.parquet(s"$dDir/fact").count()
+        dppConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val fmt = classOf[GraftParquetProvider].getName
+        val dim = spark.range(6000).select((col("id") + 1).as("k"))
+          .filter(col("k") % 4 === 0) // selective build side
+        // aggregate over the wide column so the probe side must READ
+        // real bytes — a count() alone column-prunes to the join key
+        // and hides the IO that pruning saves
+        def joinCount(): Long =
+          spark.read.format(fmt).load(s"$dDir/fact")
+            .join(broadcast(dim), col("o_orderkey") === col("k"))
+            .agg(count(lit(1)), sum(length(col("payload"))))
+            .collect().head.getLong(0)
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        Dsv2RuntimeProbe.reset()
+        joinCount() // warm
+        val (onRows, onS) = timed(joinCount())
+        val (planned, kept) =
+          (Dsv2RuntimeProbe.lastPlanned.get(), Dsv2RuntimeProbe.lastKept.get())
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+        joinCount() // warm
+        val (offRows, offS) = timed(joinCount())
+        assert(onRows == offRows, s"DPP changed the answer: $onRows vs $offRows")
+        assert(kept < planned && kept > 0,
+          s"runtime filter kept $kept of $planned row groups")
+        println(f"[scale-smoke] DPP factor=$factor fact=$nf dimKeys=1500 " +
+          f"rowGroups kept=$kept/$planned wall on=${onS}%.2fs off=${offS}%.2fs " +
+          f"(${offS / onS}%.1fx)")
+      } finally {
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(dDir))
+      }
+    }
+
     spark.stop()
   }
 }
