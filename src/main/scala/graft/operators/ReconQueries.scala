@@ -175,6 +175,28 @@ object ReconQueries {
     } finally deleteRecursively(new java.io.File(tmp))
   }
 
+  /** The DSv2 metadata-only aggregate path driver-verified:
+   * COUNT(*)/MIN/MAX/COUNT(col) over orders answered ENTIRELY from
+   * parquet footer metadata (row counts + chunk statistics) through
+   * `SupportsPushDownAggregates` complete pushdown — zero data bytes
+   * read. The require() makes the oracle row meaningful: if the
+   * pushdown ever stops engaging, the query fails rather than silently
+   * computing the same numbers the slow way. */
+  def dsv2AggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val df = spark.read
+      .format(classOf[graft.sources.GraftParquetProvider].getName)
+      .load(s"$dir/orders.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        count(col("o_custkey")).as("n_cust"))
+    require(
+      df.queryExecution.executedPlan.toString.contains("GraftParquetAggScan"),
+      "dsv2_agg_pushdown: aggregate was not served from footer metadata")
+    df
+  }
+
   /** Operators D/N (scan/mutation rate limiting) driver-verified: the
    * SAME classification as [[reconClassify]] with BOTH scans wrapped in
    * [[graft.sources.Throttle.perPartitionRows]] — the reference's
@@ -445,6 +467,7 @@ object ReconQueries {
     "recon_classify_csv" -> reconClassifyCsv,
     "recon_classify_json" -> reconClassifyJson,
     "recon_classify_dsv2" -> reconClassifyDsv2,
+    "dsv2_agg_pushdown" -> dsv2AggPushdown,
     "recon_classify_throttled" -> reconClassifyThrottled,
     "recon_classify_bucketed" -> reconClassifyBucketed,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
@@ -472,6 +495,12 @@ object ReconQueries {
     // pushFilters into the parquet reader) must be invisible
     "recon_classify_dsv2" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
+    // the footer-served aggregates must equal the real ones
+    "dsv2_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           CAST(count(o_custkey) AS BIGINT) AS n_cust
+         FROM orders""",
     // same oracle again: the rate limiter must be row-transparent
     "recon_classify_throttled" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),

@@ -20,7 +20,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -82,9 +83,11 @@ private[sources] case class GraftParquetTable(path: String,
 
 private[sources] class GraftParquetScanBuilder(path: String,
     tableSchema: StructType) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, Array[Any], String)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -103,14 +106,159 @@ private[sources] class GraftParquetScanBuilder(path: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = GraftParquetScan(path, required, pushed)
+  /** Footer metadata IS the aggregate for COUNT/MIN/MAX: row counts
+   * are exact in block metadata, min/max/null counts in column chunk
+   * statistics — so `SELECT count(*), min(k), max(k) FROM t` is
+   * answered without reading a single data byte (the metadata-only
+   * fast path every serious connector serves; a live Cassandra
+   * connector does the same for `count(*)` per token range).
+   * COMPLETE pushdown: the values are exact, Spark projects them
+   * straight through. Refused whenever any predicate reached
+   * [[pushFilters]] — ours are residual-advisory, so a filtered
+   * aggregate must run on real rows. Restricted to int/long min/max
+   * (string footer stats may be writer-truncated) and to footers
+   * whose statistics are actually present. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    serveFromFooters(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = serveFromFooters(agg)
+    aggResult.isDefined
+  }
+
+  private def serveFromFooters(agg: Aggregation)
+      : Option[(StructType, Array[Any], String)] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val blocks = footerBlocks
+    def col(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, DataType)] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == nr.fieldNames()(0))
+          .map(f => f.name -> f.dataType)
+      case _ => None
+    }
+    def chunkStats(c: String) = blocks.map(
+      _.getColumns.asScala.find(_.getPath.toDotString == c))
+    val served = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          blocks.map(_.getRowCount).sum: Any, "COUNT(*)"))
+      case c: Count if !c.isDistinct => col(c.column).flatMap {
+        case (n, _) =>
+          val st = chunkStats(n)
+          // count(col) = rows − nulls; every chunk must carry a null
+          // count or the footer can't answer
+          if (st.exists(s => s.isEmpty || s.get.getStatistics == null ||
+              !s.get.getStatistics.isNumNullsSet)) None
+          else Some((StructField(s"count($n)", LongType, nullable = false),
+            blocks.map(_.getRowCount).sum -
+              st.map(_.get.getStatistics.getNumNulls).sum: Any, s"COUNT($n)"))
+      }
+      case m: Min => col(m.column).flatMap { case (n, dt) =>
+        footerExtreme(chunkStats(n), dt, isMin = true)
+          .map(v => (StructField(s"min($n)", dt, nullable = true), v, s"MIN($n)"))
+      }
+      case m: Max => col(m.column).flatMap { case (n, dt) =>
+        footerExtreme(chunkStats(n), dt, isMin = false)
+          .map(v => (StructField(s"max($n)", dt, nullable = true), v, s"MAX($n)"))
+      }
+      case _ => None
+    }
+    if (served.exists(_.isEmpty)) None
+    else {
+      val flat = served.map(_.get)
+      Some((StructType(flat.map(_._1)), flat.map(_._2),
+        flat.map(_._3).mkString(", ")))
+    }
+  }
+
+  /** Exact min or max from chunk statistics, int/long only. None =
+   * footer can't answer (missing stats, unsupported type); Some(null)
+   * = zero non-null values exist, the aggregate's null result. */
+  private def footerExtreme(
+      st: Array[Option[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]],
+      dt: DataType, isMin: Boolean): Option[Any] = {
+    if (dt != LongType && dt != IntegerType) return None
+    if (st.exists(s => s.isEmpty || s.get.getStatistics == null ||
+        s.get.getStatistics.isEmpty)) return None
+    val vals = st.flatMap { s =>
+      val stats = s.get.getStatistics
+      if (!stats.hasNonNullValue) None
+      else (if (isMin) stats.genericGetMin else stats.genericGetMax) match {
+        case v: java.lang.Long => Some(v.longValue)
+        case v: java.lang.Integer => Some(v.intValue.toLong)
+        case _ => return None
+      }
+    }
+    if (vals.isEmpty) Some(null)
+    else {
+      val ext = if (isMin) vals.min else vals.max
+      Some(if (dt == IntegerType) ext.toInt else ext)
+    }
+  }
+
+  private lazy val footerBlocks
+      : Array[org.apache.parquet.hadoop.metadata.BlockMetaData] = {
+    val conf = new Configuration()
+    Dsv2Parquet.dataFiles(path, conf).flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+      try reader.getFooter.getBlocks.asScala.toArray
+      finally reader.close()
+    }
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values, desc)) =>
+      GraftParquetAggScan(schema, values, desc)
+    case None => GraftParquetScan(path, required, pushed)
+  }
+}
+
+/** The metadata-only aggregate scan: one partition, one row, values
+ * already computed from footers on the driver. */
+private[sources] case class GraftParquetAggScan(aggSchema: StructType,
+    values: Array[Any], desc: String) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftParquetAggScan PushedAggregates: [$desc]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftAggReaderFactory()
+}
+
+private[sources] case class GraftAggPartition(values: Array[Any])
+    extends InputPartition
+
+private[sources] case class GraftAggReaderFactory()
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow =
+        new GenericInternalRow(p.asInstanceOf[GraftAggPartition].values)
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] case class GraftParquetScan(path: String,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Exact row count and uncompressed byte size from the cached
+   * footers — what Spark's planner (join strategy selection, DPP
+   * benefit estimation) consults instead of flying blind on a V2
+   * relation. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(footerBlocks.map(_._2.getRowCount).sum)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(footerBlocks.map(_._2.getTotalByteSize).sum)
+  }
 
   /** Join-time filters, set by `BatchScanExec` AFTER planning: Spark
    * calls [[filter]] with the `In(joinKey, values)` it derived from the

@@ -167,6 +167,51 @@ class Dsv2ParquetSpec extends SparkSpec {
     }
   }
 
+  test("COUNT/MIN/MAX are answered from footers without reading data") {
+    withTmp { tmp =>
+      fixture.repartition(4).write.parquet(s"$tmp/t")
+      def agg(df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"),
+          count(col("n")).as("nn"), min("i").as("mni"))
+      val q = agg(spark.read.format(fmt).load(s"$tmp/t"))
+      val plan = scanDesc(q)
+      assert(plan.contains("GraftParquetAggScan PushedAggregates: " +
+        "[COUNT(*), MIN(k), MAX(k), COUNT(n), MIN(i)]"), plan)
+      assert(q.collect().toSeq ==
+        agg(spark.read.parquet(s"$tmp/t")).collect().toSeq)
+      // a predicate forces real rows: ours are residual-advisory, so
+      // the aggregate must NOT be served from footers
+      def fagg(df: DataFrame): DataFrame =
+        agg(df.filter(col("k") > 100))
+      val fq = fagg(spark.read.format(fmt).load(s"$tmp/t"))
+      assert(!scanDesc(fq).contains("GraftParquetAggScan"), scanDesc(fq))
+      assert(fq.collect().toSeq ==
+        fagg(spark.read.parquet(s"$tmp/t")).collect().toSeq)
+      // GROUP BY likewise runs on real rows
+      def gagg(df: DataFrame): DataFrame =
+        df.groupBy("s").agg(count(lit(1)).as("n")).orderBy("s")
+      val gq = gagg(spark.read.format(fmt).load(s"$tmp/t"))
+      assert(!scanDesc(gq).contains("GraftParquetAggScan"), scanDesc(gq))
+      assert(gq.collect().toSeq ==
+        gagg(spark.read.parquet(s"$tmp/t")).collect().toSeq)
+      // unsupported aggregate (sum) falls back whole
+      val sq = spark.read.format(fmt).load(s"$tmp/t").agg(sum("k").as("s"))
+      assert(!scanDesc(sq).contains("GraftParquetAggScan"), scanDesc(sq))
+      assert(sq.collect().head.getLong(0) ==
+        spark.read.parquet(s"$tmp/t").agg(sum("k")).collect().head.getLong(0))
+    }
+  }
+
+  test("scan reports exact footer statistics to the planner") {
+    withTmp { tmp =>
+      fixture.repartition(4).write.parquet(s"$tmp/t")
+      val stats = spark.read.format(fmt).load(s"$tmp/t")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(200)), stats)
+      assert(stats.sizeInBytes > 0)
+    }
+  }
+
   test("Dsv2ParquetSource projects through the trait boundary") {
     withTmp { tmp =>
       val base = graft.MvSyncDemo.baseDf(spark,
