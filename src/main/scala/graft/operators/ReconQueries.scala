@@ -381,6 +381,52 @@ object ReconQueries {
       .groupBy("problem").agg(count(lit(1)).as("n"))
   }
 
+  /** The repair MUTATION path through the DataSource V2 WRITE seam —
+   * the API a live connector's delete/upsert binding sits behind
+   * (reference DBOperations.java:58-194,240-387; r16 write half of the
+   * connector ladder). The damaged MV is first APPENDED through the V2
+   * writer into a fresh directory (schema resolved from the
+   * `graft.schema` option — no footers exist yet, the cluster-catalog
+   * stand-in), then OVERWRITTEN with the repaired MV (Catalyst lowers
+   * mode=overwrite to the WriteBuilder's truncate()), then read back
+   * through the V2 scan and re-reconciled against base. Shares
+   * recon_post_repair's oracle verbatim, so a hash match proves the
+   * two-phase commit forwarded every repaired row and value exactly AND
+   * that truncate removed every damaged file — a silently failed
+   * truncate would leave stale/duplicate keys and flip the
+   * classification counts. The require()s make the row meaningful: if
+   * either write stops engaging the probe, the query fails rather than
+   * passing by accident. */
+  def reconPostRepairDsv2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Dsv2ParquetSource, Dsv2WriteProbe}
+    val fmt = classOf[graft.sources.GraftParquetProvider].getName
+    val fix = Trusted.copy(fixMissingMv = true, fixOrphanMv = true, fixInconsistentMv = true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-write").toString
+    try {
+      val mvPath = s"$tmp/mv"
+      val damaged = MvSyncDemo.mvDf(spark, dir)
+      damaged.write.format(fmt)
+        .option("graft.schema", damaged.schema.toDDL)
+        .mode("append").save(mvPath)
+      require(Dsv2WriteProbe.lastCommittedRows.get() > 0,
+        "recon_post_repair_dsv2: append committed no rows")
+      val plan = RepairPlanner.plan(classified(spark, dir, fix),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, fix)
+        .localCheckpoint(eager = false)
+      val repaired = RepairApplier.applyPlan(
+        MvSyncDemo.mvDf(spark, dir), plan, MvSyncDemo.mvSchema)
+      repaired.write.format(fmt).mode("overwrite").save(mvPath)
+      require(Dsv2WriteProbe.lastTruncated.get() > 0,
+        "recon_post_repair_dsv2: overwrite did not truncate the damaged files")
+      MvReconciler.reconcile(
+        MvSyncDemo.baseDf(spark, dir),
+        Dsv2ParquetSource(mvPath).load(spark, MvSyncDemo.mvSchema),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .groupBy("problem").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
   /** The FULL 22-type diff matrix under the ORACLE (not just specs):
    * classify the [[AllTypesFixture]] base/MV pair — blob deep-equals,
    * map/set sort-canonicalization (order-permuted on EVERY common row),
@@ -480,7 +526,8 @@ object ReconQueries {
     "recon_repair_plan" -> reconRepairPlan,
     "recon_repair_plan_guarded" -> reconRepairPlanGuarded,
     "recon_repair_plan_latestts" -> reconRepairPlanLatestTs,
-    "recon_post_repair" -> reconPostRepair)
+    "recon_post_repair" -> reconPostRepair,
+    "recon_post_repair_dsv2" -> reconPostRepairDsv2)
 
   val oracleSql: Map[String, String] = Map(
     "recon_classify" ->
@@ -552,6 +599,11 @@ object ReconQueries {
           |      JOIN joined j USING (o_custkey, o_orderkey))
           |GROUP BY 1""".stripMargin),
     "recon_post_repair" ->
+      """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
+    // same oracle: the DSv2 write (append + overwrite-as-truncate) and
+    // read-back must be invisible around the repair
+    "recon_post_repair_dsv2" ->
       """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
         |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
     "recon_repair_plan" -> planOracle(

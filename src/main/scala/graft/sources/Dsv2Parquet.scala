@@ -18,7 +18,8 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, MessageTyp
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
@@ -62,9 +63,16 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftParquetProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Dsv2Parquet.sparkSchema(
+  /** Schema from the `graft.schema` DDL option when present — the
+   * connector analogue of cluster catalog metadata, and the only way a
+   * write into a FRESH directory can resolve (no footers exist yet) —
+   * else from the first data file's footer. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val ddl = options.get(Dsv2Parquet.SchemaOption)
+    if (ddl != null && ddl.nonEmpty) StructType.fromDDL(ddl)
+    else Dsv2Parquet.sparkSchema(
       Dsv2Parquet.footerSchema(Dsv2Parquet.pathOf(options)))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -73,12 +81,16 @@ class GraftParquetProvider extends TableProvider {
 }
 
 private[sources] case class GraftParquetTable(path: String,
-    override val schema: StructType) extends Table with SupportsRead {
+    override val schema: StructType) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-parquet:$path"
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftParquetScanBuilder(path, schema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    GraftParquetWriteBuilder(path, info)
 }
 
 private[sources] class GraftParquetScanBuilder(path: String,
@@ -418,6 +430,41 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
 }
 
 private[sources] object Dsv2Parquet {
+  /** Option key carrying a Spark DDL schema — the stand-in for the
+   * cluster catalog a live connector would consult. */
+  val SchemaOption = "graft.schema"
+
+  /** Spark schema → parquet message type, the exact inverse of
+   * [[sparkSchema]]: every field an optional primitive, strings as
+   * UTF8-annotated BINARY. Unsupported Spark types fail fast at write
+   * planning, mirroring the read side's posture. */
+  def parquetMessageType(schema: StructType): MessageType = {
+    val b = org.apache.parquet.schema.Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case LongType =>
+          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.INT64)
+        case IntegerType =>
+          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.INT32)
+        case DoubleType =>
+          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.DOUBLE)
+        case FloatType =>
+          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.FLOAT)
+        case BooleanType =>
+          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BOOLEAN)
+        case StringType =>
+          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType())
+        case BinaryType =>
+          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BINARY)
+        case dt => throw new UnsupportedOperationException(
+          s"graft-parquet: unsupported write type $dt (${f.name})")
+      }
+      b.addField(t.named(f.name))
+    }
+    b.named("graft")
+  }
+
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft-parquet requires a path")

@@ -1,0 +1,144 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The DSv2 WRITE path: append into a fresh directory (schema from the
+ * `graft.schema` option — no footers exist yet), append accumulation,
+ * overwrite-as-truncate, staging invisibility, job abort, and the
+ * fail-fast type posture. Read-back runs through BOTH Spark's builtin
+ * parquet source and the DSv2 scan — the files must be ordinary
+ * parquet, not a private format. */
+class Dsv2WriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fmt = classOf[GraftParquetProvider].getName
+
+  private def withTmp[A](f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-write").toString
+    try f(tmp)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  private def fixture: DataFrame =
+    spark.range(100).select(
+      col("id").as("k"),
+      (col("id") % 5).cast("int").as("i"),
+      (col("id") * 0.25).as("d"),
+      (col("id") % 3 === 0).as("b"),
+      concat(lit("v"), (col("id") % 13).cast("string")).as("s"),
+      when(col("id") % 4 === 0, col("id") * 100).as("n"),
+      when(col("id") % 2 === 0,
+        encode(col("id").cast("string"), "UTF-8")).as("raw"))
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case a: Array[Byte] => a.toSeq
+      case x => x
+    }).toSet
+
+  test("append into a fresh directory round-trips every leaf type") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      fixture.write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, fixture.schema.toDDL)
+        .mode("append").save(p)
+      // builtin source: the committed files are ordinary parquet
+      assert(rows(spark.read.parquet(p)) == rows(fixture))
+      // DSv2 scan: same values, schema inferred from the new footers
+      assert(rows(spark.read.format(fmt).load(p)) == rows(fixture))
+      assert(Dsv2WriteProbe.lastCommittedRows.get() == 100L)
+      assert(Dsv2WriteProbe.lastTruncated.get() == 0)
+      // no staging residue
+      val names = new java.io.File(p).list().toSeq
+      assert(names.forall(n => !n.contains("_staging")), names.toString)
+    }
+  }
+
+  test("second append accumulates; overwrite truncates committed files") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val ddl = fixture.schema.toDDL
+      fixture.write.format(fmt).option(Dsv2Parquet.SchemaOption, ddl)
+        .mode("append").save(p)
+      fixture.write.format(fmt).mode("append").save(p)
+      assert(spark.read.parquet(p).count() == 200L)
+      val repl = fixture.filter(col("k") < 10)
+      repl.write.format(fmt).mode("overwrite").save(p)
+      assert(Dsv2WriteProbe.lastTruncated.get() > 0)
+      assert(rows(spark.read.parquet(p)) == rows(repl))
+      assert(rows(spark.read.format(fmt).load(p)) == rows(repl))
+    }
+  }
+
+  test("empty partitions stage no files") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val one = fixture.filter(col("k") === 1).repartition(8)
+      one.write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, one.schema.toDDL)
+        .mode("append").save(p)
+      assert(Dsv2WriteProbe.lastCommittedFiles.get() == 1)
+      assert(spark.read.parquet(p).count() == 1L)
+    }
+  }
+
+  test("job abort removes staged files and leaves committed data intact") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")
+      fixture.select("k").write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT").mode("append").save(p)
+      // drive the BatchWrite API directly: stage a file, then abort
+      val bw = GraftParquetBatchWrite(p, schema, "spec-abort", truncateFirst = false)
+      val w = GraftParquetWriterFactory(s"$p/_staging-spec-abort", schema)
+        .createWriter(0, 0L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(42L))
+      val msg = w.commit()
+      assert(new java.io.File(s"$p/_staging-spec-abort").exists())
+      // staged rows are invisible to readers even before abort
+      assert(spark.read.parquet(p).count() == 100L)
+      bw.abort(Array(msg))
+      assert(!new java.io.File(s"$p/_staging-spec-abort").exists())
+      assert(spark.read.parquet(p).count() == 100L)
+    }
+  }
+
+  test("commit verifies staged files exist before truncating") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      fixture.select("k").write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT").mode("append").save(p)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")
+      val bw = GraftParquetBatchWrite(p, schema, "spec-missing", truncateFirst = true)
+      val ex = intercept[IllegalArgumentException] {
+        bw.commit(Array(GraftParquetCommitMessage(
+          Some(s"$p/_staging-spec-missing/ghost.parquet"), 1L)))
+      }
+      assert(ex.getMessage.contains("staged file missing"))
+      // the failed overwrite destroyed nothing
+      assert(spark.read.parquet(p).count() == 100L)
+    }
+  }
+
+  test("unsupported write types fail fast") {
+    withTmp { tmp =>
+      val bad = spark.range(3).select(array(col("id")).as("a"))
+      val ex = intercept[Exception] {
+        bad.write.format(fmt)
+          .option(Dsv2Parquet.SchemaOption, bad.schema.toDDL)
+          .mode("append").save(s"$tmp/t")
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(ex).exists(m =>
+        m != null && m.contains("unsupported write type")), chain(ex).toString)
+    }
+  }
+}
