@@ -197,6 +197,36 @@ object ReconQueries {
     df
   }
 
+  /** The DSv2 pushed-limit path driver-verified: orders rewritten as 8
+   * row groups, then `LIMIT 500` through the provider — the scan must
+   * plan only the leading row groups whose footer row counts cover the
+   * limit (here 1 of 8) and still deliver exactly 500 rows to Spark's
+   * own Limit. The require()s pin both the pushdown engaging
+   * (PushedLimit in the executed plan) and the truncation actually
+   * dropping row groups — if either stops, the row errors rather than
+   * passing the slow way. */
+  def dsv2LimitPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dsv2RuntimeProbe
+    val fmt = classOf[graft.sources.GraftParquetProvider].getName
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-limit").toString
+    try {
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .repartition(8).write.parquet(s"$tmp/orders")
+      val limited = spark.read.format(fmt).load(s"$tmp/orders").limit(500)
+      val out = limited.agg(count(lit(1)).as("n_rows"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("PushedLimit: LIMIT 500"),
+        s"dsv2_limit_pushdown: limit did not reach the scan\n$plan")
+      val forced = out.localCheckpoint()
+      require(Dsv2RuntimeProbe.lastKept.get() <
+        Dsv2RuntimeProbe.lastPlanned.get(),
+        "dsv2_limit_pushdown: no row group was truncated " +
+          s"(${Dsv2RuntimeProbe.lastKept.get()}/${Dsv2RuntimeProbe.lastPlanned.get()})")
+      forced
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
   /** Operators D/N (scan/mutation rate limiting) driver-verified: the
    * SAME classification as [[reconClassify]] with BOTH scans wrapped in
    * [[graft.sources.Throttle.perPartitionRows]] — the reference's
@@ -490,6 +520,55 @@ object ReconQueries {
     settled
   }
 
+  /** The STREAMING read through the DataSource V2 seam — the third
+   * face of the connector API (after recon_classify_dsv2's batch read
+   * and recon_post_repair_dsv2's write): both sides of the MvSyncDemo
+   * pair replayed as micro-batch CHANGE FEEDS through the provider's
+   * `MicroBatchStream` (row-group offsets, persisted file-order log,
+   * `graft.maxRowGroupsPerTrigger=1` so each 4-file side genuinely
+   * spans multiple micro-batches) into the stateful
+   * [[graft.streaming.StreamingReconciler.monitor]]. The settled
+   * max-seq classification per key, with the composite PK split back
+   * out of the reconciler's key string, must equal the BATCH
+   * classification — the row shares recon_classify's oracle verbatim,
+   * so a hash match proves the streaming scan forwarded every row
+   * group exactly once with exact values. */
+  def reconStreamDsv2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingReconciler
+    val fmt = classOf[graft.sources.GraftParquetProvider].getName
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dsv2").toString
+    try {
+      val baseDf = MvSyncDemo.baseDf(spark, dir)
+      val mvDf = MvSyncDemo.mvDf(spark, dir)
+      baseDf.repartition(4).write.parquet(s"$tmp/base")
+      mvDf.repartition(4).write.parquet(s"$tmp/mv")
+      def feed(path: String) = spark.readStream.format(fmt)
+        .option("graft.maxRowGroupsPerTrigger", "1")
+        .load(path)
+      val updates = StreamingReconciler.monitor(
+        feed(s"$tmp/base"), feed(s"$tmp/mv"),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema).toDF()
+      val sink = s"graft_stream_dsv2_${java.lang.Long.toHexString(System.nanoTime())}"
+      val q = updates.writeStream.outputMode("update")
+        .format("memory").queryName(sink)
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("seq").desc)
+      val settled = spark.table(sink)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        // key = concat_ws("|", sorted pk) = "o_custkey|o_orderkey"
+        .select(
+          split(col("key"), "\\|").getItem(0).cast("bigint").as("o_custkey"),
+          split(col("key"), "\\|").getItem(1).cast("bigint").as("o_orderkey"),
+          col("problem"), col("mismatch_col"))
+        .localCheckpoint()
+      spark.catalog.dropTempView(sink)
+      settled
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
   /** Operator O's report format under the ORACLE: the exact
    * `MVInconsistentRow.toString` string (MVInconsistentRow.java:31-52 —
    * Problem/RowKey/MainTableEntry/MVTableEntry lines + Base/MvColumn
@@ -514,10 +593,12 @@ object ReconQueries {
     "recon_classify_json" -> reconClassifyJson,
     "recon_classify_dsv2" -> reconClassifyDsv2,
     "dsv2_agg_pushdown" -> dsv2AggPushdown,
+    "dsv2_limit_pushdown" -> dsv2LimitPushdown,
     "recon_classify_throttled" -> reconClassifyThrottled,
     "recon_classify_bucketed" -> reconClassifyBucketed,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
     "recon_stream_replay" -> reconStreamReplay,
+    "recon_stream_dsv2" -> reconStreamDsv2,
     "recon_report_lines" -> reconReportLines,
     "recon_stats" -> reconStats,
     "recon_stats_line" -> reconStatsLine,
@@ -542,12 +623,22 @@ object ReconQueries {
     // pushFilters into the parquet reader) must be invisible
     "recon_classify_dsv2" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
+    // same oracle again: the DSv2 MICRO-BATCH read + stateful settle
+    // must land exactly where the batch classify does
+    "recon_stream_dsv2" ->
+      (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     // the footer-served aggregates must equal the real ones
     "dsv2_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
            CAST(count(o_custkey) AS BIGINT) AS n_cust
          FROM orders""",
+    // the limited count is deterministic (any 500 rows count as 500);
+    // the real verification is the require()d row-group truncation and
+    // the Dsv2LimitSpec exactness tests
+    "dsv2_limit_pushdown" ->
+      """SELECT CAST(least(500, (SELECT count(*) FROM orders)) AS BIGINT)
+           AS n_rows""",
     // same oracle again: the rate limiter must be row-transparent
     "recon_classify_throttled" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),

@@ -22,7 +22,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -86,20 +86,33 @@ private[sources] case class GraftParquetTable(path: String,
   override def name(): String = s"graft-parquet:$path"
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftParquetScanBuilder(path, schema)
+    new GraftParquetScanBuilder(path, schema,
+      Option(options.get(Dsv2Parquet.MaxRowGroupsPerTriggerOption))
+        .map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     GraftParquetWriteBuilder(path, info)
 }
 
 private[sources] class GraftParquetScanBuilder(path: String,
-    tableSchema: StructType) extends ScanBuilder
+    tableSchema: StructType,
+    maxRowGroupsPerTrigger: Option[Int] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, Array[Any], String)] = None
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown (isPartiallyPushed stays true, so Spark
+   * keeps its own Limit on top — correctness never depends on ours):
+   * the scan plans only enough row groups to cover the limit when no
+   * predicate is in play, and every reader stops emitting at the limit
+   * regardless. A live connector serves the same surface with per-
+   * token-range LIMIT clauses. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -222,7 +235,8 @@ private[sources] class GraftParquetScanBuilder(path: String,
   override def build(): Scan = aggResult match {
     case Some((schema, values, desc)) =>
       GraftParquetAggScan(schema, values, desc)
-    case None => GraftParquetScan(path, required, pushed)
+    case None =>
+      GraftParquetScan(path, required, pushed, maxRowGroupsPerTrigger, limit)
   }
 }
 
@@ -256,10 +270,19 @@ private[sources] case class GraftAggReaderFactory()
 }
 
 private[sources] case class GraftParquetScan(path: String,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    required: StructType, pushed: Array[Filter],
+    maxRowGroupsPerTrigger: Option[Int] = None,
+    limit: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming face of the same scan: column pruning and pushed
+   * filters carry over unchanged; offsets index row groups. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftParquetMicroBatchStream(path, required, pushed,
+      checkpointLocation, maxRowGroupsPerTrigger)
 
   /** Exact row count and uncompressed byte size from the cached
    * footers — what Spark's planner (join strategy selection, DPP
@@ -305,7 +328,8 @@ private[sources] case class GraftParquetScan(path: String,
    * lines. */
   override def description(): String =
     s"GraftParquetScan PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      s"ReadSchema: ${required.catalogString}" +
+      limit.map(l => s", PushedLimit: LIMIT $l").getOrElse("")
 
   /** Footer metadata, read ONCE per scan: Spark plans partitions at
    * least twice when runtime filtering engages (initial plan, then the
@@ -326,15 +350,32 @@ private[sources] case class GraftParquetScan(path: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val bounds = Dsv2Parquet.inBounds(runtime)
-    val parts = footerBlocks.flatMap { case (file, b) =>
+    val survivors = footerBlocks.filter { case (_, b) =>
       // one partition per row group, addressed by byte range —
       // ParquetReader selects row groups by midpoint offset;
       // runtime-filtered re-plans drop row groups whose footer
       // min/max exclude every join-side value BEFORE any task
       // launches (the IO win dynamic pruning exists for)
-      if (!Dsv2Parquet.blockMayMatch(b, bounds)) None
-      else Some(GraftParquetPartition(file, b.getStartingPos,
-        b.getStartingPos + b.getCompressedSize): InputPartition)
+      Dsv2Parquet.blockMayMatch(b, bounds)
+    }
+    // pushed-limit row-group truncation: with NO predicate in play
+    // (pushed or runtime — either makes per-group yield unknowable),
+    // footer row counts say exactly how many leading row groups cover
+    // the limit; the rest never become tasks. Spark's own Limit on
+    // top takes the final cut (partial pushdown).
+    val limited = limit match {
+      case Some(l) if pushed.isEmpty && runtime.isEmpty =>
+        var need = l.toLong
+        survivors.takeWhile { case (_, b) =>
+          val take = need > 0L
+          need -= b.getRowCount
+          take
+        }
+      case _ => survivors
+    }
+    val parts = limited.map { case (file, b) =>
+      GraftParquetPartition(file, b.getStartingPos,
+        b.getStartingPos + b.getCompressedSize): InputPartition
     }
     Dsv2RuntimeProbe.lastPlanned.set(footerBlocks.length)
     Dsv2RuntimeProbe.lastKept.set(parts.length)
@@ -342,23 +383,17 @@ private[sources] case class GraftParquetScan(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // resolve the requested projection against the FILE schema once on
-    // the driver (preserving the file's physical types/annotations),
-    // ship it as parquet's canonical message-text form
-    val fileSchema = Dsv2Parquet.footerSchema(path)
-    val fields = required.fieldNames.map { n =>
-      require(fileSchema.containsField(n),
-        s"column $n not present in parquet schema at $path")
-      fileSchema.getType(Seq(n): _*)
-    }
-    val projection = new MessageType(fileSchema.getName, fields: _*)
     // runtime filters ride along as record-level predicates too: a
     // kept row group may still skip pages/records on them. BatchScanExec
     // resolves filtered partitions before building the reader factory,
     // so `runtime` is populated here whenever pruning ran. Correctness
     // never depends on it: the join that produced the filter re-checks
-    // every surviving row.
-    GraftParquetReaderFactory(projection.toString, required, pushed ++ runtime)
+    // every surviving row. The requested projection is resolved against
+    // EACH FILE's own schema inside ReadSupport.init (see
+    // ProjectingGroupReadSupport) — one directory may mix writers whose
+    // repetitions differ, and parquet's containment check demands an
+    // exact repetition match per file.
+    GraftParquetReaderFactory(required, pushed ++ runtime, limit)
   }
 }
 
@@ -376,22 +411,47 @@ object Dsv2RuntimeProbe {
 private[sources] case class GraftParquetPartition(file: String, start: Long,
     end: Long) extends InputPartition
 
-private[sources] case class GraftParquetReaderFactory(projection: String,
-    required: StructType, pushed: Array[Filter]) extends PartitionReaderFactory {
+private[sources] case class GraftParquetReaderFactory(
+    required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftParquetPartition]
-    new GraftParquetPartitionReader(gp, projection, required, pushed)
+    new GraftParquetPartitionReader(gp, required, pushed, limit)
+  }
+}
+
+/** Per-file projection: parquet's schema-containment check demands the
+ * requested repetition EQUAL the file's, and one directory may mix
+ * writers (Spark's builtin source writes non-nullable columns as
+ * `required`; this provider's writer stages everything `optional`), so
+ * the requested MessageType is derived from each file's OWN schema in
+ * `init` — the hook parquet provides for exactly this. Field order
+ * follows `cols`, so the reader's positional access stays aligned with
+ * the Spark-side required schema. */
+private[sources] class ProjectingGroupReadSupport(cols: Array[String])
+    extends GroupReadSupport {
+  override def init(context: org.apache.parquet.hadoop.api.InitContext)
+      : ReadSupport.ReadContext = {
+    val fileSchema = context.getFileSchema
+    val fields = cols.map { n =>
+      require(fileSchema.containsField(n),
+        s"column $n not present in parquet schema $fileSchema")
+      fileSchema.getType(Seq(n): _*)
+    }
+    new ReadSupport.ReadContext(
+      new MessageType(fileSchema.getName, fields: _*))
   }
 }
 
 private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
-    projection: String, required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection)
-    val b = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+    val b = ParquetReader.builder(
+        new ProjectingGroupReadSupport(required.fieldNames), new Path(p.file))
       .withConf(conf)
       .withFileRange(p.start, p.end)
     val preds = pushed.flatMap(Dsv2Parquet.translate(_, required))
@@ -399,8 +459,18 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
      else b.withFilter(FilterCompat.get(preds.reduce(FilterApi.and)))).build()
   }
   private var row: Group = _
+  private var emitted = 0L
 
-  override def next(): Boolean = { row = reader.read(); row != null }
+  /** Early stop at the pushed limit: any `limit` rows satisfy an
+   * unordered LIMIT (an ordered one plans TopN, which is never pushed
+   * here), and `emitted` counts post-record-filter rows, so this is
+   * safe under pushed and runtime predicates alike. */
+  override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
+    row = reader.read()
+    if (row != null) emitted += 1L
+    row != null
+  }
 
   override def get(): InternalRow = {
     val vals = new Array[Any](required.length)
@@ -433,6 +503,10 @@ private[sources] object Dsv2Parquet {
   /** Option key carrying a Spark DDL schema — the stand-in for the
    * cluster catalog a live connector would consult. */
   val SchemaOption = "graft.schema"
+
+  /** Streaming admission-control option: max row groups per
+   * micro-batch (the connector analogue of maxFilesPerTrigger). */
+  val MaxRowGroupsPerTriggerOption = "graft.maxRowGroupsPerTrigger"
 
   /** Spark schema → parquet message type, the exact inverse of
    * [[sparkSchema]]: every field an optional primitive, strings as

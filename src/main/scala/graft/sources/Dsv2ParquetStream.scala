@@ -1,0 +1,163 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/**
+ * DataSource V2 STREAMING read for [[GraftParquetProvider]] — the
+ * third face of the connector seam (batch read, batch write, and now
+ * micro-batch read, the API a CDC/changefeed connector implements).
+ * The directory is treated as an append-only log of immutable parquet
+ * files; the offset space is the GLOBAL ROW-GROUP INDEX — the same
+ * unit the batch scan splits on and the moral equivalent of a CDC
+ * token-range/LSN cursor. Each `latestOffset` re-lists the directory
+ * and appends newly arrived files to the END of a persisted order log
+ * (`<checkpoint>/graft-file-order.log`), so the offset→(file, row
+ * group) mapping is REPRODUCIBLE ACROSS RESTARTS: a recovered query
+ * replans exactly the row groups its checkpointed offsets named, the
+ * property exactly-once sinks need from a source. (Spark's own
+ * FileStreamSource keeps the same seen-files log for the same
+ * reason.) Uncommitted data can never be observed: the batch writer
+ * stages under a `_`-prefixed directory the listing skips, and
+ * Spark's own committers rename out of `_temporary`.
+ *
+ * Admission control: `graft.maxRowGroupsPerTrigger` caps row groups
+ * per micro-batch (the connector analogue of maxFilesPerTrigger /
+ * maxOffsetsPerTrigger), so a backlog drains in bounded batches
+ * instead of one giant catch-up batch — at 100 TB the difference
+ * between a streaming job and an accidental batch job. Column
+ * pruning and filter pushdown flow through the SAME ScanBuilder as
+ * the batch path: the micro-batch reader factory ships the pruned
+ * projection and pushed predicates unchanged.
+ */
+private[sources] class GraftParquetMicroBatchStream(path: String,
+    required: StructType, pushed: Array[Filter], checkpointLocation: String,
+    maxPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val conf = new Configuration()
+  private val logPath = new Path(checkpointLocation, "graft-file-order.log")
+
+  /** Discovery order, restart-stable: (file, per-row-group byte range).
+   * Grows monotonically; never reordered. */
+  private val files = mutable.ArrayBuffer.empty[(String, Array[(Long, Long)])]
+  private val seen = mutable.HashSet.empty[String]
+  loadLog()
+
+  private def rowGroupRanges(file: String): Array[(Long, Long)] = {
+    val fs = new Path(file).getFileSystem(conf)
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(
+      fs.getFileStatus(new Path(file)), conf))
+    try r.getFooter.getBlocks.asScala.map(b =>
+      (b.getStartingPos, b.getStartingPos + b.getCompressedSize)).toArray
+    finally r.close()
+  }
+
+  private def append(file: String): Unit = {
+    files += file -> rowGroupRanges(file)
+    seen += file
+  }
+
+  private def loadLog(): Unit = {
+    val fs = logPath.getFileSystem(conf)
+    if (fs.exists(logPath)) {
+      val in = fs.open(logPath)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      text.split("\n").filter(_.nonEmpty).foreach(append)
+    }
+  }
+
+  private def persistLog(): Unit = {
+    val fs = logPath.getFileSystem(conf)
+    fs.mkdirs(logPath.getParent)
+    val out = fs.create(logPath, true)
+    try out.write(files.map(_._1).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** List the directory; append unseen files (name-sorted within one
+   * discovery for determinism) and persist the order BEFORE exposing
+   * them through an offset — a crash between persist and processing
+   * replays identically. */
+  private def discover(): Unit = {
+    val fresh = Dsv2Parquet.dataFiles(path, conf)
+      .map(_.getPath.toString).filterNot(seen).sorted
+    if (fresh.nonEmpty) {
+      fresh.foreach(append)
+      persistLog()
+    }
+  }
+
+  private def totalRowGroups: Long = files.iterator.map(_._2.length.toLong).sum
+
+  override def initialOffset(): Offset = GraftStreamOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(m => ReadLimit.maxRows(m.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset = {
+    discover()
+    GraftStreamOffset(totalRowGroups)
+  }
+
+  /** Admission-controlled variant: advance at most maxPerTrigger row
+   * groups past `start` (our unit is the row group, not the row — the
+   * granularity this source can actually split on). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    discover()
+    val s = start.asInstanceOf[GraftStreamOffset].n
+    val total = totalRowGroups
+    GraftStreamOffset(maxPerTrigger.map(m => math.min(total, s + m))
+      .getOrElse(total))
+  }
+
+  override def reportLatestOffset(): Offset = GraftStreamOffset(totalRowGroups)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].n
+    val e = end.asInstanceOf[GraftStreamOffset].n
+    val out = mutable.ArrayBuffer.empty[InputPartition]
+    var idx = 0L
+    files.foreach { case (file, ranges) =>
+      ranges.foreach { case (lo, hi) =>
+        if (idx >= s && idx < e)
+          out += GraftParquetPartition(file, lo, hi)
+        idx += 1L
+      }
+    }
+    require(e <= idx, s"offset $e beyond known row groups $idx " +
+      s"(file-order log out of sync at $logPath)")
+    out.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // projection resolution is per file inside ReadSupport.init
+    // (ProjectingGroupReadSupport) — micro-batches routinely span
+    // files from different writers
+    GraftParquetReaderFactory(required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Row-group-index cursor; serialized as the bare number. */
+private[sources] case class GraftStreamOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}

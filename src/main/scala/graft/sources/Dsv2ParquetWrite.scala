@@ -15,6 +15,7 @@ import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 
 /**
@@ -59,6 +60,9 @@ private[sources] case class GraftParquetWriteBuilder(path: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       GraftParquetBatchWrite(path, info.schema(), info.queryId(), truncateFirst)
+    override def toStreaming: StreamingWrite =
+      GraftParquetStreamingWrite(path, info.schema(), info.queryId(),
+        truncateFirst)
   }
 }
 
@@ -109,6 +113,75 @@ private[sources] case class GraftParquetBatchWrite(path: String,
     val conf = new Configuration()
     val fs = new Path(stagingDir).getFileSystem(conf)
     fs.delete(new Path(stagingDir), true)
+  }
+}
+
+/**
+ * Streaming (micro-batch) write — the sink half of a streaming
+ * connector. Same staging discipline as the batch write, PER EPOCH:
+ * each micro-batch stages under `path/_staging-<queryId>-e<epochId>`,
+ * and epoch commit is IDEMPOTENT through a `_epoch-<queryId>-<epochId>`
+ * marker file — a micro-batch replayed after a driver failure (Spark
+ * re-runs the epoch whose commit wasn't checkpointed) sees the marker,
+ * drops its re-staged files, and commits nothing twice: file-visibility
+ * exactly-once, the property a CQL sink gets from idempotent mutations
+ * and a file sink must build from markers (Spark's own file sink keeps
+ * the same ledger in its _spark_metadata log). `truncate` (outputMode
+ * = complete) replaces the committed snapshot each epoch, so the
+ * directory always holds exactly the latest aggregate state.
+ */
+private[sources] case class GraftParquetStreamingWrite(path: String,
+    schema: StructType, queryId: String, truncateFirst: Boolean)
+    extends StreamingWrite {
+
+  private def stagingDir(epochId: Long) = s"$path/_staging-$queryId-e$epochId"
+  private def marker(epochId: Long) = new Path(path, s"_epoch-$queryId-$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new GraftParquetDataWriter(stagingDir(epochId), schema,
+          partitionId, taskId)
+    }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    if (fs.exists(marker(epochId))) {
+      // replayed epoch: the earlier attempt's files are already
+      // committed and deterministic recomputation staged equal content
+      fs.delete(new Path(stagingDir(epochId)), true)
+      return
+    }
+    val staged = messages.collect {
+      case GraftParquetCommitMessage(Some(f), _) => new Path(f)
+    }
+    staged.foreach(f => require(fs.isFile(f),
+      s"graft-parquet epoch $epochId commit: staged file missing: $f"))
+    if (truncateFirst) {
+      val old = Dsv2Parquet.dataFiles(path, conf)
+      old.foreach(f => fs.delete(f.getPath, false))
+      Dsv2WriteProbe.lastTruncated.set(old.length)
+    }
+    fs.mkdirs(target)
+    staged.foreach { f =>
+      val dst = new Path(target, f.getName)
+      require(fs.rename(f, dst),
+        s"graft-parquet epoch $epochId commit: rename $f -> $dst failed")
+    }
+    fs.create(marker(epochId), true).close()
+    fs.delete(new Path(stagingDir(epochId)), true)
+    Dsv2WriteProbe.lastCommittedFiles.set(staged.length)
+    Dsv2WriteProbe.epochsCommitted.incrementAndGet(): Unit
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val fs = new Path(stagingDir(epochId)).getFileSystem(conf)
+    fs.delete(new Path(stagingDir(epochId)), true)
   }
 }
 
@@ -203,4 +276,5 @@ object Dsv2WriteProbe {
   val lastCommittedFiles = new java.util.concurrent.atomic.AtomicInteger
   val lastCommittedRows = new java.util.concurrent.atomic.AtomicLong
   val lastTruncated = new java.util.concurrent.atomic.AtomicInteger
+  val epochsCommitted = new java.util.concurrent.atomic.AtomicLong
 }

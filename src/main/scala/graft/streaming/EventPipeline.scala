@@ -219,6 +219,42 @@ object EventPipeline {
   def qEventsHourlyStream(spark: SparkSession, dir: String): DataFrame =
     orderedReplay(spark, dir)(hourlyAgg)
 
+  /** The same hourly aggregation, SETTLED THROUGH THE DSv2 STREAMING
+   * SINK instead of a memory sink — the write half of a streaming
+   * connector under the oracle. Complete output mode drives the
+   * epoch-truncate path: every micro-batch replaces the committed
+   * snapshot (staged per epoch, marker-idempotent commit), so after
+   * the replay drains, the directory holds exactly the final
+   * aggregate state, read back through the provider and compared to
+   * the BATCH hourly rollup — the row shares `q_events_hourly`'s
+   * oracle SQL verbatim. A stale epoch surviving a truncate, a lost
+   * staged file, or a double-committed replay would all leave extra or
+   * missing window rows and turn the hash red. */
+  def qEventsHourlySinkDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = classOf[graft.sources.GraftParquetProvider].getName
+    val (stream, cleanup) = orderedFeed(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-dsv2-sink").toString
+    try {
+      val before = graft.sources.Dsv2WriteProbe.epochsCommitted.get()
+      val q = hourlyAgg(stream).writeStream.format(fmt)
+        .outputMode("complete")
+        .option("graft.schema",
+          "hour STRING, event_type STRING, n BIGINT, total_value DOUBLE")
+        .option("checkpointLocation", s"$out/ckpt")
+        .start(s"$out/data")
+      try q.processAllAvailable() finally q.stop()
+      require(graft.sources.Dsv2WriteProbe.epochsCommitted.get() - before >= 4L,
+        "q_events_hourly_sink_dsv2: expected at least 4 committed epochs")
+      spark.read.format(fmt).load(s"$out/data").localCheckpoint()
+    } finally {
+      cleanup()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   /** The native session-window operator under the same ordered replay:
    * open sessions MERGE as later micro-batches extend them — a
    * different stateful mechanism (session merge) than the tumbling
@@ -261,6 +297,22 @@ object EventPipeline {
       outputMode: String = "complete",
       epilogue: Seq[DataFrame] = Nil)(
       agg: DataFrame => DataFrame): DataFrame = {
+    val (stream, cleanup) = orderedFeed(spark, dir, orderCols, epilogue)
+    val sink = s"graft_events_replay_${java.lang.Long.toHexString(System.nanoTime())}"
+    val settled = runToMemory(agg(stream), sink, outputMode).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    cleanup()
+    settled
+  }
+
+  /** The replay FEED alone (slice + stamp + file stream), for callers
+   * that settle somewhere other than a memory sink — e.g. the DSv2
+   * streaming-write twin. Returns the stream and a cleanup thunk that
+   * removes the feed files; the caller invokes it after the query
+   * stops and its result is checkpointed. */
+  private def orderedFeed(spark: SparkSession, dir: String,
+      orderCols: Seq[String] = Seq("ts", "event_id"),
+      epilogue: Seq[DataFrame] = Nil): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val tmp = java.nio.file.Files.createTempDirectory("graft-events-replay").toString
     // ntile over a global sort: a correctness-harness-only single-task
@@ -317,14 +369,10 @@ object EventPipeline {
     val stream = spark.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(tmp)
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
-    val sink = s"graft_events_replay_${java.lang.Long.toHexString(System.nanoTime())}"
-    val settled = runToMemory(agg(stream), sink, outputMode).localCheckpoint()
-    spark.catalog.dropTempView(sink)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
-    rm(new java.io.File(tmp))
-    settled
+    (stream, () => rm(new java.io.File(tmp)))
   }
 
   /** The stream-stream interval join under the ordered replay: both
@@ -379,6 +427,7 @@ object EventPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly_stream" -> qEventsHourlyStream,
+    "q_events_hourly_sink_dsv2" -> qEventsHourlySinkDsv2,
     "q_events_sessions_stream" -> qEventsSessionsStream,
     "q_events_dedup_stream" -> qEventsDedupStream,
     "q_events_stream_join" -> qEventsStreamJoin,
@@ -389,6 +438,9 @@ object EventPipeline {
   /** Share the batch queries' oracles — streaming must settle to them. */
   val oracleSql: Map[String, String] = Map(
     "q_events_hourly_stream" ->
+      graft.operators.RelationalQueries.oracleSql("q_events_hourly"),
+    // same share: the DSv2 streaming sink must settle to the batch rollup
+    "q_events_hourly_sink_dsv2" ->
       graft.operators.RelationalQueries.oracleSql("q_events_hourly"),
     "q_events_sessions_stream" ->
       graft.operators.RelationalQueries.oracleSql("q_events_sessions"),

@@ -1,0 +1,132 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The DSv2 micro-batch read: bounded admission (row groups per
+ * trigger), discovery of late-arriving files, restart-stable offset
+ * mapping through the persisted file-order log, and pruned projection
+ * on the streaming path. */
+class Dsv2StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fmt = classOf[GraftParquetProvider].getName
+
+  private def withTmp[A](f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-stream").toString
+    try f(tmp)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  private def fixture(n: Int): DataFrame =
+    spark.range(n).select(col("id").as("k"),
+      (col("id") % 9).cast("int").as("i"),
+      concat(lit("v"), (col("id") % 5).cast("string")).as("s"))
+
+  test("drains a 4-file backlog in bounded micro-batches, values exact") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      fixture(80).repartition(4).write.parquet(p)
+      val sink = s"dsv2_stream_${java.lang.Long.toHexString(System.nanoTime())}"
+      val q = spark.readStream.format(fmt)
+        .option(Dsv2Parquet.MaxRowGroupsPerTriggerOption, "1")
+        .load(p)
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(sink).collect().map(_.toSeq).toSet
+      assert(got == fixture(80).collect().map(_.toSeq).toSet)
+      // bounded admission: 4 row groups at 1/trigger → ≥4 data batches
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4, s"expected >=4 micro-batches, saw $dataBatches")
+      spark.catalog.dropTempView(sink)
+    }
+  }
+
+  test("discovers files that arrive after the stream started") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      fixture(10).coalesce(1).write.parquet(p)
+      val sink = s"dsv2_growing_${java.lang.Long.toHexString(System.nanoTime())}"
+      val q = spark.readStream.format(fmt).load(p)
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == 10L)
+        // late arrival through the DSv2 WRITER (staging stays invisible)
+        fixture(10).select((col("k") + 100).as("k"), col("i"), col("s"))
+          .coalesce(1).write.format(fmt).mode("append").save(p)
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == 20L)
+      } finally q.stop()
+      spark.catalog.dropTempView(sink)
+    }
+  }
+
+  test("offset mapping is restart-stable via the file-order log") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val ckpt = s"$tmp/ckpt"
+      // two files whose names sort AGAINST arrival order would reorder
+      // a naive re-list; the log must pin discovery order
+      fixture(5).coalesce(1).write.parquet(s"$tmp/stage1")
+      val schema = StructType.fromDDL("k BIGINT, i INT, s STRING")
+      new java.io.File(p).mkdirs()
+      def copyIn(from: String, name: String): Unit = {
+        val src = new java.io.File(from).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(src.toPath,
+          new java.io.File(p, name).toPath)
+        ()
+      }
+      copyIn(s"$tmp/stage1", "zzz-first.parquet")
+      val s1 = new GraftParquetMicroBatchStream(p, schema, Array.empty,
+        ckpt, Some(1))
+      val o1 = s1.latestOffset(GraftStreamOffset(0L),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      assert(o1 == GraftStreamOffset(1L))
+      val firstPlan = s1.planInputPartitions(GraftStreamOffset(0L), o1)
+        .map(_.asInstanceOf[GraftParquetPartition].file)
+      // a second file arrives whose NAME sorts before the first
+      copyIn(s"$tmp/stage1", "aaa-second.parquet")
+      // a fresh stream instance (= query restart) reloads the log: the
+      // already-consumed offset range must map to the SAME file
+      val s2 = new GraftParquetMicroBatchStream(p, schema, Array.empty,
+        ckpt, Some(1))
+      s2.latestOffset()
+      val replan = s2.planInputPartitions(GraftStreamOffset(0L),
+        GraftStreamOffset(1L))
+        .map(_.asInstanceOf[GraftParquetPartition].file)
+      assert(replan.toSeq == firstPlan.toSeq)
+      // and the new file occupies the NEXT offset, despite its name
+      val next = s2.planInputPartitions(GraftStreamOffset(1L),
+        GraftStreamOffset(2L))
+        .map(_.asInstanceOf[GraftParquetPartition].file)
+      assert(next.head.endsWith("aaa-second.parquet"))
+    }
+  }
+
+  test("streaming path prunes columns into the scan projection") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      fixture(20).coalesce(1).write.parquet(p)
+      val sink = s"dsv2_prune_${java.lang.Long.toHexString(System.nanoTime())}"
+      val q = spark.readStream.format(fmt).load(p)
+        .select("k")
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.table(sink).schema.fieldNames.toSeq == Seq("k"))
+      assert(spark.table(sink).as[Long].collect().toSet == (0L until 20L).toSet)
+      spark.catalog.dropTempView(sink)
+    }
+  }
+}

@@ -127,6 +127,19 @@ class Dsv2WriteSpec extends SparkSpec {
     }
   }
 
+  test("mixed required/optional files in one directory read exactly") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      // builtin source writes non-nullable long as REQUIRED int64
+      spark.range(50).select(col("id").as("k")).write.parquet(p)
+      // our writer stages everything OPTIONAL into the same directory
+      spark.range(50, 80).select(col("id").as("k"))
+        .write.format(fmt).mode("append").save(p)
+      val q = spark.read.format(fmt).load(p).filter(col("k") >= 40)
+      assert(q.collect().map(_.getLong(0)).toSet == (40L until 80L).toSet)
+    }
+  }
+
   test("unsupported write types fail fast") {
     withTmp { tmp =>
       val bad = spark.range(3).select(array(col("id")).as("a"))
