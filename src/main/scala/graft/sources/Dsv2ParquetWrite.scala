@@ -82,6 +82,7 @@ private[sources] case class GraftParquetBatchWrite(path: String,
     GraftParquetWriterFactory(stagingDir, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val t0 = System.nanoTime()
     val conf = new Configuration()
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
@@ -107,6 +108,7 @@ private[sources] case class GraftParquetBatchWrite(path: String,
     Dsv2WriteProbe.lastCommittedRows.set(messages.collect {
       case GraftParquetCommitMessage(_, n) => n
     }.sum)
+    Dsv2WriteProbe.lastCommitMillis.set((System.nanoTime() - t0) / 1000000L)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -277,4 +279,8 @@ object Dsv2WriteProbe {
   val lastCommittedRows = new java.util.concurrent.atomic.AtomicLong
   val lastTruncated = new java.util.concurrent.atomic.AtomicInteger
   val epochsCommitted = new java.util.concurrent.atomic.AtomicLong
+  /** Driver-side wall of the latest job commit (staging verify +
+   * optional truncate + renames) — the only O(#tasks) serial section
+   * of the write path, measured by the ScaleSmoke dsv2write curve. */
+  val lastCommitMillis = new java.util.concurrent.atomic.AtomicLong
 }

@@ -1133,6 +1133,54 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("dsv2write")) {
+      // Write-path smoke: the DSv2 writer's only serial section is the
+      // driver-side job commit (staging verify + optional truncate +
+      // one rename per task file). Write the SAME bytes as 16 / 64 /
+      // 256 files: total wall should track data volume (flat across
+      // file counts), while the measured commit wall grows only with
+      // the file count and stays milliseconds-scale — the evidence
+      // that a 1000-task write is bottlenecked by data, not commit.
+      import graft.sources.{Dsv2WriteProbe, GraftParquetProvider}
+      val fmt = classOf[GraftParquetProvider].getName
+      val wDir = "/tmp/graft-smoke-dsv2write"
+      try {
+        val src = replicate(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"))).localCheckpoint()
+        val n = src.count()
+        Seq(16, 64, 256).foreach { files =>
+          val p = s"$wDir/f$files"
+          val (_, wall) = timed {
+            src.repartition(files).write.format(fmt)
+              .option("graft.schema", src.schema.toDDL)
+              .mode("append").save(p)
+          }
+          val commitMs = Dsv2WriteProbe.lastCommitMillis.get()
+          require(Dsv2WriteProbe.lastCommittedFiles.get() == files,
+            s"expected $files committed files")
+          require(spark.read.format(fmt).load(p).count() == n,
+            "write round-trip row count")
+          // overwrite: truncate (delete `files` old) + rename `files` new
+          val (_, owWall) = timed {
+            src.repartition(files).write.format(fmt)
+              .mode("overwrite").save(p)
+          }
+          val owCommitMs = Dsv2WriteProbe.lastCommitMillis.get()
+          require(Dsv2WriteProbe.lastTruncated.get() == files,
+            s"expected $files truncated files")
+          println(f"[scale-smoke] dsv2write rows=$n files=$files " +
+            f"wall=${wall}%.2fs commit=${commitMs}ms " +
+            f"overwrite=${owWall}%.2fs owCommit=${owCommitMs}ms")
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(wDir))
+      }
+    }
+
     spark.stop()
   }
 }
