@@ -62,7 +62,8 @@ object Bench {
     // streaming-replay correctness harnesses: write parquet feeds and
     // replay micro-batches through the streaming engine — they measure
     // micro-batch scheduling, not the operators
-    "recon_stream_replay", "recon_stream_dsv2", "q_events_hourly_stream",
+    "recon_stream_replay", "recon_stream_dsv2", "recon_stream_evict",
+    "q_events_hourly_stream",
     "q_events_hourly_sink_dsv2", "q_events_sessions_stream",
     "q_events_dedup_stream", "q_events_stream_join", "q_events_dedup_wm_stream",
     "q_events_sliding_stream", "q_events_stream_join_left")

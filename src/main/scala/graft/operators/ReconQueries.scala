@@ -569,6 +569,94 @@ object ReconQueries {
     } finally deleteRecursively(new java.io.File(tmp))
   }
 
+  /** The BOUNDED-STATE streaming reconciler under the ORACLE — the
+   * 100 TB deployment shape ([[graft.streaming.StreamingReconciler
+   * .monitorEvicting]]): keyed state is EVICTED once the event-time
+   * watermark passes a key's last activity + retention, so state
+   * tracks the actively-changing key set, not the table. The replay
+   * gives every (side, slice) a DISTINCT event time (base slice i at
+   * t0+2i min, MV at t0+2i+1 min — seq is event-time-anchored, so
+   * distinct times make the max-seq settle tie-free by construction)
+   * with retention 10 min ≫ the replay's watermark steps (no
+   * mid-replay eviction can race a key's second side), then two
+   * far-future sentinel batches on BOTH feeds (the union watermark is
+   * the min across inputs) push the watermark past every real key's
+   * deadline. The require() pins that EVERY real key was actually
+   * evicted — the settled classification (max-seq non-EVICTED update
+   * per key) must still equal the batch classify, so the row shares
+   * recon_classify's oracle SQL verbatim: eviction must lose no
+   * classification and resurrect no stale state. */
+  def reconStreamEvict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingReconciler
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-evict").toString
+    try {
+      val T0 = 1577836800L // 2020-01-01 UTC
+      def withTs(df: DataFrame, sideOffset: Int): DataFrame =
+        df.withColumn("_event_ts", timestamp_seconds(
+          lit(T0) + (col("o_orderkey") % 4) * 120L + sideOffset * 60L))
+      val base = withTs(MvSyncDemo.baseDf(spark, dir), 0)
+      val mv = withTs(MvSyncDemo.mvDf(spark, dir), 1)
+      def sentinel(df: DataFrame, atSec: Long): DataFrame =
+        df.limit(1)
+          .withColumn("o_custkey", lit(-1L))
+          .withColumn("o_orderkey", lit(-1L))
+          .withColumn("_event_ts", timestamp_seconds(lit(T0 + atSec)))
+      // per-side ordered feed: slice files 0-3, then two sentinel
+      // batches at +1h/+2h whose watermark evicts every real key
+      def writeFeed(df: DataFrame, path: String): Unit = {
+        val stamped = scala.collection.mutable.Set[String]()
+        val baseMs = System.currentTimeMillis()
+        def slice(part: DataFrame, seq: Int): Unit = {
+          part.coalesce(1).write.mode("append").parquet(path)
+          new java.io.File(path).listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+              !stamped(f.getName))
+            .foreach { f =>
+              f.setLastModified(baseMs + seq * 1000L): Unit
+              stamped += f.getName
+            }
+        }
+        (0 to 3).foreach(i => slice(df.filter(col("o_orderkey") % 4 === i), i))
+        slice(sentinel(df, 3600L), 4)
+        slice(sentinel(df, 7200L), 5)
+      }
+      writeFeed(base, s"$tmp/base")
+      writeFeed(mv, s"$tmp/mv")
+      def feed(path: String, schema: org.apache.spark.sql.types.StructType) =
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(path).withWatermark("_event_ts", "0 seconds")
+      val updates = StreamingReconciler.monitorEvicting(
+        feed(s"$tmp/base", base.schema), feed(s"$tmp/mv", mv.schema),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema,
+        idleRetentionMs = 600000L).toDF()
+      val sink = s"graft_stream_evict_${java.lang.Long.toHexString(System.nanoTime())}"
+      val q = updates.writeStream.outputMode("update")
+        .format("memory").queryName(sink)
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      val t = spark.table(sink).filter(col("key") =!= "-1|-1")
+        .localCheckpoint()
+      val nKeys = t.select("key").distinct().count()
+      val nEvicted = t.filter(col("problem") === StreamingReconciler.Evicted)
+        .select("key").distinct().count()
+      require(nEvicted == nKeys,
+        s"recon_stream_evict: only $nEvicted of $nKeys keys were evicted " +
+          "— the bounded-state path did not engage for the full key set")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("seq").desc)
+      val settled = t.filter(col("problem") =!= StreamingReconciler.Evicted)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          split(col("key"), "\\|").getItem(0).cast("bigint").as("o_custkey"),
+          split(col("key"), "\\|").getItem(1).cast("bigint").as("o_orderkey"),
+          col("problem"), col("mismatch_col"))
+        .localCheckpoint()
+      spark.catalog.dropTempView(sink)
+      settled
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
   /** Operator O's report format under the ORACLE: the exact
    * `MVInconsistentRow.toString` string (MVInconsistentRow.java:31-52 —
    * Problem/RowKey/MainTableEntry/MVTableEntry lines + Base/MvColumn
@@ -599,6 +687,7 @@ object ReconQueries {
     "recon_classify_alltypes" -> reconClassifyAllTypes,
     "recon_stream_replay" -> reconStreamReplay,
     "recon_stream_dsv2" -> reconStreamDsv2,
+    "recon_stream_evict" -> reconStreamEvict,
     "recon_report_lines" -> reconReportLines,
     "recon_stats" -> reconStats,
     "recon_stats_line" -> reconStatsLine,
@@ -626,6 +715,10 @@ object ReconQueries {
     // same oracle again: the DSv2 MICRO-BATCH read + stateful settle
     // must land exactly where the batch classify does
     "recon_stream_dsv2" ->
+      (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
+    // same oracle again: bounded-state eviction must lose no
+    // classification (every key require()d evicted)
+    "recon_stream_evict" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     // the footer-served aggregates must equal the real ones
     "dsv2_agg_pushdown" ->
