@@ -350,12 +350,12 @@ _best AS (SELECT *, row_number() OVER (PARTITION BY dup_id
   FROM _pairs WHERE cos >= 0.4)
 SELECT dup_id, keeper_id, round(cos, 6) AS cos FROM _best WHERE rn = 1"""
 
-  /** Oracle for Similarity.simAnnIvf: the full DataFrame-native IVF —
-   * deterministic seeds (16 lowest-id sample vectors), 2 unrolled Lloyd
-   * rounds on the 1/3 sample, full-table assignment, 3-probe search. */
-  def annIvf: String =
-    s"""WITH
-_samp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+  /** The shared IVF core: unrolled 2-round Lloyd on the 1/3 sample
+   * (seeds = 16 lowest-id sample vectors), full-table assignment
+   * (`_lists`), 3-probe cells per query (`_probes`) — reused verbatim
+   * by [[annIvf]] and [[annIvfPq]] so the two oracles cannot drift. */
+  private def ivfCoreCtes: String =
+    s"""_samp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
 _c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding AS cvec
   FROM (SELECT * FROM _samp ORDER BY vec_id LIMIT 16)),
 ${assignCte("_a1", "_samp", "_c0")},
@@ -368,7 +368,14 @@ _probes AS (SELECT query_id, cid FROM (
     row_number() OVER (PARTITION BY e.vec_id ORDER BY
       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                              CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS pr
-  FROM embeddings e, _c2 c WHERE e.vec_id < 5) WHERE pr <= 3),
+  FROM embeddings e, _c2 c WHERE e.vec_id < 5) WHERE pr <= 3)"""
+
+  /** Oracle for Similarity.simAnnIvf: the full DataFrame-native IVF —
+   * deterministic seeds (16 lowest-id sample vectors), 2 unrolled Lloyd
+   * rounds on the 1/3 sample, full-table assignment, 3-probe search. */
+  def annIvf: String =
+    s"""WITH
+$ivfCoreCtes,
 _scored AS (
   SELECT p.query_id, l.vec_id AS neighbor_id,
     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -393,25 +400,8 @@ FROM _ranked WHERE rank <= 10"""
    * rerank to top-10. Every float op is the shared bit-exact cosine
    * fold, so cos AND approx_score compare value-for-value. */
   def annPq: String = {
-    val perSub = (0 until 2).map { m =>
-      val lo = 1 + m * 32
-      val hi = (m + 1) * 32
-      s"""_pqs$m AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
-_pqsamp$m AS (SELECT vec_id, embedding FROM _pqs$m WHERE vec_id % 3 = 0),
-_pqc0_$m AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding AS cvec
-  FROM (SELECT * FROM _pqsamp$m ORDER BY vec_id LIMIT 8)),
-${assignCte(s"_pqa1_$m", s"_pqsamp$m", s"_pqc0_$m")},
-${updateCte(s"_pqc1_$m", s"_pqa1_$m")},
-${assignCte(s"_pqa2_$m", s"_pqsamp$m", s"_pqc1_$m")},
-${updateCte(s"_pqc2_$m", s"_pqa2_$m")},
-${assignCte(s"_pqcode$m", s"_pqs$m", s"_pqc2_$m")},
-_pqlut$m AS (SELECT q.vec_id AS query_id, c.cid,
-  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                         CAST(c.cvec AS DOUBLE[])) AS s
-  FROM _pqs$m q, _pqc2_$m c WHERE q.vec_id < 5)"""
-    }.mkString(",\n")
     s"""WITH
-$perSub,
+$pqSubCtes,
 _pqapprox AS (
   SELECT l0.query_id, k0.vec_id AS neighbor_id, l0.s + l1.s AS approx
   FROM _pqcode0 k0
@@ -436,6 +426,67 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
   round(cos, 6) AS cos, round(approx, 6) AS approx_score
 FROM _pqranked WHERE rank <= 10"""
   }
+
+  /** The shared PQ block (two 32-dim subspaces: codebook fits, codes,
+   * per-query LUTs) — reused verbatim by [[annPq]] and [[annIvfPq]]. */
+  private def pqSubCtes: String =
+    (0 until 2).map { m =>
+      val lo = 1 + m * 32
+      val hi = (m + 1) * 32
+      s"""_pqs$m AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+_pqsamp$m AS (SELECT vec_id, embedding FROM _pqs$m WHERE vec_id % 3 = 0),
+_pqc0_$m AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding AS cvec
+  FROM (SELECT * FROM _pqsamp$m ORDER BY vec_id LIMIT 8)),
+${assignCte(s"_pqa1_$m", s"_pqsamp$m", s"_pqc0_$m")},
+${updateCte(s"_pqc1_$m", s"_pqa1_$m")},
+${assignCte(s"_pqa2_$m", s"_pqsamp$m", s"_pqc1_$m")},
+${updateCte(s"_pqc2_$m", s"_pqa2_$m")},
+${assignCte(s"_pqcode$m", s"_pqs$m", s"_pqc2_$m")},
+_pqlut$m AS (SELECT q.vec_id AS query_id, c.cid,
+  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                         CAST(c.cvec AS DOUBLE[])) AS s
+  FROM _pqs$m q, _pqc2_$m c WHERE q.vec_id < 5)"""
+    }.mkString(",\n")
+
+  /** Oracle for Similarity.simAnnIvfPq — the composed IVF-ADC chain
+   * (the FAISS IVFADC shape): the [[ivfCoreCtes]] quantizer restricts
+   * candidates to each query's 3 probed cells, the [[pqSubCtes]] codes
+   * + LUTs score exactly those candidates (approx = s0 + s1, the
+   * engine's addition order), top-50 cut by (approx DESC, neighbor_id),
+   * exact-cosine rerank to top-10. Both building blocks are shared
+   * verbatim with annIvf/annPq, so the composition cannot drift from
+   * its parts. */
+  def annIvfPq: String =
+    s"""WITH
+$ivfCoreCtes,
+$pqSubCtes,
+_cands AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id
+  FROM _probes p JOIN _lists l USING (cid)
+  WHERE l.vec_id <> p.query_id),
+_approx AS (
+  SELECT c.query_id, c.neighbor_id, l0.s + l1.s AS approx
+  FROM _cands c
+  JOIN _pqcode0 k0 ON k0.vec_id = c.neighbor_id
+  JOIN _pqcode1 k1 ON k1.vec_id = c.neighbor_id
+  JOIN _pqlut0 l0 ON l0.cid = k0.cid AND l0.query_id = c.query_id
+  JOIN _pqlut1 l1 ON l1.cid = k1.cid AND l1.query_id = c.query_id),
+_cut AS (SELECT query_id, neighbor_id, approx FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY approx DESC, neighbor_id) AS crank FROM _approx)
+  WHERE crank <= 50),
+_exact AS (
+  SELECT c.query_id, c.neighbor_id, c.approx,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                           CAST(v.embedding AS DOUBLE[])) AS cos
+  FROM _cut c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings v ON v.vec_id = c.neighbor_id),
+_rankedf AS (SELECT *, row_number() OVER (PARTITION BY query_id
+  ORDER BY cos DESC, neighbor_id) AS rank FROM _exact)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+  round(cos, 6) AS cos, round(approx, 6) AS approx_score
+FROM _rankedf WHERE rank <= 10"""
 
   /** Oracle for Curation.deconNgramOverlap: the same staged word-3-
    * shingle-hash CTEs as the LSH oracles ([[shingleCtes]] → `_sh`),

@@ -343,6 +343,30 @@ object Similarity {
   def simAnnPq(spark: SparkSession, dir: String): DataFrame =
     simAnnPqWith(spark, dir)
 
+  /** The persisted PQ CODE TABLE — one scan-local encode projection, m
+   * kernel argmaxes per row: the only pass that touches the full
+   * vectors (coalesce: plan hygiene, see ivfAssign). The code table IS
+   * the PQ index: built once per corpus snapshot and persisted
+   * (gramCounts pattern, partitioning kept — at scale this is an
+   * index-build table), so repeat queries scan 2-3 B/vec codes, never
+   * the 256 B/vec vectors. Deterministic encode ⇒ hit and miss are
+   * byte-identical. Shared by [[simAnnPq]] and [[simAnnIvfPq]] — one
+   * table, one cache key. */
+  def loadOrEncodePqCodes(spark: SparkSession, dir: String, e: DataFrame,
+      books: Map[Int, Centroids], m: Int, k: Int): DataFrame = {
+    val subDim = 64 / m
+    def sub(i: Int)(v: Column): Column = slice(v, 1 + i * subDim, subDim)
+    graft.sources.ModelCache.loadOrFit(spark,
+      s"$dir/embeddings.parquet", s"pqcodes-m$m-k$k-i$LloydIters-s3",
+      sys.env.getOrElse("GRAFT_IVF_CACHE", "/tmp/graft-ivf-cache"),
+      "graft-pq", singleFile = false) {
+      e.select(
+        col("vec_id").as("neighbor_id") +:
+          (0 until m).map(i => coalesce(
+            assignCid(sub(i)(col("embedding")), books(i)), lit(-1)).as(s"c$i")): _*)
+    }
+  }
+
   /** [[simAnnPq]]'s parameterized core. The oracle row runs the
    * demo-sized default (m=2, k=8 — value-level-verifiable SQL); the
    * scale smoke runs the production shape (m=4, k=64 → 24-bit codes)
@@ -356,22 +380,7 @@ object Similarity {
     def sub(i: Int)(v: Column): Column = slice(v, 1 + i * subDim, subDim)
     val e = emb(spark, dir)
     val books = loadOrFitPqCodebooks(spark, dir, e, m, k)
-    // encode: one scan-local projection, m kernel argmaxes per row — the
-    // only pass that touches the full vectors (coalesce: plan hygiene,
-    // see ivfAssign). The code table IS the PQ index: it's built once
-    // per corpus snapshot and persisted (gramCounts pattern,
-    // partitioning kept — at scale this is an index-build table), so
-    // repeat queries scan 2-3 B/vec codes, never the 256 B/vec vectors.
-    // Deterministic encode ⇒ hit and miss are byte-identical.
-    val codes = graft.sources.ModelCache.loadOrFit(spark,
-      s"$dir/embeddings.parquet", s"pqcodes-m$m-k$k-i$LloydIters-s3",
-      sys.env.getOrElse("GRAFT_IVF_CACHE", "/tmp/graft-ivf-cache"),
-      "graft-pq", singleFile = false) {
-      e.select(
-        col("vec_id").as("neighbor_id") +:
-          (0 until m).map(i => coalesce(
-            assignCid(sub(i)(col("embedding")), books(i)), lit(-1)).as(s"c$i")): _*)
-    }
+    val codes = loadOrEncodePqCodes(spark, dir, e, books, m, k)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     // per-query LUT: Q×k rows per subspace, via the same kernel — tiny,
@@ -410,12 +419,81 @@ object Similarity {
         round(col("approx"), 6).as("approx_score"))
   }
 
+  /**
+   * The COMPOSED IVF-ADC ANN — the FAISS IVFADC shape, and the one a
+   * 100 TB deployment actually runs: the IVF quantizer restricts
+   * candidates to each query's nprobe cells (ids-only join: probed
+   * (query_id, cid) broadcast into the inverted-list table projected
+   * to (neighbor_id, cid) — no vector bytes move), PQ asymmetric-
+   * distance scoring then runs entirely on the persisted 2-byte code
+   * table + broadcast per-query LUTs, and only the top-[[PqCand]]
+   * survivors per query touch real vectors again for the exact-cosine
+   * rerank. Cost per query: O(C) probe + O(N·nprobe/C) code lookups +
+   * O(cand) rerank — against sim_ann_pq's O(N) code scan and
+   * sim_ann_ivf's O(N·nprobe/C) FULL-VECTOR scan. Every stage reuses
+   * the exact building blocks of those two rows (same quantizer, same
+   * codebooks, same persisted code table, same kernels), and the
+   * DuckDB oracle composes the same shared CTEs — fit, assignment,
+   * probes, codes, LUTs, cut, and rerank all value-level.
+   */
+  def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = PqM
+    val subDim = 64 / m
+    def sub(i: Int)(v: Column): Column = slice(v, 1 + i * subDim, subDim)
+    val e = emb(spark, dir)
+    val cents = loadOrFitCentroids(spark, dir, e)
+    val lists = ivfAssign(e, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    val books = loadOrFitPqCodebooks(spark, dir, e, m, PqK)
+    val codes = loadOrEncodePqCodes(spark, dir, e, books, m, PqK)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        explode(probeTopK(col("embedding"), cents, NumProbes)).as("cid"))
+    def lut(i: Int): DataFrame = {
+      val book = books(i).map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("cid", s"cvec$i")
+      queries.crossJoin(broadcast(book))
+        .select(col("query_id"), col("cid").as(s"c$i"),
+          cosine(sub(i)(col("q")), col(s"cvec$i")).as(s"s$i"))
+    }
+    val cand = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val withLuts = (0 until m).foldLeft(cand.join(codes, Seq("neighbor_id"))) {
+      (acc, i) => acc.join(broadcast(lut(i)), Seq("query_id", s"c$i"))
+    }
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cut = withLuts
+      .withColumn("approx",
+        (1 until m).foldLeft[Column](col("s0"))((a, i) => a + col(s"s$i")))
+      .withColumn("crank", row_number().over(wApprox))
+      .filter(col("crank") <= PqCand)
+      .select("query_id", "neighbor_id", "approx")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cut
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("v")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", cosine(col("q"), col("v")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), round(col("cos"), 6).as("cos"),
+        round(col("approx"), 6).as("approx_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_pruned" -> simAnnIvfPruned,
-    "sim_ann_pq" -> simAnnPq)
+    "sim_ann_pq" -> simAnnPq,
+    "sim_ann_ivfpq" -> simAnnIvfPq)
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
@@ -441,5 +519,7 @@ object Similarity {
     "sim_ann_ivf_pruned" -> HashOracleSql.annIvf,
     // full value-level PQ oracle: per-subspace unrolled Lloyd, codes,
     // LUT scores, candidate cut, exact rerank
-    "sim_ann_pq" -> HashOracleSql.annPq)
+    "sim_ann_pq" -> HashOracleSql.annPq,
+    // the composed IVF-ADC chain, from the same shared CTE blocks
+    "sim_ann_ivfpq" -> HashOracleSql.annIvfPq)
 }
