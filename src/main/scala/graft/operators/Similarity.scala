@@ -230,14 +230,15 @@ object Similarity {
    * returns bit-identical centroids — query results (and the oracle
    * hash) cannot depend on cache state; only the fit cost is amortized
    * away (it was ~half of sim_ann_ivf's bench line). */
-  def loadOrFitCentroids(spark: SparkSession, dir: String, e: DataFrame): Centroids = {
+  def loadOrFitCentroids(spark: SparkSession, dir: String, e: DataFrame,
+      c: Int = NumCentroids): Centroids = {
     import spark.implicits._
     graft.sources.ModelCache.loadOrFit(spark, s"$dir/embeddings.parquet",
-      s"c$NumCentroids-i$LloydIters-s3",
+      s"c$c-i$LloydIters-s3",
       sys.env.getOrElse("GRAFT_IVF_CACHE", "/tmp/graft-ivf-cache"), "graft-ivf") {
       // fit on a deterministic ~1/3 sample (standard IVF practice —
       // centroid quality needs density, not every vector)
-      fitCentroids(e.filter(col("vec_id") % 3 === 0))
+      fitCentroids(e.filter(col("vec_id") % 3 === 0), c = c)
         .map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
     }.collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
@@ -436,22 +437,40 @@ object Similarity {
    * DuckDB oracle composes the same shared CTEs — fit, assignment,
    * probes, codes, LUTs, cut, and rerank all value-level.
    */
-  def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    simAnnIvfPqWith(spark, dir)
+
+  /** The ids-only IVF candidate generation alone — (query_id,
+   * neighbor_id) for every vector in a query's nprobe probed cells;
+   * shared by [[simAnnIvfPqWith]] and the ScaleSmoke ivfpq block's
+   * candidate-fraction measurement. */
+  def ivfPqCandidates(spark: SparkSession, dir: String, e: DataFrame,
+      c: Int, nprobe: Int): DataFrame = {
+    val cents = loadOrFitCentroids(spark, dir, e, c)
+    val lists = ivfAssign(e, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        explode(probeTopK(col("embedding"), cents, nprobe)).as("cid"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+  }
+
+  /** [[simAnnIvfPq]]'s parameterized core (same knob pattern as
+   * [[simAnnPqWith]]): the oracle row runs the demo shape (m=2, k=8,
+   * C=16, nprobe=3); the scale smoke runs the production shape. */
+  def simAnnIvfPqWith(spark: SparkSession, dir: String, m: Int = PqM,
+      k: Int = PqK, nCand: Int = PqCand, c: Int = NumCentroids,
+      nprobe: Int = NumProbes): DataFrame = {
     import spark.implicits._
-    val m = PqM
     val subDim = 64 / m
     def sub(i: Int)(v: Column): Column = slice(v, 1 + i * subDim, subDim)
     val e = emb(spark, dir)
-    val cents = loadOrFitCentroids(spark, dir, e)
-    val lists = ivfAssign(e, cents)
-      .select(col("vec_id").as("neighbor_id"), col("cid"))
-    val books = loadOrFitPqCodebooks(spark, dir, e, m, PqK)
-    val codes = loadOrEncodePqCodes(spark, dir, e, books, m, PqK)
+    val books = loadOrFitPqCodebooks(spark, dir, e, m, k)
+    val codes = loadOrEncodePqCodes(spark, dir, e, books, m, k)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"),
-        explode(probeTopK(col("embedding"), cents, NumProbes)).as("cid"))
     def lut(i: Int): DataFrame = {
       val book = books(i).map { case (cid, v) => (cid, v.toSeq) }
         .toDF("cid", s"cvec$i")
@@ -459,9 +478,7 @@ object Similarity {
         .select(col("query_id"), col("cid").as(s"c$i"),
           cosine(sub(i)(col("q")), col(s"cvec$i")).as(s"s$i"))
     }
-    val cand = lists.join(broadcast(probes), Seq("cid"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id")
+    val cand = ivfPqCandidates(spark, dir, e, c, nprobe)
     val withLuts = (0 until m).foldLeft(cand.join(codes, Seq("neighbor_id"))) {
       (acc, i) => acc.join(broadcast(lut(i)), Seq("query_id", s"c$i"))
     }
@@ -471,7 +488,7 @@ object Similarity {
       .withColumn("approx",
         (1 until m).foldLeft[Column](col("s0"))((a, i) => a + col(s"s$i")))
       .withColumn("crank", row_number().over(wApprox))
-      .filter(col("crank") <= PqCand)
+      .filter(col("crank") <= nCand)
       .select("query_id", "neighbor_id", "approx")
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))

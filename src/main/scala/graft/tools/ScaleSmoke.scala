@@ -247,6 +247,65 @@ object ScaleSmoke {
       rm(new java.io.File(tmp))
     }
 
+    if (args.contains("ivfpq")) {
+      // The COMPOSED IVF-ADC chain at the production shape (C=64 cells,
+      // nprobe=8, m=4/k=64 codes, rerank budget 200) on the same
+      // perturbed-replica corpus as the pq smoke. Two claims measured:
+      // candidate FRACTION (the IVF restriction: ~nprobe/C of the
+      // corpus enters PQ scoring at all — the knob that makes the code
+      // scan sub-linear) and recall@10 vs brute force (the replicas'
+      // true neighbors must survive both the cell cut and the code
+      // cut).
+      import graft.operators.Similarity
+      val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      val rep = e0.crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn("vec_id", col("vec_id") + col("_r") * 10000000L)
+        .withColumn("embedding",
+          when(col("_r") === 0, col("embedding")).otherwise(
+            transform(col("embedding"), (x, i) =>
+              (x + sin(col("_r") * lit(7.0) + i.cast("double") * lit(0.37))
+                * lit(0.02)).cast("float"))))
+        .drop("_r").repartition(64)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-smoke").toString
+      try {
+        rep.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+        val e = spark.read.parquet(s"$tmp/embeddings.parquet")
+        val n = e.count()
+        def ivfpq() = Similarity.simAnnIvfPqWith(spark, tmp,
+          m = 4, k = 64, nCand = 200, c = 64, nprobe = 8)
+        def brute() = Similarity.simTopkBruteforce(spark, tmp)
+        val (_, buildSecs) = timed(ivfpq().count())
+        brute().count()
+        def bestOf2(f: () => Long): (Long, Double) = {
+          val runs = (1 to 2).map(_ => timed(f()))
+          (runs.head._1, runs.map(_._2).min)
+        }
+        val (nIp, ipSecs) = bestOf2(() => ivfpq().count())
+        val (nBr, brSecs) = bestOf2(() => brute().count())
+        assert(nIp == 50 && nBr == 50, s"unexpected top-k sizes: $nIp/$nBr")
+        val nCandTouched = Similarity.ivfPqCandidates(spark, tmp, e,
+          c = 64, nprobe = 8).count()
+        val candFraction = nCandTouched.toDouble / (5L * (n - 1))
+        val gt = brute().select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val got = ivfpq().select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = gt.count(got.contains).toDouble / gt.length
+        println(f"[scale-smoke] IVFPQ n=$n C=64 nprobe=8 m=4 k=64 cand=200 " +
+          f"fit+encode=${buildSecs}%.2fs ivfpq-top10=${ipSecs}%.2fs " +
+          f"brute-top10=${brSecs}%.2fs candidates=$nCandTouched " +
+          f"(${candFraction * 100}%.1f%% of corpus/query) recall@10=$recall%.3f")
+        assert(recall >= 0.9, f"IVFPQ recall@10 $recall%.3f below 0.9")
+        assert(candFraction < 0.35,
+          f"IVF restriction ineffective: $candFraction%.2f of corpus scored")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }
+
     if (args.contains("quality")) {
       // Trained-classifier cost curve: corpus replicated f× and written
       // (fresh identity → every cache MISSES, so "fit" is the honest
