@@ -265,9 +265,29 @@ object Similarity {
   def simAnnIvfPruned(spark: SparkSession, dir: String): DataFrame =
     simAnnIvfWith(spark, dir)(ivfAssignPruned(_, _, numPlanes = 1))
 
+  /** [[simAnnIvf]] with the embeddings read through the DataSource V2
+   * provider — LIST (array<float>) columns through the connector seam
+   * (CQL collections, reference SURVEY §1.2). Shares the exact-Lloyd
+   * oracle verbatim: the provider's 3-level-list Group decoding must
+   * hand the quantizer, probe kernel, and cosine rerank bit-identical
+   * vectors or the 50 ranked rows hash red. Reads the ORIGINAL
+   * testdata file (pyarrow-written — its list child is positional,
+   * not Spark's `element` naming), so the row also pins cross-writer
+   * list-shape compatibility. */
+  def simAnnIvfDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read
+      .format(classOf[graft.sources.GraftParquetProvider].getName)
+      .load(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    simAnnIvfFrom(spark, dir, e)(ivfAssign)
+  }
+
   private def simAnnIvfWith(spark: SparkSession, dir: String)(
+      assign: (DataFrame, Centroids) => DataFrame): DataFrame =
+    simAnnIvfFrom(spark, dir, emb(spark, dir))(assign)
+
+  private def simAnnIvfFrom(spark: SparkSession, dir: String, e: DataFrame)(
       assign: (DataFrame, Centroids) => DataFrame): DataFrame = {
-    val e = emb(spark, dir)
     // quantizer loaded from the persisted index when present, fit+saved
     // otherwise ([[loadOrFitCentroids]] — deterministic either way; the
     // full table is still assigned below)
@@ -509,6 +529,7 @@ object Similarity {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_pruned" -> simAnnIvfPruned,
+    "sim_ann_ivf_dsv2" -> simAnnIvfDsv2,
     "sim_ann_pq" -> simAnnPq,
     "sim_ann_ivfpq" -> simAnnIvfPq)
 
@@ -534,6 +555,8 @@ object Similarity {
     // the pruned path at numPlanes=1 is exact (full bucket coverage),
     // so it must reproduce the identical exact-Lloyd result
     "sim_ann_ivf_pruned" -> HashOracleSql.annIvf,
+    // same oracle again: the DSv2 LIST read must be value-invisible
+    "sim_ann_ivf_dsv2" -> HashOracleSql.annIvf,
     // full value-level PQ oracle: per-subspace unrolled Lloyd, codes,
     // LUT scores, candidate cut, exact rerank
     "sim_ann_pq" -> HashOracleSql.annPq,

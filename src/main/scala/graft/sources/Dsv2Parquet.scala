@@ -488,6 +488,33 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
           case BooleanType => row.getBoolean(i, 0)
           case StringType => UTF8String.fromBytes(row.getBinary(i, 0).getBytes)
           case BinaryType => row.getBinary(i, 0).getBytes
+          case ArrayType(elem, _) =>
+            // 3-level LIST: outer group → repeated `list` entries →
+            // single-child element, accessed by POSITION (the child is
+            // `element` from Spark, `item` from pyarrow)
+            val outer = row.getGroup(i, 0)
+            val n = outer.getFieldRepetitionCount(0)
+            val arr = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val entry = outer.getGroup(0, j)
+              arr(j) =
+                if (entry.getFieldRepetitionCount(0) == 0) null
+                else elem match {
+                  case FloatType => entry.getFloat(0, 0)
+                  case DoubleType => entry.getDouble(0, 0)
+                  case LongType => entry.getLong(0, 0)
+                  case IntegerType => entry.getInteger(0, 0)
+                  case BooleanType => entry.getBoolean(0, 0)
+                  case StringType =>
+                    UTF8String.fromBytes(entry.getBinary(0, 0).getBytes)
+                  case BinaryType => entry.getBinary(0, 0).getBytes
+                  case dt => throw new UnsupportedOperationException(
+                    s"graft-parquet: unsupported list element $dt")
+                }
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
           case dt => throw new UnsupportedOperationException(
             s"graft-parquet: unsupported read type $dt")
         }
@@ -512,29 +539,40 @@ private[sources] object Dsv2Parquet {
    * [[sparkSchema]]: every field an optional primitive, strings as
    * UTF8-annotated BINARY. Unsupported Spark types fail fast at write
    * planning, mirroring the read side's posture. */
+  private def primitiveBuilder(dt: DataType, name: String)
+      : org.apache.parquet.schema.Types.PrimitiveBuilder[PrimitiveType] =
+    dt match {
+      case LongType =>
+        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.INT64)
+      case IntegerType =>
+        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.INT32)
+      case DoubleType =>
+        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.DOUBLE)
+      case FloatType =>
+        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.FLOAT)
+      case BooleanType =>
+        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BOOLEAN)
+      case StringType =>
+        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+      case BinaryType =>
+        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BINARY)
+      case other => throw new UnsupportedOperationException(
+        s"graft-parquet: unsupported write type $other ($name)")
+    }
+
   def parquetMessageType(schema: StructType): MessageType = {
     val b = org.apache.parquet.schema.Types.buildMessage()
     schema.fields.foreach { f =>
-      val t = f.dataType match {
-        case LongType =>
-          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.INT64)
-        case IntegerType =>
-          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.INT32)
-        case DoubleType =>
-          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.DOUBLE)
-        case FloatType =>
-          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.FLOAT)
-        case BooleanType =>
-          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BOOLEAN)
-        case StringType =>
-          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BINARY)
-            .as(LogicalTypeAnnotation.stringType())
-        case BinaryType =>
-          org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BINARY)
-        case dt => throw new UnsupportedOperationException(
-          s"graft-parquet: unsupported write type $dt (${f.name})")
+      val t: Type = f.dataType match {
+        case ArrayType(elem, _) =>
+          // the standard 3-level LIST shape Spark itself writes
+          org.apache.parquet.schema.Types.optionalList()
+            .element(primitiveBuilder(elem, f.name).named("element"))
+            .named(f.name)
+        case dt => primitiveBuilder(dt, f.name).named(f.name)
       }
-      b.addField(t.named(f.name))
+      b.addField(t)
     }
     b.named("graft")
   }
@@ -570,24 +608,48 @@ private[sources] object Dsv2Parquet {
     finally r.close()
   }
 
+  private def primitiveSparkType(p: PrimitiveType, name: String): DataType =
+    p.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT64 => LongType
+      case PrimitiveTypeName.INT32 => IntegerType
+      case PrimitiveTypeName.DOUBLE => DoubleType
+      case PrimitiveTypeName.FLOAT => FloatType
+      case PrimitiveTypeName.BOOLEAN => BooleanType
+      case PrimitiveTypeName.BINARY
+          if p.getLogicalTypeAnnotation ==
+            LogicalTypeAnnotation.stringType() => StringType
+      case PrimitiveTypeName.BINARY => BinaryType
+      case other => throw new UnsupportedOperationException(
+        s"graft-parquet: unsupported parquet type $other ($name)")
+    }
+
+  /** The standard 3-level LIST shape: `optional group f (LIST) {
+   * repeated group list { optional <prim> element } }`. The repeated
+   * group's single child is taken by POSITION, not name — Spark writes
+   * `element`, pyarrow writes `item`. Returns the element's primitive
+   * type. The CQL motivation: list/set are first-class collection
+   * columns a live connector must carry (reference SURVEY §1.2). */
+  private def listElement(g: org.apache.parquet.schema.GroupType,
+      name: String): PrimitiveType = {
+    require(g.getLogicalTypeAnnotation == LogicalTypeAnnotation.listType() &&
+      g.getFieldCount == 1 && !g.getType(0).isPrimitive,
+      s"graft-parquet: unsupported nested field $name (only 3-level LIST)")
+    val repeated = g.getType(0).asGroupType()
+    require(repeated.isRepetition(Type.Repetition.REPEATED) &&
+      repeated.getFieldCount == 1 && repeated.getType(0).isPrimitive,
+      s"graft-parquet: unsupported LIST shape for $name")
+    repeated.getType(0).asPrimitiveType()
+  }
+
   def sparkSchema(m: MessageType): StructType =
     StructType(m.getFields.asScala.map { f =>
-      require(f.isPrimitive && !f.isRepetition(Type.Repetition.REPEATED),
-        s"graft-parquet: unsupported nested/repeated field ${f.getName}")
-      val p = f.asPrimitiveType()
-      val dt = p.getPrimitiveTypeName match {
-        case PrimitiveTypeName.INT64 => LongType
-        case PrimitiveTypeName.INT32 => IntegerType
-        case PrimitiveTypeName.DOUBLE => DoubleType
-        case PrimitiveTypeName.FLOAT => FloatType
-        case PrimitiveTypeName.BOOLEAN => BooleanType
-        case PrimitiveTypeName.BINARY
-            if p.getLogicalTypeAnnotation ==
-              LogicalTypeAnnotation.stringType() => StringType
-        case PrimitiveTypeName.BINARY => BinaryType
-        case other => throw new UnsupportedOperationException(
-          s"graft-parquet: unsupported parquet type $other (${f.getName})")
-      }
+      require(!f.isRepetition(Type.Repetition.REPEATED),
+        s"graft-parquet: unsupported repeated field ${f.getName}")
+      val dt =
+        if (f.isPrimitive) primitiveSparkType(f.asPrimitiveType(), f.getName)
+        else ArrayType(primitiveSparkType(
+          listElement(f.asGroupType(), f.getName), f.getName),
+          containsNull = true)
       // always nullable, matching Spark's own file-source posture: the
       // directory can accumulate files from writers with laxer schemas
       StructField(f.getName, dt, nullable = true)

@@ -243,6 +243,33 @@ private[sources] class GraftParquetDataWriter(stagingDir: String,
             val b = row.getBinary(i)
             g.add(name, Binary.fromConstantByteArray(
               java.util.Arrays.copyOf(b, b.length)))
+          case org.apache.spark.sql.types.ArrayType(elem, _) =>
+            // the 3-level LIST shape parquetMessageType declared:
+            // field group → repeated `list` group → `element`
+            val arr = row.getArray(i)
+            val outer = g.addGroup(name)
+            var j = 0
+            while (j < arr.numElements()) {
+              val entry = outer.addGroup(0)
+              if (!arr.isNullAt(j)) elem match {
+                case FloatType => entry.add(0, arr.getFloat(j))
+                case DoubleType => entry.add(0, arr.getDouble(j))
+                case LongType => entry.add(0, arr.getLong(j))
+                case IntegerType => entry.add(0, arr.getInt(j))
+                case BooleanType => entry.add(0, arr.getBoolean(j))
+                case StringType =>
+                  val b = arr.getUTF8String(j).getBytes
+                  entry.add(0, Binary.fromConstantByteArray(
+                    java.util.Arrays.copyOf(b, b.length)))
+                case BinaryType =>
+                  val b = arr.getBinary(j)
+                  entry.add(0, Binary.fromConstantByteArray(
+                    java.util.Arrays.copyOf(b, b.length)))
+                case dt => throw new UnsupportedOperationException(
+                  s"graft-parquet: unsupported list element $dt ($name)")
+              }
+              j += 1
+            }
           case dt => throw new UnsupportedOperationException(
             s"graft-parquet: unsupported write type $dt ($name)")
         }

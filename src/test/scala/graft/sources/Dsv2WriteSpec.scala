@@ -142,7 +142,10 @@ class Dsv2WriteSpec extends SparkSpec {
 
   test("unsupported write types fail fast") {
     withTmp { tmp =>
-      val bad = spark.range(3).select(array(col("id")).as("a"))
+      // arrays are supported since the LIST work — maps are the
+      // fail-fast frontier now
+      val bad = spark.range(3)
+        .select(map(col("id").cast("string"), col("id")).as("a"))
       val ex = intercept[Exception] {
         bad.write.format(fmt)
           .option(Dsv2Parquet.SchemaOption, bad.schema.toDDL)
