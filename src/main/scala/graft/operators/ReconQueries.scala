@@ -471,6 +471,36 @@ object ReconQueries {
       AllTypesFixture.schema, AllTypesFixture.schema, Trusted)
       .select("id", "problem", "mismatch_col", "mismatch_base", "mismatch_mv")
 
+  /** The FULL 22-type matrix THROUGH THE CONNECTOR: both AllTypes
+   * frames written via the DSv2 writer (timestamps as MICROS int64,
+   * dates as days, decimal(9,2) as unscaled int32, decimal(38,0) as
+   * sign-extended FLBA, list/set as 3-level LIST, map as 3-level MAP
+   * with required keys, blobs as BINARY) and read back via the DSv2
+   * reader, then classified — sharing recon_classify_alltypes' oracle
+   * SQL verbatim. One bit lost in any of the seven encodings and the
+   * blob deep-equals / map canonicalization / epoch-millis rendering /
+   * decimal mismatch strings flip rows to INCONSISTENT and the hash
+   * goes red. This is the closest offline analogue of a live
+   * connector's full CQL type surface (reference SURVEY §1.2). */
+  def reconClassifyAllTypesDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = classOf[graft.sources.GraftParquetProvider].getName
+    val tmp = java.nio.file.Files.createTempDirectory("graft-alltypes-dsv2").toString
+    try {
+      val base = AllTypesFixture.base(spark)
+      val mv = AllTypesFixture.mv(spark)
+      base.write.format(fmt).option("graft.schema", base.schema.toDDL)
+        .mode("append").save(s"$tmp/base")
+      mv.write.format(fmt).option("graft.schema", mv.schema.toDDL)
+        .mode("append").save(s"$tmp/mv")
+      def rd(p: String) = spark.read.format(fmt).load(p)
+      MvReconciler.reconcile(
+        rd(s"$tmp/base"), rd(s"$tmp/mv"),
+        AllTypesFixture.schema, AllTypesFixture.schema, Trusted)
+        .select("id", "problem", "mismatch_col", "mismatch_base", "mismatch_mv")
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
   /**
    * The STREAMING monitor under the ORACLE: the all-types pair written
    * out as parquet change feeds and replayed through
@@ -685,6 +715,7 @@ object ReconQueries {
     "recon_classify_throttled" -> reconClassifyThrottled,
     "recon_classify_bucketed" -> reconClassifyBucketed,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
+    "recon_classify_alltypes_dsv2" -> reconClassifyAllTypesDsv2,
     "recon_stream_replay" -> reconStreamReplay,
     "recon_stream_dsv2" -> reconStreamDsv2,
     "recon_stream_evict" -> reconStreamEvict,
@@ -740,6 +771,8 @@ object ReconQueries {
     "recon_classify_bucketed" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     "recon_classify_alltypes" -> AllTypesFixture.oracleSql,
+    // same oracle: the seven DSv2 type encodings must be invisible
+    "recon_classify_alltypes_dsv2" -> AllTypesFixture.oracleSql,
     // the streaming replay settles to the SAME classification the batch
     // path computes — one oracle pins both
     "recon_stream_replay" -> AllTypesFixture.oracleSql,

@@ -481,13 +481,6 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
       vals(i) =
         if (row.getFieldRepetitionCount(i) == 0) null
         else required.fields(i).dataType match {
-          case LongType => row.getLong(i, 0)
-          case IntegerType => row.getInteger(i, 0)
-          case DoubleType => row.getDouble(i, 0)
-          case FloatType => row.getFloat(i, 0)
-          case BooleanType => row.getBoolean(i, 0)
-          case StringType => UTF8String.fromBytes(row.getBinary(i, 0).getBytes)
-          case BinaryType => row.getBinary(i, 0).getBytes
           case ArrayType(elem, _) =>
             // 3-level LIST: outer group → repeated `list` entries →
             // single-child element, accessed by POSITION (the child is
@@ -500,23 +493,30 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
               val entry = outer.getGroup(0, j)
               arr(j) =
                 if (entry.getFieldRepetitionCount(0) == 0) null
-                else elem match {
-                  case FloatType => entry.getFloat(0, 0)
-                  case DoubleType => entry.getDouble(0, 0)
-                  case LongType => entry.getLong(0, 0)
-                  case IntegerType => entry.getInteger(0, 0)
-                  case BooleanType => entry.getBoolean(0, 0)
-                  case StringType =>
-                    UTF8String.fromBytes(entry.getBinary(0, 0).getBytes)
-                  case BinaryType => entry.getBinary(0, 0).getBytes
-                  case dt => throw new UnsupportedOperationException(
-                    s"graft-parquet: unsupported list element $dt")
-                }
+                else Dsv2Parquet.readPrimitive(entry, 0, 0, elem)
               j += 1
             }
             new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
-          case dt => throw new UnsupportedOperationException(
-            s"graft-parquet: unsupported read type $dt")
+          case MapType(kt, vt, _) =>
+            // 3-level MAP: outer group → repeated key_value entries →
+            // (required key, optional value), by position
+            val outer = row.getGroup(i, 0)
+            val n = outer.getFieldRepetitionCount(0)
+            val keys = new Array[Any](n)
+            val values = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val kv = outer.getGroup(0, j)
+              keys(j) = Dsv2Parquet.readPrimitive(kv, 0, 0, kt)
+              values(j) =
+                if (kv.getFieldRepetitionCount(1) == 0) null
+                else Dsv2Parquet.readPrimitive(kv, 1, 0, vt)
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(values))
+          case dt => Dsv2Parquet.readPrimitive(row, i, 0, dt)
         }
       i += 1
     }
@@ -539,27 +539,48 @@ private[sources] object Dsv2Parquet {
    * [[sparkSchema]]: every field an optional primitive, strings as
    * UTF8-annotated BINARY. Unsupported Spark types fail fast at write
    * planning, mirroring the read side's posture. */
-  private def primitiveBuilder(dt: DataType, name: String)
-      : org.apache.parquet.schema.Types.PrimitiveBuilder[PrimitiveType] =
+  /** Bytes needed for a two's-complement decimal of the given
+   * precision (parquet FLBA sizing; 16 covers precision 38). */
+  def decimalFlbaBytes(precision: Int): Int =
+    (1 to 16).find(n => math.pow(10, precision) - 1 <=
+      math.pow(2, 8 * n - 1) - 1).getOrElse(16)
+
+  private def primitiveBuilder(dt: DataType, name: String,
+      rep: Type.Repetition = Type.Repetition.OPTIONAL)
+      : org.apache.parquet.schema.Types.PrimitiveBuilder[PrimitiveType] = {
+    import org.apache.parquet.schema.Types.primitive
     dt match {
-      case LongType =>
-        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.INT64)
-      case IntegerType =>
-        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.INT32)
-      case DoubleType =>
-        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.DOUBLE)
-      case FloatType =>
-        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.FLOAT)
-      case BooleanType =>
-        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BOOLEAN)
-      case StringType =>
-        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType())
-      case BinaryType =>
-        org.apache.parquet.schema.Types.optional(PrimitiveTypeName.BINARY)
+      case LongType => primitive(PrimitiveTypeName.INT64, rep)
+      case IntegerType => primitive(PrimitiveTypeName.INT32, rep)
+      case DoubleType => primitive(PrimitiveTypeName.DOUBLE, rep)
+      case FloatType => primitive(PrimitiveTypeName.FLOAT, rep)
+      case BooleanType => primitive(PrimitiveTypeName.BOOLEAN, rep)
+      case StringType => primitive(PrimitiveTypeName.BINARY, rep)
+        .as(LogicalTypeAnnotation.stringType())
+      case BinaryType => primitive(PrimitiveTypeName.BINARY, rep)
+      case DateType => primitive(PrimitiveTypeName.INT32, rep)
+        .as(LogicalTypeAnnotation.dateType())
+      case TimestampType => primitive(PrimitiveTypeName.INT64, rep)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+      case ShortType => primitive(PrimitiveTypeName.INT32, rep)
+        .as(LogicalTypeAnnotation.intType(16, true))
+      case ByteType => primitive(PrimitiveTypeName.INT32, rep)
+        .as(LogicalTypeAnnotation.intType(8, true))
+      case d: DecimalType if d.precision <= 9 =>
+        primitive(PrimitiveTypeName.INT32, rep)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+      case d: DecimalType if d.precision <= 18 =>
+        primitive(PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+      case d: DecimalType =>
+        primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, rep)
+          .length(decimalFlbaBytes(d.precision))
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
       case other => throw new UnsupportedOperationException(
         s"graft-parquet: unsupported write type $other ($name)")
     }
+  }
 
   def parquetMessageType(schema: StructType): MessageType = {
     val b = org.apache.parquet.schema.Types.buildMessage()
@@ -570,11 +591,52 @@ private[sources] object Dsv2Parquet {
           org.apache.parquet.schema.Types.optionalList()
             .element(primitiveBuilder(elem, f.name).named("element"))
             .named(f.name)
+        case MapType(k, v, _) =>
+          // the standard 3-level MAP shape: required key, optional value
+          org.apache.parquet.schema.Types.optionalGroup()
+            .as(LogicalTypeAnnotation.mapType())
+            .addField(org.apache.parquet.schema.Types.repeatedGroup()
+              .addField(primitiveBuilder(k, f.name,
+                Type.Repetition.REQUIRED).named("key"))
+              .addField(primitiveBuilder(v, f.name).named("value"))
+              .named("key_value"))
+            .named(f.name)
         case dt => primitiveBuilder(dt, f.name).named(f.name)
       }
       b.addField(t)
     }
     b.named("graft")
+  }
+
+  /** One primitive value out of a Group, decoded to Spark's internal
+   * representation. Decimals branch on the FILE's physical encoding
+   * (INT32 / INT64 unscaled, or two's-complement BINARY / FLBA) — one
+   * directory can mix writers whose decimal encodings differ. */
+  def readPrimitive(g: Group, fi: Int, vi: Int, dt: DataType): Any = dt match {
+    case LongType | TimestampType => g.getLong(fi, vi)
+    case IntegerType | DateType => g.getInteger(fi, vi)
+    case ShortType => g.getInteger(fi, vi).toShort
+    case ByteType => g.getInteger(fi, vi).toByte
+    case DoubleType => g.getDouble(fi, vi)
+    case FloatType => g.getFloat(fi, vi)
+    case BooleanType => g.getBoolean(fi, vi)
+    case StringType => UTF8String.fromBytes(g.getBinary(fi, vi).getBytes)
+    case BinaryType => g.getBinary(fi, vi).getBytes
+    case d: DecimalType =>
+      g.getType.getType(fi).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 =>
+          org.apache.spark.sql.types.Decimal(
+            g.getInteger(fi, vi).toLong, d.precision, d.scale)
+        case PrimitiveTypeName.INT64 =>
+          org.apache.spark.sql.types.Decimal(
+            g.getLong(fi, vi), d.precision, d.scale)
+        case _ =>
+          val unscaled = new java.math.BigInteger(g.getBinary(fi, vi).getBytes)
+          org.apache.spark.sql.types.Decimal(
+            BigDecimal(unscaled, d.scale), d.precision, d.scale)
+      }
+    case other => throw new UnsupportedOperationException(
+      s"graft-parquet: unsupported read type $other")
   }
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
@@ -608,20 +670,32 @@ private[sources] object Dsv2Parquet {
     finally r.close()
   }
 
-  private def primitiveSparkType(p: PrimitiveType, name: String): DataType =
-    p.getPrimitiveTypeName match {
-      case PrimitiveTypeName.INT64 => LongType
-      case PrimitiveTypeName.INT32 => IntegerType
-      case PrimitiveTypeName.DOUBLE => DoubleType
-      case PrimitiveTypeName.FLOAT => FloatType
-      case PrimitiveTypeName.BOOLEAN => BooleanType
-      case PrimitiveTypeName.BINARY
-          if p.getLogicalTypeAnnotation ==
-            LogicalTypeAnnotation.stringType() => StringType
-      case PrimitiveTypeName.BINARY => BinaryType
-      case other => throw new UnsupportedOperationException(
+  private def primitiveSparkType(p: PrimitiveType, name: String): DataType = {
+    import LogicalTypeAnnotation._
+    (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+      case (_, d: DecimalLogicalTypeAnnotation) =>
+        DecimalType(d.getPrecision, d.getScale)
+      case (PrimitiveTypeName.INT64, t: TimestampLogicalTypeAnnotation) =>
+        require(t.getUnit == TimeUnit.MICROS,
+          s"graft-parquet: only MICROS timestamps supported ($name)")
+        TimestampType
+      case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) => DateType
+      case (PrimitiveTypeName.INT32, i: IntLogicalTypeAnnotation)
+          if i.getBitWidth == 16 => ShortType
+      case (PrimitiveTypeName.INT32, i: IntLogicalTypeAnnotation)
+          if i.getBitWidth == 8 => ByteType
+      case (PrimitiveTypeName.INT64, _) => LongType
+      case (PrimitiveTypeName.INT32, _) => IntegerType
+      case (PrimitiveTypeName.DOUBLE, _) => DoubleType
+      case (PrimitiveTypeName.FLOAT, _) => FloatType
+      case (PrimitiveTypeName.BOOLEAN, _) => BooleanType
+      case (PrimitiveTypeName.BINARY, s)
+          if s == LogicalTypeAnnotation.stringType() => StringType
+      case (PrimitiveTypeName.BINARY, _) => BinaryType
+      case (other, _) => throw new UnsupportedOperationException(
         s"graft-parquet: unsupported parquet type $other ($name)")
     }
+  }
 
   /** The standard 3-level LIST shape: `optional group f (LIST) {
    * repeated group list { optional <prim> element } }`. The repeated
@@ -631,8 +705,7 @@ private[sources] object Dsv2Parquet {
    * columns a live connector must carry (reference SURVEY §1.2). */
   private def listElement(g: org.apache.parquet.schema.GroupType,
       name: String): PrimitiveType = {
-    require(g.getLogicalTypeAnnotation == LogicalTypeAnnotation.listType() &&
-      g.getFieldCount == 1 && !g.getType(0).isPrimitive,
+    require(g.getFieldCount == 1 && !g.getType(0).isPrimitive,
       s"graft-parquet: unsupported nested field $name (only 3-level LIST)")
     val repeated = g.getType(0).asGroupType()
     require(repeated.isRepetition(Type.Repetition.REPEATED) &&
@@ -641,15 +714,40 @@ private[sources] object Dsv2Parquet {
     repeated.getType(0).asPrimitiveType()
   }
 
+  /** The standard 3-level MAP shape: `optional group f (MAP) {
+   * repeated group key_value { required <prim> key; optional <prim>
+   * value } }` — CQL map columns through the connector. Children by
+   * POSITION like the list shape. */
+  private def mapKeyValue(g: org.apache.parquet.schema.GroupType,
+      name: String): (PrimitiveType, PrimitiveType) = {
+    require(g.getFieldCount == 1 && !g.getType(0).isPrimitive,
+      s"graft-parquet: unsupported nested field $name (only 3-level MAP)")
+    val kv = g.getType(0).asGroupType()
+    require(kv.isRepetition(Type.Repetition.REPEATED) &&
+      kv.getFieldCount == 2 && kv.getType(0).isPrimitive &&
+      kv.getType(1).isPrimitive,
+      s"graft-parquet: unsupported MAP shape for $name")
+    (kv.getType(0).asPrimitiveType(), kv.getType(1).asPrimitiveType())
+  }
+
   def sparkSchema(m: MessageType): StructType =
     StructType(m.getFields.asScala.map { f =>
       require(!f.isRepetition(Type.Repetition.REPEATED),
         s"graft-parquet: unsupported repeated field ${f.getName}")
       val dt =
         if (f.isPrimitive) primitiveSparkType(f.asPrimitiveType(), f.getName)
-        else ArrayType(primitiveSparkType(
-          listElement(f.asGroupType(), f.getName), f.getName),
-          containsNull = true)
+        else if (f.asGroupType().getLogicalTypeAnnotation ==
+            LogicalTypeAnnotation.mapType()) {
+          val (k, v) = mapKeyValue(f.asGroupType(), f.getName)
+          MapType(primitiveSparkType(k, f.getName),
+            primitiveSparkType(v, f.getName), valueContainsNull = true)
+        } else if (f.asGroupType().getLogicalTypeAnnotation ==
+            LogicalTypeAnnotation.listType())
+          ArrayType(primitiveSparkType(
+            listElement(f.asGroupType(), f.getName), f.getName),
+            containsNull = true)
+        else throw new UnsupportedOperationException(
+          s"graft-parquet: unsupported nested field ${f.getName}")
       // always nullable, matching Spark's own file-source posture: the
       // directory can accumulate files from writers with laxer schemas
       StructField(f.getName, dt, nullable = true)

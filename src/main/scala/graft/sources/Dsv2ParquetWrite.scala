@@ -220,58 +220,77 @@ private[sources] class GraftParquetDataWriter(stagingDir: String,
       .build()
   }
 
+  /** One Spark internal value into a Group field, encoded exactly as
+   * [[Dsv2Parquet.parquetMessageType]] declared it (timestamps as
+   * MICROS int64, dates as days int32, decimals as unscaled int32 /
+   * int64 / sign-extended two's-complement FLBA). Binary copies: the
+   * parquet writer buffers Binary refs until page flush, and the
+   * row's backing buffer is reused by the caller. */
+  private def addPrimitive(g: org.apache.parquet.example.data.Group,
+      fi: Int, dt: DataType, v: Any): Unit = dt match {
+    case LongType | TimestampType => g.add(fi, v.asInstanceOf[Long])
+    case IntegerType | DateType => g.add(fi, v.asInstanceOf[Int])
+    case ShortType => g.add(fi, v.asInstanceOf[Short].toInt)
+    case ByteType => g.add(fi, v.asInstanceOf[Byte].toInt)
+    case DoubleType => g.add(fi, v.asInstanceOf[Double])
+    case FloatType => g.add(fi, v.asInstanceOf[Float])
+    case BooleanType => g.add(fi, v.asInstanceOf[Boolean])
+    case StringType =>
+      val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      g.add(fi, Binary.fromConstantByteArray(
+        java.util.Arrays.copyOf(b, b.length)))
+    case BinaryType =>
+      val b = v.asInstanceOf[Array[Byte]]
+      g.add(fi, Binary.fromConstantByteArray(
+        java.util.Arrays.copyOf(b, b.length)))
+    case d: DecimalType if d.precision <= 9 =>
+      g.add(fi, v.asInstanceOf[Decimal].toUnscaledLong.toInt)
+    case d: DecimalType if d.precision <= 18 =>
+      g.add(fi, v.asInstanceOf[Decimal].toUnscaledLong)
+    case d: DecimalType =>
+      val len = Dsv2Parquet.decimalFlbaBytes(d.precision)
+      val big = v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue()
+      val raw = big.toByteArray
+      val out = new Array[Byte](len)
+      if (big.signum < 0) java.util.Arrays.fill(out, 0xFF.toByte)
+      System.arraycopy(raw, 0, out, len - raw.length, raw.length)
+      g.add(fi, Binary.fromConstantByteArray(out))
+    case other => throw new UnsupportedOperationException(
+      s"graft-parquet: unsupported write type $other")
+  }
+
   override def write(row: InternalRow): Unit = {
     if (writer == null) open()
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
       if (!row.isNullAt(i)) {
-        val name = schema.fields(i).name
         schema.fields(i).dataType match {
-          case LongType => g.add(name, row.getLong(i))
-          case IntegerType => g.add(name, row.getInt(i))
-          case DoubleType => g.add(name, row.getDouble(i))
-          case FloatType => g.add(name, row.getFloat(i))
-          case BooleanType => g.add(name, row.getBoolean(i))
-          case StringType =>
-            // copy: parquet buffers Binary refs until page flush, and
-            // the row's backing buffer is reused by the caller
-            val b = row.getUTF8String(i).getBytes
-            g.add(name, Binary.fromConstantByteArray(
-              java.util.Arrays.copyOf(b, b.length)))
-          case BinaryType =>
-            val b = row.getBinary(i)
-            g.add(name, Binary.fromConstantByteArray(
-              java.util.Arrays.copyOf(b, b.length)))
-          case org.apache.spark.sql.types.ArrayType(elem, _) =>
+          case ArrayType(elem, _) =>
             // the 3-level LIST shape parquetMessageType declared:
             // field group → repeated `list` group → `element`
             val arr = row.getArray(i)
-            val outer = g.addGroup(name)
+            val outer = g.addGroup(i)
             var j = 0
             while (j < arr.numElements()) {
               val entry = outer.addGroup(0)
-              if (!arr.isNullAt(j)) elem match {
-                case FloatType => entry.add(0, arr.getFloat(j))
-                case DoubleType => entry.add(0, arr.getDouble(j))
-                case LongType => entry.add(0, arr.getLong(j))
-                case IntegerType => entry.add(0, arr.getInt(j))
-                case BooleanType => entry.add(0, arr.getBoolean(j))
-                case StringType =>
-                  val b = arr.getUTF8String(j).getBytes
-                  entry.add(0, Binary.fromConstantByteArray(
-                    java.util.Arrays.copyOf(b, b.length)))
-                case BinaryType =>
-                  val b = arr.getBinary(j)
-                  entry.add(0, Binary.fromConstantByteArray(
-                    java.util.Arrays.copyOf(b, b.length)))
-                case dt => throw new UnsupportedOperationException(
-                  s"graft-parquet: unsupported list element $dt ($name)")
-              }
+              if (!arr.isNullAt(j)) addPrimitive(entry, 0, elem, arr.get(j, elem))
               j += 1
             }
-          case dt => throw new UnsupportedOperationException(
-            s"graft-parquet: unsupported write type $dt ($name)")
+          case MapType(kt, vt, _) =>
+            // the 3-level MAP shape: required key, optional value
+            val m = row.getMap(i)
+            val outer = g.addGroup(i)
+            val ka = m.keyArray()
+            val va = m.valueArray()
+            var j = 0
+            while (j < m.numElements()) {
+              val kv = outer.addGroup(0)
+              addPrimitive(kv, 0, kt, ka.get(j, kt))
+              if (!va.isNullAt(j)) addPrimitive(kv, 1, vt, va.get(j, vt))
+              j += 1
+            }
+          case dt => addPrimitive(g, i, dt, row.get(i, dt))
         }
       }
       i += 1

@@ -142,10 +142,10 @@ class Dsv2WriteSpec extends SparkSpec {
 
   test("unsupported write types fail fast") {
     withTmp { tmp =>
-      // arrays are supported since the LIST work — maps are the
-      // fail-fast frontier now
+      // arrays and maps are supported since the collection work —
+      // nested STRUCTs are the fail-fast frontier now
       val bad = spark.range(3)
-        .select(map(col("id").cast("string"), col("id")).as("a"))
+        .select(struct(col("id").as("x")).as("a"))
       val ex = intercept[Exception] {
         bad.write.format(fmt)
           .option(Dsv2Parquet.SchemaOption, bad.schema.toDDL)
