@@ -503,13 +503,57 @@ object Multimodal {
   def mmFrameDecode(spark: SparkSession, dir: String): DataFrame =
     decodeSampledFrames(videoMediaTable(spark, dir), VideoFrameEvery).toDF()
 
+  val ThumbW = 4
+  val ThumbH = 3
+
+  /** REAL resize through the codec boundary — the operation
+   * `resizeTo`'s stub stands in for, now exercised on genuinely
+   * decoded pixels: `ImageIO.read` inflates the PNG, then a
+   * nearest-neighbor resample to a fixed [[ThumbW]]×[[ThumbH]]
+   * thumbnail picks source pixels by integer-floor mapping
+   * (src_x = x·w / W', src_y = y·h / H' — exact integer arithmetic
+   * both engines can restate), and the thumbnail's per-channel sums
+   * are reported. A decode fault, an off-by-one in the resample
+   * grid, or a rounding-mode drift turns the oracle row red. */
+  def resizeDecoded(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.media))
+        require(img != null, s"doc ${row.doc_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < ThumbH) {
+          val sy = y * h / ThumbH
+          var x = 0
+          while (x < ThumbW) {
+            val rgb = img.getRGB(x * w / ThumbW, sy)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(row.doc_id, ThumbW.toLong, ThumbH.toLong,
+          ThumbW.toLong * ThumbH, sr, sg, sb)
+      }
+    }
+  }
+
+  def mmResizeDecode(spark: SparkSession, dir: String): DataFrame =
+    resizeDecoded(pngMediaTable(spark, dir)).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize" -> mmResize,
     "mm_decode" -> mmDecode,
     "mm_decode_wav" -> mmDecodeWav,
-    "mm_frame_decode" -> mmFrameDecode)
+    "mm_frame_decode" -> mmFrameDecode,
+    "mm_resize_decode" -> mmResizeDecode)
 
   val oracleSql: Map[String, String] = Map(
     "mm_features" ->
@@ -543,6 +587,20 @@ object Multimodal {
            CAST(sum((doc_id * 3 + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g,
            CAST(sum((doc_id * 5 + 3 * x + 17 * y) % 256) AS BIGINT) AS sum_b
          FROM v GROUP BY doc_id, w, h""",
+    // the nearest-neighbor thumbnail's sampled coordinates recomputed:
+    // what the REAL decode + integer-floor resample must produce
+    "mm_resize_decode" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+           FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(range(0, 12)) AS k FROM g),
+         v AS (SELECT doc_id,
+                 ((k % 4) * w) // 4 AS x, ((k // 4) * h) // 3 AS y FROM px)
+         SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+           CAST(12 AS BIGINT) AS n_pixels,
+           CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 3 + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 5 + 3 * x + 17 * y) % 256) AS BIGINT) AS sum_b
+         FROM v GROUP BY doc_id""",
     // the PCM signal recomputed sample-by-sample: what AudioSystem
     // must hand back after the real WAV encode/decode round trip
     "mm_decode_wav" ->
