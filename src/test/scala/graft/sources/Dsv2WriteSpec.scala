@@ -140,6 +140,28 @@ class Dsv2WriteSpec extends SparkSpec {
     }
   }
 
+  test("two interleaved append jobs both land (no commit interference)") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")
+      // two writers stage under DIFFERENT queryIds concurrently; their
+      // commits interleave — unique staged names and per-query staging
+      // dirs mean neither clobbers the other
+      val bwA = GraftParquetBatchWrite(p, schema, "job-A", truncateFirst = false)
+      val bwB = GraftParquetBatchWrite(p, schema, "job-B", truncateFirst = false)
+      def stage(q: String, v: Long) = {
+        val w = new GraftParquetDataWriter(s"$p/_staging-$q", schema, 0, v)
+        w.write(org.apache.spark.sql.catalyst.InternalRow(v))
+        w.commit()
+      }
+      val mA = stage("job-A", 1L)
+      val mB = stage("job-B", 2L)   // staged while A is uncommitted
+      bwA.commit(Array(mA))
+      bwB.commit(Array(mB))
+      assert(spark.read.parquet(p).as[Long].collect().toSet == Set(1L, 2L))
+    }
+  }
+
   test("unsupported write types fail fast") {
     withTmp { tmp =>
       // arrays and maps are supported since the collection work —
