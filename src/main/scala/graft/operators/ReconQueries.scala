@@ -227,6 +227,48 @@ object ReconQueries {
     } finally deleteRecursively(new java.io.File(tmp))
   }
 
+  /** The SINK-REQUESTED distribution contract driver-verified
+   * (`RequiresDistributionAndOrdering` — the V2 surface a Cassandra
+   * writer uses to make Spark hash by token, an Iceberg writer to get
+   * globally clustered files): orders keys scrambled across 8 input
+   * partitions, then written through the provider with
+   * `graft.orderBy=o_orderkey` and a strict 6-partition requirement —
+   * the SINK declares the range exchange + in-partition sort, Catalyst
+   * plans it. The require() pins the layout actually materialized:
+   * >1 output file, per-file [min,max] key ranges strictly disjoint
+   * (from the written data itself). The read-back through the provider
+   * returns every key — value-level oracle over the full key set, so a
+   * dropped or duplicated row in the exchange+sort+commit chain turns
+   * the hash red. */
+  def dsv2OrderedWrite(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = classOf[graft.sources.GraftParquetProvider].getName
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-ordered").toString
+    try {
+      val p = s"$tmp/orders"
+      spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey")
+        .repartition(8)
+        .write.format(fmt)
+        .option("graft.schema", "o_orderkey BIGINT")
+        .option("graft.orderBy", "o_orderkey")
+        .option("graft.numPartitions", "6")
+        .mode("append").save(p)
+      val perFile = spark.read.parquet(p)
+        .select(col("o_orderkey"), input_file_name().as("f"))
+        .groupBy("f")
+        .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      require(perFile.length > 1,
+        "dsv2_ordered_write: expected a multi-file range layout")
+      perFile.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          require(hi1 < lo2,
+            s"dsv2_ordered_write: overlapping file key ranges (${perFile.toSeq})")
+        case _ => ()
+      }
+      spark.read.format(fmt).load(p).localCheckpoint()
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
   /** Operators D/N (scan/mutation rate limiting) driver-verified: the
    * SAME classification as [[reconClassify]] with BOTH scans wrapped in
    * [[graft.sources.Throttle.perPartitionRows]] — the reference's
@@ -712,6 +754,7 @@ object ReconQueries {
     "recon_classify_dsv2" -> reconClassifyDsv2,
     "dsv2_agg_pushdown" -> dsv2AggPushdown,
     "dsv2_limit_pushdown" -> dsv2LimitPushdown,
+    "dsv2_ordered_write" -> dsv2OrderedWrite,
     "recon_classify_throttled" -> reconClassifyThrottled,
     "recon_classify_bucketed" -> reconClassifyBucketed,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
@@ -763,6 +806,9 @@ object ReconQueries {
     "dsv2_limit_pushdown" ->
       """SELECT CAST(least(500, (SELECT count(*) FROM orders)) AS BIGINT)
            AS n_rows""",
+    // every key survives the sink-demanded range exchange + sort +
+    // two-phase commit, exactly once
+    "dsv2_ordered_write" -> "SELECT o_orderkey FROM orders",
     // same oracle again: the rate limiter must be row-transparent
     "recon_classify_throttled" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),

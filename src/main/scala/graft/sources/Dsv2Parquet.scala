@@ -535,6 +535,13 @@ private[sources] object Dsv2Parquet {
    * micro-batch (the connector analogue of maxFilesPerTrigger). */
   val MaxRowGroupsPerTriggerOption = "graft.maxRowGroupsPerTrigger"
 
+  /** Write options requesting a sink-driven exchange: ordered (range
+   * partition + sort — disjoint sorted files) or clustered (hash —
+   * one key, one task). Comma-separated column lists. */
+  val OrderByOption = "graft.orderBy"
+  val ClusterByOption = "graft.clusterBy"
+  val NumPartitionsOption = "graft.numPartitions"
+
   /** Spark schema → parquet message type, the exact inverse of
    * [[sparkSchema]]: every field an optional primitive, strings as
    * UTF8-annotated BINARY. Unsupported Spark types fail fast at write

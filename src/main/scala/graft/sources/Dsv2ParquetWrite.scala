@@ -16,6 +16,8 @@ import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.types._
 
 /**
@@ -57,7 +59,48 @@ private[sources] case class GraftParquetWriteBuilder(path: String,
    * Catalyst's V2Writes rule lowers it here. */
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
+    private def cols(key: String): Array[String] =
+      Option(info.options().get(key))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Array.empty)
+    private val orderBy = cols(Dsv2Parquet.OrderByOption)
+    private val clusterBy = cols(Dsv2Parquet.ClusterByOption)
+    require(orderBy.isEmpty || clusterBy.isEmpty,
+      "graft-parquet: orderBy and clusterBy are mutually exclusive")
+
+    /** SINK-REQUESTED distribution — the V2 contract a live sink uses
+     * to make SPARK shuffle for it (a Cassandra writer clusters by
+     * token so each task batches mutations per replica set; an
+     * Iceberg writer orders globally for clustered data files):
+     * `graft.orderBy` demands a RANGE exchange + in-partition sort
+     * (output files carry disjoint sorted key ranges — verifiable
+     * from their footers), `graft.clusterBy` a hash exchange (one
+     * key never straddles two tasks' files). The sink declares WHAT
+     * it needs; Catalyst plans the exchange. */
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution = {
+      import org.apache.spark.sql.connector.distributions.Distributions
+      if (orderBy.nonEmpty) Distributions.ordered(requiredOrdering())
+      else if (clusterBy.nonEmpty) Distributions.clustered(
+        clusterBy.map(c => Expressions.column(c)
+          : org.apache.spark.sql.connector.expressions.Expression))
+      else Distributions.unspecified()
+    }
+
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      orderBy.map(c => Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+
+    /** `graft.numPartitions`: exact task count for the sink-demanded
+     * exchange (a Cassandra sink sizes this to its replica/batch
+     * topology). A strict requirement — AQE cannot coalesce it away. */
+    override def requiredNumPartitions(): Int =
+      Option(info.options().get(Dsv2Parquet.NumPartitionsOption))
+        .map(_.toInt).getOrElse(0)
+
     override def toBatch: BatchWrite =
       GraftParquetBatchWrite(path, info.schema(), info.queryId(), truncateFirst)
     override def toStreaming: StreamingWrite =

@@ -140,6 +140,50 @@ class Dsv2WriteSpec extends SparkSpec {
     }
   }
 
+  test("orderBy demands a range exchange: disjoint sorted files") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val src = spark.range(2000).select(col("id").as("k"))
+        .repartition(8) // scrambled input — the SINK must demand the sort
+      src.write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT")
+        .option(Dsv2Parquet.OrderByOption, "k")
+        .option(Dsv2Parquet.NumPartitionsOption, "5")
+        .mode("append").save(p)
+      val perFile = spark.read.parquet(p)
+        .select(col("k"), input_file_name().as("f"))
+        .groupBy("f")
+        .agg(min("k").as("lo"), max("k").as("hi"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(perFile.length > 1, "expected a multi-file range layout")
+      // disjoint, covering ranges
+      perFile.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: $perFile")
+      }
+      assert(spark.read.format(fmt).load(p).count() == 2000L)
+    }
+  }
+
+  test("clusterBy demands a hash exchange: one key never straddles files") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val src = spark.range(2000)
+        .select((col("id") % 16).as("g"), col("id").as("k"))
+        .repartition(8)
+      src.write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "g BIGINT, k BIGINT")
+        .option(Dsv2Parquet.ClusterByOption, "g")
+        .option(Dsv2Parquet.NumPartitionsOption, "5")
+        .mode("append").save(p)
+      val spread = spark.read.parquet(p)
+        .select(col("g"), input_file_name().as("f"))
+        .groupBy("g").agg(countDistinct(col("f")).as("nf"))
+        .agg(max("nf")).collect()(0).getLong(0)
+      assert(spread == 1L, s"a clustered key straddled $spread files")
+      assert(spark.read.parquet(p).count() == 2000L)
+    }
+  }
+
   test("two interleaved append jobs both land (no commit interference)") {
     withTmp { tmp =>
       val p = s"$tmp/t"
