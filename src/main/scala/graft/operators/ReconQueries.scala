@@ -269,6 +269,45 @@ object ReconQueries {
     } finally deleteRecursively(new java.io.File(tmp))
   }
 
+  /** The CATALOG + METADATA-DELETE surfaces driver-verified: orders
+   * keys written as two band-aligned files ([min,1000] and
+   * (1000,max]) into a [[graft.sources.GraftCatalog]] root, then
+   * plain SQL `DELETE FROM <cat>.db.orders WHERE o_orderkey <= 1000`
+   * — the connector drops exactly the file whose footer statistics
+   * PROVE every row matches (Iceberg's metadata-delete posture; a
+   * live Cassandra catalog resolves keyspace.table the same way) and
+   * refuses undecidable deletes outright. The surviving key set read
+   * back through catalog SQL carries the full value-level oracle: a
+   * file wrongly dropped, wrongly kept, or a stats misread flips the
+   * hash. */
+  def dsv2DeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dsv2DeleteProbe
+    val fmt = classOf[graft.sources.GraftParquetProvider].getName
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-cat").toString
+    val cat = s"gq_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    try {
+      val p = s"$tmp/db/orders"
+      val keys = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey")
+      keys.filter(col("o_orderkey") <= 1000).coalesce(1).write.format(fmt)
+        .option("graft.schema", "o_orderkey BIGINT").mode("append").save(p)
+      keys.filter(col("o_orderkey") > 1000).coalesce(1).write.format(fmt)
+        .mode("append").save(p)
+      spark.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey <= 1000")
+      require(Dsv2DeleteProbe.lastDropped.get() == 1 &&
+        Dsv2DeleteProbe.lastKept.get() == 1,
+        s"dsv2_delete_where: expected 1 dropped + 1 kept file, got " +
+          s"${Dsv2DeleteProbe.lastDropped.get()}/${Dsv2DeleteProbe.lastKept.get()}")
+      spark.sql(s"SELECT o_orderkey FROM $cat.db.orders").localCheckpoint()
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      deleteRecursively(new java.io.File(tmp))
+    }
+  }
+
   /** Operators D/N (scan/mutation rate limiting) driver-verified: the
    * SAME classification as [[reconClassify]] with BOTH scans wrapped in
    * [[graft.sources.Throttle.perPartitionRows]] — the reference's
@@ -755,6 +794,7 @@ object ReconQueries {
     "dsv2_agg_pushdown" -> dsv2AggPushdown,
     "dsv2_limit_pushdown" -> dsv2LimitPushdown,
     "dsv2_ordered_write" -> dsv2OrderedWrite,
+    "dsv2_delete_where" -> dsv2DeleteWhere,
     "recon_classify_throttled" -> reconClassifyThrottled,
     "recon_classify_bucketed" -> reconClassifyBucketed,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
@@ -809,6 +849,9 @@ object ReconQueries {
     // every key survives the sink-demanded range exchange + sort +
     // two-phase commit, exactly once
     "dsv2_ordered_write" -> "SELECT o_orderkey FROM orders",
+    // the metadata delete removes exactly the proven band
+    "dsv2_delete_where" ->
+      "SELECT o_orderkey FROM orders WHERE o_orderkey > 1000",
     // same oracle again: the rate limiter must be row-transparent
     "recon_classify_throttled" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),

@@ -82,7 +82,29 @@ class GraftParquetProvider extends TableProvider {
 
 private[sources] case class GraftParquetTable(path: String,
     override val schema: StructType) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** METADATA-ONLY DELETE WHERE — the posture of every file-backed
+   * connector (Iceberg's metadata delete, a Cassandra range drop):
+   * a file is dropped only when its footer statistics PROVE every row
+   * matches the predicate, kept only when they prove none does, and
+   * the whole DELETE is refused (canDeleteWhere=false → Spark raises
+   * the standard rewrite-required error) if ANY file is undecidable —
+   * correctness never depends on a guess. Pairs with the ordered
+   * write: a range layout makes range deletes file-aligned. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    Dsv2Parquet.deleteDecisions(path, filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (drop, keep) = Dsv2Parquet.deleteDecisions(path, filters)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"graft-parquet: cannot metadata-delete by ${filters.mkString(", ")}"))
+    val fs = new Path(path).getFileSystem(new Configuration())
+    drop.foreach(f => fs.delete(f, false))
+    Dsv2DeleteProbe.lastDropped.set(drop.length)
+    Dsv2DeleteProbe.lastKept.set(keep.length)
+  }
   override def name(): String = s"graft-parquet:$path"
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -644,6 +666,93 @@ private[sources] object Dsv2Parquet {
       }
     case other => throw new UnsupportedOperationException(
       s"graft-parquet: unsupported read type $other")
+  }
+
+  /** Per-file DELETE-WHERE decisions from footer statistics: Some((
+   * dropFiles, keepFiles)) when EVERY data file is provably all-match
+   * or none-match under the conjunction; None (refuse) when any file
+   * is undecidable, any filter form is unsupported, or the filter list
+   * is empty. Supported forms: </, <=, >, >=, = on int/long columns
+   * with present statistics; a row group with nulls in the filtered
+   * column can never be all-match (nulls don't satisfy comparisons). */
+  def deleteDecisions(path: String,
+      filters: Array[Filter]): Option[(Array[Path], Array[Path])] = {
+    if (filters.isEmpty) return None
+    sealed trait Tri
+    case object All extends Tri
+    case object NoneM extends Tri
+    case object Unknown extends Tri
+    val conf = new Configuration()
+
+    def colStats(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+        c: String): Option[(Long, Long, Long)] =
+      b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { cc =>
+        val st = cc.getStatistics
+        if (st == null || st.isEmpty || !st.hasNonNullValue) None
+        else (st.genericGetMin, st.genericGetMax) match {
+          case (mn: java.lang.Long, mx: java.lang.Long) =>
+            Some((mn.longValue, mx.longValue, st.getNumNulls))
+          case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+            Some((mn.longValue, mx.longValue, st.getNumNulls))
+          case _ => None
+        }
+      }
+
+    def lit(v: Any): Option[Long] = v match {
+      case x: Long => Some(x)
+      case x: Int => Some(x.toLong)
+      case _ => None
+    }
+
+    def one(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+        f: Filter): Tri = {
+      def cmp(n: String, v: Any,
+          all: (Long, Long, Long) => Boolean,
+          none: (Long, Long, Long) => Boolean): Tri =
+        (colStats(b, n), lit(v)) match {
+          case (Some((mn, mx, nulls)), Some(x)) =>
+            if (none(mn, mx, x)) NoneM
+            else if (nulls == 0 && all(mn, mx, x)) All
+            else Unknown
+          case _ => Unknown
+        }
+      f match {
+        case LessThan(n, v) => cmp(n, v,
+          (_, mx, x) => mx < x, (mn, _, x) => mn >= x)
+        case LessThanOrEqual(n, v) => cmp(n, v,
+          (_, mx, x) => mx <= x, (mn, _, x) => mn > x)
+        case GreaterThan(n, v) => cmp(n, v,
+          (mn, _, x) => mn > x, (_, mx, x) => mx <= x)
+        case GreaterThanOrEqual(n, v) => cmp(n, v,
+          (mn, _, x) => mn >= x, (_, mx, x) => mx < x)
+        case EqualTo(n, v) => cmp(n, v,
+          (mn, mx, x) => mn == x && mx == x,
+          (mn, mx, x) => x < mn || x > mx)
+        case _ => Unknown
+      }
+    }
+
+    val files = dataFiles(path, conf)
+    val drop = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val keep = scala.collection.mutable.ArrayBuffer.empty[Path]
+    files.foreach { fstat =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromStatus(fstat, conf))
+      val blocks = try reader.getFooter.getBlocks.asScala.toSeq
+        finally reader.close()
+      // conjunction per row group: any NoneM filter → no row matches;
+      // all All → every row matches; else unknown
+      val rgs = blocks.map { b =>
+        val ts = filters.map(one(b, _))
+        if (ts.contains(NoneM)) NoneM
+        else if (ts.forall(_ == All)) All
+        else Unknown
+      }
+      if (rgs.forall(_ == All)) drop += fstat.getPath
+      else if (rgs.forall(_ == NoneM)) keep += fstat.getPath
+      else return None
+    }
+    Some((drop.toArray, keep.toArray))
   }
 
   def pathOf(options: CaseInsensitiveStringMap): String = {

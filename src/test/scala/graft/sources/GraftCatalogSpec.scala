@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The catalog surface + metadata DELETE WHERE: identifier→directory
+ * resolution, SQL SELECT/INSERT through the catalog, stats-proven
+ * file drops, refusal when a file is undecidable, and CREATE/DROP
+ * TABLE with the schema file. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fmt = classOf[GraftParquetProvider].getName
+
+  private def withCatalog[A](f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-catalog").toString
+    val cat = s"gcat_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    try f(cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  private def root(cat: String): String =
+    spark.conf.get(s"spark.sql.catalog.$cat.root")
+
+  test("SQL reads a path-written table through the catalog") {
+    withCatalog { cat =>
+      spark.range(100).select(col("id").as("k"))
+        .write.format(fmt).option(Dsv2Parquet.SchemaOption, "k BIGINT")
+        .mode("append").save(s"${root(cat)}/db/t")
+      val got = spark.sql(s"SELECT k FROM $cat.db.t WHERE k >= 90")
+      assert(got.as[Long].collect().toSet == (90L until 100L).toSet)
+      assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+        .map(_.getString(1)).toSet == Set("t"))
+    }
+  }
+
+  test("DELETE WHERE drops exactly the provably-matching files") {
+    withCatalog { cat =>
+      val p = s"${root(cat)}/db/t"
+      val keys = spark.range(1, 2001).select(col("id").as("k"))
+      // two band-aligned files: [1,1000] and [1001,2000]
+      keys.filter(col("k") <= 1000).coalesce(1).write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT").mode("append").save(p)
+      keys.filter(col("k") > 1000).coalesce(1).write.format(fmt)
+        .mode("append").save(p)
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k <= 1000")
+      assert(Dsv2DeleteProbe.lastDropped.get() == 1)
+      assert(Dsv2DeleteProbe.lastKept.get() == 1)
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet ==
+        (1001L to 2000L).toSet)
+    }
+  }
+
+  test("DELETE WHERE refuses when a file is undecidable") {
+    withCatalog { cat =>
+      val p = s"${root(cat)}/db/t"
+      spark.range(1, 101).select(col("id").as("k")).coalesce(1)
+        .write.format(fmt).option(Dsv2Parquet.SchemaOption, "k BIGINT")
+        .mode("append").save(p)
+      // k <= 50 straddles the single file: stats cannot prove either way
+      val ex = intercept[Exception](
+        spark.sql(s"DELETE FROM $cat.db.t WHERE k <= 50"))
+      assert(ex.getMessage != null)
+      // nothing was deleted
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.t")
+        .collect()(0).getLong(0) == 100L)
+    }
+  }
+
+  test("CREATE TABLE persists the schema; INSERT and read work; DROP removes") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.fresh (k BIGINT, s STRING)")
+      assert(spark.sql(s"SELECT * FROM $cat.db.fresh").count() == 0L)
+      spark.sql(s"INSERT INTO $cat.db.fresh VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql(s"SELECT k FROM $cat.db.fresh ORDER BY k")
+        .as[Long].collect().toSeq == Seq(1L, 2L))
+      spark.sql(s"DROP TABLE $cat.db.fresh")
+      assert(!new java.io.File(s"${root(cat)}/db/fresh").exists())
+    }
+  }
+}
