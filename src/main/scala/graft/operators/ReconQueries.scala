@@ -219,10 +219,10 @@ object ReconQueries {
       require(plan.contains("PushedLimit: LIMIT 500"),
         s"dsv2_limit_pushdown: limit did not reach the scan\n$plan")
       val forced = out.localCheckpoint()
-      require(Dsv2RuntimeProbe.lastKept.get() <
-        Dsv2RuntimeProbe.lastPlanned.get(),
+      val probe = Dsv2RuntimeProbe.forPath(s"$tmp/orders")
+      require(probe.lastKept.get() < probe.lastPlanned.get(),
         "dsv2_limit_pushdown: no row group was truncated " +
-          s"(${Dsv2RuntimeProbe.lastKept.get()}/${Dsv2RuntimeProbe.lastPlanned.get()})")
+          s"(${probe.lastKept.get()}/${probe.lastPlanned.get()})")
       forced
     } finally deleteRecursively(new java.io.File(tmp))
   }
@@ -296,10 +296,10 @@ object ReconQueries {
       keys.filter(col("o_orderkey") > 1000).coalesce(1).write.format(fmt)
         .mode("append").save(p)
       spark.sql(s"DELETE FROM $cat.db.orders WHERE o_orderkey <= 1000")
-      require(Dsv2DeleteProbe.lastDropped.get() == 1 &&
-        Dsv2DeleteProbe.lastKept.get() == 1,
+      val dp = Dsv2DeleteProbe.forPath(p)
+      require(dp.lastDropped.get() == 1 && dp.lastKept.get() == 1,
         s"dsv2_delete_where: expected 1 dropped + 1 kept file, got " +
-          s"${Dsv2DeleteProbe.lastDropped.get()}/${Dsv2DeleteProbe.lastKept.get()}")
+          s"${dp.lastDropped.get()}/${dp.lastKept.get()}")
       spark.sql(s"SELECT o_orderkey FROM $cat.db.orders").localCheckpoint()
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
@@ -519,7 +519,7 @@ object ReconQueries {
       damaged.write.format(fmt)
         .option("graft.schema", damaged.schema.toDDL)
         .mode("append").save(mvPath)
-      require(Dsv2WriteProbe.lastCommittedRows.get() > 0,
+      require(Dsv2WriteProbe.forPath(mvPath).lastCommittedRows.get() > 0,
         "recon_post_repair_dsv2: append committed no rows")
       val plan = RepairPlanner.plan(classified(spark, dir, fix),
         MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, fix)
@@ -527,7 +527,7 @@ object ReconQueries {
       val repaired = RepairApplier.applyPlan(
         MvSyncDemo.mvDf(spark, dir), plan, MvSyncDemo.mvSchema)
       repaired.write.format(fmt).mode("overwrite").save(mvPath)
-      require(Dsv2WriteProbe.lastTruncated.get() > 0,
+      require(Dsv2WriteProbe.forPath(mvPath).lastTruncated.get() > 0,
         "recon_post_repair_dsv2: overwrite did not truncate the damaged files")
       MvReconciler.reconcile(
         MvSyncDemo.baseDf(spark, dir),

@@ -102,8 +102,8 @@ private[sources] case class GraftParquetTable(path: String,
         s"graft-parquet: cannot metadata-delete by ${filters.mkString(", ")}"))
     val fs = new Path(path).getFileSystem(new Configuration())
     drop.foreach(f => fs.delete(f, false))
-    Dsv2DeleteProbe.lastDropped.set(drop.length)
-    Dsv2DeleteProbe.lastKept.set(keep.length)
+    Dsv2DeleteProbe.forPath(path).lastDropped.set(drop.length)
+    Dsv2DeleteProbe.forPath(path).lastKept.set(keep.length)
   }
   override def name(): String = s"graft-parquet:$path"
   override def capabilities(): util.Set[TableCapability] =
@@ -342,7 +342,7 @@ private[sources] case class GraftParquetScan(path: String,
     runtime = filters.filter(f =>
       Dsv2Parquet.translate(f, required).isDefined ||
         Dsv2Parquet.inBounds(Array(f)).nonEmpty)
-    Dsv2RuntimeProbe.filterCalls.incrementAndGet()
+    Dsv2RuntimeProbe.forPath(path).filterCalls.incrementAndGet()
   }
 
   /** Explain surface: the audited plan tree must show what reached the
@@ -399,8 +399,8 @@ private[sources] case class GraftParquetScan(path: String,
       GraftParquetPartition(file, b.getStartingPos,
         b.getStartingPos + b.getCompressedSize): InputPartition
     }
-    Dsv2RuntimeProbe.lastPlanned.set(footerBlocks.length)
-    Dsv2RuntimeProbe.lastKept.set(parts.length)
+    Dsv2RuntimeProbe.forPath(path).lastPlanned.set(footerBlocks.length)
+    Dsv2RuntimeProbe.forPath(path).lastKept.set(parts.length)
     parts
   }
 
@@ -424,10 +424,18 @@ private[sources] case class GraftParquetScan(path: String,
  * handed this scan a join-time filter, and the planned vs kept row
  * groups of the latest re-plan. */
 object Dsv2RuntimeProbe {
-  val filterCalls = new java.util.concurrent.atomic.AtomicInteger
-  val lastPlanned = new java.util.concurrent.atomic.AtomicInteger
-  val lastKept = new java.util.concurrent.atomic.AtomicInteger
-  def reset(): Unit = { filterCalls.set(0); lastPlanned.set(0); lastKept.set(0) }
+  final class PathProbe {
+    val filterCalls = new java.util.concurrent.atomic.AtomicInteger
+    val lastPlanned = new java.util.concurrent.atomic.AtomicInteger
+    val lastKept = new java.util.concurrent.atomic.AtomicInteger
+    def reset(): Unit = { filterCalls.set(0); lastPlanned.set(0); lastKept.set(0) }
+  }
+  private val byPath =
+    new java.util.concurrent.ConcurrentHashMap[String, PathProbe]()
+  /** Keyed by scan path so concurrently-planned scans (parallel test
+   * suites, parallel queries) cannot clobber each other's readings. */
+  def forPath(p: String): PathProbe =
+    byPath.computeIfAbsent(p.stripSuffix("/"), _ => new PathProbe)
 }
 
 private[sources] case class GraftParquetPartition(file: String, start: Long,

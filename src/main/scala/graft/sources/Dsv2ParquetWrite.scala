@@ -139,19 +139,19 @@ private[sources] case class GraftParquetBatchWrite(path: String,
     if (truncateFirst) {
       val old = Dsv2Parquet.dataFiles(path, conf)
       old.foreach(f => fs.delete(f.getPath, false))
-      Dsv2WriteProbe.lastTruncated.set(old.length)
-    } else Dsv2WriteProbe.lastTruncated.set(0)
+      Dsv2WriteProbe.forPath(path).lastTruncated.set(old.length)
+    } else Dsv2WriteProbe.forPath(path).lastTruncated.set(0)
     staged.foreach { f =>
       val dst = new Path(target, f.getName)
       require(fs.rename(f, dst),
         s"graft-parquet commit: rename $f -> $dst failed")
     }
     fs.delete(new Path(stagingDir), true)
-    Dsv2WriteProbe.lastCommittedFiles.set(staged.length)
-    Dsv2WriteProbe.lastCommittedRows.set(messages.collect {
+    Dsv2WriteProbe.forPath(path).lastCommittedFiles.set(staged.length)
+    Dsv2WriteProbe.forPath(path).lastCommittedRows.set(messages.collect {
       case GraftParquetCommitMessage(_, n) => n
     }.sum)
-    Dsv2WriteProbe.lastCommitMillis.set((System.nanoTime() - t0) / 1000000L)
+    Dsv2WriteProbe.forPath(path).lastCommitMillis.set((System.nanoTime() - t0) / 1000000L)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -209,7 +209,7 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
     if (truncateFirst) {
       val old = Dsv2Parquet.dataFiles(path, conf)
       old.foreach(f => fs.delete(f.getPath, false))
-      Dsv2WriteProbe.lastTruncated.set(old.length)
+      Dsv2WriteProbe.forPath(path).lastTruncated.set(old.length)
     }
     fs.mkdirs(target)
     staged.foreach { f =>
@@ -219,8 +219,8 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
     }
     fs.create(marker(epochId), true).close()
     fs.delete(new Path(stagingDir(epochId)), true)
-    Dsv2WriteProbe.lastCommittedFiles.set(staged.length)
-    Dsv2WriteProbe.epochsCommitted.incrementAndGet(): Unit
+    Dsv2WriteProbe.forPath(path).lastCommittedFiles.set(staged.length)
+    Dsv2WriteProbe.forPath(path).epochsCommitted.incrementAndGet(): Unit
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -364,12 +364,20 @@ private[sources] class GraftParquetDataWriter(stagingDir: String,
  * job commit and how many previously committed files a truncate
  * removed. */
 object Dsv2WriteProbe {
-  val lastCommittedFiles = new java.util.concurrent.atomic.AtomicInteger
-  val lastCommittedRows = new java.util.concurrent.atomic.AtomicLong
-  val lastTruncated = new java.util.concurrent.atomic.AtomicInteger
-  val epochsCommitted = new java.util.concurrent.atomic.AtomicLong
-  /** Driver-side wall of the latest job commit (staging verify +
-   * optional truncate + renames) — the only O(#tasks) serial section
-   * of the write path, measured by the ScaleSmoke dsv2write curve. */
-  val lastCommitMillis = new java.util.concurrent.atomic.AtomicLong
+  final class PathProbe {
+    val lastCommittedFiles = new java.util.concurrent.atomic.AtomicInteger
+    val lastCommittedRows = new java.util.concurrent.atomic.AtomicLong
+    val lastTruncated = new java.util.concurrent.atomic.AtomicInteger
+    val epochsCommitted = new java.util.concurrent.atomic.AtomicLong
+    /** Driver-side wall of the latest job commit (staging verify +
+     * optional truncate + renames) — the only O(#tasks) serial section
+     * of the write path, measured by the ScaleSmoke dsv2write curve. */
+    val lastCommitMillis = new java.util.concurrent.atomic.AtomicLong
+  }
+  private val byPath =
+    new java.util.concurrent.ConcurrentHashMap[String, PathProbe]()
+  /** Keyed by target path so concurrently-running writes (parallel
+   * test suites, parallel jobs) cannot clobber each other's readings. */
+  def forPath(p: String): PathProbe =
+    byPath.computeIfAbsent(p.stripSuffix("/"), _ => new PathProbe)
 }

@@ -115,6 +115,13 @@ class GraftCatalog extends TableCatalog {
 /** Observability for the metadata-delete path (spec + driver-row
  * require() surface only). */
 object Dsv2DeleteProbe {
-  val lastDropped = new java.util.concurrent.atomic.AtomicInteger
-  val lastKept = new java.util.concurrent.atomic.AtomicInteger
+  final class PathProbe {
+    val lastDropped = new java.util.concurrent.atomic.AtomicInteger
+    val lastKept = new java.util.concurrent.atomic.AtomicInteger
+  }
+  private val byPath =
+    new java.util.concurrent.ConcurrentHashMap[String, PathProbe]()
+  /** Keyed by table path — parallel deletes cannot clobber readings. */
+  def forPath(p: String): PathProbe =
+    byPath.computeIfAbsent(p.stripSuffix("/"), _ => new PathProbe)
 }

@@ -235,7 +235,7 @@ object EventPipeline {
     val (stream, cleanup) = orderedFeed(spark, dir)
     val out = java.nio.file.Files.createTempDirectory("graft-dsv2-sink").toString
     try {
-      val before = graft.sources.Dsv2WriteProbe.epochsCommitted.get()
+      val before = graft.sources.Dsv2WriteProbe.forPath(s"$out/data").epochsCommitted.get()
       val q = hourlyAgg(stream).writeStream.format(fmt)
         .outputMode("complete")
         .option("graft.schema",
@@ -243,7 +243,7 @@ object EventPipeline {
         .option("checkpointLocation", s"$out/ckpt")
         .start(s"$out/data")
       try q.processAllAvailable() finally q.stop()
-      require(graft.sources.Dsv2WriteProbe.epochsCommitted.get() - before >= 4L,
+      require(graft.sources.Dsv2WriteProbe.forPath(s"$out/data").epochsCommitted.get() - before >= 4L,
         "q_events_hourly_sink_dsv2: expected at least 4 committed epochs")
       spark.read.format(fmt).load(s"$out/data").localCheckpoint()
     } finally {

@@ -1166,11 +1166,12 @@ object ScaleSmoke {
             .agg(count(lit(1)), sum(length(col("payload"))))
             .collect().head.getLong(0)
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
-        Dsv2RuntimeProbe.reset()
+        Dsv2RuntimeProbe.forPath(s"$dDir/fact").reset()
         joinCount() // warm
         val (onRows, onS) = timed(joinCount())
         val (planned, kept) =
-          (Dsv2RuntimeProbe.lastPlanned.get(), Dsv2RuntimeProbe.lastKept.get())
+          (Dsv2RuntimeProbe.forPath(s"$dDir/fact").lastPlanned.get(),
+            Dsv2RuntimeProbe.forPath(s"$dDir/fact").lastKept.get())
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
         joinCount() // warm
         val (offRows, offS) = timed(joinCount())
@@ -1215,8 +1216,8 @@ object ScaleSmoke {
               .option("graft.schema", src.schema.toDDL)
               .mode("append").save(p)
           }
-          val commitMs = Dsv2WriteProbe.lastCommitMillis.get()
-          require(Dsv2WriteProbe.lastCommittedFiles.get() == files,
+          val commitMs = Dsv2WriteProbe.forPath(p).lastCommitMillis.get()
+          require(Dsv2WriteProbe.forPath(p).lastCommittedFiles.get() == files,
             s"expected $files committed files")
           require(spark.read.format(fmt).load(p).count() == n,
             "write round-trip row count")
@@ -1225,8 +1226,8 @@ object ScaleSmoke {
             src.repartition(files).write.format(fmt)
               .mode("overwrite").save(p)
           }
-          val owCommitMs = Dsv2WriteProbe.lastCommitMillis.get()
-          require(Dsv2WriteProbe.lastTruncated.get() == files,
+          val owCommitMs = Dsv2WriteProbe.forPath(p).lastCommitMillis.get()
+          require(Dsv2WriteProbe.forPath(p).lastTruncated.get() == files,
             s"expected $files truncated files")
           println(f"[scale-smoke] dsv2write rows=$n files=$files " +
             f"wall=${wall}%.2fs commit=${commitMs}ms " +

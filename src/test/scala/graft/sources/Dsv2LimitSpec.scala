@@ -37,9 +37,9 @@ class Dsv2LimitSpec extends SparkSpec {
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("PushedLimit: LIMIT 30"), plan)
       assert(q.collect().length == 30)
-      assert(Dsv2RuntimeProbe.lastPlanned.get() == 8)
-      assert(Dsv2RuntimeProbe.lastKept.get() == 2,
-        s"kept ${Dsv2RuntimeProbe.lastKept.get()}")
+      assert(Dsv2RuntimeProbe.forPath(p).lastPlanned.get() == 8)
+      assert(Dsv2RuntimeProbe.forPath(p).lastKept.get() == 2,
+        s"kept ${Dsv2RuntimeProbe.forPath(p).lastKept.get()}")
     }
   }
 
@@ -48,7 +48,7 @@ class Dsv2LimitSpec extends SparkSpec {
       val p = write(tmp)
       val q = spark.read.format(fmt).load(p).limit(5000)
       assert(q.collect().length == 200)
-      assert(Dsv2RuntimeProbe.lastKept.get() == 8)
+      assert(Dsv2RuntimeProbe.forPath(p).lastKept.get() == 8)
     }
   }
 
@@ -60,7 +60,7 @@ class Dsv2LimitSpec extends SparkSpec {
       assert(rows.length == 10)
       assert(rows.forall(_.getInt(1) == 1))
       // footer row counts cannot predict post-filter yield: all groups stay
-      assert(Dsv2RuntimeProbe.lastKept.get() == 8)
+      assert(Dsv2RuntimeProbe.forPath(p).lastKept.get() == 8)
     }
   }
 }

@@ -143,7 +143,7 @@ class Dsv2ParquetSpec extends SparkSpec {
       val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
-        Dsv2RuntimeProbe.reset()
+        Dsv2RuntimeProbe.forPath(s"$tmp/fact").reset()
         val dim = spark.range(400).select(col("id").as("fk"))
           .filter(col("fk") >= 390) // selective build side
         val fact = spark.read.format(fmt).load(s"$tmp/fact")
@@ -154,12 +154,12 @@ class Dsv2ParquetSpec extends SparkSpec {
           .agg(count(lit(1)), sum("v")).collect().head
         assert(got == exp && got.getLong(0) == 10L)
         // Spark handed the scan the join-side key set...
-        assert(Dsv2RuntimeProbe.filterCalls.get() >= 1,
+        assert(Dsv2RuntimeProbe.forPath(s"$tmp/fact").filterCalls.get() >= 1,
           "runtime filter never reached the scan")
         // ...and the re-plan dropped row groups before any task launched
-        assert(Dsv2RuntimeProbe.lastKept.get() < Dsv2RuntimeProbe.lastPlanned.get(),
-          s"kept=${Dsv2RuntimeProbe.lastKept.get()} " +
-            s"planned=${Dsv2RuntimeProbe.lastPlanned.get()}")
+        assert(Dsv2RuntimeProbe.forPath(s"$tmp/fact").lastKept.get() < Dsv2RuntimeProbe.forPath(s"$tmp/fact").lastPlanned.get(),
+          s"kept=${Dsv2RuntimeProbe.forPath(s"$tmp/fact").lastKept.get()} " +
+            s"planned=${Dsv2RuntimeProbe.forPath(s"$tmp/fact").lastPlanned.get()}")
       } finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)

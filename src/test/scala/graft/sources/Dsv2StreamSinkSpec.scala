@@ -28,7 +28,7 @@ class Dsv2StreamSinkSpec extends SparkSpec {
       val src = s"$tmp/src"
       val dst = s"$tmp/dst"
       spark.range(10).select(col("id").as("k")).coalesce(1).write.parquet(src)
-      val before = Dsv2WriteProbe.epochsCommitted.get()
+      val before = Dsv2WriteProbe.forPath(dst).epochsCommitted.get()
       val q = spark.readStream
         .schema(StructType.fromDDL("k BIGINT"))
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -45,7 +45,7 @@ class Dsv2StreamSinkSpec extends SparkSpec {
       assert(spark.read.parquet(dst).as[Long].collect().toSet ==
         (0L until 25L).toSet)
       // two feed files → at least two committed epochs
-      assert(Dsv2WriteProbe.epochsCommitted.get() - before >= 2L)
+      assert(Dsv2WriteProbe.forPath(dst).epochsCommitted.get() - before >= 2L)
       // read-back works through the provider too
       assert(spark.read.format(fmt).load(dst).count() == 25L)
     }

@@ -53,8 +53,8 @@ class Dsv2WriteSpec extends SparkSpec {
       assert(rows(spark.read.parquet(p)) == rows(fixture))
       // DSv2 scan: same values, schema inferred from the new footers
       assert(rows(spark.read.format(fmt).load(p)) == rows(fixture))
-      assert(Dsv2WriteProbe.lastCommittedRows.get() == 100L)
-      assert(Dsv2WriteProbe.lastTruncated.get() == 0)
+      assert(Dsv2WriteProbe.forPath(p).lastCommittedRows.get() == 100L)
+      assert(Dsv2WriteProbe.forPath(p).lastTruncated.get() == 0)
       // no staging residue
       val names = new java.io.File(p).list().toSeq
       assert(names.forall(n => !n.contains("_staging")), names.toString)
@@ -71,7 +71,7 @@ class Dsv2WriteSpec extends SparkSpec {
       assert(spark.read.parquet(p).count() == 200L)
       val repl = fixture.filter(col("k") < 10)
       repl.write.format(fmt).mode("overwrite").save(p)
-      assert(Dsv2WriteProbe.lastTruncated.get() > 0)
+      assert(Dsv2WriteProbe.forPath(p).lastTruncated.get() > 0)
       assert(rows(spark.read.parquet(p)) == rows(repl))
       assert(rows(spark.read.format(fmt).load(p)) == rows(repl))
     }
@@ -84,7 +84,7 @@ class Dsv2WriteSpec extends SparkSpec {
       one.write.format(fmt)
         .option(Dsv2Parquet.SchemaOption, one.schema.toDDL)
         .mode("append").save(p)
-      assert(Dsv2WriteProbe.lastCommittedFiles.get() == 1)
+      assert(Dsv2WriteProbe.forPath(p).lastCommittedFiles.get() == 1)
       assert(spark.read.parquet(p).count() == 1L)
     }
   }

@@ -53,8 +53,8 @@ class GraftCatalogSpec extends SparkSpec {
       keys.filter(col("k") > 1000).coalesce(1).write.format(fmt)
         .mode("append").save(p)
       spark.sql(s"DELETE FROM $cat.db.t WHERE k <= 1000")
-      assert(Dsv2DeleteProbe.lastDropped.get() == 1)
-      assert(Dsv2DeleteProbe.lastKept.get() == 1)
+      assert(Dsv2DeleteProbe.forPath(p).lastDropped.get() == 1)
+      assert(Dsv2DeleteProbe.forPath(p).lastKept.get() == 1)
       assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet ==
         (1001L to 2000L).toSet)
     }
