@@ -101,6 +101,13 @@ private[sources] case class GraftParquetTable(path: String,
       .getOrElse(throw new UnsupportedOperationException(
         s"graft-parquet: cannot metadata-delete by ${filters.mkString(", ")}"))
     val fs = new Path(path).getFileSystem(new Configuration())
+    if (keep.isEmpty && drop.nonEmpty) {
+      // a delete (e.g. TRUNCATE) that removes the LAST data file must
+      // not make the table vanish from the catalog — persist the schema
+      // the way CREATE TABLE does before dropping the data
+      val out = fs.create(new Path(path, Dsv2Parquet.SchemaFileName), true)
+      try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    }
     drop.foreach(f => fs.delete(f, false))
     Dsv2DeleteProbe.forPath(path).lastDropped.set(drop.length)
     Dsv2DeleteProbe.forPath(path).lastKept.set(keep.length)
@@ -572,6 +579,10 @@ private[sources] object Dsv2Parquet {
   val ClusterByOption = "graft.clusterBy"
   val NumPartitionsOption = "graft.numPartitions"
 
+  /** Table-schema sidecar file name, shared by the catalog's
+   * createTable and the empty-after-delete persistence. */
+  val SchemaFileName = "_schema.ddl"
+
   /** Spark schema → parquet message type, the exact inverse of
    * [[sparkSchema]]: every field an optional primitive, strings as
    * UTF8-annotated BINARY. Unsupported Spark types fail fast at write
@@ -725,6 +736,9 @@ private[sources] object Dsv2Parquet {
           case _ => Unknown
         }
       f match {
+        // TRUNCATE TABLE arrives as deleteWhere(AlwaysTrue): every row
+        // matches trivially, no stats needed
+        case org.apache.spark.sql.sources.AlwaysTrue() => All
         case LessThan(n, v) => cmp(n, v,
           (_, mx, x) => mx < x, (mn, _, x) => mn >= x)
         case LessThanOrEqual(n, v) => cmp(n, v,

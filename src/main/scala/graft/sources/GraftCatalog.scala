@@ -47,7 +47,7 @@ class GraftCatalog extends TableCatalog {
   private def pathOf(ident: Identifier): String =
     (root +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
 
-  private def schemaFile(p: String) = new Path(p, "_schema.ddl")
+  private def schemaFile(p: String) = new Path(p, Dsv2Parquet.SchemaFileName)
 
   private def hasData(p: String): Boolean =
     try Dsv2Parquet.dataFiles(p, conf).nonEmpty

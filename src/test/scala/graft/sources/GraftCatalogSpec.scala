@@ -76,6 +76,19 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TRUNCATE TABLE drops every data file") {
+    withCatalog { cat =>
+      val p = s"${root(cat)}/db/t"
+      spark.range(30).select(col("id").as("k")).repartition(3)
+        .write.format(fmt).option(Dsv2Parquet.SchemaOption, "k BIGINT")
+        .mode("append").save(p)
+      spark.sql(s"TRUNCATE TABLE $cat.db.t")
+      assert(Dsv2DeleteProbe.forPath(p).lastDropped.get() == 3)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.t")
+        .collect()(0).getLong(0) == 0L)
+    }
+  }
+
   test("CREATE TABLE persists the schema; INSERT and read work; DROP removes") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.fresh (k BIGINT, s STRING)")
