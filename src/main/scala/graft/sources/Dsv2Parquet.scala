@@ -470,13 +470,18 @@ private[sources] class ProjectingGroupReadSupport(cols: Array[String])
   override def init(context: org.apache.parquet.hadoop.api.InitContext)
       : ReadSupport.ReadContext = {
     val fileSchema = context.getFileSchema
-    val fields = cols.map { n =>
-      require(fileSchema.containsField(n),
-        s"column $n not present in parquet schema $fileSchema")
-      fileSchema.getType(Seq(n): _*)
-    }
+    // project only the requested columns THIS file has — a directory
+    // may mix files with heterogeneous column sets (schema evolution:
+    // a wider writer appending beside older narrow files), and the
+    // reader null-fills what a file lacks. A file containing NONE of
+    // the requested columns still needs one physical column to drive
+    // row iteration — its first, values never read.
+    val present = cols.filter(fileSchema.containsField)
+    val fields =
+      if (present.nonEmpty) present.map(n => fileSchema.getType(Seq(n): _*))
+      else Array(fileSchema.getType(0))
     new ReadSupport.ReadContext(
-      new MessageType(fileSchema.getName, fields: _*))
+      new MessageType(fileSchema.getName, fields.toIndexedSeq: _*))
   }
 }
 
@@ -485,18 +490,40 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
     limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
+  /** THIS file's schema (one extra footer parse per task — the price
+   * of heterogeneous directories; parquet re-reads the footer during
+   * reader init regardless, so this doubles a metadata read, not a
+   * data read). Drives the null-fill index map and the
+   * applicable-predicate cut below. */
+  private val fileSchema: MessageType = Dsv2Parquet.singleFileSchema(p.file)
+
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
     val b = ParquetReader.builder(
         new ProjectingGroupReadSupport(required.fieldNames), new Path(p.file))
       .withConf(conf)
       .withFileRange(p.start, p.end)
-    val preds = pushed.flatMap(Dsv2Parquet.translate(_, required))
+    // a record-level predicate on a column THIS file lacks would fail
+    // parquet's filter validation; drop it — every pushed predicate is
+    // residual-advisory, Spark re-applies it (the absent column reads
+    // as null, which comparison predicates reject — same result)
+    val preds = pushed
+      .filter(_.references.forall(fileSchema.containsField))
+      .flatMap(Dsv2Parquet.translate(_, required))
     (if (preds.isEmpty) b
      else b.withFilter(FilterCompat.get(preds.reduce(FilterApi.and)))).build()
   }
   private var row: Group = _
   private var emitted = 0L
+
+  /** required-field index → PROJECTED field index, or -1 when this
+   * file lacks the column (null-filled). Projection order mirrors
+   * ProjectingGroupReadSupport: requested columns present in the
+   * file, in required order. */
+  private val idxMap: Array[Int] = {
+    val present = required.fieldNames.filter(fileSchema.containsField)
+    required.fieldNames.map(present.indexOf(_))
+  }
 
   /** Early stop at the pushed limit: any `limit` rows satisfy an
    * unordered LIMIT (an ordered one plans TopN, which is never pushed
@@ -513,16 +540,15 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
     val vals = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {
-      // field index i aligns with the projection: createReaderFactory
-      // built the requested MessageType in required-schema order
+      val fi = idxMap(i)
       vals(i) =
-        if (row.getFieldRepetitionCount(i) == 0) null
+        if (fi < 0 || row.getFieldRepetitionCount(fi) == 0) null
         else required.fields(i).dataType match {
           case ArrayType(elem, _) =>
             // 3-level LIST: outer group → repeated `list` entries →
             // single-child element, accessed by POSITION (the child is
             // `element` from Spark, `item` from pyarrow)
-            val outer = row.getGroup(i, 0)
+            val outer = row.getGroup(fi, 0)
             val n = outer.getFieldRepetitionCount(0)
             val arr = new Array[Any](n)
             var j = 0
@@ -537,7 +563,7 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
           case MapType(kt, vt, _) =>
             // 3-level MAP: outer group → repeated key_value entries →
             // (required key, optional value), by position
-            val outer = row.getGroup(i, 0)
+            val outer = row.getGroup(fi, 0)
             val n = outer.getFieldRepetitionCount(0)
             val keys = new Array[Any](n)
             val values = new Array[Any](n)
@@ -553,7 +579,7 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
             new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
               new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
               new org.apache.spark.sql.catalyst.util.GenericArrayData(values))
-          case dt => Dsv2Parquet.readPrimitive(row, i, 0, dt)
+          case dt => Dsv2Parquet.readPrimitive(row, fi, 0, dt)
         }
       i += 1
     }
@@ -794,6 +820,16 @@ private[sources] object Dsv2Parquet {
       val n = f.getPath.getName
       n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
     }
+  }
+
+  /** One file's schema from its own footer (executor-side, per task). */
+  def singleFileSchema(file: String): MessageType = {
+    val conf = new Configuration()
+    val p = new Path(file)
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(
+      p.getFileSystem(conf).getFileStatus(p), conf))
+    try r.getFooter.getFileMetaData.getSchema
+    finally r.close()
   }
 
   /** File schema from the first data file's footer (metadata-only read

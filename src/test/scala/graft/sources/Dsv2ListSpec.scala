@@ -71,6 +71,35 @@ class Dsv2ListSpec extends SparkSpec {
     }
   }
 
+  test("heterogeneous directories null-fill missing columns (evolution)") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      // narrow writer first (k only), wider writer later (k, extra) —
+      // the schema-evolution layout a long-lived table accumulates
+      spark.range(10).select(col("id").as("k"))
+        .write.format(fmt).option(Dsv2Parquet.SchemaOption, "k BIGINT")
+        .mode("append").save(p)
+      spark.range(10, 20).select(col("id").as("k"),
+          concat(lit("x"), col("id").cast("string")).as("extra"))
+        .write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT, extra STRING")
+        .mode("append").save(p)
+      val wide = spark.read.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT, extra STRING").load(p)
+      val got = wide.collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got.size == 20)
+      assert((0L until 10L).forall(k => got(k).isEmpty))
+      assert((10L until 20L).forall(k => got(k).contains(s"x$k")))
+      // predicate on the evolved column: record filters must not be
+      // attached to the narrow file, and Spark's residual re-check
+      // keeps the answer exact
+      assert(wide.filter(col("extra") === "x15").count() == 1L)
+      // projecting ONLY the evolved column still counts every row
+      assert(wide.select("extra").count() == 20L)
+    }
+  }
+
   test("predicates on scalar columns stay exact beside array reads") {
     withTmp { tmp =>
       fixture.write.parquet(s"$tmp/t")
