@@ -11,7 +11,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /**
@@ -68,20 +68,40 @@ class GraftCatalog extends TableCatalog {
       (hasData(p) || fs.exists(schemaFile(p)))
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val p = pathOf(ident)
+  private def readDdl(p: String): Option[StructType] = {
     val fs = new Path(p).getFileSystem(conf)
-    if (hasData(p))
-      GraftParquetTable(p, Dsv2Parquet.sparkSchema(Dsv2Parquet.footerSchema(p)))
-    else if (fs.exists(schemaFile(p))) {
+    if (!fs.exists(schemaFile(p))) None
+    else {
       val in = fs.open(schemaFile(p))
       val ddl = try {
         val bos = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
         bos.toString("UTF-8")
       } finally in.close()
-      GraftParquetTable(p, StructType.fromDDL(ddl))
-    } else throw new NoSuchTableException(ident)
+      Some(StructType.fromDDL(ddl))
+    }
+  }
+
+  private def writeDdl(p: String, schema: StructType): Unit = {
+    val fs = new Path(p).getFileSystem(conf)
+    fs.mkdirs(new Path(p))
+    val out = fs.create(schemaFile(p), true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The DECLARED schema (`_schema.ddl`) wins when present — it is the
+   * cluster-metadata stand-in and may be WIDER than old data files
+   * after ALTER TABLE ADD COLUMN (the reader null-fills what a file
+   * lacks); footers serve path-written tables that never declared. */
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    readDdl(p) match {
+      case Some(schema) => GraftParquetTable(p, schema)
+      case None if hasData(p) =>
+        GraftParquetTable(p,
+          Dsv2Parquet.sparkSchema(Dsv2Parquet.footerSchema(p)))
+      case None => throw new NoSuchTableException(ident)
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -91,16 +111,36 @@ class GraftCatalog extends TableCatalog {
       "graft catalog: partition transforms not supported")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val p = pathOf(ident)
-    val fs = new Path(p).getFileSystem(conf)
-    fs.mkdirs(new Path(p))
-    val out = fs.create(schemaFile(p), true)
-    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    writeDdl(p, schema)
     GraftParquetTable(p, schema)
   }
 
+  /** Schema evolution, metadata-only: ADD COLUMN rewrites the declared
+   * schema; data files are untouched — existing rows read the new
+   * column as null (the reader's heterogeneous-directory support),
+   * exactly the Cassandra ALTER TABLE semantics. Other changes are
+   * refused: dropping/renaming/retyping would silently change how
+   * EXISTING parquet bytes decode. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog: ALTER not supported")
+      changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val current = readDdl(p).getOrElse(
+      Dsv2Parquet.sparkSchema(Dsv2Parquet.footerSchema(p)))
+    val next = changes.foldLeft(current) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "graft catalog: nested ADD COLUMN not supported")
+        require(!s.fieldNames.contains(add.fieldNames()(0)),
+          s"column ${add.fieldNames()(0)} already exists")
+        s.add(StructField(add.fieldNames()(0), add.dataType(),
+          nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER $other")
+    }
+    writeDdl(p, next)
+    GraftParquetTable(p, next)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))

@@ -76,6 +76,29 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE ADD COLUMN: old rows null-fill, new rows carry it") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.ev (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.ev VALUES (1), (2)")
+      spark.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN tag STRING")
+      // metadata-only: the declared schema widened, data untouched
+      assert(spark.table(s"$cat.db.ev").schema.fieldNames.toSeq ==
+        Seq("k", "tag"))
+      spark.sql(s"INSERT INTO $cat.db.ev VALUES (3, 'c')")
+      val got = spark.sql(s"SELECT k, tag FROM $cat.db.ev").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> None, 2L -> None, 3L -> Some("c")))
+      // a predicate on the evolved column stays exact across old files
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.db.ev WHERE tag = 'c'")
+        .collect()(0).getLong(0) == 1L)
+      // destructive changes are refused
+      val ex = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db.ev DROP COLUMN tag"))
+      assert(ex.getMessage != null)
+    }
+  }
+
   test("TRUNCATE TABLE drops every data file") {
     withCatalog { cat =>
       val p = s"${root(cat)}/db/t"
