@@ -112,6 +112,45 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("INSERT OVERWRITE through SQL truncates then lands the new rows") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.ow (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.ow VALUES (1), (2), (3)")
+      spark.sql(s"INSERT OVERWRITE $cat.db.ow VALUES (9)")
+      assert(spark.sql(s"SELECT k FROM $cat.db.ow")
+        .as[Long].collect().toSeq == Seq(9L))
+    }
+  }
+
+  test("readStream.table streams a catalog table as it grows") {
+    withCatalog { cat =>
+      val p = s"${root(cat)}/db/feed"
+      spark.range(5).select(col("id").as("k"))
+        .write.format(fmt).option(Dsv2Parquet.SchemaOption, "k BIGINT")
+        .mode("append").save(p)
+      val sink = s"cat_stream_${java.lang.Long.toHexString(System.nanoTime())}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cat-ckpt").toString
+      val q = spark.readStream.table(s"$cat.db.feed")
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == 5L)
+        spark.sql(s"INSERT INTO $cat.db.feed VALUES (100), (101)")
+        q.processAllAvailable()
+        assert(spark.table(sink).as[Long].collect().toSet ==
+          ((0L until 5L) ++ Seq(100L, 101L)).toSet)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(sink)
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(ckpt))
+      }
+    }
+  }
+
   test("CREATE TABLE persists the schema; INSERT and read work; DROP removes") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.fresh (k BIGINT, s STRING)")
