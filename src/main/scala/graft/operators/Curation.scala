@@ -91,6 +91,43 @@ object Curation {
   }
 
   /**
+   * Fractional-EPOCH upsampling — the mixing knob [[weightedBernoulli]]
+   * cannot express: a pretraining recipe repeats high-quality sources
+   * MORE than once per pass ("2.5 epochs of wiki, 0.8 of crawl").
+   * Epochs are given in percent (250 = 2.5 epochs): every row yields
+   * `pct / 100` full copies plus one more iff the SAME pure key-hash
+   * decision as [[bernoulli]] admits it at the fractional rate
+   * (`mix32(key) % 100 < pct % 100`) — deterministic across runs,
+   * engines, and repartitions, and appended rows never change old
+   * rows' copy counts. `copy_idx` (0-based) distinguishes the copies
+   * for downstream interleaving. Row-local `explode(sequence)` — zero
+   * exchanges; the output volume is the recipe's token multiplier, the
+   * cost upsampling inherently pays. */
+  def epochUpsample(df: DataFrame, key: Column, stratum: Column,
+      epochsPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = epochsPct.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(stratum === s, lit(p)).otherwise(acc)
+    }
+    // Column `/` is floating division — cast back to int for the full-
+    // copy count (and the _n > 0 filter below also guards sequence():
+    // a 0-to--1 span would silently generate a DESCENDING sequence)
+    val nKeep = (pct / 100).cast("int") +
+      when(mix32(key) % 100 < pct % 100, 1).otherwise(0)
+    df.withColumn("_n", nKeep)
+      .filter(col("_n") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("_n").cast("long") - 1L)))
+      .drop("_n")
+  }
+
+  /** Wired recipe: 2.5 epochs of src0, 1.2 of src1, 0.8 of src2,
+   * 1 epoch elsewhere. */
+  def sampleEpochs(spark: SparkSession, dir: String): DataFrame =
+    epochUpsample(docs(spark, dir), col("doc_id"), col("source"),
+      Map("src0" -> 250, "src1" -> 120, "src2" -> 80), defaultPct = 100)
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+
+  /**
    * Token-budget mixing — the other half of the data-mixing knob:
    * [[weightedBernoulli]] hits a RATE per source in expectation, but a
    * training recipe is specified in TOKENS per source ("300B crawl,
@@ -871,6 +908,7 @@ object Curation {
     "sample_bernoulli" -> sampleBernoulli,
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
+    "sample_epochs" -> sampleEpochs,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_token_budget_subword" -> sampleTokenBudgetSubword,
     "sample_split" -> sampleSplit,
@@ -911,6 +949,19 @@ object Curation {
                  WHEN ($Mix32Sql) % 100 < 95 THEN 'val'
                  ELSE 'test' END AS split
           FROM documents""",
+    // fractional-epoch upsampling: full copies + the hash-admitted
+    // fractional copy, copy indices exact
+    "sample_epochs" ->
+      s"""WITH d AS (SELECT doc_id, source,
+            CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 120
+                        WHEN 'src2' THEN 80 ELSE 100 END AS pct
+          FROM documents),
+          k AS (SELECT doc_id, source,
+            pct // 100 + CASE WHEN ($Mix32Sql) % 100 < pct % 100
+                              THEN 1 ELSE 0 END AS n
+          FROM d)
+          SELECT doc_id, source, unnest(range(0, n)) AS copy_idx
+          FROM k WHERE n > 0""",
     "sample_token_budget" ->
       s"""WITH d AS (SELECT doc_id, source,
             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
