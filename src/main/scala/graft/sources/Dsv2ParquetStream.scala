@@ -62,11 +62,17 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
     finally r.close()
   }
 
-  private def append(file: String): Unit = {
+  private def discoverFile(file: String): Unit = {
     files += file -> rowGroupRanges(file)
     seen += file
   }
 
+  /** The log persists each file's ROW-GROUP BYTE RANGES beside its
+   * name (`file\tstart:end,start:end,…`), so a RESTART rebuilds the
+   * offset→(file, row group) mapping without touching any logged file
+   * — a segment consumed and then PURGED by retention (normal for a
+   * CDC log) cannot fail recovery; only actually re-reading its data
+   * would. */
   private def loadLog(): Unit = {
     val fs = logPath.getFileSystem(conf)
     if (fs.exists(logPath)) {
@@ -76,7 +82,15 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
         org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
         bos.toString("UTF-8")
       } finally in.close()
-      text.split("\n").filter(_.nonEmpty).foreach(append)
+      text.split("\n").filter(_.nonEmpty).foreach { line =>
+        val Array(file, rangesStr) = line.split("\t", 2)
+        val ranges = rangesStr.split(",").filter(_.nonEmpty).map { r =>
+          val Array(s, e) = r.split(":", 2)
+          (s.toLong, e.toLong)
+        }
+        files += file -> ranges
+        seen += file
+      }
     }
   }
 
@@ -84,7 +98,10 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
     val fs = logPath.getFileSystem(conf)
     fs.mkdirs(logPath.getParent)
     val out = fs.create(logPath, true)
-    try out.write(files.map(_._1).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val text = files.map { case (f, ranges) =>
+      f + "\t" + ranges.map { case (s, e) => s"$s:$e" }.mkString(",")
+    }.mkString("", "\n", "\n")
+    try out.write(text.getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -96,7 +113,7 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
     val fresh = Dsv2Parquet.dataFiles(path, conf)
       .map(_.getPath.toString).filterNot(seen).sorted
     if (fresh.nonEmpty) {
-      fresh.foreach(append)
+      fresh.foreach(discoverFile)
       persistLog()
     }
   }

@@ -114,6 +114,35 @@ class Dsv2StreamSpec extends SparkSpec {
     }
   }
 
+  test("restart recovers from the log alone — purged segments tolerated") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val ckpt = s"$tmp/ckpt"
+      val schema = StructType.fromDDL("k BIGINT, i INT, s STRING")
+      fixture(5).coalesce(1).write.parquet(p)
+      val s1 = new GraftParquetMicroBatchStream(p, schema, Array.empty,
+        ckpt, None)
+      val end1 = s1.latestOffset()
+      // the consumed segment is PURGED (retention) before restart
+      new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+      fixture(3).select((col("k") + 50).as("k"), col("i"), col("s"))
+        .coalesce(1).write.mode("append").parquet(p)
+      // a fresh instance (= query restart) must rebuild the offset
+      // mapping from the log WITHOUT touching the purged file
+      val s2 = new GraftParquetMicroBatchStream(p, schema, Array.empty,
+        ckpt, None)
+      val end2 = s2.latestOffset()
+      assert(end2.asInstanceOf[GraftStreamOffset].n >
+        end1.asInstanceOf[GraftStreamOffset].n)
+      // the NEW range plans and reads fine
+      val parts = s2.planInputPartitions(end1, end2)
+      assert(parts.nonEmpty &&
+        parts.forall(!_.asInstanceOf[GraftParquetPartition].file
+          .contains("purged")))
+    }
+  }
+
   test("streaming path prunes columns into the scan projection") {
     withTmp { tmp =>
       val p = s"$tmp/t"
