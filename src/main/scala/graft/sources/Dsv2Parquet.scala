@@ -70,8 +70,7 @@ class GraftParquetProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val ddl = options.get(Dsv2Parquet.SchemaOption)
     if (ddl != null && ddl.nonEmpty) StructType.fromDDL(ddl)
-    else Dsv2Parquet.sparkSchema(
-      Dsv2Parquet.footerSchema(Dsv2Parquet.pathOf(options)))
+    else Dsv2Parquet.footerSchema(Dsv2Parquet.pathOf(options))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -135,13 +134,18 @@ private[sources] class GraftParquetScanBuilder(path: String,
   private var aggResult: Option[(StructType, Array[Any], String)] = None
   private var limit: Option[Int] = None
 
-  /** PARTIAL limit pushdown (isPartiallyPushed stays true, so Spark
-   * keeps its own Limit on top — correctness never depends on ours):
-   * the scan plans only enough row groups to cover the limit when no
-   * predicate is in play, and every reader stops emitting at the limit
-   * regardless. A live connector serves the same surface with per-
-   * token-range LIMIT clauses. */
+  /** PARTIAL limit pushdown: the scan plans only enough row groups to
+   * cover the limit when no predicate is in play, and every reader
+   * stops emitting at the limit regardless. A live connector serves the
+   * same surface with per-token-range LIMIT clauses. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** Pinned explicitly (not left to the interface default): Spark must
+   * keep its own Limit on top, because each READER stops at `limit`
+   * rows — a multi-partition scan can still emit up to
+   * partitions×limit rows in total. Correctness never depends on our
+   * truncation. */
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -832,16 +836,35 @@ private[sources] object Dsv2Parquet {
     finally r.close()
   }
 
-  /** File schema from the first data file's footer (metadata-only read
-   * — the connector analogue of reading cluster schema metadata,
-   * reference CassandraClient.java:14-68). */
-  def footerSchema(path: String): MessageType = {
+  /** Table schema from the UNION of every data file's footer
+   * (metadata-only reads — the connector analogue of reading cluster
+   * schema metadata, reference CassandraClient.java:14-68). The union,
+   * not whichever file lists first: a schema-evolved directory holds
+   * wider files beside older narrow ones, and an undeclared path-based
+   * read must see every column regardless of listing order (the reader
+   * null-fills what an individual file lacks). A same-name column whose
+   * Spark type differs across files fails fast — silently picking one
+   * decode would corrupt the other files' bytes. */
+  def footerSchema(path: String): StructType = {
     val conf = new Configuration()
     val files = dataFiles(path, conf)
     require(files.nonEmpty, s"no parquet data files under $path")
-    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(files.head, conf))
-    try r.getFooter.getFileMetaData.getSchema
-    finally r.close()
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+      try sparkSchema(r.getFooter.getFileMetaData.getSchema)
+      finally r.close()
+    }.reduce { (a, b) =>
+      b.fields.foldLeft(a) { (acc, bf) =>
+        acc.fields.find(_.name == bf.name) match {
+          case None => acc.add(bf)
+          case Some(af) =>
+            require(af.dataType == bf.dataType,
+              s"graft-parquet: conflicting types for column ${bf.name} " +
+                s"under $path (${af.dataType.sql} vs ${bf.dataType.sql})")
+            acc
+        }
+      }
+    }
   }
 
   private def primitiveSparkType(p: PrimitiveType, name: String): DataType = {

@@ -42,10 +42,12 @@ import org.apache.spark.sql.types._
  * or speculative attempt whose message never reached the driver leaves
  * only invisible staging garbage, removed with the staging dir). Job
  * [[GraftParquetBatchWrite.abort]] deletes the staging dir — committed
- * data is untouched by a failed write. TRUNCATE (mode=overwrite)
- * deletes the previously committed data files inside job commit, after
- * the staged files are proven present — the same visible-state window
- * every rename-based committer has, documented rather than hidden.
+ * data is untouched by a failed write. TRUNCATE (mode=overwrite) moves
+ * the previously committed files into a `_trash-<queryId>` directory
+ * (invisible to the listing) before the staged renames and drops the
+ * trash only after every rename succeeded — a driver crash mid-commit
+ * leaves the old table recoverable from the trash, never an empty
+ * directory.
  *
  * Scale shape: one output file per non-empty task partition, written
  * through parquet's buffered page writer — no driver-side data, no
@@ -136,16 +138,30 @@ private[sources] case class GraftParquetBatchWrite(path: String,
     // step — a missing staged file fails the job with old data intact
     staged.foreach(f => require(fs.isFile(f),
       s"graft-parquet commit: staged file missing: $f"))
-    if (truncateFirst) {
+    // overwrite: the old files move ASIDE (into a `_`-prefixed trash
+    // directory the listing never shows) rather than being deleted, so
+    // a driver crash between here and the staged renames leaves the
+    // previous table recoverable from the trash instead of empty; the
+    // trash drops only after every staged rename succeeded
+    val trash: Option[Path] = if (truncateFirst) {
       val old = Dsv2Parquet.dataFiles(path, conf)
-      old.foreach(f => fs.delete(f.getPath, false))
       Dsv2WriteProbe.forPath(path).lastTruncated.set(old.length)
-    } else Dsv2WriteProbe.forPath(path).lastTruncated.set(0)
+      if (old.isEmpty) None
+      else {
+        val t = new Path(path, s"_trash-$queryId")
+        fs.mkdirs(t)
+        old.foreach(f => require(
+          fs.rename(f.getPath, new Path(t, f.getPath.getName)),
+          s"graft-parquet commit: trash move of ${f.getPath} failed"))
+        Some(t)
+      }
+    } else { Dsv2WriteProbe.forPath(path).lastTruncated.set(0); None }
     staged.foreach { f =>
       val dst = new Path(target, f.getName)
       require(fs.rename(f, dst),
         s"graft-parquet commit: rename $f -> $dst failed")
     }
+    trash.foreach(fs.delete(_, true))
     fs.delete(new Path(stagingDir), true)
     Dsv2WriteProbe.forPath(path).lastCommittedFiles.set(staged.length)
     Dsv2WriteProbe.forPath(path).lastCommittedRows.set(messages.collect {
@@ -165,22 +181,42 @@ private[sources] case class GraftParquetBatchWrite(path: String,
  * Streaming (micro-batch) write — the sink half of a streaming
  * connector. Same staging discipline as the batch write, PER EPOCH:
  * each micro-batch stages under `path/_staging-<queryId>-e<epochId>`,
- * and epoch commit is IDEMPOTENT through a `_epoch-<queryId>-<epochId>`
- * marker file — a micro-batch replayed after a driver failure (Spark
- * re-runs the epoch whose commit wasn't checkpointed) sees the marker,
- * drops its re-staged files, and commits nothing twice: file-visibility
- * exactly-once, the property a CQL sink gets from idempotent mutations
- * and a file sink must build from markers (Spark's own file sink keeps
- * the same ledger in its _spark_metadata log). `truncate` (outputMode
- * = complete) replaces the committed snapshot each epoch, so the
- * directory always holds exactly the latest aggregate state.
+ * and epoch commit is IDEMPOTENT through a marker file under
+ * `path/_epochs/` whose atomic creation (temp + rename) IS the commit
+ * point. The marker is written BEFORE any staged file becomes visible
+ * and records the epoch's deterministic destination names, so every
+ * crash window reconciles:
+ *
+ *  - crash before the marker: nothing committed, nothing visible; the
+ *    replayed epoch re-stages and commits from scratch;
+ *  - crash after the marker, before/among the renames: the replay reads
+ *    the marker's ledger and renames its re-staged files onto exactly
+ *    the missing destination names (micro-batch recomputation is
+ *    deterministic — same offsets, same partitioning — the premise
+ *    Spark's own file sink rests on); already-present destinations are
+ *    left untouched, so nothing commits twice;
+ *  - replay of a fully committed epoch: every ledger name exists, the
+ *    re-staged files are dropped.
+ *
+ * This is file-visibility exactly-once, the property a CQL sink gets
+ * from idempotent mutations and a file sink must build from a ledger
+ * (Spark's own file sink keeps the same ledger in _spark_metadata).
+ * Markers are garbage-collected past [[GraftParquetStreamingWrite
+ * .MarkerRetain]] epochs behind the latest — once the checkpoint has
+ * advanced that far, the purged epochs can never be replayed — so a
+ * long-running stream's directory listing stays flat. `truncate`
+ * (outputMode = complete) replaces the committed snapshot each epoch,
+ * so the directory always holds exactly the latest aggregate state.
  */
 private[sources] case class GraftParquetStreamingWrite(path: String,
     schema: StructType, queryId: String, truncateFirst: Boolean)
     extends StreamingWrite {
+  import GraftParquetStreamingWrite.MarkerRetain
 
   private def stagingDir(epochId: Long) = s"$path/_staging-$queryId-e$epochId"
-  private def marker(epochId: Long) = new Path(path, s"_epoch-$queryId-$epochId")
+  private def epochsDir = new Path(path, "_epochs")
+  private def marker(epochId: Long) =
+    new Path(epochsDir, s"epoch-$queryId-$epochId")
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -191,35 +227,93 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
           partitionId, taskId)
     }
 
+  /** The ledger: one destination file name per line, created atomically
+   * (temp + rename) so a reader never observes a torn marker. */
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      epochId: Long, dsts: Array[Path]): Unit = {
+    fs.mkdirs(epochsDir)
+    val tmp = new Path(epochsDir,
+      s"epoch-$queryId-$epochId.tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(dsts.map(_.getName).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, marker(epochId)),
+      s"graft-parquet epoch $epochId: marker rename failed")
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      epochId: Long): Array[Path] = {
+    val in = fs.open(marker(epochId))
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    text.split("\n").filter(_.nonEmpty).map(new Path(new Path(path), _))
+  }
+
+  /** Epochs more than [[MarkerRetain]] behind the one just committed
+   * can never be replayed once the checkpoint advances — drop their
+   * markers so they don't accumulate for the life of the stream. */
+  private def gcMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      epochId: Long): Unit = {
+    val prefix = s"epoch-$queryId-"
+    if (fs.exists(epochsDir)) fs.listStatus(epochsDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(prefix))
+        n.stripPrefix(prefix).toLongOption.foreach { e =>
+          if (e <= epochId - MarkerRetain) fs.delete(st.getPath, false): Unit
+        }
+    }
+  }
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
-    if (fs.exists(marker(epochId))) {
-      // replayed epoch: the earlier attempt's files are already
-      // committed and deterministic recomputation staged equal content
-      fs.delete(new Path(stagingDir(epochId)), true)
-      return
-    }
     val staged = messages.collect {
       case GraftParquetCommitMessage(Some(f), _) => new Path(f)
+    }.sortBy(_.getName)
+    val dsts: Array[Path] =
+      if (fs.exists(marker(epochId))) readMarker(fs, epochId)
+      else {
+        // fresh commit: verify every reported file BEFORE any
+        // destructive step, truncate (complete mode) while nothing of
+        // this epoch is visible yet, then write the ledger — the
+        // atomic commit point. Destination names are deterministic in
+        // (queryId, epochId, staged index), never a fresh UUID, so a
+        // replayed rename lands on the same name instead of beside it.
+        staged.foreach(f => require(fs.isFile(f),
+          s"graft-parquet epoch $epochId commit: staged file missing: $f"))
+        if (truncateFirst) {
+          val old = Dsv2Parquet.dataFiles(path, conf)
+          old.foreach(f => fs.delete(f.getPath, false))
+          Dsv2WriteProbe.forPath(path).lastTruncated.set(old.length)
+        }
+        fs.mkdirs(target)
+        val d = staged.indices.map(i =>
+          new Path(target, f"part-$queryId-e$epochId-$i%05d.parquet")).toArray
+        writeMarker(fs, epochId, d)
+        d
+      }
+    // reconcile the ledger: rename a re-/staged file onto each missing
+    // destination; destinations already present are first-attempt
+    // commits and stay untouched
+    var stagedIdx = 0
+    dsts.foreach { dst =>
+      if (!fs.exists(dst)) {
+        require(stagedIdx < staged.length,
+          s"graft-parquet epoch $epochId replay: ledger names $dst but " +
+            s"no staged file remains to fill it")
+        require(fs.rename(staged(stagedIdx), dst),
+          s"graft-parquet epoch $epochId commit: rename " +
+            s"${staged(stagedIdx)} -> $dst failed")
+      }
+      stagedIdx += 1
     }
-    staged.foreach(f => require(fs.isFile(f),
-      s"graft-parquet epoch $epochId commit: staged file missing: $f"))
-    if (truncateFirst) {
-      val old = Dsv2Parquet.dataFiles(path, conf)
-      old.foreach(f => fs.delete(f.getPath, false))
-      Dsv2WriteProbe.forPath(path).lastTruncated.set(old.length)
-    }
-    fs.mkdirs(target)
-    staged.foreach { f =>
-      val dst = new Path(target, f.getName)
-      require(fs.rename(f, dst),
-        s"graft-parquet epoch $epochId commit: rename $f -> $dst failed")
-    }
-    fs.create(marker(epochId), true).close()
     fs.delete(new Path(stagingDir(epochId)), true)
-    Dsv2WriteProbe.forPath(path).lastCommittedFiles.set(staged.length)
+    gcMarkers(fs, epochId)
+    Dsv2WriteProbe.forPath(path).lastCommittedFiles.set(dsts.length)
     Dsv2WriteProbe.forPath(path).epochsCommitted.incrementAndGet(): Unit
   }
 
@@ -228,6 +322,13 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
     val fs = new Path(stagingDir(epochId)).getFileSystem(conf)
     fs.delete(new Path(stagingDir(epochId)), true)
   }
+}
+
+private[sources] object GraftParquetStreamingWrite {
+  /** Epoch markers kept behind the latest commit. Spark replays at most
+   * the one epoch whose commit wasn't checkpointed; anything this far
+   * back is unreachable, so the window is pure safety margin. */
+  val MarkerRetain = 10L
 }
 
 private[sources] case class GraftParquetWriterFactory(stagingDir: String,

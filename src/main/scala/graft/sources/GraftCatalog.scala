@@ -82,11 +82,39 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
+  /** Atomic DDL publish: write to a temp name, then rename over
+   * `_schema.ddl` — the same discipline the data-file committer uses —
+   * so a reader racing an ALTER can never observe a truncated or empty
+   * schema file (`StructType.fromDDL` would crash on torn bytes).
+   * Rename-over-existing is atomic on the local and HDFS filesystems
+   * this targets; concurrent ALTERs remain last-writer-wins
+   * (single-writer DDL is the documented discipline, as for any
+   * file-backed catalog without a lock service). */
   private def writeDdl(p: String, schema: StructType): Unit = {
     val fs = new Path(p).getFileSystem(conf)
     fs.mkdirs(new Path(p))
-    val out = fs.create(schemaFile(p), true)
+    val tmp = new Path(p,
+      s"${Dsv2Parquet.SchemaFileName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    // Hadoop's RawLocalFileSystem.rename refuses to clobber an existing
+    // destination, so route through java.nio ATOMIC_MOVE for local
+    // paths and delete-then-rename elsewhere (the non-local window is
+    // the pre-existing one; local — every test and local[] deployment —
+    // becomes genuinely atomic)
+    val dst = schemaFile(p)
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (local) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } else {
+      if (fs.exists(dst)) fs.delete(dst, false)
+      require(fs.rename(tmp, dst), s"graft catalog: DDL rename failed for $p")
+    }
   }
 
   /** The DECLARED schema (`_schema.ddl`) wins when present — it is the
@@ -98,8 +126,7 @@ class GraftCatalog extends TableCatalog {
     readDdl(p) match {
       case Some(schema) => GraftParquetTable(p, schema)
       case None if hasData(p) =>
-        GraftParquetTable(p,
-          Dsv2Parquet.sparkSchema(Dsv2Parquet.footerSchema(p)))
+        GraftParquetTable(p, Dsv2Parquet.footerSchema(p))
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -125,8 +152,7 @@ class GraftCatalog extends TableCatalog {
       changes: TableChange*): Table = {
     val p = pathOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val current = readDdl(p).getOrElse(
-      Dsv2Parquet.sparkSchema(Dsv2Parquet.footerSchema(p)))
+    val current = readDdl(p).getOrElse(Dsv2Parquet.footerSchema(p))
     val next = changes.foldLeft(current) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
