@@ -373,6 +373,107 @@ object ReconQueries {
     }
   }
 
+  /** The reference's `writetime(col)` / `ttl(col)` scan-select surface
+   * (MvSync.java:222-228) served as catalog-SQL METADATA COLUMNS
+   * (`SupportsMetadataColumns` on the provider table): the demo base
+   * written into a [[graft.sources.GraftCatalog]] table, then one SQL
+   * statement selects the SAME provenance through both spellings — the
+   * metadata column `` `writetime(o_totalprice)` `` and the wide
+   * physical `writetime_o_totalprice` — plus the ttl pair. The oracle
+   * derives all four from the CTE's wt/ttl, so a hash match proves the
+   * metadata name maps onto exactly the wide column's bytes (one value
+   * off and the two spellings diverge from the derivation AND from
+   * each other). */
+  def dsv2MetadataColumns(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-meta").toString
+    val cat = s"gmeta_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    try {
+      MvSyncDemo.baseDf(spark, dir).writeTo(s"$cat.db.base").create()
+      spark.sql(
+        s"""SELECT o_custkey, o_orderkey,
+           |       `writetime(o_totalprice)` AS wt_meta,
+           |       writetime_o_totalprice AS wt_wide,
+           |       `ttl(o_totalprice)` AS ttl_meta,
+           |       ttl_o_totalprice AS ttl_wide
+           |FROM $cat.db.base""".stripMargin)
+        .localCheckpoint()
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      deleteRecursively(new java.io.File(tmp))
+    }
+  }
+
+  /** The zero-exchange reconcile THROUGH THE CONNECTOR — the DSv2 twin
+   * of [[reconClassifyBucketed]] (r16 verdict #3), and the plan a
+   * periodic 100 TB job over connector tables would actually run: both
+   * sides written into a [[graft.sources.GraftCatalog]] through the
+   * sink-demanded `graft.clusterBy` hash exchange, then read back with
+   * the layout DECLARED (`SupportsReportPartitioning` reporting
+   * `bucket(8, pk)` per row-group partition, resolved against the
+   * catalog's FunctionCatalog), so Spark's storage-partitioned-join
+   * planning co-locates equal buckets and the full-outer SMJ plans
+   * with ZERO shuffle exchanges — asserted in-function, so a driver
+   * run fails loudly if SPJ ever stops engaging. Shares
+   * recon_classify's oracle SQL verbatim: the exchange-free
+   * connector-native configuration must compute the identical
+   * classification.
+   *
+   * Clustered by ONE pk column (o_orderkey): Spark's key-grouped spec
+   * demands exactly one leaf per partition transform, so a composite
+   * PK co-locates on a single component — sufficient for the join
+   * (equal composite keys have equal components) — with
+   * `requireAllClusterKeysForCoPartition=false` letting the superset
+   * join keys accept the single-component co-partitioning. A token-
+   * range-partitioned Cassandra connector reports exactly this shape:
+   * partition-key hash, clustering columns unrepresented. */
+  def reconClassifyBucketedDsv2(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spj").toString
+    val cat = s"gspj_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.requireAllClusterKeysForCoPartition")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      def writeClustered(df: DataFrame, table: String): Unit =
+        df.writeTo(s"$cat.db.$table")
+          .option("graft.clusterBy", "o_orderkey")
+          .option("graft.numPartitions", "8")
+          .create()
+      writeClustered(MvSyncDemo.baseDf(spark, dir), "base")
+      writeClustered(MvSyncDemo.mvDf(spark, dir), "mv")
+      val out = MvReconciler.reconcile(
+        spark.table(s"$cat.db.base"), spark.table(s"$cat.db.mv"),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .select("o_custkey", "o_orderkey", "problem", "mismatch_col")
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        (if (p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) 1
+         else 0) + p.children.map(shuffles).sum
+      val n = shuffles(out.queryExecution.executedPlan)
+      require(n == 0, s"storage-partitioned reconcile planned $n exchanges " +
+        "— the connector zero-exchange configuration regressed")
+      out.localCheckpoint()
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      deleteRecursively(new java.io.File(tmp))
+    }
+  }
+
   /** Operator P's observable — the reference's one-line stats summary
    * (JobStats.java:43-75, the exact line MvSync prints and stats.txt
    * stores) — as an oracle row: [[StatsCollector.collect]] assembles
@@ -536,6 +637,61 @@ object ReconQueries {
         .groupBy("problem").agg(count(lit(1)).as("n"))
         .localCheckpoint()
     } finally deleteRecursively(new java.io.File(tmp))
+  }
+
+  /** The ENTIRE repair applied as ONE catalog SQL statement — the
+   * row-level-operations face of the connector (r16 verdict #4,
+   * `SupportsRowLevelOperations` → group-based copy-on-write): the
+   * damaged MV lives in a [[graft.sources.GraftCatalog]] table and a
+   * single `MERGE INTO` restates the reference's full mutation
+   * semantics — `WHEN MATCHED UPDATE` (the inconsistent-row upserts,
+   * DBOperations.java:240-387), `WHEN NOT MATCHED INSERT` (the
+   * missing-in-MV upserts) and `WHEN NOT MATCHED BY SOURCE DELETE`
+   * (the orphan deletes, DBOperations.java:58-194). Catalyst's
+   * RewriteMergeIntoTable drives the provider's row-level scan (whole
+   * groups, no row drops) and replace-commit (scanned files swapped
+   * for rewritten ones, two-phase). The require() pins the rewrite
+   * actually replacing files. Re-reconciling the merged table against
+   * base shares recon_post_repair's oracle verbatim: every surviving
+   * key CONSISTENT, count = the non-orphan base keys. */
+  def reconPostRepairMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dsv2WriteProbe
+    val tmp = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"gmrg_$tag"
+    val view = s"graft_merge_src_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    try {
+      val damaged = MvSyncDemo.mvDf(spark, dir)
+      damaged.writeTo(s"$cat.db.mv").create()
+      // the repair source: base truth projected onto the MV's columns
+      MvSyncDemo.baseDf(spark, dir).selectExpr(damaged.columns: _*)
+        .createOrReplaceTempView(view)
+      val pk = MvSyncDemo.mvSchema.sortedPk
+      val setList = damaged.columns.filterNot(pk.contains)
+        .map(c => s"t.$c = s.$c").mkString(", ")
+      spark.sql(
+        s"""MERGE INTO $cat.db.mv t USING $view s
+           |ON t.o_custkey = s.o_custkey AND t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET $setList
+           |WHEN NOT MATCHED THEN INSERT (${damaged.columns.mkString(", ")})
+           |  VALUES (${damaged.columns.map(c => s"s.$c").mkString(", ")})
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      require(Dsv2WriteProbe.forPath(s"$tmp/db/mv").lastTruncated.get() > 0,
+        "recon_post_repair_merge: the copy-on-write commit replaced no files")
+      MvReconciler.reconcile(
+        MvSyncDemo.baseDf(spark, dir), spark.table(s"$cat.db.mv"),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .groupBy("problem").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(view)
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      deleteRecursively(new java.io.File(tmp))
+    }
   }
 
   /** The FULL 22-type diff matrix under the ORACLE (not just specs):
@@ -795,8 +951,10 @@ object ReconQueries {
     "dsv2_limit_pushdown" -> dsv2LimitPushdown,
     "dsv2_ordered_write" -> dsv2OrderedWrite,
     "dsv2_delete_where" -> dsv2DeleteWhere,
+    "dsv2_metadata_columns" -> dsv2MetadataColumns,
     "recon_classify_throttled" -> reconClassifyThrottled,
     "recon_classify_bucketed" -> reconClassifyBucketed,
+    "recon_classify_bucketed_dsv2" -> reconClassifyBucketedDsv2,
     "recon_classify_alltypes" -> reconClassifyAllTypes,
     "recon_classify_alltypes_dsv2" -> reconClassifyAllTypesDsv2,
     "recon_stream_replay" -> reconStreamReplay,
@@ -811,7 +969,8 @@ object ReconQueries {
     "recon_repair_plan_guarded" -> reconRepairPlanGuarded,
     "recon_repair_plan_latestts" -> reconRepairPlanLatestTs,
     "recon_post_repair" -> reconPostRepair,
-    "recon_post_repair_dsv2" -> reconPostRepairDsv2)
+    "recon_post_repair_dsv2" -> reconPostRepairDsv2,
+    "recon_post_repair_merge" -> reconPostRepairMerge)
 
   val oracleSql: Map[String, String] = Map(
     "recon_classify" ->
@@ -852,12 +1011,22 @@ object ReconQueries {
     // the metadata delete removes exactly the proven band
     "dsv2_delete_where" ->
       "SELECT o_orderkey FROM orders WHERE o_orderkey > 1000",
+    // both spellings of the provenance surface equal the derivation
+    "dsv2_metadata_columns" ->
+      (Cte + """SELECT o_custkey, o_orderkey, wt AS wt_meta, wt AS wt_wide,
+               |       ttl AS ttl_meta, ttl AS ttl_wide
+               |FROM base""".stripMargin),
     // same oracle again: the rate limiter must be row-transparent
     "recon_classify_throttled" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     // same oracle again: the zero-exchange bucketed plan must compute
     // the identical classification
     "recon_classify_bucketed" ->
+      (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
+    // same oracle again: the exchange-free storage-partitioned-join
+    // plan through the connector must compute the identical
+    // classification
+    "recon_classify_bucketed_dsv2" ->
       (Cte + "SELECT o_custkey, o_orderkey, problem, mismatch_col FROM classified"),
     "recon_classify_alltypes" -> AllTypesFixture.oracleSql,
     // same oracle: the seven DSv2 type encodings must be invisible
@@ -910,6 +1079,11 @@ object ReconQueries {
     // same oracle: the DSv2 write (append + overwrite-as-truncate) and
     // read-back must be invisible around the repair
     "recon_post_repair_dsv2" ->
+      """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
+    // same oracle again: the ONE-STATEMENT MERGE repair through the
+    // row-level-operations API must land the identical repaired state
+    "recon_post_repair_merge" ->
       """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
         |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
     "recon_repair_plan" -> planOracle(

@@ -1,0 +1,425 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.HadoopReadOptions
+import org.apache.parquet.column.ColumnReader
+import org.apache.parquet.column.impl.ColumnReadStoreImpl
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
+import org.apache.parquet.schema.{MessageType, PrimitiveType, Type}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/**
+ * VECTORIZED read path for [[GraftParquetProvider]] — the decode shape
+ * a production connector ships (r16 verdict #1: the row-at-a-time
+ * `PartitionReader[InternalRow]` costs ~2× per core on every scan, and
+ * that tax grows linearly with data; at 100 TB the non-vectorized
+ * decode would dominate the scan CPU). The reader decodes each parquet
+ * row group COLUMN BY COLUMN straight into Spark
+ * [[OnHeapColumnVector]]s and hands Spark [[ColumnarBatch]]es, so the
+ * per-row costs of the Group path (one object tree per record, boxed
+ * field access, per-field type dispatch) collapse into tight per-column
+ * loops with one virtual call per value — and Spark's ColumnarToRow
+ * transition is whole-stage-codegen'd on top.
+ *
+ * Decode engine: parquet-column's [[ColumnReadStoreImpl]] triplet
+ * cursors (definition level, repetition level, value) — the same
+ * public API parquet's own tooling reads columns with. Flat columns
+ * are one triplet per record; LIST/MAP columns re-assemble records
+ * from repetition levels into Spark's offset+child-vector layout
+ * (`appendArray` + child appends), covering the full type surface the
+ * row reader serves: the 11 flat primitives, the 4 decimal physical
+ * encodings, 3-level LIST and 3-level MAP (SURVEY §1.2 via §1.3).
+ *
+ * Semantics preserved exactly (the oracle rows that pin them:
+ * `recon_classify_dsv2`, `recon_classify_alltypes_dsv2`,
+ * `sim_ann_ivf_dsv2`, `recon_stream_dsv2`):
+ *  - per-file projection against each file's OWN schema; columns a
+ *    file lacks null-fill (schema evolution);
+ *  - pushed/runtime predicates stay RESIDUAL-ONLY (they always were —
+ *    pushdown is an IO optimization, Spark re-applies every filter
+ *    above the scan), so skipping parquet's record-level filter here
+ *    changes which bytes are decoded, never which rows survive;
+ *  - the pushed-limit early stop truncates batches at `limit` rows
+ *    (partial pushdown: Spark's own Limit takes the final cut, and
+ *    limit never co-occurs with residual filters — V2 pushdown only
+ *    pushes a limit that sits directly on the scan).
+ *
+ * Scale shape: one reader per row-group partition, batches of
+ * [[Dsv2Columnar.BatchSize]] rows, vectors allocated once per reader
+ * and reset per batch — no per-batch allocation beyond vector growth,
+ * no driver-side anything.
+ */
+private[sources] object Dsv2Columnar {
+  val BatchSize = 4096
+
+  /** Default-on; `graft.vectorized=false` keeps the row reader (the
+   * debugging/fallback switch every vectorized source carries). */
+  val VectorizedOption = "graft.vectorized"
+
+  private def primitiveSupported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | BinaryType | DateType | TimestampType |
+         TimestampNTZType | ShortType | ByteType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** The columnar decoder serves every type the row reader does — this
+   * gate exists so an unforeseen type falls back to the row path
+   * instead of failing, and because Spark requires the columnar
+   * decision be uniform across partitions (it depends only on the
+   * schema here, never on the partition). */
+  def supported(schema: StructType): Boolean = schema.fields.forall { f =>
+    f.dataType match {
+      case ArrayType(e, _) => primitiveSupported(e)
+      case MapType(k, v, _) => primitiveSupported(k) && primitiveSupported(v)
+      case dt => primitiveSupported(dt)
+    }
+  }
+
+  /** Minimal converter tree for [[ColumnReadStoreImpl]] — no dictionary
+   * support declared, so the column readers materialize real values and
+   * the typed getters serve them (the parquet-tooling pattern for raw
+   * column access). */
+  private[sources] class NoopGroupConverter extends GroupConverter {
+    override def start(): Unit = ()
+    override def end(): Unit = ()
+    override def getConverter(fieldIndex: Int): Converter =
+      new PrimitiveConverter {
+        override def asGroupConverter(): GroupConverter = new NoopGroupConverter
+      }
+  }
+}
+
+private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
+    required: StructType, limit: Option[Int] = None)
+    extends PartitionReader[ColumnarBatch] {
+  import Dsv2Columnar.BatchSize
+
+  private val conf = new Configuration()
+  private val reader: ParquetFileReader = {
+    val file = new Path(p.file)
+    val opts = HadoopReadOptions.builder(conf, file)
+      .withRange(p.start, p.end).build()
+    ParquetFileReader.open(HadoopInputFile.fromPath(file, conf), opts)
+  }
+  private val fileSchema: MessageType =
+    reader.getFooter.getFileMetaData.getSchema
+  private val createdBy: String =
+    reader.getFooter.getFileMetaData.getCreatedBy
+
+  /** Physical column per required field (metadata names map onto
+   * their wide writetime_/ttl_ siblings). A physical column can back
+   * MORE THAN ONE required field (both spellings of a provenance
+   * column in one select): it is projected and decoded ONCE, and the
+   * duplicate output slots share the decoded vector. */
+  private val physNames: Array[String] =
+    required.fieldNames.map(Dsv2Parquet.physicalName)
+  private val uniquePhys: Array[String] = physNames.distinct
+
+  /** Requested unique columns THIS file has, in first-appearance order
+   * — the same per-file projection discipline as
+   * ProjectingGroupReadSupport, deduplicated. */
+  private val present: Array[String] =
+    uniquePhys.filter(fileSchema.containsField)
+  private val projection: Option[MessageType] =
+    if (present.isEmpty) None
+    else {
+      val proj = new MessageType(fileSchema.getName,
+        present.map(n => fileSchema.getType(Seq(n): _*)).toIndexedSeq: _*)
+      reader.setRequestedSchema(proj.getColumns)
+      Some(proj)
+    }
+
+  /** One vector per UNIQUE physical column (typed by the first
+   * required field backed by it — duplicates share the type since
+   * they name the same bytes); the batch maps each output slot onto
+   * its column's vector. */
+  private val uniqueVectors: Array[OnHeapColumnVector] =
+    uniquePhys.map { phys =>
+      val dt = required.fields(physNames.indexOf(phys)).dataType
+      new OnHeapColumnVector(BatchSize, dt)
+    }
+  private val vectors: Array[OnHeapColumnVector] =
+    physNames.map(phys => uniqueVectors(uniquePhys.indexOf(phys)))
+  private val batch = new ColumnarBatch(
+    vectors.map(v => v: ColumnVector).toArray)
+
+  /** Rows this reader may still emit (pushed-limit early stop). */
+  private var limitLeft: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
+
+  // ---- per-row-group decode state ----------------------------------
+  private var decoders: Array[ColumnDecoder] = _
+  private var rowsLeftInGroup: Long = 0L
+  /** Row counts of the range-selected row groups, for the
+   * zero-projected-columns case (no pages to read — counts only). */
+  private val groupRowCounts: Iterator[Long] =
+    reader.getRowGroups.asScala.map(_.getRowCount).iterator
+
+  /** Advance to the next row group; false when the partition is done. */
+  private def nextGroup(): Boolean = projection match {
+    case None =>
+      if (!groupRowCounts.hasNext) false
+      else {
+        rowsLeftInGroup = groupRowCounts.next()
+        decoders = uniquePhys.map(n =>
+          (if (n == Dsv2Parquet.FileMetaColumn) FileConstDecoder
+           else NullDecoder): ColumnDecoder)
+        true
+      }
+    case Some(proj) =>
+      val pages = reader.readNextRowGroup()
+      if (pages == null) false
+      else {
+        rowsLeftInGroup = pages.getRowCount
+        val store = new ColumnReadStoreImpl(pages,
+          new Dsv2Columnar.NoopGroupConverter, proj, createdBy)
+        // leaf ColumnReaders in projection order: primitives and lists
+        // carry one leaf, maps two (key, value)
+        val leaves = proj.getColumns.asScala.map(store.getColumnReader).iterator
+        decoders = uniquePhys.map { phys =>
+          val dt = required.fields(physNames.indexOf(phys)).dataType
+          if (phys == Dsv2Parquet.FileMetaColumn) FileConstDecoder
+          else if (!fileSchema.containsField(phys)) NullDecoder
+          else {
+            val fileType = proj.getType(Seq(phys): _*)
+            dt match {
+              case ArrayType(elem, _) =>
+                new ListDecoder(leaves.next(), fileType.asGroupType(), elem)
+              case MapType(kt, vt, _) =>
+                new MapDecoder(leaves.next(), leaves.next(),
+                  fileType.asGroupType(), kt, vt)
+              case other =>
+                new FlatDecoder(leaves.next(),
+                  fileType.asPrimitiveType(), other)
+            }
+          }
+        }
+        true
+      }
+  }
+
+  override def next(): Boolean = {
+    if (limitLeft <= 0L) return false
+    while (rowsLeftInGroup <= 0L) if (!nextGroup()) return false
+    val n = math.min(BatchSize.toLong,
+      math.min(rowsLeftInGroup, limitLeft)).toInt
+    var i = 0
+    while (i < uniqueVectors.length) {
+      uniqueVectors(i).reset()
+      decoders(i).decode(n, uniqueVectors(i))
+      i += 1
+    }
+    batch.setNumRows(n)
+    rowsLeftInGroup -= n
+    limitLeft -= n
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    reader.close()
+    uniqueVectors.foreach(_.close())
+  }
+
+  // ---- decoders ----------------------------------------------------
+
+  private sealed trait ColumnDecoder {
+    def decode(n: Int, v: WritableColumnVector): Unit
+  }
+
+  /** Column absent from this file: null-fill (schema evolution). */
+  private object NullDecoder extends ColumnDecoder {
+    override def decode(n: Int, v: WritableColumnVector): Unit =
+      { v.appendNulls(n); () }
+  }
+
+  /** `_file` metadata column: the partition's file path, constant. */
+  private object FileConstDecoder extends ColumnDecoder {
+    private val bytes = p.file.getBytes("UTF-8")
+    override def decode(n: Int, v: WritableColumnVector): Unit = {
+      var i = 0
+      while (i < n) { v.appendByteArray(bytes, 0, bytes.length); i += 1 }
+    }
+  }
+
+  /** One parquet value into the vector, selected ONCE per (file type,
+   * Spark type) pair per row group — the per-value loop pays a single
+   * virtual call. Decimal conversions cross-map the file's physical
+   * encoding (INT32/INT64 unscaled, BINARY/FLBA two's complement) onto
+   * Spark's precision-determined storage class (int / long / bytes). */
+  private def valuePutter(pt: PrimitiveType,
+      dt: DataType): (ColumnReader, WritableColumnVector) => Unit = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      (cr, v) => { v.appendLong(cr.getLong); () }
+    case IntegerType | DateType => (cr, v) => { v.appendInt(cr.getInteger); () }
+    case ShortType => (cr, v) => { v.appendShort(cr.getInteger.toShort); () }
+    case ByteType => (cr, v) => { v.appendByte(cr.getInteger.toByte); () }
+    case DoubleType => (cr, v) => { v.appendDouble(cr.getDouble); () }
+    case FloatType => (cr, v) => { v.appendFloat(cr.getFloat); () }
+    case BooleanType => (cr, v) => { v.appendBoolean(cr.getBoolean); () }
+    case StringType | BinaryType => (cr, v) => {
+      val b = cr.getBinary.getBytes
+      v.appendByteArray(b, 0, b.length); ()
+    }
+    case d: DecimalType =>
+      val phys = pt.getPrimitiveTypeName
+      def unscaled(cr: ColumnReader): Long = phys match {
+        case PrimitiveTypeName.INT32 => cr.getInteger.toLong
+        case PrimitiveTypeName.INT64 => cr.getLong
+        case _ => new java.math.BigInteger(cr.getBinary.getBytes).longValue
+      }
+      if (d.precision <= Decimal.MAX_INT_DIGITS)
+        (cr, v) => { v.appendInt(unscaled(cr).toInt); () }
+      else if (d.precision <= Decimal.MAX_LONG_DIGITS)
+        (cr, v) => { v.appendLong(unscaled(cr)); () }
+      else phys match {
+        case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+          (cr, v) => {
+            val b = java.math.BigInteger.valueOf(unscaled(cr)).toByteArray
+            v.appendByteArray(b, 0, b.length); ()
+          }
+        case _ => (cr, v) => {
+          // two's-complement bytes pass straight through — Spark's
+          // wide-decimal vector storage is the same representation
+          val b = cr.getBinary.getBytes
+          v.appendByteArray(b, 0, b.length); ()
+        }
+      }
+    case other => throw new UnsupportedOperationException(
+      s"graft-parquet: unsupported columnar type $other")
+  }
+
+  /** Append one non-null collection row whose child elements were just
+   * appended: the child-offset must be captured BEFORE the elements go
+   * in (appendArray would read the child's post-append position and
+   * point every row one record ahead — the off-by-one the Dsv2ListSpec
+   * round-trip pins). */
+  private def appendCollection(v: WritableColumnVector, offset: Int,
+      len: Int): Unit = {
+    v.reserve(v.getElementsAppended + 1)
+    v.putArray(v.getElementsAppended, offset, len)
+    v.addElementsAppended(1)
+  }
+
+  /** Flat column: one triplet per record; value present iff the
+   * definition level reaches the leaf's max (covers optional AND
+   * required leaves — a required leaf has maxDef 0). */
+  private final class FlatDecoder(cr: ColumnReader, pt: PrimitiveType,
+      dt: DataType) extends ColumnDecoder {
+    private val maxDef = cr.getDescriptor.getMaxDefinitionLevel
+    private val put = valuePutter(pt, dt)
+    override def decode(n: Int, v: WritableColumnVector): Unit = {
+      var i = 0
+      while (i < n) {
+        if (cr.getCurrentDefinitionLevel == maxDef) put(cr, v)
+        else { v.appendNull(); () }
+        cr.consume()
+        i += 1
+      }
+    }
+  }
+
+  /** Definition-level thresholds of the 3-level LIST/MAP shapes,
+   * computed from the actual repetitions in THIS file (Spark writes
+   * required variants where nullability allows; this provider writes
+   * everything optional):
+   *   defined  — the outer group itself is non-null
+   *   entry    — a repeated entry exists (def >= entry)
+   * A record whose first triplet sits below `defined` is a null
+   * collection; at `defined` but below `entry`, an empty one. */
+  private def collectionLevels(g: org.apache.parquet.schema.GroupType)
+      : (Int, Int) = {
+    val defined = if (g.isRepetition(Type.Repetition.OPTIONAL)) 1 else 0
+    (defined, defined + 1)
+  }
+
+  private final class ListDecoder(cr: ColumnReader,
+      g: org.apache.parquet.schema.GroupType, elem: DataType)
+      extends ColumnDecoder {
+    private val (dDefined, dEntry) = collectionLevels(g)
+    private val dElem = cr.getDescriptor.getMaxDefinitionLevel
+    private val total = cr.getTotalValueCount
+    private val put = valuePutter(
+      g.getType(0).asGroupType().getType(0).asPrimitiveType(), elem)
+    private var read = 0L
+
+    override def decode(n: Int, v: WritableColumnVector): Unit = {
+      val child = v.arrayData()
+      var i = 0
+      while (i < n) {
+        val offset = child.getElementsAppended
+        // first triplet of the record (repetition level 0)
+        val d0 = cr.getCurrentDefinitionLevel
+        var len = 0
+        if (d0 >= dEntry) {
+          if (d0 == dElem) put(cr, child) else { child.appendNull(); () }
+          len = 1
+        }
+        cr.consume(); read += 1L
+        // continuation triplets (repetition level > 0) extend the record
+        while (read < total && cr.getCurrentRepetitionLevel > 0) {
+          val d = cr.getCurrentDefinitionLevel
+          if (d == dElem) put(cr, child) else { child.appendNull(); () }
+          len += 1
+          cr.consume(); read += 1L
+        }
+        if (d0 < dDefined) { v.appendNull(); () }
+        else appendCollection(v, offset, len)
+        i += 1
+      }
+    }
+  }
+
+  /** MAP: the key and value cursors share one repetition structure, so
+   * they advance in lockstep — entry count per record comes from the
+   * key column, value nullability from the value column's own level. */
+  private final class MapDecoder(kr: ColumnReader, vr: ColumnReader,
+      g: org.apache.parquet.schema.GroupType, kt: DataType, vt: DataType)
+      extends ColumnDecoder {
+    private val (dDefined, dEntry) = collectionLevels(g)
+    private val dKey = kr.getDescriptor.getMaxDefinitionLevel
+    private val dVal = vr.getDescriptor.getMaxDefinitionLevel
+    private val total = kr.getTotalValueCount
+    private val kv = g.getType(0).asGroupType()
+    private val putK = valuePutter(kv.getType(0).asPrimitiveType(), kt)
+    private val putV = valuePutter(kv.getType(1).asPrimitiveType(), vt)
+    private var read = 0L
+
+    override def decode(n: Int, v: WritableColumnVector): Unit = {
+      val keys = v.getChild(0).asInstanceOf[WritableColumnVector]
+      val vals = v.getChild(1).asInstanceOf[WritableColumnVector]
+      def entry(): Unit = {
+        if (kr.getCurrentDefinitionLevel == dKey) putK(kr, keys)
+        else { keys.appendNull(); () }
+        if (vr.getCurrentDefinitionLevel == dVal) putV(vr, vals)
+        else { vals.appendNull(); () }
+        kr.consume(); vr.consume(); read += 1L
+      }
+      var i = 0
+      while (i < n) {
+        val offset = keys.getElementsAppended
+        val d0 = kr.getCurrentDefinitionLevel
+        var len = 0
+        if (d0 >= dEntry) { entry(); len = 1 }
+        else { kr.consume(); vr.consume(); read += 1L }
+        while (read < total && kr.getCurrentRepetitionLevel > 0) {
+          entry(); len += 1
+        }
+        if (d0 < dDefined) { v.appendNull(); () }
+        else appendCollection(v, offset, len)
+        i += 1
+      }
+    }
+  }
+}

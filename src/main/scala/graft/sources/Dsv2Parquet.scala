@@ -18,11 +18,12 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, MessageTyp
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -82,7 +83,39 @@ class GraftParquetProvider extends TableProvider {
 private[sources] case class GraftParquetTable(path: String,
     override val schema: StructType) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** MERGE / UPDATE / rewrite-DELETE via group-based copy-on-write
+   * (see [[GraftRowLevelOperation]]): the surface that serves the
+   * repair plan as ONE catalog SQL statement. A `DELETE` whose
+   * predicate the footer-proof metadata path refuses
+   * ([[canDeleteWhere]] false) falls back here and REWRITES instead
+   * of erroring — the two delete paths compose exactly like Iceberg's
+   * metadata vs copy-on-write deletes. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => GraftRowLevelOperation(path, schema, info.command())
+
+  /** The reference's scan-select surface `writetime(col)` / `ttl(col)`
+   * (MvSync.java:222-228) as METADATA COLUMNS: every wide physical
+   * `writetime_<c>` / `ttl_<c>` sibling (SURVEY §1.3) is also
+   * queryable through catalog SQL as `` `writetime(c)` `` — the
+   * idiomatic DSv2 home for per-cell provenance a connector computes
+   * rather than stores. The scan serves them by mapping the metadata
+   * name back onto the physical column ([[Dsv2Parquet.physicalName]]),
+   * so both spellings read the same bytes and hash identically. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    (GraftMetadataColumn(Dsv2Parquet.FileMetaColumn, StringType)
+      +: schema.fields.collect {
+        case f if f.name.startsWith("writetime_") =>
+          GraftMetadataColumn(
+            s"writetime(${f.name.stripPrefix("writetime_")})", f.dataType)
+        case f if f.name.startsWith("ttl_") =>
+          GraftMetadataColumn(s"ttl(${f.name.stripPrefix("ttl_")})", f.dataType)
+      }.toSeq).toArray
 
   /** METADATA-ONLY DELETE WHERE — the posture of every file-backed
    * connector (Iceberg's metadata delete, a Cassandra range drop):
@@ -119,14 +152,17 @@ private[sources] case class GraftParquetTable(path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftParquetScanBuilder(path, schema,
       Option(options.get(Dsv2Parquet.MaxRowGroupsPerTriggerOption))
-        .map(_.toInt))
+        .map(_.toInt),
+      Option(options.get(Dsv2Columnar.VectorizedOption))
+        .forall(_.toBoolean))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     GraftParquetWriteBuilder(path, info)
 }
 
 private[sources] class GraftParquetScanBuilder(path: String,
     tableSchema: StructType,
-    maxRowGroupsPerTrigger: Option[Int] = None) extends ScanBuilder
+    maxRowGroupsPerTrigger: Option[Int] = None,
+    vectorize: Boolean = true) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = tableSchema
@@ -269,7 +305,8 @@ private[sources] class GraftParquetScanBuilder(path: String,
     case Some((schema, values, desc)) =>
       GraftParquetAggScan(schema, values, desc)
     case None =>
-      GraftParquetScan(path, required, pushed, maxRowGroupsPerTrigger, limit)
+      GraftParquetScan(path, required, pushed, maxRowGroupsPerTrigger, limit,
+        vectorize)
   }
 }
 
@@ -305,8 +342,10 @@ private[sources] case class GraftAggReaderFactory()
 private[sources] case class GraftParquetScan(path: String,
     required: StructType, pushed: Array[Filter],
     maxRowGroupsPerTrigger: Option[Int] = None,
-    limit: Option[Int] = None) extends Scan with Batch
-    with SupportsRuntimeFiltering with SupportsReportStatistics {
+    limit: Option[Int] = None,
+    vectorize: Boolean = true) extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -315,7 +354,7 @@ private[sources] case class GraftParquetScan(path: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftParquetMicroBatchStream(path, required, pushed,
-      checkpointLocation, maxRowGroupsPerTrigger)
+      checkpointLocation, maxRowGroupsPerTrigger, vectorize)
 
   /** Exact row count and uncompressed byte size from the cached
    * footers — what Spark's planner (join strategy selection, DPP
@@ -381,6 +420,40 @@ private[sources] case class GraftParquetScan(path: String,
     }
   }
 
+  /** The declared clustered layout, validated against the actual file
+   * set: Some iff the sidecar exists and EVERY data file's name parses
+   * a bucket id below the declared width. Third element = the distinct
+   * bucket ids present (reported as the partitioning's width — empty
+   * buckets simply have no partitions, which Spark's partition-value
+   * push handles on the join side). */
+  @transient private lazy val clusteringInfo
+      : Option[(Array[String], Int, Array[Int])] =
+    Dsv2Parquet.clustering(path, new Configuration()).flatMap {
+      case (cols, num) =>
+        val buckets = footerBlocks.map { case (file, _) =>
+          Dsv2Parquet.bucketOfFile(new Path(file).getName)
+        }
+        if (buckets.exists(b => b.isEmpty || b.get >= num)) None
+        else Some((cols, num, buckets.map(_.get).distinct.sorted))
+    }
+
+  /** STORAGE-PARTITIONED JOIN surface (SupportsReportPartitioning):
+   * a table written through the sink-demanded `graft.clusterBy`
+   * exchange reads back with its hash layout DECLARED — each file is
+   * one bucket of murmur3(clusterCols) pmod N, so Spark's key-grouped
+   * planning co-locates equal buckets of two such tables and the
+   * reconcile full-outer SMJ plans with ZERO exchanges (the DSv2 twin
+   * of the bucketed-catalog configuration; at 100 TB the eliminated
+   * exchange IS the network cost of the join). The `bucket` transform
+   * resolves against [[GraftCatalog]]'s FunctionCatalog, whose bound
+   * function replicates the writer-side hash exactly. */
+  override def outputPartitioning(): Partitioning = clusteringInfo match {
+    case Some((cols, num, present)) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(num, cols.toIndexedSeq: _*)), present.length)
+    case None => new UnknownPartitioning(0)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val bounds = Dsv2Parquet.inBounds(runtime)
     val survivors = footerBlocks.filter { case (_, b) =>
@@ -407,8 +480,15 @@ private[sources] case class GraftParquetScan(path: String,
       case _ => survivors
     }
     val parts = limited.map { case (file, b) =>
-      GraftParquetPartition(file, b.getStartingPos,
-        b.getStartingPos + b.getCompressedSize): InputPartition
+      val (s, e) = (b.getStartingPos, b.getStartingPos + b.getCompressedSize)
+      clusteringInfo match {
+        case Some(_) =>
+          // keyed partitions: Spark groups same-bucket row groups into
+          // one task under spark.sql.sources.v2.bucketing.enabled
+          GraftParquetBucketPartition(file, s, e,
+            Dsv2Parquet.bucketOfFile(new Path(file).getName).get): InputPartition
+        case None => GraftParquetPartition(file, s, e): InputPartition
+      }
     }
     Dsv2RuntimeProbe.forPath(path).lastPlanned.set(footerBlocks.length)
     Dsv2RuntimeProbe.forPath(path).lastKept.set(parts.length)
@@ -426,7 +506,7 @@ private[sources] case class GraftParquetScan(path: String,
     // ProjectingGroupReadSupport) — one directory may mix writers whose
     // repetitions differ, and parquet's containment check demands an
     // exact repetition match per file.
-    GraftParquetReaderFactory(required, pushed ++ runtime, limit)
+    GraftParquetReaderFactory(required, pushed ++ runtime, limit, vectorize)
   }
 }
 
@@ -449,16 +529,51 @@ object Dsv2RuntimeProbe {
     byPath.computeIfAbsent(p.stripSuffix("/"), _ => new PathProbe)
 }
 
+private[sources] case class GraftMetadataColumn(name: String,
+    dataType: DataType) extends MetadataColumn {
+  override def isNullable: Boolean = true
+  override def comment(): String =
+    "cell provenance (reference writetime()/ttl() scan surface)"
+}
+
 private[sources] case class GraftParquetPartition(file: String, start: Long,
     end: Long) extends InputPartition
 
+/** A row-group partition of a declared-clustered table: carries the
+ * file's bucket id as its partition key so key-grouped planning can
+ * co-locate it with the matching bucket of another clustered scan. */
+private[sources] case class GraftParquetBucketPartition(file: String,
+    start: Long, end: Long, bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 private[sources] case class GraftParquetReaderFactory(
     required: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GraftParquetPartition]
-    new GraftParquetPartitionReader(gp, required, pushed, limit)
+    limit: Option[Int] = None,
+    vectorize: Boolean = true) extends PartitionReaderFactory {
+  /** Both partition shapes read identically — the bucket id is
+   * planner-side metadata, not reader state. */
+  private def plain(p: InputPartition): GraftParquetPartition = p match {
+    case gp: GraftParquetPartition => gp
+    case b: GraftParquetBucketPartition =>
+      GraftParquetPartition(b.file, b.start, b.end)
   }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftParquetPartitionReader(plain(p), required, pushed, limit)
+
+  /** Columnar whenever the projection's types allow (all of them, for
+   * the type surface this provider serves — see [[Dsv2Columnar]]).
+   * The decision depends only on the schema, never the partition, as
+   * Spark requires (all partitions of a scan must agree). */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    vectorize && Dsv2Columnar.supported(required)
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarPartitionReader(plain(p), required, limit)
 }
 
 /** Per-file projection: parquet's schema-containment check demands the
@@ -501,10 +616,25 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
    * applicable-predicate cut below. */
   private val fileSchema: MessageType = Dsv2Parquet.singleFileSchema(p.file)
 
+  /** Physical column per required field (metadata names map onto their
+   * wide writetime_/ttl_ siblings; everything else is itself). */
+  private val physNames: Array[String] =
+    required.fieldNames.map(Dsv2Parquet.physicalName)
+
+  /** `_file` metadata fields: a per-partition constant, no bytes read. */
+  private val fileConst: Array[UTF8String] =
+    required.fieldNames.map(n =>
+      if (n == Dsv2Parquet.FileMetaColumn) UTF8String.fromString(p.file)
+      else null)
+
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
     val b = ParquetReader.builder(
-        new ProjectingGroupReadSupport(required.fieldNames), new Path(p.file))
+        // distinct: one physical column can back two required fields
+        // (both spellings of a provenance column) — project it once
+        new ProjectingGroupReadSupport(
+          physNames.distinct.filterNot(_ == Dsv2Parquet.FileMetaColumn)),
+        new Path(p.file))
       .withConf(conf)
       .withFileRange(p.start, p.end)
     // a record-level predicate on a column THIS file lacks would fail
@@ -525,8 +655,10 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
    * ProjectingGroupReadSupport: requested columns present in the
    * file, in required order. */
   private val idxMap: Array[Int] = {
-    val present = required.fieldNames.filter(fileSchema.containsField)
-    required.fieldNames.map(present.indexOf(_))
+    val present = physNames.distinct
+      .filterNot(_ == Dsv2Parquet.FileMetaColumn)
+      .filter(fileSchema.containsField)
+    physNames.map(present.indexOf(_))
   }
 
   /** Early stop at the pushed limit: any `limit` rows satisfy an
@@ -546,7 +678,8 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
     while (i < required.length) {
       val fi = idxMap(i)
       vals(i) =
-        if (fi < 0 || row.getFieldRepetitionCount(fi) == 0) null
+        if (fileConst(i) != null) fileConst(i)
+        else if (fi < 0 || row.getFieldRepetitionCount(fi) == 0) null
         else required.fields(i).dataType match {
           case ArrayType(elem, _) =>
             // 3-level LIST: outer group → repeated `list` entries →
@@ -613,6 +746,61 @@ private[sources] object Dsv2Parquet {
    * createTable and the empty-after-delete persistence. */
   val SchemaFileName = "_schema.ddl"
 
+  /** Clustering sidecar (`cols\nnumBuckets\n`): written by a
+   * clustered+fixed-width batch commit, deleted by any commit that
+   * breaks the invariant (unclustered append, mismatched re-cluster,
+   * streaming epoch). Presence means EVERY data file holds exactly the
+   * keys whose murmur3-pmod bucket equals the id in its file name —
+   * what [[GraftParquetScan.outputPartitioning]] reports for
+   * storage-partitioned joins. */
+  val ClusteringFileName = "_clustering"
+
+  /** Parse the clustering sidecar; None when absent/undeclared. */
+  def clustering(path: String, conf: Configuration): Option[(Array[String], Int)] = {
+    val p = new Path(path, ClusteringFileName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      text.split("\n").filter(_.nonEmpty) match {
+        case Array(cols, num) =>
+          num.toIntOption.map(n => (cols.split(",").map(_.trim), n))
+        case _ => None
+      }
+    }
+  }
+
+  /** `_file` metadata column: the data file a row came from — the
+   * group identity row-level operations regroup by (and the standard
+   * connector debugging surface). Served as a per-partition constant
+   * by both readers; never a physical column. */
+  val FileMetaColumn = "_file"
+
+  /** Metadata-column name → the physical wide column carrying its
+   * bytes: `writetime(c)` ↔ `writetime_c`, `ttl(c)` ↔ `ttl_c` (the
+   * SupportsMetadataColumns surface on [[GraftParquetTable]]). Any
+   * other name is already physical. */
+  private val WtMeta = "writetime\\((.+)\\)".r
+  private val TtlMeta = "ttl\\((.+)\\)".r
+  def physicalName(name: String): String = name match {
+    case WtMeta(c) => s"writetime_$c"
+    case TtlMeta(c) => s"ttl_$c"
+    case n => n
+  }
+
+  /** Bucket id from a committed data file's name (`part-<pid>-…`), the
+   * id the sink-demanded hash exchange assigned its writer task. */
+  private val BucketFilePattern = "part-(\\d+)-.*".r
+  def bucketOfFile(name: String): Option[Int] = name match {
+    case BucketFilePattern(b) => b.toIntOption
+    case _ => None
+  }
+
   /** Spark schema → parquet message type, the exact inverse of
    * [[sparkSchema]]: every field an optional primitive, strings as
    * UTF8-annotated BINARY. Unsupported Spark types fail fast at write
@@ -640,6 +828,9 @@ private[sources] object Dsv2Parquet {
         .as(LogicalTypeAnnotation.dateType())
       case TimestampType => primitive(PrimitiveTypeName.INT64, rep)
         .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+      case TimestampNTZType => primitive(PrimitiveTypeName.INT64, rep)
+        .as(LogicalTypeAnnotation.timestampType(false,
           LogicalTypeAnnotation.TimeUnit.MICROS))
       case ShortType => primitive(PrimitiveTypeName.INT32, rep)
         .as(LogicalTypeAnnotation.intType(16, true))
@@ -691,7 +882,7 @@ private[sources] object Dsv2Parquet {
    * (INT32 / INT64 unscaled, or two's-complement BINARY / FLBA) — one
    * directory can mix writers whose decimal encodings differ. */
   def readPrimitive(g: Group, fi: Int, vi: Int, dt: DataType): Any = dt match {
-    case LongType | TimestampType => g.getLong(fi, vi)
+    case LongType | TimestampType | TimestampNTZType => g.getLong(fi, vi)
     case IntegerType | DateType => g.getInteger(fi, vi)
     case ShortType => g.getInteger(fi, vi).toShort
     case ByteType => g.getInteger(fi, vi).toByte
@@ -875,7 +1066,9 @@ private[sources] object Dsv2Parquet {
       case (PrimitiveTypeName.INT64, t: TimestampLogicalTypeAnnotation) =>
         require(t.getUnit == TimeUnit.MICROS,
           s"graft-parquet: only MICROS timestamps supported ($name)")
-        TimestampType
+        // isAdjustedToUTC distinguishes the instant type from the
+        // wall-clock (NTZ) type; both carry int64 micros
+        if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
       case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) => DateType
       case (PrimitiveTypeName.INT32, i: IntLogicalTypeAnnotation)
           if i.getBitWidth == 16 => ShortType

@@ -41,7 +41,7 @@ import org.apache.spark.sql.types.StructType
  */
 private[sources] class GraftParquetMicroBatchStream(path: String,
     required: StructType, pushed: Array[Filter], checkpointLocation: String,
-    maxPerTrigger: Option[Int])
+    maxPerTrigger: Option[Int], vectorize: Boolean = true)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val conf = new Configuration()
@@ -168,7 +168,7 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
     // projection resolution is per file inside ReadSupport.init
     // (ProjectingGroupReadSupport) — micro-batches routinely span
     // files from different writers
-    GraftParquetReaderFactory(required, pushed)
+    GraftParquetReaderFactory(required, pushed, vectorize = vectorize)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

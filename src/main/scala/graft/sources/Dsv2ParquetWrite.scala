@@ -104,7 +104,8 @@ private[sources] case class GraftParquetWriteBuilder(path: String,
         .map(_.toInt).getOrElse(0)
 
     override def toBatch: BatchWrite =
-      GraftParquetBatchWrite(path, info.schema(), info.queryId(), truncateFirst)
+      GraftParquetBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
+        clusterBy, requiredNumPartitions())
     override def toStreaming: StreamingWrite =
       GraftParquetStreamingWrite(path, info.schema(), info.queryId(),
         truncateFirst)
@@ -117,10 +118,54 @@ private[sources] case class GraftParquetCommitMessage(file: Option[String],
     rows: Long) extends WriterCommitMessage
 
 private[sources] case class GraftParquetBatchWrite(path: String,
-    schema: StructType, queryId: String, truncateFirst: Boolean)
+    schema: StructType, queryId: String, truncateFirst: Boolean,
+    clusterBy: Array[String] = Array.empty, numPartitions: Int = 0)
     extends BatchWrite {
 
   private val stagingDir = s"$path/_staging-$queryId"
+
+  /** Maintain the clustering sidecar AFTER the data renames: a
+   * clustered fixed-width commit declares (or re-declares) the layout;
+   * any commit that breaks the every-file-is-one-bucket invariant —
+   * unclustered append, or a re-cluster whose columns/width differ
+   * from the declared ones on a non-truncating append — retracts it.
+   * Written atomically (temp + rename over), same discipline as the
+   * catalog DDL. */
+  private def maintainClustering(fs: org.apache.hadoop.fs.FileSystem,
+      committed: Set[String]): Unit = {
+    val sidecar = new Path(path, Dsv2Parquet.ClusteringFileName)
+    val declared: Option[String] =
+      if (clusterBy.nonEmpty && numPartitions > 0)
+        Some(clusterBy.mkString(",") + "\n" + numPartitions + "\n")
+      else None
+    val existing: Option[String] =
+      if (truncateFirst) None
+      else Dsv2Parquet.clustering(path, new Configuration())
+        .map { case (cols, n) => cols.mkString(",") + "\n" + n + "\n" }
+    // pre-existing data the commit did NOT write: a clustered append
+    // beside it may only declare when those files already carry the
+    // same declared layout
+    def tableWasEmpty: Boolean =
+      Dsv2Parquet.dataFiles(path, new Configuration())
+        .forall(f => committed(f.getPath.getName))
+    declared match {
+      case Some(desc) if truncateFirst || existing.contains(desc) ||
+          tableWasEmpty =>
+        // declare: truncate replaced everything; or the append extends
+        // the identical declared layout; or this commit created the
+        // table's first files
+        val tmp = new Path(path,
+          s"${Dsv2Parquet.ClusteringFileName}.tmp-${UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(desc.getBytes("UTF-8")) finally out.close()
+        if (fs.exists(sidecar)) fs.delete(sidecar, false)
+        require(fs.rename(tmp, sidecar),
+          s"graft-parquet commit: clustering sidecar rename failed")
+      case _ =>
+        // retract: the directory no longer has a single declared layout
+        if (fs.exists(sidecar)) fs.delete(sidecar, false): Unit
+    }
+  }
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -163,6 +208,7 @@ private[sources] case class GraftParquetBatchWrite(path: String,
     }
     trash.foreach(fs.delete(_, true))
     fs.delete(new Path(stagingDir), true)
+    maintainClustering(fs, staged.map(_.getName).toSet)
     Dsv2WriteProbe.forPath(path).lastCommittedFiles.set(staged.length)
     Dsv2WriteProbe.forPath(path).lastCommittedRows.set(messages.collect {
       case GraftParquetCommitMessage(_, n) => n
@@ -313,6 +359,10 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
     }
     fs.delete(new Path(stagingDir(epochId)), true)
     gcMarkers(fs, epochId)
+    // a streaming epoch's files are never bucket-aligned — retract any
+    // declared clustering so readers stop reporting it
+    val clusteringSidecar = new Path(path, Dsv2Parquet.ClusteringFileName)
+    if (fs.exists(clusteringSidecar)) fs.delete(clusteringSidecar, false)
     Dsv2WriteProbe.forPath(path).lastCommittedFiles.set(dsts.length)
     Dsv2WriteProbe.forPath(path).epochsCommitted.incrementAndGet(): Unit
   }

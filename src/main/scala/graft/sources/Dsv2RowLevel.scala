@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/**
+ * GROUP-BASED ROW-LEVEL OPERATIONS (copy-on-write) for
+ * [[GraftParquetProvider]] — the surface that turns the repair
+ * mutation plan into plain catalog SQL (r16 verdict #4): `MERGE INTO`
+ * (the reference's upsert semantics, DBOperations.java:240-387, with
+ * `WHEN NOT MATCHED BY SOURCE THEN DELETE` covering the orphan
+ * deletes, DBOperations.java:58-194), plus `UPDATE` and the
+ * `DELETE WHERE` fallback for predicates the metadata path refuses.
+ * Catalyst's RewriteMergeIntoTable / RewriteUpdateTable /
+ * RewriteDeleteFromTable rules drive exactly this API: read the
+ * affected GROUPS through [[RowLevelOperation.newScanBuilder]],
+ * compute the replacement rows (merge actions applied, untouched rows
+ * carried over), write them through
+ * [[RowLevelOperation.newWriteBuilder]], and commit by REPLACING the
+ * scanned groups with the written files.
+ *
+ * Correctness posture — the scan is deliberately DUMB:
+ *  - no record-level filter pushdown, no pushed limit, no runtime
+ *    row-group pruning, no aggregate shortcut. A group rewrite must
+ *    write back EVERY row of every scanned group; any scan-side row
+ *    drop would silently delete data. (Iceberg's copy-on-write scan
+ *    takes the same stance: prune at group granularity or not at all.)
+ *  - the groups this engine replaces are whole FILES; the scan records
+ *    the exact file set it planned, and the commit replaces exactly
+ *    that set — a concurrent append between scan and commit survives.
+ *
+ * Scale shape: copy-on-write rewrites the scanned groups, so cost is
+ * proportional to the table (no group pruning yet — the honest
+ * statement is that a 100 TB deployment would add runtime group
+ * filtering on a `_file` metadata column, shrinking "scanned" to the
+ * files that actually contain matches; the commit protocol here is
+ * already file-exact, so that optimization changes the scan only).
+ * The two-phase commit (stage → trash scanned → rename staged →
+ * drop trash) leaves the previous table recoverable at every crash
+ * point, same discipline as the batch overwrite.
+ */
+private[sources] case class GraftRowLevelOperation(path: String,
+    tableSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** Files the operation's scan planned — set driver-side during scan
+   * planning, read by the write's commit. One operation instance spans
+   * both, per the DSv2 contract. */
+  private[sources] val scannedFiles =
+    new java.util.concurrent.atomic.AtomicReference[Array[String]](null)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft-replace-groups:$cmd"
+
+  /** `_file` — the group identity. Declaring it does two jobs: the
+   * rewritten plan can regroup rows by origin file, and (load-bearing)
+   * it makes Catalyst build a METADATA PROJECTION for the write, which
+   * selects the projecting `DataAndMetadataWritingSparkTask` — the
+   * task that strips the `__row_operation` discriminator and metadata
+   * columns off each row before `DataWriter.write`. Without any
+   * metadata attribute Spark hands the writer the raw MergeRows
+   * output, whose layout is not the table schema. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(Dsv2Parquet.FileMetaColumn))
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    GraftReplaceScanBuilder(path, tableSchema, this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          GraftReplaceDataWrite(path, info.schema(), info.queryId(),
+            GraftRowLevelOperation.this)
+      }
+    }
+}
+
+/** Column pruning only — every other pushdown is refused by omission
+ * (see the correctness posture above). */
+private[sources] case class GraftReplaceScanBuilder(path: String,
+    tableSchema: StructType, op: GraftRowLevelOperation)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = GraftReplaceScan(path, required, op)
+}
+
+/** Whole-group scan: every row group of every data file, recorded into
+ * the operation so the commit knows exactly which files to replace. */
+private[sources] case class GraftReplaceScan(path: String,
+    required: StructType, op: GraftRowLevelOperation) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftReplaceScan ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val files = Dsv2Parquet.dataFiles(path, conf)
+    op.scannedFiles.set(files.map(_.getPath.getName))
+    files.flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      val blocks = try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.toArray
+      } finally reader.close()
+      blocks.map(b => GraftParquetPartition(f.getPath.toString,
+        b.getStartingPos, b.getStartingPos + b.getCompressedSize)
+        : InputPartition)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetReaderFactory(required, Array.empty[Filter])
+}
+
+/** The replace-commit: stage replacement files invisibly, verify, move
+ * the SCANNED files (and only them) to a trash dir, rename staged in,
+ * drop the trash — recoverable at every crash point. */
+private[sources] case class GraftReplaceDataWrite(path: String,
+    schema: StructType, queryId: String, op: GraftRowLevelOperation)
+    extends BatchWrite {
+
+  private val stagingDir = s"$path/_staging-$queryId"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    GraftParquetWriterFactory(stagingDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    val staged = messages.collect {
+      case GraftParquetCommitMessage(Some(f), _) => new Path(f)
+    }
+    staged.foreach(f => require(fs.isFile(f),
+      s"graft-replace commit: staged file missing: $f"))
+    val scanned = Option(op.scannedFiles.get()).getOrElse(
+      throw new IllegalStateException(
+        "graft-replace commit: the operation's scan never planned — " +
+          "nothing to replace"))
+    // replace exactly the scanned groups: files appended AFTER the
+    // scan are untouched
+    val trash = new Path(path, s"_trash-$queryId")
+    val present = scanned.filter(n => fs.exists(new Path(target, n)))
+    if (present.nonEmpty) fs.mkdirs(trash)
+    present.foreach { n =>
+      require(fs.rename(new Path(target, n), new Path(trash, n)),
+        s"graft-replace commit: trash move of $n failed")
+    }
+    staged.foreach { f =>
+      val dst = new Path(target, f.getName)
+      require(fs.rename(f, dst),
+        s"graft-replace commit: rename $f -> $dst failed")
+    }
+    if (present.nonEmpty) fs.delete(trash, true)
+    fs.delete(new Path(stagingDir), true)
+    // a rewrite breaks any declared clustered layout
+    val clusteringSidecar = new Path(path, Dsv2Parquet.ClusteringFileName)
+    if (fs.exists(clusteringSidecar)) fs.delete(clusteringSidecar, false)
+    Dsv2WriteProbe.forPath(path).lastCommittedFiles.set(staged.length)
+    Dsv2WriteProbe.forPath(path).lastTruncated.set(present.length)
+    Dsv2WriteProbe.forPath(path).lastCommittedRows.set(messages.collect {
+      case GraftParquetCommitMessage(_, n) => n
+    }.sum)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(stagingDir).getFileSystem(new Configuration())
+    fs.delete(new Path(stagingDir), true)
+  }
+}

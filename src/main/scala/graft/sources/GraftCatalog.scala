@@ -8,10 +8,12 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /**
@@ -29,7 +31,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *   spark.sql.catalog.graft       = graft.sources.GraftCatalog
  *   spark.sql.catalog.graft.root  = /path/to/root
  */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
   private val conf = new Configuration()
@@ -176,6 +178,66 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog: RENAME not supported")
+
+  /** FUNCTION surface: the one function storage-partitioned joins need
+   * — `bucket`, the transform a clustered table's scan reports
+   * ([[GraftParquetScan.outputPartitioning]]). Catalyst resolves the
+   * reported `bucket(N, cols…)` against the RELATION's catalog
+   * (`V2ExpressionUtils.toCatalystOpt` → `FunctionCatalog
+   * .loadFunction`), so two scans of this catalog carry the same
+   * canonical function and their equal bucket ids co-locate without an
+   * exchange — the Iceberg SPJ pattern, served here over the writer's
+   * own hash. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** `bucket(numBuckets, cols…)` — bit-exact twin of the hash the V2
+ * write exchange applied (`Distributions.clustered` plans Spark's
+ * murmur3 hash partitioning: pmod(murmur3(cols, seed=42), n)), so a
+ * value Spark routes to writer task `i` evaluates to bucket `i` here.
+ * Bound per input shape; the canonical name is shape-independent so
+ * both join sides' transforms compare equal. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, cols...): writer-exchange hash bucket id"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length >= 2,
+      "graft bucket(numBuckets, col, ...) needs at least two arguments")
+    require(inputType.fields(0).dataType == IntegerType,
+      "graft bucket: numBuckets must be INT")
+    GraftBucketBound(inputType.fields.map(_.dataType))
+  }
+}
+
+final case class GraftBucketBound(types: Array[DataType])
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = types
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    // HashPartitioning.partitionIdExpression semantics exactly:
+    // Murmur3Hash folds seed 42 over the columns with per-step Int
+    // truncation, then Pmod against the width
+    var h = 42
+    var i = 1
+    while (i < types.length) {
+      h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(input.get(i, types(i)), types(i), h.toLong).toInt
+      i += 1
+    }
+    Integer.valueOf(((h % n) + n) % n)
+  }
 }
 
 /** Observability for the metadata-delete path (spec + driver-row

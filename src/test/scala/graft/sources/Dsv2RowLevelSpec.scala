@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Group-based row-level operations (copy-on-write) through the
+ * catalog: MERGE INTO with all three action kinds, UPDATE, and the
+ * DELETE fallback for predicates the metadata path refuses. */
+class Dsv2RowLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCat[A](f: (String, String) => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rlo").toString
+    val cat = s"grlo_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    try f(cat, tmp)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  test("MERGE INTO: update + insert + not-matched-by-source delete") {
+    withCat { (cat, _) =>
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "s", "v").writeTo(s"$cat.db.m").create()
+      // source: k=2 changed, k=4 new, k∈{1,3} absent → deleted
+      Seq((2L, "B", 200L), (4L, "d", 40L)).toDF("k", "s", "v")
+        .createOrReplaceTempView("rlo_src")
+      spark.sql(
+        s"""MERGE INTO $cat.db.m t USING rlo_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.s = s.s, t.v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val got = spark.table(s"$cat.db.m").orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq == Seq((2L, "B", 200L), (4L, "d", 40L)))
+      spark.catalog.dropTempView("rlo_src")
+    }
+  }
+
+  test("MERGE preserves untouched rows (carried over through rewrite)") {
+    withCat { (cat, _) =>
+      spark.range(100).select(col("id").as("k"), (col("id") * 7).as("v"))
+        .writeTo(s"$cat.db.c").create()
+      spark.range(5).select(col("id").as("k"), lit(-1L).as("v"))
+        .createOrReplaceTempView("rlo_touch")
+      spark.sql(
+        s"""MERGE INTO $cat.db.c t USING rlo_touch s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+      val t = spark.table(s"$cat.db.c")
+      assert(t.count() == 100L)
+      assert(t.filter(col("v") === -1L).count() == 5L)
+      assert(t.filter(col("k") >= 5 && col("v") =!= col("k") * 7).count() == 0L)
+      spark.catalog.dropTempView("rlo_touch")
+    }
+  }
+
+  test("UPDATE rewrites through the row-level path") {
+    withCat { (cat, _) =>
+      spark.range(50).select(col("id").as("k"), lit("x").as("s"))
+        .writeTo(s"$cat.db.u").create()
+      spark.sql(s"UPDATE $cat.db.u SET s = 'y' WHERE k % 10 = 3")
+      val t = spark.table(s"$cat.db.u")
+      assert(t.count() == 50L)
+      assert(t.filter(col("s") === "y").count() == 5L)
+    }
+  }
+
+  test("DELETE undecidable by footer proofs falls back to rewrite") {
+    withCat { (cat, _) =>
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("m"))
+        .coalesce(1).writeTo(s"$cat.db.d").create()
+      // m-predicate is never provable from one file's footer band →
+      // canDeleteWhere=false → group-based rewrite, not an error
+      spark.sql(s"DELETE FROM $cat.db.d WHERE m = 3")
+      val t = spark.table(s"$cat.db.d")
+      assert(t.count() == 100L - 14L)
+      assert(t.filter(col("m") === 3).count() == 0L)
+    }
+  }
+
+  test("replace-commit swaps exactly the scanned files") {
+    withCat { (cat, tmp) =>
+      spark.range(20).select(col("id").as("k"), lit(0L).as("v"))
+        .coalesce(2).writeTo(s"$cat.db.x").create()
+      val before = Dsv2Parquet.dataFiles(s"$tmp/db/x",
+        new org.apache.hadoop.conf.Configuration()).map(_.getPath.getName).toSet
+      spark.range(1).select(col("id").as("k"), lit(9L).as("v"))
+        .createOrReplaceTempView("rlo_one")
+      spark.sql(
+        s"""MERGE INTO $cat.db.x t USING rlo_one s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+      val after = Dsv2Parquet.dataFiles(s"$tmp/db/x",
+        new org.apache.hadoop.conf.Configuration()).map(_.getPath.getName).toSet
+      // every pre-image file was scanned and therefore replaced
+      assert(before.intersect(after).isEmpty)
+      assert(spark.table(s"$cat.db.x").count() == 20L)
+      spark.catalog.dropTempView("rlo_one")
+    }
+  }
+}

@@ -60,19 +60,28 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
-  test("DELETE WHERE refuses when a file is undecidable") {
+  test("DELETE undecidable by metadata composes onto the rewrite path") {
     withCatalog { cat =>
       val p = s"${root(cat)}/db/t"
       spark.range(1, 101).select(col("id").as("k")).coalesce(1)
         .write.format(fmt).option(Dsv2Parquet.SchemaOption, "k BIGINT")
         .mode("append").save(p)
-      // k <= 50 straddles the single file: stats cannot prove either way
-      val ex = intercept[Exception](
-        spark.sql(s"DELETE FROM $cat.db.t WHERE k <= 50"))
-      assert(ex.getMessage != null)
-      // nothing was deleted
+      // k <= 50 straddles the single file: stats cannot prove either
+      // way, so canDeleteWhere refuses the metadata drop — and since
+      // the table supports row-level operations, Spark falls back to
+      // the group-based copy-on-write REWRITE instead of erroring
+      // (the Iceberg metadata-vs-copy-on-write composition)
+      assert(Dsv2Parquet.deleteDecisions(p, Array(
+        org.apache.spark.sql.sources.LessThanOrEqual("k", 50L))).isEmpty,
+        "the metadata path should find this predicate undecidable")
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k <= 50")
       assert(spark.sql(s"SELECT count(*) FROM $cat.db.t")
-        .collect()(0).getLong(0) == 100L)
+        .collect()(0).getLong(0) == 50L)
+      assert(spark.sql(s"SELECT min(k) FROM $cat.db.t")
+        .collect()(0).getLong(0) == 51L)
+      // the metadata probe never fired: no file was provably droppable
+      val dp = Dsv2DeleteProbe.forPath(p)
+      assert(dp.lastDropped.get() == 0)
     }
   }
 
