@@ -49,6 +49,10 @@ object Bench {
     // the classify cost it exists to remove (the perf evidence is the
     // r07 bucketed smoke's 2.2×, measured without the write)
     "recon_classify_bucketed",
+    // same argument for its DSv2 storage-partitioned-join twin: the
+    // clustered catalog writes dominate; the exchange elimination is
+    // proven by the in-function zero-shuffle require + Dsv2BucketedJoinSpec
+    "recon_classify_bucketed_dsv2",
     // stats-LINE format proof: same classify cost as the already-swept
     // recon_stats plus driver string assembly — a duplicate trend line
     "recon_stats_line",
@@ -168,6 +172,36 @@ object Bench {
     }
     val results = medians(headline)
     val extResults = medians(extended)
+    // Per-query PHYSICAL PLAN FINGERPRINT (r16 verdict #2): a hash of
+    // the normalized executed-plan tree, computed OUTSIDE the timed
+    // region, so cross-round drift is machine-attributable — same
+    // fingerprint = session noise, different = a real plan change.
+    // Normalization strips everything legitimately session-unique
+    // (expression ids, tmp paths, the sf dir, adaptive plan ids, file
+    // index sizes/statistics) and keeps the operator tree.
+    def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
+      val norm = df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+L?", "#x")
+        .replaceAll("/tmp/[^\\s,)\\]]*", "/tmp/X")
+        .replaceAll(java.util.regex.Pattern.quote(sfDir), "SF")
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("id=#\\d+", "id=#x")
+        .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+        .replaceAll("(size|rows|sizeInBytes)=\\d+", "$1=x")
+        .replaceAll("graft_[a-z_]+_[0-9a-f]+", "graft_X")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(norm.getBytes("UTF-8")).take(6)
+        .map(b => f"$b%02x").mkString
+    }
+    // headline only: every headline query builds a LAZY frame (the
+    // eager write/stream harnesses are all extended or excluded), so
+    // construction here costs planning, not execution
+    val planFps: Seq[(String, String)] = headline.map { name =>
+      name -> (try fingerprint(SparkEntry.queries(name)(spark, sfDir))
+               catch { case _: Throwable => "err" })
+    }
+    val planFpsJson = planFps.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
     // a failed query must not fold its fast-fail wall time into the
     // totals as if it ran: report it as null and exit nonzero
     def jsonMap(rs: Seq[(String, Double)]): String = rs.map { case (k, v) =>
@@ -178,7 +212,7 @@ object Bench {
     val total = okSum(results)
     val extTotal = okSum(extResults)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibration%.3f,"calibration_shuffle_sec":$calibrationShuffle%.3f,"queries":${
-      jsonMap(results)},"extended":${jsonMap(extResults)},"extended_total":$extTotal%.3f,"sf":"$sfDir"}""")
+      jsonMap(results)},"extended":${jsonMap(extResults)},"extended_total":$extTotal%.3f,"plan_fps":$planFpsJson,"sf":"$sfDir"}""")
     // compact lines AFTER the full one: tail-truncating capture of the
     // giant per-query line must never lose the headline trend again
     // (the r9 driver artifact lost the "value" field that way; the r10
@@ -187,6 +221,8 @@ object Bench {
     println(f"""{"metric":"headline","total":$total%.3f,"calibration_sec":$calibration%.3f,"calibration_shuffle_sec":$calibrationShuffle%.3f,"queries":${
       jsonMap(results)},"sf":"$sfDir"}""")
     println(f"""{"metric":"summary","headline_total":$total%.3f,"extended_total":$extTotal%.3f,"calibration_sec":$calibration%.3f,"calibration_shuffle_sec":$calibrationShuffle%.3f,"unit":"sec","sf":"$sfDir"}""")
+    // compact fingerprint line survives tail-truncating captures too
+    println(s"""{"metric":"plan_fps","fps":$planFpsJson}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.toSeq.sorted.mkString(", ")}")

@@ -497,11 +497,30 @@ object Multimodal {
     }
   }
 
+  /** The packed-frame fixture MATERIALIZED once per (JVM, sf dir) to a
+   * deterministic parquet path and read back from there — the
+   * `mediaTable` amortization pattern (r16 verdict #7): the fixture's
+   * ImageIO ENCODE of every frame is build cost, not decode cost, and
+   * timing it inside the bench line overstated the decode operator
+   * ~3×. Bench's untimed warmup pass triggers the one-time build;
+   * every timed pass then measures exactly the sample+decode walk. */
+  def packedVideoTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val cache = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-video-fixture-${math.abs(dir.hashCode).toHexString}")
+    Multimodal.synchronized {
+      if (!new java.io.File(cache, "_SUCCESS").isFile)
+        videoMediaTable(spark, dir).write.mode("overwrite")
+          .parquet(cache.toString)
+    }
+    spark.read.parquet(cache.toString).as[MediaRow]
+  }
+
   /** Oracle-checked packed-frame round trip: every sampled frame's
    * decoded pixel sums vs DuckDB's recomputation of the per-frame
    * raster arithmetic. */
   def mmFrameDecode(spark: SparkSession, dir: String): DataFrame =
-    decodeSampledFrames(videoMediaTable(spark, dir), VideoFrameEvery).toDF()
+    decodeSampledFrames(packedVideoTable(spark, dir), VideoFrameEvery).toDF()
 
   val ThumbW = 4
   val ThumbH = 3
