@@ -97,18 +97,64 @@ private[sources] case class GraftReplaceScanBuilder(path: String,
   override def build(): Scan = GraftReplaceScan(path, required, op)
 }
 
-/** Whole-group scan: every row group of every data file, recorded into
- * the operation so the commit knows exactly which files to replace. */
+/** Whole-group scan: every row group of every surviving data file,
+ * recorded into the operation so the commit knows exactly which files
+ * to replace.
+ *
+ * RUNTIME GROUP FILTERING (the 100 TB path for copy-on-write): Spark's
+ * RowLevelOperationRuntimeGroupFiltering rule runs the command's
+ * condition as a dynamic subquery that collects the `_file` values of
+ * every MATCHING row, and hands the scan `IN(_file, …)`. Filtering at
+ * FILE granularity is the one pruning a group rewrite can do safely:
+ * a kept file still contributes ALL its rows (carried over + changed),
+ * and a dropped file provably contains no matching row — so a MERGE
+ * touching 1% of files rewrites 1% of the table, not all of it. The
+ * rule's subquery is complete by construction; anything unparseable is
+ * ignored in the safe direction (keep every file). */
 private[sources] case class GraftReplaceScan(path: String,
-    required: StructType, op: GraftRowLevelOperation) extends Scan with Batch {
+    required: StructType, op: GraftRowLevelOperation) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftReplaceScan ReadSchema: ${required.catalogString}"
 
+  @transient private var keepFiles: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(Dsv2Parquet.FileMetaColumn))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        (p.children()(0) match {
+          case nr: NamedReference if nr.fieldNames().sameElements(
+            Array(Dsv2Parquet.FileMetaColumn)) =>
+            val vals = p.children().drop(1).flatMap {
+              case l: Literal[_] => Option(l.value()).map(_.toString)
+              case _ => None
+            }
+            // all children after the reference must be literals, else
+            // the set is not the complete match list — ignore (safe)
+            if (vals.length == p.children().length - 1)
+              Some(vals.toSet) else None
+          case _ => None
+        }).foreach { files =>
+          keepFiles = Some(keepFiles.fold(files)(_.intersect(files)))
+        }
+      }
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
-    val files = Dsv2Parquet.dataFiles(path, conf)
+    val files = Dsv2Parquet.dataFiles(path, conf).filter(f =>
+      keepFiles.forall(_.contains(f.getPath.toString)))
     op.scannedFiles.set(files.map(_.getPath.getName))
     files.flatMap { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(

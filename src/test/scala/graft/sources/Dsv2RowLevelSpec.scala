@@ -85,22 +85,34 @@ class Dsv2RowLevelSpec extends SparkSpec {
     }
   }
 
-  test("replace-commit swaps exactly the scanned files") {
+  test("runtime group filtering rewrites only the files with matches") {
     withCat { (cat, tmp) =>
-      spark.range(20).select(col("id").as("k"), lit(0L).as("v"))
-        .coalesce(2).writeTo(s"$cat.db.x").create()
-      val before = Dsv2Parquet.dataFiles(s"$tmp/db/x",
-        new org.apache.hadoop.conf.Configuration()).map(_.getPath.getName).toSet
-      spark.range(1).select(col("id").as("k"), lit(9L).as("v"))
+      // two disjoint key-range files: k 0-9 and k 10-19
+      spark.range(10).select(col("id").as("k"), lit(0L).as("v"))
+        .coalesce(1).writeTo(s"$cat.db.x").create()
+      spark.range(10, 20).select(col("id").as("k"), lit(0L).as("v"))
+        .coalesce(1).writeTo(s"$cat.db.x").append()
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val before = Dsv2Parquet.dataFiles(s"$tmp/db/x", conf)
+        .map(_.getPath.getName).toSet
+      assert(before.size == 2)
+      // the merge touches only k=3 — one file holds it
+      spark.range(3, 4).select(col("id").as("k"), lit(9L).as("v"))
         .createOrReplaceTempView("rlo_one")
       spark.sql(
         s"""MERGE INTO $cat.db.x t USING rlo_one s ON t.k = s.k
            |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
-      val after = Dsv2Parquet.dataFiles(s"$tmp/db/x",
-        new org.apache.hadoop.conf.Configuration()).map(_.getPath.getName).toSet
-      // every pre-image file was scanned and therefore replaced
-      assert(before.intersect(after).isEmpty)
-      assert(spark.table(s"$cat.db.x").count() == 20L)
+      val after = Dsv2Parquet.dataFiles(s"$tmp/db/x", conf)
+        .map(_.getPath.getName).toSet
+      // the untouched file SURVIVES the rewrite (runtime group
+      // filtering pruned it from the scan, so the commit left it);
+      // the matching file was replaced
+      assert(before.intersect(after).size == 1,
+        s"expected one surviving pre-image file: before=$before after=$after")
+      val t = spark.table(s"$cat.db.x")
+      assert(t.count() == 20L)
+      assert(t.filter(col("k") === 3 && col("v") === 9L).count() == 1L)
+      assert(t.filter(col("v") === 0L).count() == 19L)
       spark.catalog.dropTempView("rlo_one")
     }
   }
