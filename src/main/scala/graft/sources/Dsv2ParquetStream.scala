@@ -5,8 +5,6 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.Filter
@@ -55,11 +53,8 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
 
   private def rowGroupRanges(file: String): Array[(Long, Long)] = {
     val fs = new Path(file).getFileSystem(conf)
-    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(
-      fs.getFileStatus(new Path(file)), conf))
-    try r.getFooter.getBlocks.asScala.map(b =>
-      (b.getStartingPos, b.getStartingPos + b.getCompressedSize)).toArray
-    finally r.close()
+    Dsv2Parquet.fileFooter(fs.getFileStatus(new Path(file)), conf)._2
+      .map(b => (b.getStartingPos, b.getStartingPos + b.getCompressedSize))
   }
 
   private def discoverFile(file: String): Unit = {

@@ -156,16 +156,11 @@ private[sources] case class GraftReplaceScan(path: String,
     val files = Dsv2Parquet.dataFiles(path, conf).filter(f =>
       keepFiles.forall(_.contains(f.getPath.toString)))
     op.scannedFiles.set(files.map(_.getPath.getName))
-    files.flatMap { f =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-      val blocks = try {
-        import scala.jdk.CollectionConverters._
-        reader.getFooter.getBlocks.asScala.toArray
-      } finally reader.close()
-      blocks.map(b => GraftParquetPartition(f.getPath.toString,
-        b.getStartingPos, b.getStartingPos + b.getCompressedSize)
-        : InputPartition)
+    files.zip(Dsv2Parquet.fileFooters(files, conf)).flatMap {
+      case (f, (_, blocks, _)) =>
+        blocks.map(b => GraftParquetPartition(f.getPath.toString,
+          b.getStartingPos, b.getStartingPos + b.getCompressedSize)
+          : InputPartition)
     }
   }
 

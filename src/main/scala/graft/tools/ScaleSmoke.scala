@@ -1241,6 +1241,56 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("dsv2scan")) {
+      // Read-path smoke (r17): decode throughput of the three scan
+      // implementations over the SAME bytes at 1× and factor× volume —
+      // builtin (Spark's vectorized parquet source), the provider's
+      // row reader (graft.vectorized=false, the r16 shape), and the
+      // provider's ColumnarBatch reader. The claims: vec throughput
+      // ≥ row throughput (the decode tax the vectorization removes),
+      // and each reader's rows/s holds roughly FLAT as volume grows
+      // (decode is scan-bound and embarrassingly parallel — the
+      // property that makes the per-core tax the ONLY thing that
+      // matters at 1000 executors).
+      import graft.sources.GraftParquetProvider
+      val fmt = classOf[GraftParquetProvider].getName
+      val sDir = "/tmp/graft-smoke-dsv2scan"
+      try {
+        def med(f: () => DataFrame): Double = {
+          def run(): Double = {
+            val (_, w) = timed(f().write.format("noop")
+              .mode("overwrite").save())
+            w
+          }
+          run()
+          Seq(run(), run(), run()).sorted.apply(1)
+        }
+        Seq(1, factor).foreach { fx =>
+          val p = s"$sDir/x$fx"
+          val src = spark.read.parquet(s"$dir/orders.parquet")
+          (if (fx == 1) src else replicate(src))
+            .write.mode("overwrite").parquet(p)
+          val n = spark.read.parquet(p).count()
+          val builtin = med(() => spark.read.parquet(p))
+          val rowT = med(() => spark.read.format(fmt)
+            .option("graft.vectorized", "false").load(p))
+          val vecT = med(() => spark.read.format(fmt).load(p))
+          require(spark.read.format(fmt).load(p).count() == n,
+            "provider scan row count")
+          println(f"[scale-smoke] dsv2scan rows=$n " +
+            f"builtin=${builtin}%.2fs (${n / builtin / 1e6}%.1fM rows/s) " +
+            f"row=${rowT}%.2fs (${n / rowT / 1e6}%.1fM rows/s) " +
+            f"vec=${vecT}%.2fs (${n / vecT / 1e6}%.1fM rows/s) " +
+            f"vec_vs_row=${rowT / vecT}%.2fx vec_vs_builtin=${vecT / builtin}%.2fx")
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(sDir))
+      }
+    }
+
     spark.stop()
   }
 }
