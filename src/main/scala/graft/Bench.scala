@@ -189,6 +189,9 @@ object Bench {
         .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
         .replaceAll("(size|rows|sizeInBytes)=\\d+", "$1=x")
         .replaceAll("graft_[a-z_]+_[0-9a-f]+", "graft_X")
+        // JVM object identity of addReferenceObj arguments (centroid
+        // matrices etc.) prints as ClassName@hex — session-unique
+        .replaceAll("@[0-9a-f]{6,}", "@x")
       val md = java.security.MessageDigest.getInstance("SHA-256")
       md.digest(norm.getBytes("UTF-8")).take(6)
         .map(b => f"$b%02x").mkString

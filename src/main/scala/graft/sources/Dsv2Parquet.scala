@@ -427,7 +427,10 @@ private[sources] case class GraftParquetScan(path: String,
         val buckets = footerBlocks.map { case (file, _) =>
           Dsv2Parquet.bucketOfFile(new Path(file).getName)
         }
-        if (buckets.exists(b => b.isEmpty || b.get >= num)) None
+        // an empty table reports no partitioning (a zero-partition
+        // KeyGroupedPartitioning is not a meaningful layout claim)
+        if (buckets.isEmpty ||
+            buckets.exists(b => b.isEmpty || b.get >= num)) None
         else Some((cols, num, buckets.map(_.get).distinct.sorted))
     }
 
