@@ -110,7 +110,13 @@ private[sources] case class GraftReplaceScanBuilder(path: String,
  * and a dropped file provably contains no matching row — so a MERGE
  * touching 1% of files rewrites 1% of the table, not all of it. The
  * rule's subquery is complete by construction; anything unparseable is
- * ignored in the safe direction (keep every file). */
+ * ignored in the safe direction (keep every file).
+ *
+ * Engagement note (measured, `ScaleSmoke merge`): Spark's group-filter
+ * subquery prunes through broadcast REUSE of the command's join, so it
+ * engages when the source side broadcasts — which a damage-
+ * proportional repair source always is. A non-broadcast source keeps
+ * the whole-table rewrite: correct, just unpruned. */
 private[sources] case class GraftReplaceScan(path: String,
     required: StructType, op: GraftRowLevelOperation) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {

@@ -1241,6 +1241,72 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("merge")) {
+      // Damage-proportional copy-on-write (r17): a catalog table laid
+      // out as 32 disjoint-keyrange files (the ordered-write layout),
+      // then a MERGE whose matches are confined to 1 / 8 / 32 files.
+      // Runtime group filtering must rewrite ONLY the touched files —
+      // the claim: replaced-file count == touched count exactly, and
+      // wall tracks the touched fraction, not the table size. This is
+      // the property that makes SQL-served repair viable at 100 TB:
+      // repair cost follows damage, like the native RepairApplier.
+      import graft.sources.{Dsv2WriteProbe, GraftCatalog}
+      val mRoot = "/tmp/graft-smoke-merge"
+      val cat = "gsmk"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", mRoot)
+      try {
+        val src = replicate(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+          .localCheckpoint()
+        Seq(1, 8, 32).foreach { touch =>
+          val t = s"m$touch"
+          src.writeTo(s"$cat.db.$t")
+            .option("graft.orderBy", "o_orderkey")
+            .option("graft.numPartitions", "32")
+            .create()
+          // keys confined to the first `touch` files of the range
+          // layout, straight from the written files' own extents
+          val extents = spark.table(s"$cat.db.$t")
+            .select(col("o_orderkey"), col("_file").as("f"))
+            .groupBy("f").agg(min("o_orderkey").as("lo"),
+              max("o_orderkey").as("hi"))
+            .orderBy("lo").collect()
+          val hi = extents(touch - 1).getLong(2)
+          // source derives from the INPUT frame, not the target table
+          // (a self-referencing merge source is not plannable), and is
+          // broadcast-hinted: Spark's runtime group filter prunes via
+          // a dynamic subquery that REUSES the merge join's broadcast
+          // (reuseBroadcastOnly) — a damage-proportional repair source
+          // is exactly the broadcastable side at 100 TB
+          broadcast(src.filter(col("o_orderkey") <= hi)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0d))
+            .createOrReplaceTempView("smoke_merge_src")
+          val (_, wall) = timed {
+            spark.sql(
+              s"""MERGE INTO $cat.db.$t t USING smoke_merge_src s
+                 |ON t.o_orderkey = s.o_orderkey
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  t.o_totalprice = s.o_totalprice""".stripMargin)
+          }
+          val replaced = Dsv2WriteProbe.forPath(s"$mRoot/db/$t")
+            .lastTruncated.get()
+          require(replaced == touch,
+            s"expected exactly $touch files replaced, got $replaced")
+          println(f"[scale-smoke] merge files=32 touched=$touch " +
+            f"replaced=$replaced wall=${wall}%.2fs")
+          spark.catalog.dropTempView("smoke_merge_src")
+        }
+      } finally {
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.root")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(mRoot))
+      }
+    }
+
     if (args.contains("dsv2scan")) {
       // Read-path smoke (r17): decode throughput of the three scan
       // implementations over the SAME bytes at 1× and factor× volume —
