@@ -458,6 +458,10 @@ object ReconQueries {
         df.writeTo(s"$cat.db.$table")
           .option("graft.clusterBy", "o_orderkey")
           .option("graft.numPartitions", "8")
+          // within-file sort in JOIN-KEY order: the scan reports it
+          // (SupportsReportOrdering), so the SMJ also plans without
+          // per-partition sorts — scan-merge-join, nothing else
+          .option("graft.sortWithin", "o_custkey,o_orderkey")
           .create()
       writeClustered(MvSyncDemo.baseDf(spark, dir), "base")
       writeClustered(MvSyncDemo.mvDf(spark, dir), "mv")
@@ -471,6 +475,12 @@ object ReconQueries {
       val n = shuffles(out.queryExecution.executedPlan)
       require(n == 0, s"storage-partitioned reconcile planned $n exchanges " +
         "— the connector zero-exchange configuration regressed")
+      def sorts(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        (if (p.isInstanceOf[org.apache.spark.sql.execution.SortExec]) 1
+         else 0) + p.children.map(sorts).sum
+      val ns = sorts(out.queryExecution.executedPlan)
+      require(ns == 0, s"storage-partitioned reconcile planned $ns sorts " +
+        "— the declared within-file ordering regressed")
       out.localCheckpoint()
     } finally {
       saved.foreach { case (k, v) =>

@@ -342,7 +342,8 @@ private[sources] case class GraftParquetScan(path: String,
     limit: Option[Int] = None,
     vectorize: Boolean = true) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -421,9 +422,9 @@ private[sources] case class GraftParquetScan(path: String,
    * buckets simply have no partitions, which Spark's partition-value
    * push handles on the join side). */
   @transient private lazy val clusteringInfo
-      : Option[(Array[String], Int, Array[Int])] =
+      : Option[(Array[String], Int, Array[Int], Array[String])] =
     Dsv2Parquet.clustering(path, new Configuration()).flatMap {
-      case (cols, num) =>
+      case (cols, num, sortCols) =>
         val buckets = footerBlocks.map { case (file, _) =>
           Dsv2Parquet.bucketOfFile(new Path(file).getName)
         }
@@ -431,7 +432,7 @@ private[sources] case class GraftParquetScan(path: String,
         // KeyGroupedPartitioning is not a meaningful layout claim)
         if (buckets.isEmpty ||
             buckets.exists(b => b.isEmpty || b.get >= num)) None
-        else Some((cols, num, buckets.map(_.get).distinct.sorted))
+        else Some((cols, num, buckets.map(_.get).distinct.sorted, sortCols))
     }
 
   /** STORAGE-PARTITIONED JOIN surface (SupportsReportPartitioning):
@@ -445,11 +446,26 @@ private[sources] case class GraftParquetScan(path: String,
    * resolves against [[GraftCatalog]]'s FunctionCatalog, whose bound
    * function replicates the writer-side hash exactly. */
   override def outputPartitioning(): Partitioning = clusteringInfo match {
-    case Some((cols, num, present)) =>
+    case Some((cols, num, present, _)) =>
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(num, cols.toIndexedSeq: _*)), present.length)
     case None => new UnknownPartitioning(0)
   }
+
+  /** The declared WITHIN-FILE sort (`graft.sortWithin` at write time),
+   * reported so a key-grouped SMJ can skip its per-partition sorts —
+   * Spark honors it only when every key group holds exactly one
+   * partition (a concatenation of row groups makes no order claim),
+   * which a one-file-per-bucket clustered write satisfies. Empty when
+   * the layout makes no sort claim. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    clusteringInfo match {
+      case Some((_, _, _, sortCols)) =>
+        sortCols.map(c => Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case None => Array.empty
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val bounds = Dsv2Parquet.inBounds(runtime)
@@ -739,21 +755,31 @@ private[sources] object Dsv2Parquet {
   val ClusterByOption = "graft.clusterBy"
   val NumPartitionsOption = "graft.numPartitions"
 
+  /** With clusterBy: additionally sort WITHIN each bucket's task, so
+   * every committed file is internally ordered — the layout that lets
+   * a storage-partitioned SMJ skip its per-partition sorts. */
+  val SortWithinOption = "graft.sortWithin"
+
   /** Table-schema sidecar file name, shared by the catalog's
    * createTable and the empty-after-delete persistence. */
   val SchemaFileName = "_schema.ddl"
 
-  /** Clustering sidecar (`cols\nnumBuckets\n`): written by a
-   * clustered+fixed-width batch commit, deleted by any commit that
+  /** Clustering sidecar (`cols\nnumBuckets[\nsortCols]\n`): written by
+   * a clustered+fixed-width batch commit, deleted by any commit that
    * breaks the invariant (unclustered append, mismatched re-cluster,
    * streaming epoch). Presence means EVERY data file holds exactly the
    * keys whose murmur3-pmod bucket equals the id in its file name —
    * what [[GraftParquetScan.outputPartitioning]] reports for
-   * storage-partitioned joins. */
+   * storage-partitioned joins. The optional third line records a
+   * sink-demanded WITHIN-FILE sort (`graft.sortWithin`), which the
+   * scan reports through `SupportsReportOrdering` so a key-grouped
+   * SMJ plans without per-partition sorts. */
   val ClusteringFileName = "_clustering"
 
-  /** Parse the clustering sidecar; None when absent/undeclared. */
-  def clustering(path: String, conf: Configuration): Option[(Array[String], Int)] = {
+  /** Parse the clustering sidecar; None when absent/undeclared.
+   * (clusterCols, numBuckets, sortWithinCols — empty when unsorted). */
+  def clustering(path: String, conf: Configuration)
+      : Option[(Array[String], Int, Array[String])] = {
     val p = new Path(path, ClusteringFileName)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
@@ -766,7 +792,11 @@ private[sources] object Dsv2Parquet {
       } finally in.close()
       text.split("\n").filter(_.nonEmpty) match {
         case Array(cols, num) =>
-          num.toIntOption.map(n => (cols.split(",").map(_.trim), n))
+          num.toIntOption.map(n =>
+            (cols.split(",").map(_.trim), n, Array.empty[String]))
+        case Array(cols, num, sort) =>
+          num.toIntOption.map(n =>
+            (cols.split(",").map(_.trim), n, sort.split(",").map(_.trim)))
         case _ => None
       }
     }

@@ -69,8 +69,11 @@ private[sources] case class GraftParquetWriteBuilder(path: String,
         .getOrElse(Array.empty)
     private val orderBy = cols(Dsv2Parquet.OrderByOption)
     private val clusterBy = cols(Dsv2Parquet.ClusterByOption)
+    private val sortWithin = cols(Dsv2Parquet.SortWithinOption)
     require(orderBy.isEmpty || clusterBy.isEmpty,
       "graft-parquet: orderBy and clusterBy are mutually exclusive")
+    require(sortWithin.isEmpty || clusterBy.nonEmpty,
+      "graft-parquet: sortWithin requires clusterBy")
 
     /** SINK-REQUESTED distribution — the V2 contract a live sink uses
      * to make SPARK shuffle for it (a Cassandra writer clusters by
@@ -93,8 +96,9 @@ private[sources] case class GraftParquetWriteBuilder(path: String,
 
     override def requiredOrdering()
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      orderBy.map(c => Expressions.sort(Expressions.column(c),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      (if (orderBy.nonEmpty) orderBy else sortWithin)
+        .map(c => Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
     /** `graft.numPartitions`: exact task count for the sink-demanded
      * exchange (a Cassandra sink sizes this to its replica/batch
@@ -105,7 +109,7 @@ private[sources] case class GraftParquetWriteBuilder(path: String,
 
     override def toBatch: BatchWrite =
       GraftParquetBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
-        clusterBy, requiredNumPartitions())
+        clusterBy, requiredNumPartitions(), sortWithin)
     override def toStreaming: StreamingWrite =
       GraftParquetStreamingWrite(path, info.schema(), info.queryId(),
         truncateFirst)
@@ -119,7 +123,8 @@ private[sources] case class GraftParquetCommitMessage(file: Option[String],
 
 private[sources] case class GraftParquetBatchWrite(path: String,
     schema: StructType, queryId: String, truncateFirst: Boolean,
-    clusterBy: Array[String] = Array.empty, numPartitions: Int = 0)
+    clusterBy: Array[String] = Array.empty, numPartitions: Int = 0,
+    sortWithin: Array[String] = Array.empty)
     extends BatchWrite {
 
   private val stagingDir = s"$path/_staging-$queryId"
@@ -134,14 +139,17 @@ private[sources] case class GraftParquetBatchWrite(path: String,
   private def maintainClustering(fs: org.apache.hadoop.fs.FileSystem,
       committed: Set[String]): Unit = {
     val sidecar = new Path(path, Dsv2Parquet.ClusteringFileName)
+    def desc(cols: Array[String], n: Int, sort: Array[String]): String =
+      cols.mkString(",") + "\n" + n +
+        (if (sort.nonEmpty) "\n" + sort.mkString(",") else "") + "\n"
     val declared: Option[String] =
       if (clusterBy.nonEmpty && numPartitions > 0)
-        Some(clusterBy.mkString(",") + "\n" + numPartitions + "\n")
+        Some(desc(clusterBy, numPartitions, sortWithin))
       else None
     val existing: Option[String] =
       if (truncateFirst) None
       else Dsv2Parquet.clustering(path, new Configuration())
-        .map { case (cols, n) => cols.mkString(",") + "\n" + n + "\n" }
+        .map { case (cols, n, sort) => desc(cols, n, sort) }
     // pre-existing data the commit did NOT write: a clustered append
     // beside it may only declare when those files already carry the
     // same declared layout

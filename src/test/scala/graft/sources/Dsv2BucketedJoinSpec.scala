@@ -70,10 +70,8 @@ class Dsv2BucketedJoinSpec extends SparkSpec {
           (col("id") * 2).as("v"))
         writeClustered(df, cat, "t", "k", 4)
         assert(Dsv2Parquet.clustering(s"$tmp/db/t",
-          new org.apache.hadoop.conf.Configuration()).contains(("k", 4))
-          || Dsv2Parquet.clustering(s"$tmp/db/t",
-            new org.apache.hadoop.conf.Configuration())
-            .exists { case (c, n) => c.sameElements(Array("k")) && n == 4 })
+          new org.apache.hadoop.conf.Configuration())
+          .exists { case (c, n, _) => c.sameElements(Array("k")) && n == 4 })
         // unclustered append breaks the invariant → sidecar retracted
         df.limit(5).writeTo(s"$cat.db.t").append()
         assert(Dsv2Parquet.clustering(s"$tmp/db/t",
@@ -150,6 +148,47 @@ class Dsv2BucketedJoinSpec extends SparkSpec {
         } finally saved.fold(spark.conf.unset(
           "spark.sql.requireAllClusterKeysForCoPartition"))(
           spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", _))
+      }
+    }
+  }
+
+  test("sortWithin layout: SMJ plans with zero exchanges AND zero sorts") {
+    withTmp { tmp =>
+      withSpj(tmp) { cat =>
+        def writeSorted(df: DataFrame, table: String): Unit =
+          df.writeTo(s"$cat.db.$table")
+            .option(Dsv2Parquet.ClusterByOption, "k")
+            .option(Dsv2Parquet.NumPartitionsOption, "8")
+            .option(Dsv2Parquet.SortWithinOption, "k")
+            .create()
+        val left = spark.range(2000).select(col("id").as("k"),
+          (col("id") % 97).as("lv"))
+        val right = spark.range(1500).select(col("id").as("k"),
+          (col("id") % 89).as("rv"))
+        writeSorted(left, "ol")
+        writeSorted(right, "or_")
+        val joined = spark.table(s"$cat.db.ol")
+          .join(spark.table(s"$cat.db.or_"), Seq("k"), "inner")
+        def sorts(p: org.apache.spark.sql.execution.SparkPlan): Int =
+          (if (p.isInstanceOf[org.apache.spark.sql.execution.SortExec]) 1
+           else 0) + p.children.map(sorts).sum
+        val plan = joined.queryExecution.executedPlan
+        assert(shuffles(joined) == 0, s"expected zero exchanges:\n$plan")
+        assert(sorts(plan) == 0,
+          s"expected the declared within-file sort to erase SortExec:\n$plan")
+        val got = joined.orderBy("k").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val exp = left.join(right, Seq("k"), "inner").orderBy("k").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(got.sameElements(exp))
+        // the committed files really ARE internally sorted — from the
+        // bytes, via the _file metadata column
+        val mono = spark.table(s"$cat.db.ol")
+          .select(col("k"), col("_file").as("f"))
+          .withColumn("prev", lag("k", 1).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("f")
+              .orderBy(monotonically_increasing_id())))
+        assert(mono.filter(col("prev") > col("k")).count() == 0L)
       }
     }
   }
