@@ -507,7 +507,8 @@ object Multimodal {
   def packedVideoTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     val cache = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-video-fixture-${math.abs(dir.hashCode).toHexString}")
+      // v1: bump when the packed-frame derivation changes
+      s"graft-video-fixture-v1-${math.abs(dir.hashCode).toHexString}")
     Multimodal.synchronized {
       if (!new java.io.File(cache, "_SUCCESS").isFile)
         videoMediaTable(spark, dir).write.mode("overwrite")

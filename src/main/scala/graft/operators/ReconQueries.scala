@@ -166,7 +166,9 @@ object ReconQueries {
     // amortization pattern — and every timed pass measures the
     // provider READ path + reconcile, which is what this row proves.
     val cache = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-dsv2-recon-fixture-${math.abs(dir.hashCode).toHexString}")
+      // v1: bump when the MvSyncDemo derivation changes — a stale cache
+      // would silently serve the OLD derivation and flip oracles red
+      s"graft-dsv2-recon-fixture-v1-${math.abs(dir.hashCode).toHexString}")
     ReconQueries.synchronized {
       if (!new java.io.File(cache, "base/_SUCCESS").isFile ||
           !new java.io.File(cache, "mv/_SUCCESS").isFile) {
