@@ -1241,6 +1241,80 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("spj")) {
+      // Storage-partitioned join win, measured THROUGH the connector
+      // (r17): the same two clustered+sorted catalog tables full-outer
+      // joined twice — once with v2 bucketing enabled (SPJ: zero
+      // exchanges, zero sorts) and once disabled (the classic
+      // exchange+sort SMJ). Same bytes, same join, same result; the
+      // delta is exactly the network+sort cost the declared layout
+      // eliminates — the r07 bucketed-catalog 2.2× restated through
+      // the DSv2 seam.
+      import graft.sources.GraftCatalog
+      val sRoot = "/tmp/graft-smoke-spj"
+      val cat = "gspjs"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", sRoot)
+      val savedB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val savedT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val base = replicate(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+        def wr(df: DataFrame, t: String): Unit =
+          df.writeTo(s"$cat.db.$t")
+            .option("graft.clusterBy", "o_orderkey")
+            .option("graft.numPartitions", "32")
+            .option("graft.sortWithin", "o_orderkey")
+            .create()
+        wr(base.filter(col("o_orderkey") % 97 =!= 0), "sl")
+        wr(base.filter(col("o_orderkey") % 89 =!= 0)
+          .withColumn("o_totalprice", when(col("o_orderkey") % 13 === 0,
+            col("o_totalprice") + 1.0d).otherwise(col("o_totalprice"))), "sr")
+        def classify(): DataFrame =
+          spark.table(s"$cat.db.sl").as("b")
+            .join(spark.table(s"$cat.db.sr").as("m"),
+              Seq("o_orderkey"), "full_outer")
+            .select(when(col("b.o_custkey").isNull, "MISSING_IN_BASE")
+              .when(col("m.o_custkey").isNull, "MISSING_IN_MV")
+              .when(!(col("b.o_totalprice") <=> col("m.o_totalprice")),
+                "INCONSISTENT").otherwise("CONSISTENT").as("problem"))
+            .groupBy("problem").count()
+        def med(tag: String): Double = {
+          def run(): Double = {
+            val (_, w) = timed(classify().write.format("noop")
+              .mode("overwrite").save())
+            w
+          }
+          run(); val m = Seq(run(), run(), run()).sorted.apply(1)
+          println(f"[scale-smoke] spj $tag wall=${m}%.2fs")
+          m
+        }
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        val off = med("bucketing=off (exchange+sort SMJ)")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val on = med("bucketing=on  (zero-exchange zero-sort)")
+        println(f"[scale-smoke] spj speedup=${off / on}%.2fx")
+        // the two configurations must agree exactly
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        val a = classify().collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val b = classify().collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        require(a.sameElements(b), s"SPJ changed the answer: ${a.toSeq} vs ${b.toSeq}")
+      } finally {
+        savedB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+        savedT.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.root")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(sRoot))
+      }
+    }
+
     if (args.contains("merge")) {
       // Damage-proportional copy-on-write (r17): a catalog table laid
       // out as 32 disjoint-keyrange files (the ordered-write layout),
