@@ -318,6 +318,44 @@ object ReconQueries {
     }
   }
 
+  /** FILTER-scoped overwrite (`INSERT OVERWRITE … WHERE` /
+   * `writeTo(t).overwrite(cond)`) driver-verified: orders keys written
+   * as two band-aligned files into a catalog table, then ONE overwrite
+   * statement replaces the lower band with a narrower key set —
+   * accepted because footer statistics PROVE the predicate
+   * file-aligned (`canOverwrite`, the same metadata-proof posture as
+   * DELETE WHERE; an unprovable predicate fails at planning, spec'd).
+   * The require() pins exactly one file replaced; the read-back key
+   * set carries the full value-level oracle: upper band untouched,
+   * lower band now the overwrite payload — a file wrongly kept,
+   * dropped, or double-written flips the hash. */
+  def dsv2OverwriteWhere(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dsv2WriteProbe
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-ow").toString
+    val cat = s"gow_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    try {
+      val keys = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey")
+      keys.filter(col("o_orderkey") <= 1000).coalesce(1)
+        .writeTo(s"$cat.db.orders").create()
+      keys.filter(col("o_orderkey") > 1000).coalesce(1)
+        .writeTo(s"$cat.db.orders").append()
+      keys.filter(col("o_orderkey") <= 500)
+        .writeTo(s"$cat.db.orders").overwrite(col("o_orderkey") <= 1000)
+      val probe = Dsv2WriteProbe.forPath(s"$tmp/db/orders")
+      require(probe.lastTruncated.get() == 1,
+        s"dsv2_overwrite_where: expected exactly the lower-band file " +
+          s"replaced, got ${probe.lastTruncated.get()}")
+      spark.sql(s"SELECT o_orderkey FROM $cat.db.orders").localCheckpoint()
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      deleteRecursively(new java.io.File(tmp))
+    }
+  }
+
   /** Operators D/N (scan/mutation rate limiting) driver-verified: the
    * SAME classification as [[reconClassify]] with BOTH scans wrapped in
    * [[graft.sources.Throttle.perPartitionRows]] — the reference's
@@ -972,6 +1010,7 @@ object ReconQueries {
     "dsv2_ordered_write" -> dsv2OrderedWrite,
     "dsv2_delete_where" -> dsv2DeleteWhere,
     "dsv2_metadata_columns" -> dsv2MetadataColumns,
+    "dsv2_overwrite_where" -> dsv2OverwriteWhere,
     "recon_classify_throttled" -> reconClassifyThrottled,
     "recon_classify_bucketed" -> reconClassifyBucketed,
     "recon_classify_bucketed_dsv2" -> reconClassifyBucketedDsv2,
@@ -1031,6 +1070,11 @@ object ReconQueries {
     // the metadata delete removes exactly the proven band
     "dsv2_delete_where" ->
       "SELECT o_orderkey FROM orders WHERE o_orderkey > 1000",
+    // the overwrite replaces exactly the proven band: upper band
+    // untouched, lower band becomes the overwrite payload
+    "dsv2_overwrite_where" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderkey > 1000 OR o_orderkey <= 500""".stripMargin,
     // both spellings of the provenance surface equal the derivation
     "dsv2_metadata_columns" ->
       (Cte + """SELECT o_custkey, o_orderkey, wt AS wt_meta, wt AS wt_wide,

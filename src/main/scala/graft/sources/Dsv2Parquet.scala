@@ -147,8 +147,8 @@ private[sources] case class GraftParquetTable(path: String,
   override def name(): String = s"graft-parquet:$path"
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftParquetScanBuilder(path, schema,
       Option(options.get(Dsv2Parquet.MaxRowGroupsPerTriggerOption))

@@ -54,11 +54,34 @@ import org.apache.spark.sql.types._
  * global coordination beyond the O(#tasks) commit-message rename loop.
  */
 private[sources] case class GraftParquetWriteBuilder(path: String,
-    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+    info: LogicalWriteInfo)
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var truncateFirst = false
+  private var overwriteFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
-  /** mode=overwrite arrives as OverwriteByExpression(AlwaysTrue) and
-   * Catalyst's V2Writes rule lowers it here. */
+  /** FILTER-scoped overwrite (`INSERT OVERWRITE … WHERE` /
+   * `writeTo(t).overwrite(cond)`): accepted only when footer
+   * statistics PROVE the predicate file-aligned — every data file
+   * either all-matches (replaced) or none-matches (kept), the same
+   * metadata-proof posture as DELETE WHERE. `canOverwrite` is the
+   * planning-time probe, so an unprovable predicate fails the
+   * statement up front instead of mid-commit. mode=overwrite arrives
+   * as OverwriteByExpression(AlwaysTrue) → plain truncate. */
+  override def canOverwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue()) ||
+      Dsv2Parquet.deleteDecisions(path, filters).isDefined
+
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue()))
+      truncateFirst = true
+    else overwriteFilters = filters
+    this
+  }
+
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = new Write
@@ -109,7 +132,7 @@ private[sources] case class GraftParquetWriteBuilder(path: String,
 
     override def toBatch: BatchWrite =
       GraftParquetBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
-        clusterBy, requiredNumPartitions(), sortWithin)
+        clusterBy, requiredNumPartitions(), sortWithin, overwriteFilters)
     override def toStreaming: StreamingWrite =
       GraftParquetStreamingWrite(path, info.schema(), info.queryId(),
         truncateFirst)
@@ -124,7 +147,8 @@ private[sources] case class GraftParquetCommitMessage(file: Option[String],
 private[sources] case class GraftParquetBatchWrite(path: String,
     schema: StructType, queryId: String, truncateFirst: Boolean,
     clusterBy: Array[String] = Array.empty, numPartitions: Int = 0,
-    sortWithin: Array[String] = Array.empty)
+    sortWithin: Array[String] = Array.empty,
+    overwriteFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends BatchWrite {
 
   private val stagingDir = s"$path/_staging-$queryId"
@@ -196,19 +220,31 @@ private[sources] case class GraftParquetBatchWrite(path: String,
     // a driver crash between here and the staged renames leaves the
     // previous table recoverable from the trash instead of empty; the
     // trash drops only after every staged rename succeeded
-    val trash: Option[Path] = if (truncateFirst) {
-      val old = Dsv2Parquet.dataFiles(path, conf)
-      Dsv2WriteProbe.forPath(path).lastTruncated.set(old.length)
-      if (old.isEmpty) None
+    // what the overwrite removes: everything (truncate), or exactly
+    // the files footer statistics PROVE all-match the overwrite
+    // predicate (re-proved against the files present NOW — a file
+    // landed since planning makes the commit fail with old data
+    // intact, never guess)
+    val removing: Array[Path] =
+      if (truncateFirst) Dsv2Parquet.dataFiles(path, conf).map(_.getPath)
+      else if (overwriteFilters.nonEmpty)
+        Dsv2Parquet.deleteDecisions(path, overwriteFilters).getOrElse(
+          throw new IllegalStateException(
+            "graft-parquet overwrite: the predicate is no longer " +
+              s"file-aligned (${overwriteFilters.mkString(", ")}) — " +
+              "a file changed between planning and commit"))._1
+      else Array.empty
+    Dsv2WriteProbe.forPath(path).lastTruncated.set(removing.length)
+    val trash: Option[Path] =
+      if (removing.isEmpty) None
       else {
         val t = new Path(path, s"_trash-$queryId")
         fs.mkdirs(t)
-        old.foreach(f => require(
-          fs.rename(f.getPath, new Path(t, f.getPath.getName)),
-          s"graft-parquet commit: trash move of ${f.getPath} failed"))
+        removing.foreach(f => require(
+          fs.rename(f, new Path(t, f.getName)),
+          s"graft-parquet commit: trash move of $f failed"))
         Some(t)
       }
-    } else { Dsv2WriteProbe.forPath(path).lastTruncated.set(0); None }
     staged.foreach { f =>
       val dst = new Path(target, f.getName)
       require(fs.rename(f, dst),
