@@ -31,7 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *   spark.sql.catalog.graft       = graft.sources.GraftCatalog
  *   spark.sql.catalog.graft.root  = /path/to/root
  */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName: String = _
   private var root: String = _
   private val conf = new Configuration()
@@ -176,8 +177,86 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     fs.exists(p) && fs.delete(p, true)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog: RENAME not supported")
+  /** ALTER TABLE RENAME — one directory rename (the whole table state:
+   * data files + `_schema.ddl` + sidecars move together). Cross-
+   * namespace renames work the same way; the destination namespace
+   * must exist, the destination table must not. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val src = new Path(pathOf(oldIdent))
+    val dst = new Path(pathOf(newIdent))
+    val fs = src.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(src, dst),
+      s"graft catalog: RENAME $oldIdent -> $newIdent failed")
+  }
+
+  // ---- namespace surface (CREATE/DROP/SHOW NAMESPACES as plain SQL;
+  // a namespace is a directory under the root, the same mapping a
+  // live connector serves from cluster keyspaces) ----
+
+  private def nsPath(ns: Array[String]): Path =
+    new Path((root +: ns.toSeq).mkString("/"))
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.nonEmpty && {
+      val p = nsPath(namespace)
+      val fs = p.getFileSystem(conf)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory
+    }
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = new Path(root)
+    val fs = r.getFileSystem(conf)
+    if (!fs.exists(r)) Array.empty
+    else fs.listStatus(r).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName))
+  }
+
+  /** One level deep, like a keyspace listing: nested namespaces are
+   * not modeled (a directory under a namespace is a table). */
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    java.util.Collections.singletonMap(
+      org.apache.spark.sql.connector.catalog.SupportsNamespaces.PROP_LOCATION,
+      nsPath(namespace).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      "graft catalog: only single-level namespaces (keyspaces)")
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    val p = nsPath(namespace)
+    p.getFileSystem(conf).mkdirs(p): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    val p = nsPath(namespace)
+    p.getFileSystem(conf).delete(p, true)
+  }
 
   /** FUNCTION surface: the one function storage-partitioned joins need
    * — `bucket`, the transform a clustered table's scan reports
