@@ -32,7 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *   spark.sql.catalog.graft.root  = /path/to/root
  */
 class GraftCatalog extends TableCatalog with FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var root: String = _
   private val conf = new Configuration()
@@ -61,6 +62,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) Array.empty
     else fs.listStatus(dir).filter(_.isDirectory)
+      // "."-prefixed dirs are in-flight staged tables / trash — not
+      // catalog state until their one-rename publish
+      .filterNot(_.getPath.getName.startsWith("."))
       .map(s => Identifier.of(namespace, s.getPath.getName))
   }
 
@@ -192,6 +196,48 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       s"graft catalog: RENAME $oldIdent -> $newIdent failed")
   }
 
+  // ---- atomic CTAS / RTAS (StagingTableCatalog): the staged write
+  // lands in an invisible "."-prefixed sibling directory and ONE
+  // rename publishes the whole table — a crash at any point leaves
+  // the catalog exactly as it was (old table intact for REPLACE,
+  // no table for CREATE), never a schema-only husk ----
+
+  private def staged(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], replacing: Boolean): GraftStagedTable = {
+    require(partitions.isEmpty,
+      "graft catalog: partition transforms not supported")
+    val ns = (root +: ident.namespace().toSeq).mkString("/")
+    val staging = new Path(ns,
+      s".staging-${ident.name}-${java.util.UUID.randomUUID()}")
+    GraftStagedTable(this, pathOf(ident), staging.toString, schema, replacing)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    staged(ident, schema, partitions, replacing = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, schema, partitions, replacing = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, schema, partitions, replacing = true)
+
+  /** The staged DDL write, shared with [[GraftStagedTable]]. */
+  private[sources] def writeStagedDdl(p: String, schema: StructType): Unit =
+    writeDdl(p, schema)
+
   // ---- namespace surface (CREATE/DROP/SHOW NAMESPACES as plain SQL;
   // a namespace is a directory under the root, the same mapping a
   // live connector serves from cluster keyspaces) ----
@@ -316,6 +362,56 @@ final case class GraftBucketBound(types: Array[DataType])
       i += 1
     }
     Integer.valueOf(((h % n) + n) % n)
+  }
+}
+
+/** A table mid-CTAS/RTAS: writes land in the invisible staging
+ * directory through the SAME WriteBuilder as any batch write (all
+ * sink options — clusterBy, sortWithin, orderBy — compose with atomic
+ * creation), and [[commitStagedChanges]] publishes with one rename.
+ * REPLACE moves the old table aside first and drops it only after the
+ * publish succeeded — recoverable at every crash point. */
+private[sources] case class GraftStagedTable(catalog: GraftCatalog,
+    finalPath: String, stagingPath: String,
+    override val schema: StructType, replacing: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = s"graft-staged:$finalPath"
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    GraftParquetWriteBuilder(stagingPath, info)
+
+  override def commitStagedChanges(): Unit = {
+    val staging = new Path(stagingPath)
+    val dst = new Path(finalPath)
+    val fs = staging.getFileSystem(new Configuration())
+    require(fs.exists(staging),
+      s"graft catalog: staged table $stagingPath vanished before commit")
+    // declare the schema inside the still-invisible staging dir, so
+    // the published table is complete the instant the rename lands
+    catalog.writeStagedDdl(stagingPath, schema)
+    val trash: Option[Path] =
+      if (replacing && fs.exists(dst)) {
+        val t = new Path(dst.getParent, s".trash-${dst.getName}-" +
+          java.util.UUID.randomUUID())
+        require(fs.rename(dst, t),
+          s"graft catalog: could not move the replaced table aside")
+        Some(t)
+      } else None
+    require(fs.rename(staging, dst),
+      s"graft catalog: publish rename $stagingPath -> $finalPath failed")
+    trash.foreach(fs.delete(_, true))
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val staging = new Path(stagingPath)
+    staging.getFileSystem(new Configuration()).delete(staging, true): Unit
   }
 }
 
