@@ -226,6 +226,23 @@ object Bench {
     println(f"""{"metric":"summary","headline_total":$total%.3f,"extended_total":$extTotal%.3f,"calibration_sec":$calibration%.3f,"calibration_shuffle_sec":$calibrationShuffle%.3f,"unit":"sec","sf":"$sfDir"}""")
     // compact fingerprint line survives tail-truncating captures too
     println(s"""{"metric":"plan_fps","fps":$planFpsJson}""")
+    // trend file (r17 verdict #5, the PQ_TREND.log pattern): every bench
+    // run appends its fingerprints + probe pair, so cross-round plan
+    // drift is diffable from git history alone — an artifact tail that
+    // got truncated (r9/r10 failure mode) no longer loses the one
+    // mechanism that distinguishes "plan changed" from "session noise".
+    // Path relative to the working directory (the driver runs sbt from
+    // the repo root).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("PLAN_FPS.log"),
+      java.time.Instant.now().toString +
+        f" cpu=$calibration%.3f shuffle=$calibrationShuffle%.3f " +
+        planFpsJson + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] PLAN_FPS.log append failed: $e")
+    }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.toSeq.sorted.mkString(", ")}")

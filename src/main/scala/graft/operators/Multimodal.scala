@@ -506,13 +506,15 @@ object Multimodal {
    * every timed pass then measures exactly the sample+decode walk. */
   def packedVideoTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    val cache = new java.io.File(sys.props("java.io.tmpdir"),
-      // v1: bump when the packed-frame derivation changes
-      s"graft-video-fixture-v1-${math.abs(dir.hashCode).toHexString}")
-    Multimodal.synchronized {
-      if (!new java.io.File(cache, "_SUCCESS").isFile)
+    // v2 key: content-stamped + atomically published (FixtureCache) —
+    // bump the version when the packed-frame derivation changes; a
+    // regenerated source dir re-keys by stamp automatically
+    val cache = Multimodal.synchronized {
+      FixtureCache.materialize(
+        s"graft-video-fixture-v2-${FixtureCache.dirStamp(dir)}") { tmp =>
         videoMediaTable(spark, dir).write.mode("overwrite")
-          .parquet(cache.toString)
+          .parquet(tmp.toString)
+      }
     }
     spark.read.parquet(cache.toString).as[MediaRow]
   }

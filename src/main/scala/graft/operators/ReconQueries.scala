@@ -165,17 +165,16 @@ object ReconQueries {
     // so it materializes once per (JVM, sf dir) — the packedVideoTable
     // amortization pattern — and every timed pass measures the
     // provider READ path + reconcile, which is what this row proves.
-    val cache = new java.io.File(sys.props("java.io.tmpdir"),
-      // v1: bump when the MvSyncDemo derivation changes — a stale cache
-      // would silently serve the OLD derivation and flip oracles red
-      s"graft-dsv2-recon-fixture-v1-${math.abs(dir.hashCode).toHexString}")
-    ReconQueries.synchronized {
-      if (!new java.io.File(cache, "base/_SUCCESS").isFile ||
-          !new java.io.File(cache, "mv/_SUCCESS").isFile) {
+    // v2 key: content-stamped + atomically published (FixtureCache) —
+    // bump the version when the MvSyncDemo derivation changes; a
+    // regenerated source dir re-keys by stamp automatically
+    val cache = ReconQueries.synchronized {
+      FixtureCache.materialize(
+        s"graft-dsv2-recon-fixture-v2-${FixtureCache.dirStamp(dir)}") { tmp =>
         MvSyncDemo.baseDf(spark, dir).write.mode("overwrite")
-          .parquet(s"$cache/base")
+          .parquet(s"$tmp/base")
         MvSyncDemo.mvDf(spark, dir).write.mode("overwrite")
-          .parquet(s"$cache/mv")
+          .parquet(s"$tmp/mv")
       }
     }
     MvReconciler.reconcile(

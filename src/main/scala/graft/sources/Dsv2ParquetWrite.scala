@@ -466,7 +466,11 @@ private[sources] class GraftParquetDataWriter(stagingDir: String,
    * row's backing buffer is reused by the caller. */
   private def addPrimitive(g: org.apache.parquet.example.data.Group,
       fi: Int, dt: DataType, v: Any): Unit = dt match {
-    case LongType | TimestampType => g.add(fi, v.asInstanceOf[Long])
+    case LongType | TimestampType | TimestampNTZType =>
+      // NTZ rides the same int64-micros InternalRow representation as
+      // the instant type; parquetMessageType already distinguishes the
+      // annotations, so the value path is shared
+      g.add(fi, v.asInstanceOf[Long])
     case IntegerType | DateType => g.add(fi, v.asInstanceOf[Int])
     case ShortType => g.add(fi, v.asInstanceOf[Short].toInt)
     case ByteType => g.add(fi, v.asInstanceOf[Byte].toInt)

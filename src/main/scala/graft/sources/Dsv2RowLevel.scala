@@ -25,25 +25,28 @@ import org.apache.spark.sql.types.StructType
  * [[RowLevelOperation.newWriteBuilder]], and commit by REPLACING the
  * scanned groups with the written files.
  *
- * Correctness posture — the scan is deliberately DUMB:
- *  - no record-level filter pushdown, no pushed limit, no runtime
- *    row-group pruning, no aggregate shortcut. A group rewrite must
- *    write back EVERY row of every scanned group; any scan-side row
- *    drop would silently delete data. (Iceberg's copy-on-write scan
- *    takes the same stance: prune at group granularity or not at all.)
+ * Correctness posture — the scan is deliberately DUMB below group
+ * granularity:
+ *  - no record-level filter pushdown, no pushed limit, no aggregate
+ *    shortcut. A group rewrite must write back EVERY row of every
+ *    scanned group; any scan-side row drop would silently delete data.
+ *    (Iceberg's copy-on-write scan takes the same stance: prune at
+ *    group granularity or not at all.)
  *  - the groups this engine replaces are whole FILES; the scan records
  *    the exact file set it planned, and the commit replaces exactly
- *    that set — a concurrent append between scan and commit survives.
+ *    that set — a concurrent append between scan and commit survives,
+ *    while a scanned file that VANISHED is detected at commit as a
+ *    concurrent-writer conflict and the operation aborts.
  *
- * Scale shape: copy-on-write rewrites the scanned groups, so cost is
- * proportional to the table (no group pruning yet — the honest
- * statement is that a 100 TB deployment would add runtime group
- * filtering on a `_file` metadata column, shrinking "scanned" to the
- * files that actually contain matches; the commit protocol here is
- * already file-exact, so that optimization changes the scan only).
- * The two-phase commit (stage → trash scanned → rename staged →
- * drop trash) leaves the previous table recoverable at every crash
- * point, same discipline as the batch overwrite.
+ * Scale shape: the scan implements RUNTIME GROUP FILTERING
+ * ([[GraftReplaceScan]] is a `SupportsRuntimeV2Filtering` on the
+ * `_file` metadata column — see its scaladoc), so "scanned" shrinks to
+ * the files that provably contain matching rows and a MERGE touching
+ * 1% of files rewrites 1% of the table (measured damage-proportional:
+ * ScaleSmoke merge, 1/8/32 touched files → proportional wall). The
+ * two-phase commit (stage → trash scanned → rename staged → drop
+ * trash) leaves the previous table recoverable at every crash point,
+ * same discipline as the batch overwrite.
  */
 private[sources] case class GraftRowLevelOperation(path: String,
     tableSchema: StructType,
@@ -112,11 +115,14 @@ private[sources] case class GraftReplaceScanBuilder(path: String,
  * rule's subquery is complete by construction; anything unparseable is
  * ignored in the safe direction (keep every file).
  *
- * Engagement note (measured, `ScaleSmoke merge`): Spark's group-filter
- * subquery prunes through broadcast REUSE of the command's join, so it
- * engages when the source side broadcasts — which a damage-
- * proportional repair source always is. A non-broadcast source keeps
- * the whole-table rewrite: correct, just unpruned. */
+ * Engagement note (measured, `ScaleSmoke merge` + the SMJ variant):
+ * Spark plans the group-filter subquery with onlyInBroadcast=false, so
+ * it engages for ANY source size — reusing the command join's
+ * broadcast when one exists, and executing the matching-rows subquery
+ * STANDALONE when the source is SMJ-sized (measured r18: 16-file
+ * table, autoBroadcastJoinThreshold=-1, SortMergeJoin command join,
+ * still exactly 1 file replaced). Damage-proportionality does not
+ * depend on the source fitting in a broadcast. */
 private[sources] case class GraftReplaceScan(path: String,
     required: StructType, op: GraftRowLevelOperation) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -155,13 +161,17 @@ private[sources] case class GraftReplaceScan(path: String,
         }
       }
     }
+    Dsv2RuntimeProbe.forPath(s"$path#replace").filterCalls
+      .incrementAndGet(): Unit
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
-    val files = Dsv2Parquet.dataFiles(path, conf).filter(f =>
-      keepFiles.forall(_.contains(f.getPath.toString)))
+    val all = Dsv2Parquet.dataFiles(path, conf)
+    val files = all.filter(f => keepFiles.forall(_.contains(f.getPath.toString)))
     op.scannedFiles.set(files.map(_.getPath.getName))
+    Dsv2RuntimeProbe.forPath(s"$path#replace").lastPlanned.set(all.length)
+    Dsv2RuntimeProbe.forPath(s"$path#replace").lastKept.set(files.length)
     files.zip(Dsv2Parquet.fileFooters(files, conf)).flatMap {
       case (f, (_, blocks, _)) =>
         blocks.map(b => GraftParquetPartition(f.getPath.toString,
@@ -201,9 +211,22 @@ private[sources] case class GraftReplaceDataWrite(path: String,
         "graft-replace commit: the operation's scan never planned — " +
           "nothing to replace"))
     // replace exactly the scanned groups: files appended AFTER the
-    // scan are untouched
+    // scan are untouched, but a SCANNED file that vanished means a
+    // concurrent row-level operation or overwrite replaced it — this
+    // op's rewrite carries stale copies of that file's rows, and
+    // renaming them in beside the other writer's output would
+    // duplicate every carried-over row. Conflict → abort (Spark calls
+    // abort(), which drops the staged files); the other writer's
+    // commit stands. Same race-guard philosophy as the reference's
+    // read-before-delete (DBOperations.java:61-70), and Iceberg's
+    // validate-then-retry stance on copy-on-write commits.
+    val missing = scanned.filterNot(n => fs.exists(new Path(target, n)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      "graft-replace commit: concurrent writer conflict — scanned " +
+        s"file(s) no longer present: ${missing.mkString(", ")}; " +
+        "aborting this operation (re-run it against the current table)")
     val trash = new Path(path, s"_trash-$queryId")
-    val present = scanned.filter(n => fs.exists(new Path(target, n)))
+    val present = scanned
     if (present.nonEmpty) fs.mkdirs(trash)
     present.foreach { n =>
       require(fs.rename(new Path(target, n), new Path(trash, n)),

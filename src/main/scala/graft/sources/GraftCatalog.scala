@@ -391,8 +391,10 @@ private[sources] case class GraftStagedTable(catalog: GraftCatalog,
     val staging = new Path(stagingPath)
     val dst = new Path(finalPath)
     val fs = staging.getFileSystem(new Configuration())
-    require(fs.exists(staging),
-      s"graft catalog: staged table $stagingPath vanished before commit")
+    // data writers open files lazily on the first row, so a zero-row
+    // CTAS/RTAS (… AS SELECT … WHERE false) never created the staging
+    // dir — the publish must still land a schema-only table
+    fs.mkdirs(staging)
     // declare the schema inside the still-invisible staging dir, so
     // the published table is complete the instant the rename lands
     catalog.writeStagedDdl(stagingPath, schema)

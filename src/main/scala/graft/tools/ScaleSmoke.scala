@@ -1371,6 +1371,46 @@ object ScaleSmoke {
             f"replaced=$replaced wall=${wall}%.2fs")
           spark.catalog.dropTempView("smoke_merge_src")
         }
+        // SMJ variant (r17 verdict #2): the same 8-file-damage MERGE
+        // with broadcasting DISABLED, so the command join plans as a
+        // SortMergeJoin and no broadcast exists for the group-filter
+        // subquery to reuse. Spark plans the matching-rows subquery
+        // with onlyInBroadcast=false, so it executes STANDALONE — the
+        // claim: damage-proportionality survives ANY source size, not
+        // just broadcastable repair sources.
+        locally {
+          val touch = 8
+          val t = "msmj"
+          src.writeTo(s"$cat.db.$t")
+            .option("graft.orderBy", "o_orderkey")
+            .option("graft.numPartitions", "32")
+            .create()
+          val extents = spark.table(s"$cat.db.$t")
+            .select(col("o_orderkey"), col("_file").as("f"))
+            .groupBy("f").agg(min("o_orderkey").as("lo"),
+              max("o_orderkey").as("hi"))
+            .orderBy("lo").collect()
+          val hi = extents(touch - 1).getLong(2)
+          src.filter(col("o_orderkey") <= hi)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0d)
+            .createOrReplaceTempView("smoke_merge_src_smj")
+          val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val (_, wall) = try timed {
+            spark.sql(
+              s"""MERGE INTO $cat.db.$t t USING smoke_merge_src_smj s
+                 |ON t.o_orderkey = s.o_orderkey
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  t.o_totalprice = s.o_totalprice""".stripMargin)
+          } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+          val replaced = Dsv2WriteProbe.forPath(s"$mRoot/db/$t")
+            .lastTruncated.get()
+          require(replaced == touch,
+            s"SMJ merge: expected exactly $touch files replaced, got $replaced")
+          println(f"[scale-smoke] merge-smj files=32 touched=$touch " +
+            f"replaced=$replaced wall=${wall}%.2fs (no broadcast anywhere)")
+          spark.catalog.dropTempView("smoke_merge_src_smj")
+        }
       } finally {
         spark.conf.unset(s"spark.sql.catalog.$cat")
         spark.conf.unset(s"spark.sql.catalog.$cat.root")

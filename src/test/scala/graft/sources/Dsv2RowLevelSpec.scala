@@ -85,6 +85,83 @@ class Dsv2RowLevelSpec extends SparkSpec {
     }
   }
 
+  test("replace-commit aborts on a concurrent-writer conflict; table intact") {
+    withCat { (cat, tmp) =>
+      // two disjoint key-range files
+      spark.range(10).select(col("id").as("k"), lit(0L).as("v"))
+        .coalesce(1).writeTo(s"$cat.db.y").create()
+      spark.range(10, 20).select(col("id").as("k"), lit(0L).as("v"))
+        .coalesce(1).writeTo(s"$cat.db.y").append()
+      val path = s"$tmp/db/y"
+      val tblSchema = spark.table(s"$cat.db.y").schema
+      // OPERATION 1 plans its scan over the current file set…
+      val op = GraftRowLevelOperation(path, tblSchema,
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE)
+      op.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+        .toBatch.planInputPartitions()
+      assert(op.scannedFiles.get().length == 2)
+      // …then OPERATION 2 (a real MERGE) commits first, replacing one
+      // of the scanned files (group filtering confines it to k=3's file)
+      spark.range(3, 4).select(col("id").as("k"), lit(9L).as("v"))
+        .createOrReplaceTempView("rlo_race")
+      spark.sql(
+        s"""MERGE INTO $cat.db.y t USING rlo_race s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+      // operation 1's commit must now detect the vanished scanned file
+      // as a conflict and abort — NOT trash the survivor and rename its
+      // stale rewrite in beside operation 2's output
+      val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def options() =
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+        override def queryId(): String = "spec-conflict"
+        override def schema() = tblSchema
+      }
+      val write = op.newWriteBuilder(info).build().toBatch
+      val ex = intercept[IllegalStateException] {
+        write.commit(Array.empty)
+      }
+      assert(ex.getMessage.contains("concurrent writer conflict"))
+      // the loser changed nothing: operation 2's result stands exactly
+      val t = spark.table(s"$cat.db.y")
+      assert(t.count() == 20L)
+      assert(t.filter(col("k") === 3 && col("v") === 9L).count() == 1L)
+      assert(t.filter(col("v") === 0L).count() == 19L)
+      // and no trash/staging residue survived the abort path
+      val residue = new java.io.File(path).listFiles()
+        .map(_.getName).filter(n => n.startsWith("_trash") || n.startsWith("_staging"))
+      assert(residue.isEmpty, residue.toSeq.toString)
+      spark.catalog.dropTempView("rlo_race")
+    }
+  }
+
+  test("group filtering engages for a non-broadcast (SMJ) merge source") {
+    withCat { (cat, tmp) =>
+      spark.range(10).select(col("id").as("k"), lit(0L).as("v"))
+        .coalesce(1).writeTo(s"$cat.db.s").create()
+      spark.range(10, 20).select(col("id").as("k"), lit(0L).as("v"))
+        .coalesce(1).writeTo(s"$cat.db.s").append()
+      spark.range(3, 4).select(col("id").as("k"), lit(9L).as("v"))
+        .createOrReplaceTempView("rlo_smj")
+      val probe = Dsv2RuntimeProbe.forPath(s"$tmp/db/s#replace")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try spark.sql(
+        s"""MERGE INTO $cat.db.s t USING rlo_smj s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // the matching-rows subquery ran STANDALONE (no broadcast to
+      // reuse) and still handed the replace scan its _file IN filter
+      assert(probe.filterCalls.get() >= 1)
+      assert(probe.lastPlanned.get() == 2 && probe.lastKept.get() == 1,
+        s"planned=${probe.lastPlanned.get()} kept=${probe.lastKept.get()}")
+      val t = spark.table(s"$cat.db.s")
+      assert(t.count() == 20L)
+      assert(t.filter(col("k") === 3 && col("v") === 9L).count() == 1L)
+      spark.catalog.dropTempView("rlo_smj")
+    }
+  }
+
   test("runtime group filtering rewrites only the files with matches") {
     withCat { (cat, tmp) =>
       // two disjoint key-range files: k 0-9 and k 10-19

@@ -73,6 +73,28 @@ class Dsv2TypesSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP_NTZ write round-trips through both readers") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      // NTZ is wall-clock micros: the written bytes must read back
+      // timezone-independent through the provider and the builtin
+      val df = spark.range(10).select(col("id").as("k"),
+        when(col("id") % 3 === 0, lit(null).cast("timestamp_ntz"))
+          .otherwise(timestamp_seconds(lit(1000000000L) + col("id") * 977)
+            .cast("timestamp_ntz")).as("tsn"))
+      df.write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, df.schema.toDDL)
+        .mode("append").save(p)
+      assert(spark.read.format(fmt).load(p).schema("tsn").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      assert(rows(spark.read.parquet(p)) == rows(df))
+      assert(rows(spark.read.format(fmt).load(p)) == rows(df))
+      // the row reader too (graft.vectorized=false)
+      assert(rows(spark.read.format(fmt)
+        .option(Dsv2Columnar.VectorizedOption, "false").load(p)) == rows(df))
+    }
+  }
+
   test("negative wide decimals sign-extend through the FLBA encoding") {
     withTmp { tmp =>
       val p = s"$tmp/t"

@@ -40,6 +40,22 @@ class GraftStagedCtasSpec extends SparkSpec {
     }
   }
 
+  test("zero-row CTAS publishes a schema-only table") {
+    withCat { (cat, _) =>
+      // data writers open files lazily, so no staging dir ever appears
+      // on disk — the commit must still publish the schema DDL
+      spark.sql(
+        s"""CREATE TABLE $cat.db.z AS
+           |SELECT id AS k, id * 2 AS v FROM range(10) WHERE id < 0""".stripMargin)
+      val t = spark.table(s"$cat.db.z")
+      assert(t.columns.toSeq == Seq("k", "v"))
+      assert(t.count() == 0L)
+      // and it behaves as a real table afterwards: appends land
+      spark.sql(s"INSERT INTO $cat.db.z VALUES (1, 2)")
+      assert(spark.table(s"$cat.db.z").count() == 1L)
+    }
+  }
+
   test("RTAS swaps the table in one publish; schema may change") {
     withCat { (cat, _) =>
       spark.sql(s"CREATE TABLE $cat.db.r AS SELECT id AS k FROM range(10)")
