@@ -6,6 +6,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.HadoopReadOptions
 import org.apache.parquet.column.ColumnReader
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
 import org.apache.parquet.column.impl.ColumnReadStoreImpl
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -46,8 +48,20 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
  *    file lacks null-fill (schema evolution);
  *  - pushed/runtime predicates stay RESIDUAL-ONLY (they always were —
  *    pushdown is an IO optimization, Spark re-applies every filter
- *    above the scan), so skipping parquet's record-level filter here
- *    changes which bytes are decoded, never which rows survive;
+ *    above the scan). They are handed to parquet's filtered-read path
+ *    (row-group stats + PAGE INDEX, r17 verdict #4): a flat-schema
+ *    scan opens with a record filter and reads
+ *    `readNextFilteredRowGroup()`, so pages whose column-index min/max
+ *    provably exclude the predicate are never decompressed — the rows
+ *    that survive are a SUPERSET of the matches, and Spark's residual
+ *    filter takes the exact cut. Collection columns (LIST/MAP) keep
+ *    the unfiltered read: their repetition re-assembly assumes the
+ *    full triplet stream.
+ *  - DICTIONARY-AWARE string/binary decode (r17 verdict #3): when a
+ *    chunk's EncodingStats prove every data page dictionary-encoded,
+ *    the decoder writes dictionary IDS into the vector (4 bytes/value,
+ *    no byte copies) and installs the page dictionary on the vector —
+ *    the same lazy-materialization shape Spark's builtin reader uses.
  *  - the pushed-limit early stop truncates batches at `limit` rows
  *    (partial pushdown: Spark's own Limit takes the final cut, and
  *    limit never co-occurs with residual filters — V2 pushdown only
@@ -86,36 +100,141 @@ private[sources] object Dsv2Columnar {
     }
   }
 
-  /** Minimal converter tree for [[ColumnReadStoreImpl]] — no dictionary
-   * support declared, so the column readers materialize real values and
-   * the typed getters serve them (the parquet-tooling pattern for raw
-   * column access). */
+  /** Minimal converter tree for [[ColumnReadStoreImpl]]. Dictionary
+   * support IS declared: for dictionary-encoded pages the column
+   * reader then binds in id mode, which serves BOTH access shapes —
+   * the typed getters decode through the page dictionary exactly as
+   * before, and `getCurrentValueDictionaryID` becomes legal, which is
+   * what the id-mode string decoder reads. (The converter callbacks
+   * themselves are never invoked — decode drives the triplet cursors
+   * directly.) */
+  /** RLE / bit-packed hybrid stream reader exposing RUN state (parquet
+   * spec: header varint — even = RLE run of `header >> 1` repeats of
+   * one padded-LE value, odd = `header >> 1` groups of 8 bit-packed
+   * values). Callers consume runs in bulk by decrementing
+   * [[rleLeft]] / advancing [[unpackedIdx]] after [[ensure]]; a run
+   * larger than the caller's remaining demand simply persists across
+   * calls. Used for both def-level and dictionary-id streams of the
+   * bulk dictionary decoder. */
+  private[sources] final class HybridRunReader(bitWidth: Int,
+      in: org.apache.parquet.bytes.ByteBufferInputStream) {
+    private val packer =
+      if (bitWidth > 0)
+        org.apache.parquet.column.values.bitpacking.Packer.LITTLE_ENDIAN
+          .newBytePacker(bitWidth)
+      else null
+    private val groupBytes = new Array[Byte](math.max(bitWidth, 1))
+    val unpacked = new Array[Int](8)
+    var unpackedIdx = 8
+    var rleLeft = 0
+    var rleVal = 0
+    private var groupsLeft = 0
+
+    /** Make some run current: rleLeft > 0 OR unpackedIdx < 8. */
+    def ensure(): Unit = {
+      if (rleLeft > 0 || unpackedIdx < 8) return
+      if (groupsLeft > 0) { unpackGroup(); return }
+      val header = org.apache.parquet.bytes.BytesUtils.readUnsignedVarInt(in)
+      if ((header & 1) == 0) {
+        rleLeft = header >>> 1
+        rleVal = org.apache.parquet.bytes.BytesUtils
+          .readIntLittleEndianPaddedOnBitWidth(in, bitWidth)
+      } else {
+        groupsLeft = header >>> 1
+        unpackGroup()
+      }
+    }
+
+    private def unpackGroup(): Unit = {
+      if (packer == null) java.util.Arrays.fill(unpacked, 0)
+      else {
+        var off = 0
+        while (off < bitWidth) {
+          val r = in.read(groupBytes, off, bitWidth - off)
+          require(r > 0, "graft-parquet: truncated bit-packed group")
+          off += r
+        }
+        packer.unpack8Values(groupBytes, 0, unpacked, 0)
+      }
+      groupsLeft -= 1
+      unpackedIdx = 0
+    }
+  }
+
   private[sources] class NoopGroupConverter extends GroupConverter {
     override def start(): Unit = ()
     override def end(): Unit = ()
     override def getConverter(fieldIndex: Int): Converter =
       new PrimitiveConverter {
+        override def hasDictionarySupport: Boolean = true
+        override def setDictionary(
+            d: org.apache.parquet.column.Dictionary): Unit = ()
         override def asGroupConverter(): GroupConverter = new NoopGroupConverter
       }
   }
 }
 
 private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
-    required: StructType, limit: Option[Int] = None)
+    required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    limit: Option[Int] = None)
     extends PartitionReader[ColumnarBatch] {
   import Dsv2Columnar.BatchSize
 
-  private val conf = new Configuration()
+  private val conf = Dsv2Parquet.readConf
+
+  /** Collection re-assembly reads the FULL triplet stream, so filtered
+   * (page-index) reads engage only on all-flat projections — which is
+   * also the only shape [[Dsv2Parquet.translate]] produces predicates
+   * for. */
+  private val flatOnly: Boolean = required.fields.forall(f =>
+    !f.dataType.isInstanceOf[ArrayType] && !f.dataType.isInstanceOf[MapType])
+
+  /** Record-level filter from the pushed+runtime predicates THIS file
+   * can serve (same per-file cut as the row reader): drives parquet's
+   * row-group statistics, dictionary, and COLUMN-INDEX (page-level
+   * min/max) filtering — surviving rows are a superset of the matches,
+   * Spark's residual filter takes the exact cut. */
+  private val rowFilter: Option[FilterCompat.Filter] = {
+    if (!flatOnly) None
+    else {
+      val fileSchemaPre = Dsv2Parquet.singleFileSchema(p.file)
+      val preds = pushed
+        .filter(_.references.forall(fileSchemaPre.containsField))
+        .flatMap(Dsv2Parquet.translate(_, required))
+      if (preds.isEmpty) None
+      else Some(FilterCompat.get(preds.reduce(FilterApi.and)))
+    }
+  }
+
   private val reader: ParquetFileReader = {
     val file = new Path(p.file)
-    val opts = HadoopReadOptions.builder(conf, file)
-      .withRange(p.start, p.end).build()
+    val b = HadoopReadOptions.builder(conf, file).withRange(p.start, p.end)
+    val opts = rowFilter.fold(b)(f =>
+      b.withRecordFilter(f).useColumnIndexFilter(true)).build()
     ParquetFileReader.open(HadoopInputFile.fromPath(file, conf), opts)
   }
   private val fileSchema: MessageType =
     reader.getFooter.getFileMetaData.getSchema
   private val createdBy: String =
     reader.getFooter.getFileMetaData.getCreatedBy
+
+  /** Blocks of this reader in read order, consumed in lockstep with
+   * `readNextRowGroup` on the UNFILTERED path only (the filtered path
+   * may skip groups, breaking alignment) — feeds the per-chunk
+   * EncodingStats gate of the dictionary decoder. */
+  private val blocksIter: Iterator[
+    org.apache.parquet.hadoop.metadata.BlockMetaData] =
+    if (rowFilter.isEmpty) reader.getRowGroups.asScala.iterator
+    else Iterator.empty
+
+  /** Observability (spec/probe surface): rows ADMITTED by parquet's
+   * filtered read vs the partition's nominal rows — the page-skip
+   * evidence at probe granularity. Scheme-stripped (`toUri.getPath`)
+   * so the executor-side key (file:/dir/part.parquet) meets the
+   * driver-side key (/dir) probes are read by. */
+  private val probe =
+    Dsv2RuntimeProbe.forPath(new Path(p.file).getParent.toUri.getPath)
 
   /** Physical column per required field (metadata names map onto
    * their wide writetime_/ttl_ siblings). A physical column can back
@@ -177,15 +296,31 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
         true
       }
     case Some(proj) =>
-      val pages = reader.readNextRowGroup()
+      val pages =
+        if (rowFilter.isDefined) reader.readNextFilteredRowGroup()
+        else reader.readNextRowGroup()
       if (pages == null) false
       else {
         rowsLeftInGroup = pages.getRowCount
+        probe.rowsAdmitted.addAndGet(rowsLeftInGroup): Unit
+        val block = if (blocksIter.hasNext) Some(blocksIter.next()) else None
+        // id-mode decode gate: every data page of the chunk must be
+        // dictionary-encoded (EncodingStats proof) — a mixed chunk
+        // materializes values like any other
+        def allDict(phys: String): Boolean = block.exists(
+          _.getColumns.asScala.find(_.getPath.toDotString == phys).exists {
+            cc =>
+              val es = cc.getEncodingStats
+              // V1 pages only: the bulk decoder walks the V1 page
+              // layout (V2 chunks take the materializing path)
+              es != null && es.hasDictionaryPages &&
+                !es.hasNonDictionaryEncodedPages && !es.usesV2Pages
+          })
         val store = new ColumnReadStoreImpl(pages,
           new Dsv2Columnar.NoopGroupConverter, proj, createdBy)
-        // leaf ColumnReaders in projection order: primitives and lists
-        // carry one leaf, maps two (key, value)
-        val leaves = proj.getColumns.asScala.map(store.getColumnReader).iterator
+        // leaf ColumnDescriptors in projection order: primitives and
+        // lists carry one leaf, maps two (key, value)
+        val descs = proj.getColumns.asScala.iterator
         decoders = uniquePhys.map { phys =>
           val dt = required.fields(physNames.indexOf(phys)).dataType
           if (phys == Dsv2Parquet.FileMetaColumn) FileConstDecoder
@@ -194,15 +329,43 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
             val fileType = proj.getType(Seq(phys): _*)
             dt match {
               case ArrayType(elem, _) =>
-                new ListDecoder(leaves.next(), fileType.asGroupType(), elem)
+                new ListDecoder(store.getColumnReader(descs.next()),
+                  fileType.asGroupType(), elem)
               case MapType(kt, vt, _) =>
-                new MapDecoder(leaves.next(), leaves.next(),
+                new MapDecoder(store.getColumnReader(descs.next()),
+                  store.getColumnReader(descs.next()),
                   fileType.asGroupType(), kt, vt)
+              case StringType | BinaryType if allDict(phys) =>
+                // the bulk decoder OWNS this column's page reader —
+                // no store.getColumnReader here, which would consume
+                // the same page queue a second time
+                val desc = descs.next()
+                val pr = pages.getPageReader(desc)
+                val dictPage = pr.readDictionaryPage()
+                if (dictPage != null) {
+                  probe.dictChunks.incrementAndGet(): Unit
+                  new DictDecoder(pr, desc,
+                    dictPage.getEncoding.initDictionary(desc, dictPage))
+                } else new FlatDecoder(store.getColumnReader(desc),
+                  fileType.asPrimitiveType(), dt)
               case other =>
-                new FlatDecoder(leaves.next(),
+                new FlatDecoder(store.getColumnReader(descs.next()),
                   fileType.asPrimitiveType(), other)
             }
           }
+        }
+        // vector dictionaries follow the decoders: id mode installs the
+        // page dictionary (lazy materialization — Spark's own shape),
+        // everything else clears it
+        var i = 0
+        while (i < uniqueVectors.length) {
+          decoders(i) match {
+            case d: DictDecoder => uniqueVectors(i).setDictionary(
+              new org.apache.spark.sql.execution.datasources.parquet
+                .ParquetDictionary(d.dict, false))
+            case _ => uniqueVectors(i).setDictionary(null)
+          }
+          i += 1
         }
         true
       }
@@ -310,6 +473,122 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
     v.reserve(v.getElementsAppended + 1)
     v.putArray(v.getElementsAppended, offset, len)
     v.addElementsAppended(1)
+  }
+
+  /** Id-mode string/binary decode for an all-dictionary V1 chunk:
+   * BULK page decode — the decoder owns the column's [[PageReader]]
+   * and walks the decompressed V1 page bytes itself ([def levels RLE,
+   * 4-byte length prefix][1-byte id width][hybrid id stream] — flat
+   * columns have no repetition section), processing both streams at
+   * RUN granularity: an RLE run of non-null def levels pulls that many
+   * ids in bulk (`putInts` fills for repeated ids, 8-value unpacked
+   * groups copied by slice), an RLE run of nulls is one `putNulls`.
+   * One branch per RUN instead of 2-3 virtual calls per VALUE — the
+   * decode shape Spark's own VectorizedRleValuesReader uses, which is
+   * what it takes to hold the line against the builtin reader on
+   * low-cardinality string scans. The vector's installed
+   * [[org.apache.spark.sql.execution.datasources.parquet.ParquetDictionary]]
+   * materializes lazily on access. */
+  private final class DictDecoder(
+      pageReader: org.apache.parquet.column.page.PageReader,
+      desc: org.apache.parquet.column.ColumnDescriptor,
+      val dict: org.apache.parquet.column.Dictionary) extends ColumnDecoder {
+    import org.apache.parquet.bytes.BytesUtils
+    import org.apache.parquet.column.page.DataPageV1
+    import Dsv2Columnar.HybridRunReader
+
+    private val maxDef = desc.getMaxDefinitionLevel
+    private val defWidth = BytesUtils.getWidthFromMaxInt(maxDef)
+    private var defs: HybridRunReader = _
+    private var idsR: HybridRunReader = _
+    private var leftInPage = 0
+
+    private def advancePage(): Unit = pageReader.readPage() match {
+      case p1: DataPageV1 =>
+        val in = p1.getBytes.toInputStream
+        if (maxDef > 0) {
+          // def levels: RLE hybrid with a 4-byte length prefix (the
+          // only encoding parquet-mr writes for levels; the legacy
+          // BIT_PACKED shape never co-occurs with dictionary chunks
+          // this gate admits)
+          require(p1.getDlEncoding ==
+            org.apache.parquet.column.Encoding.RLE,
+            s"graft-parquet: unexpected level encoding ${p1.getDlEncoding}")
+          val defLen = BytesUtils.readIntLittleEndian(in)
+          defs = new HybridRunReader(defWidth, in.sliceStream(defLen))
+        } else defs = null
+        idsR = new HybridRunReader(in.read(), in)
+        leftInPage = p1.getValueCount
+      case other => throw new IllegalStateException(
+        s"graft-parquet: dictionary chunk page $other outside the " +
+          "EncodingStats gate (V1 all-dictionary)")
+    }
+
+    /** `count` ids into vector positions [pos, pos+count), run-bulk. */
+    private def readIds(v: WritableColumnVector, pos0: Int,
+        count0: Int): Unit = {
+      var pos = pos0
+      var count = count0
+      while (count > 0) {
+        idsR.ensure()
+        if (idsR.rleLeft > 0) {
+          val take = math.min(count, idsR.rleLeft)
+          v.putInts(pos, take, idsR.rleVal)
+          idsR.rleLeft -= take
+          pos += take; count -= take
+        } else {
+          val take = math.min(count, 8 - idsR.unpackedIdx)
+          v.putInts(pos, take, idsR.unpacked, idsR.unpackedIdx)
+          idsR.unpackedIdx += take
+          pos += take; count -= take
+        }
+      }
+    }
+
+    private def readOneId(): Int = {
+      idsR.ensure()
+      if (idsR.rleLeft > 0) { idsR.rleLeft -= 1; idsR.rleVal }
+      else { val x = idsR.unpacked(idsR.unpackedIdx); idsR.unpackedIdx += 1; x }
+    }
+
+    override def decode(n: Int, v: WritableColumnVector): Unit = {
+      val ids = v.reserveDictionaryIds(n)
+      var i = 0
+      while (i < n) {
+        if (leftInPage == 0) advancePage()
+        val m = math.min(n - i, leftInPage)
+        if (defs == null) readIds(ids, i, m) // required column: no nulls
+        else {
+          var done = 0
+          while (done < m) {
+            defs.ensure()
+            if (defs.rleLeft > 0) {
+              val take = math.min(m - done, defs.rleLeft)
+              if (defs.rleVal == maxDef) readIds(ids, i + done, take)
+              else v.putNulls(i + done, take)
+              defs.rleLeft -= take
+              done += take
+            } else {
+              // bit-packed def group: mixed null pattern, per value
+              // over at most 8
+              val take = math.min(m - done, 8 - defs.unpackedIdx)
+              var j = 0
+              while (j < take) {
+                if (defs.unpacked(defs.unpackedIdx + j) == maxDef)
+                  ids.putInt(i + done + j, readOneId())
+                else { v.putNull(i + done + j); () }
+                j += 1
+              }
+              defs.unpackedIdx += take
+              done += take
+            }
+          }
+        }
+        leftInPage -= m
+        i += m
+      }
+      v.addElementsAppended(n)
+    }
   }
 
   /** Flat column: one triplet per record; value present iff the

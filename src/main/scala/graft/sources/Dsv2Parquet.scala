@@ -474,8 +474,12 @@ private[sources] case class GraftParquetScan(path: String,
       // ParquetReader selects row groups by midpoint offset;
       // runtime-filtered re-plans drop row groups whose footer
       // min/max exclude every join-side value BEFORE any task
-      // launches (the IO win dynamic pruning exists for)
-      Dsv2Parquet.blockMayMatch(b, bounds)
+      // launches (the IO win dynamic pruning exists for), and PUSHED
+      // band predicates prune the same way (the row reader used to do
+      // this executor-side through parquet's stats filter; doing it
+      // here serves both readers and never launches the task)
+      Dsv2Parquet.blockMayMatch(b, bounds) &&
+        Dsv2Parquet.blockMayMatchFilters(b, pushed)
     }
     // pushed-limit row-group truncation: with NO predicate in play
     // (pushed or runtime — either makes per-group yield unknowable),
@@ -492,19 +496,55 @@ private[sources] case class GraftParquetScan(path: String,
         }
       case _ => survivors
     }
-    val parts = limited.map { case (file, b) =>
-      val (s, e) = (b.getStartingPos, b.getStartingPos + b.getCompressedSize)
-      clusteringInfo match {
-        case Some(_) =>
-          // keyed partitions: Spark groups same-bucket row groups into
-          // one task under spark.sql.sources.v2.bucketing.enabled
-          GraftParquetBucketPartition(file, s, e,
-            Dsv2Parquet.bucketOfFile(new Path(file).getName).get): InputPartition
-        case None => GraftParquetPartition(file, s, e): InputPartition
-      }
+    val parts: Array[InputPartition] = clusteringInfo match {
+      case Some(_) =>
+        // keyed partitions: Spark groups same-bucket row groups into
+        // one task under spark.sql.sources.v2.bucketing.enabled
+        limited.map { case (file, b) =>
+          GraftParquetBucketPartition(file, b.getStartingPos,
+            b.getStartingPos + b.getCompressedSize,
+            Dsv2Parquet.bucketOfFile(new Path(file).getName).get)
+            : InputPartition
+        }
+      case None =>
+        // SMALL-SPLIT PACKING (the builtin source's discipline, and
+        // the 100k-file survival trait): one task per row group is
+        // right for 128 MB row groups and pathological for a directory
+        // of small files — per-task scheduling + footer-open overhead
+        // dominates decode. Pack row groups greedily into splits of
+        // Spark's own target size formula (maxPartitionBytes capped,
+        // floored by openCost, spread over default parallelism), each
+        // range still byte-addressed so a packed reader chain touches
+        // exactly its row groups.
+        val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+        val openCost = sqlConf.filesOpenCostInBytes
+        val par = math.max(1, org.apache.spark.sql.SparkSession.active
+          .sparkContext.defaultParallelism)
+        val totalBytes =
+          limited.map(_._2.getCompressedSize + openCost).sum
+        val target = math.min(sqlConf.filesMaxPartitionBytes,
+          math.max(openCost, totalBytes / par))
+        val packed = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[GraftParquetPartition]]
+        var acc = 0L
+        limited.foreach { case (file, b) =>
+          val cost = b.getCompressedSize + openCost
+          if (packed.isEmpty || acc + cost > target) {
+            packed += scala.collection.mutable.ArrayBuffer.empty
+            acc = 0L
+          }
+          packed.last += GraftParquetPartition(file, b.getStartingPos,
+            b.getStartingPos + b.getCompressedSize)
+          acc += cost
+        }
+        packed.map { rs =>
+          (if (rs.length == 1) rs.head
+           else GraftParquetPackedPartition(rs.toArray)): InputPartition
+        }.toArray
     }
     Dsv2RuntimeProbe.forPath(path).lastPlanned.set(footerBlocks.length)
-    Dsv2RuntimeProbe.forPath(path).lastKept.set(parts.length)
+    // kept counts ROW GROUPS (the pruning evidence), not packed tasks
+    Dsv2RuntimeProbe.forPath(path).lastKept.set(limited.length)
     parts
   }
 
@@ -532,7 +572,17 @@ object Dsv2RuntimeProbe {
     val filterCalls = new java.util.concurrent.atomic.AtomicInteger
     val lastPlanned = new java.util.concurrent.atomic.AtomicInteger
     val lastKept = new java.util.concurrent.atomic.AtomicInteger
-    def reset(): Unit = { filterCalls.set(0); lastPlanned.set(0); lastKept.set(0) }
+    /** Rows ADMITTED by parquet's filtered reads across the columnar
+     * readers of this path (cumulative; reset between measurements) —
+     * rowsAdmitted ≪ nominal rows of the kept row groups is the
+     * page-index skip evidence. */
+    val rowsAdmitted = new java.util.concurrent.atomic.AtomicLong
+    /** Chunks decoded in dictionary-id mode (cumulative). */
+    val dictChunks = new java.util.concurrent.atomic.AtomicInteger
+    def reset(): Unit = {
+      filterCalls.set(0); lastPlanned.set(0); lastKept.set(0)
+      rowsAdmitted.set(0L); dictChunks.set(0)
+    }
   }
   private val byPath =
     new java.util.concurrent.ConcurrentHashMap[String, PathProbe]()
@@ -552,6 +602,12 @@ private[sources] case class GraftMetadataColumn(name: String,
 private[sources] case class GraftParquetPartition(file: String, start: Long,
     end: Long) extends InputPartition
 
+/** Several small row-group ranges packed into ONE task (see the
+ * packing note in [[GraftParquetScan.planInputPartitions]]); the
+ * reader factory chains one reader per range. */
+private[sources] case class GraftParquetPackedPartition(
+    ranges: Array[GraftParquetPartition]) extends InputPartition
+
 /** A row-group partition of a declared-clustered table: carries the
  * file's bucket id as its partition key so key-grouped planning can
  * co-locate it with the matching bucket of another clustered scan. */
@@ -566,16 +622,45 @@ private[sources] case class GraftParquetReaderFactory(
     required: StructType, pushed: Array[Filter],
     limit: Option[Int] = None,
     vectorize: Boolean = true) extends PartitionReaderFactory {
-  /** Both partition shapes read identically — the bucket id is
-   * planner-side metadata, not reader state. */
-  private def plain(p: InputPartition): GraftParquetPartition = p match {
-    case gp: GraftParquetPartition => gp
-    case b: GraftParquetBucketPartition =>
-      GraftParquetPartition(b.file, b.start, b.end)
+  /** All partition shapes read through the same per-range readers —
+   * the bucket id is planner-side metadata, not reader state, and a
+   * packed partition is a CHAIN of ranges. */
+  private def ranges(p: InputPartition): Array[GraftParquetPartition] =
+    p match {
+      case gp: GraftParquetPartition => Array(gp)
+      case b: GraftParquetBucketPartition =>
+        Array(GraftParquetPartition(b.file, b.start, b.end))
+      case pk: GraftParquetPackedPartition => pk.ranges
+    }
+
+  /** Drain one reader per range in order; ranges after the first open
+   * lazily, so a pushed-limit early stop never opens them. */
+  private final class ChainedReader[T](rs: Array[GraftParquetPartition],
+      mk: GraftParquetPartition => PartitionReader[T])
+      extends PartitionReader[T] {
+    private var idx = 0
+    private var cur: PartitionReader[T] =
+      if (rs.nonEmpty) mk(rs(0)) else null
+    override def next(): Boolean = {
+      while (cur != null) {
+        if (cur.next()) return true
+        cur.close()
+        idx += 1
+        cur = if (idx < rs.length) mk(rs(idx)) else null
+      }
+      false
+    }
+    override def get(): T = cur.get()
+    override def close(): Unit = if (cur != null) { cur.close(); cur = null }
   }
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftParquetPartitionReader(plain(p), required, pushed, limit)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rs = ranges(p)
+    if (rs.length == 1)
+      new GraftParquetPartitionReader(rs(0), required, pushed, limit)
+    else new ChainedReader[InternalRow](rs,
+      r => new GraftParquetPartitionReader(r, required, pushed, limit))
+  }
 
   /** Columnar whenever the projection's types allow (all of them, for
    * the type surface this provider serves — see [[Dsv2Columnar]]).
@@ -585,8 +670,13 @@ private[sources] case class GraftParquetReaderFactory(
     vectorize && Dsv2Columnar.supported(required)
 
   override def createColumnarReader(
-      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new GraftColumnarPartitionReader(plain(p), required, limit)
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val rs = ranges(p)
+    if (rs.length == 1)
+      new GraftColumnarPartitionReader(rs(0), required, pushed, limit)
+    else new ChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](rs,
+      r => new GraftColumnarPartitionReader(r, required, pushed, limit))
+  }
 }
 
 /** Per-file projection: parquet's schema-containment check demands the
@@ -641,7 +731,7 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
       else null)
 
   private val reader: ParquetReader[Group] = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val b = ParquetReader.builder(
         // distinct: one physical column can back two required fields
         // (both spellings of a provenance column) — project it once
@@ -740,6 +830,14 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
 }
 
 private[sources] object Dsv2Parquet {
+  /** One JVM-wide READ Configuration: constructing a Hadoop
+   * Configuration parses the default XML resources — measured
+   * ~10-14 ms, which per-reader construction made the DOMINANT cost of
+   * small-row-group scans (open 0.88s vs decode 0.34s over 64 files in
+   * the r18 open-cost probe). The readers treat it strictly read-only;
+   * concurrent gets are safe. Never handed to code that mutates. */
+  lazy val readConf: Configuration = new Configuration()
+
   /** Option key carrying a Spark DDL schema — the stand-in for the
    * cluster catalog a live connector would consult. */
   val SchemaOption = "graft.schema"
@@ -1096,7 +1194,7 @@ private[sources] object Dsv2Parquet {
    * served from the JVM footer cache — the tasks of a multi-row-group
    * file share one footer read per executor). */
   def singleFileSchema(file: String): MessageType = {
-    val conf = new Configuration()
+    val conf = readConf
     val p = new Path(file)
     fileFooter(p.getFileSystem(conf).getFileStatus(p), conf)._1
   }
@@ -1258,6 +1356,60 @@ private[sources] object Dsv2Parquet {
           }
       }
     }
+
+  /** Can this row group contain a row satisfying EVERY pushed filter?
+   * false only on a footer-statistics PROOF of none-match (int/long
+   * min/max); anything unsupported, missing, or uncertain keeps the
+   * block — pushed filters are residual-advisory, so this pruning is
+   * an IO optimization, never a correctness dependency. Drives
+   * DRIVER-side task elimination: the executor-side readers skip the
+   * same row groups from their own footers, but a pruned partition
+   * here never launches a task at all (at 100k-file scale the task
+   * overhead of provably-empty row groups is itself real cost). */
+  def blockMayMatchFilters(
+      b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      filters: Array[Filter]): Boolean = {
+    def stats(c: String): Option[(Long, Long)] =
+      b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { cc =>
+        val st = cc.getStatistics
+        if (st == null || st.isEmpty || !st.hasNonNullValue) None
+        else (st.genericGetMin, st.genericGetMax) match {
+          case (mn: java.lang.Long, mx: java.lang.Long) =>
+            Some((mn.longValue, mx.longValue))
+          case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+            Some((mn.longValue, mx.longValue))
+          case _ => None
+        }
+      }
+    def lit(v: Any): Option[Long] = v match {
+      case x: Long => Some(x)
+      case x: Int => Some(x.toLong)
+      case _ => None
+    }
+    def may(f: Filter): Boolean = {
+      def cmp(n: String, v: Any, ok: (Long, Long, Long) => Boolean): Boolean =
+        (stats(n), lit(v)) match {
+          case (Some((mn, mx)), Some(x)) => ok(mn, mx, x)
+          case _ => true
+        }
+      f match {
+        case EqualTo(n, v) => cmp(n, v, (mn, mx, x) => mn <= x && x <= mx)
+        case GreaterThan(n, v) => cmp(n, v, (_, mx, x) => mx > x)
+        case GreaterThanOrEqual(n, v) => cmp(n, v, (_, mx, x) => mx >= x)
+        case LessThan(n, v) => cmp(n, v, (mn, _, x) => mn < x)
+        case LessThanOrEqual(n, v) => cmp(n, v, (mn, _, x) => mn <= x)
+        case In(n, vs) => stats(n) match {
+          case Some((mn, mx)) =>
+            // per-value: provably empty only when NO candidate value
+            // falls inside the chunk band (nulls never satisfy In)
+            vs.exists(v => lit(v).forall(x => mn <= x && x <= mx))
+          case None => true
+        }
+        case _ => true
+      }
+    }
+    filters.forall(may)
+  }
 
   /** Spark source filter → parquet statistics predicate, for the leaf
    * types whose min/max ordering matches Spark's (no float/double:

@@ -117,14 +117,20 @@ class Dsv2ParquetSpec extends SparkSpec {
         .repartitionByRange(8, col("k")).write.parquet(s"$tmp/fact")
       val schema = spark.read.format(fmt).load(s"$tmp/fact").schema
       val scan = GraftParquetScan(s"$tmp/fact", schema, Array.empty)
-      val all = scan.planInputPartitions().length
+      val probe = Dsv2RuntimeProbe.forPath(s"$tmp/fact")
+      scan.planInputPartitions()
+      // row-group counts from the probe: small-split packing folds
+      // tiny row groups into fewer TASKS, so partition length is no
+      // longer the pruning evidence
+      val all = probe.lastKept.get()
       assert(all >= 8)
       // join-time filter arrives: only two keys survive — at most one
       // row group (file) can hold both
       scan.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.In("k",
         Array(5L, 6L))))
-      val kept = scan.planInputPartitions()
-      assert(kept.length < all && kept.nonEmpty, s"kept=${kept.length} all=$all")
+      val keptParts = scan.planInputPartitions()
+      val kept = probe.lastKept.get()
+      assert(kept < all && keptParts.nonEmpty, s"kept=$kept all=$all")
       // (row-level parity under pruning is covered by the DPP test below)
       val empty = GraftParquetScan(s"$tmp/fact", schema, Array.empty)
       empty.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.In("k",
