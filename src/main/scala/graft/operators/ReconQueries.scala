@@ -751,6 +751,60 @@ object ReconQueries {
     }
   }
 
+  /** The MERGE-ON-READ face of the SQL repair (r17 verdict #7): the
+   * same damaged-MV MERGE as recon_post_repair_merge against a table
+   * declared `graft.merge.mode=merge-on-read`, so the repair lands as
+   * position-delete DELETION VECTORS + insert files — ZERO data files
+   * rewritten (require()d below, alongside DV evidence) — and the
+   * DV-applying scan must read back the exact repaired state under
+   * recon_post_repair's oracle. Write cost proportional to damaged
+   * ROWS: the complement of copy-on-write's damaged-FILES cost, and
+   * the mode a 100 TB periodic repair with per-mille damage runs. */
+  def reconPostRepairMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dsv2WriteProbe
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mor").toString
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"gmor_$tag"
+    val view = s"graft_mor_src_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    try {
+      val damaged = MvSyncDemo.mvDf(spark, dir)
+      spark.sql(
+        s"""CREATE TABLE $cat.db.mv (${damaged.schema.toDDL})
+           |TBLPROPERTIES ('graft.merge.mode'='merge-on-read')""".stripMargin)
+      damaged.writeTo(s"$cat.db.mv").append()
+      MvSyncDemo.baseDf(spark, dir).selectExpr(damaged.columns: _*)
+        .createOrReplaceTempView(view)
+      val pk = MvSyncDemo.mvSchema.sortedPk
+      val setList = damaged.columns.filterNot(pk.contains)
+        .map(c => s"t.$c = s.$c").mkString(", ")
+      spark.sql(
+        s"""MERGE INTO $cat.db.mv t USING $view s
+           |ON t.o_custkey = s.o_custkey AND t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET $setList
+           |WHEN NOT MATCHED THEN INSERT (${damaged.columns.mkString(", ")})
+           |  VALUES (${damaged.columns.map(c => s"s.$c").mkString(", ")})
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val probe = Dsv2WriteProbe.forPath(s"$tmp/db/mv")
+      require(probe.lastTruncated.get() == 0,
+        "recon_post_repair_mor: a file rewrite happened — not merge-on-read")
+      require(probe.lastDvFiles.get() > 0 && probe.lastDvPositions.get() > 0,
+        "recon_post_repair_mor: no deletion vectors were written")
+      MvReconciler.reconcile(
+        MvSyncDemo.baseDf(spark, dir), spark.table(s"$cat.db.mv"),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .groupBy("problem").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(view)
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      deleteRecursively(new java.io.File(tmp))
+    }
+  }
+
   /** The FULL 22-type diff matrix under the ORACLE (not just specs):
    * classify the [[AllTypesFixture]] base/MV pair — blob deep-equals,
    * map/set sort-canonicalization (order-permuted on EVERY common row),
@@ -1028,7 +1082,8 @@ object ReconQueries {
     "recon_repair_plan_latestts" -> reconRepairPlanLatestTs,
     "recon_post_repair" -> reconPostRepair,
     "recon_post_repair_dsv2" -> reconPostRepairDsv2,
-    "recon_post_repair_merge" -> reconPostRepairMerge)
+    "recon_post_repair_merge" -> reconPostRepairMerge,
+    "recon_post_repair_mor" -> reconPostRepairMor)
 
   val oracleSql: Map[String, String] = Map(
     "recon_classify" ->
@@ -1147,6 +1202,11 @@ object ReconQueries {
     // same oracle again: the ONE-STATEMENT MERGE repair through the
     // row-level-operations API must land the identical repaired state
     "recon_post_repair_merge" ->
+      """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
+    // same oracle once more: the MERGE-ON-READ face (deletion vectors
+    // + insert files, zero file rewrites) must read back identical
+    "recon_post_repair_mor" ->
       """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
         |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
     "recon_repair_plan" -> planOracle(

@@ -183,6 +183,15 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
 
   private val conf = Dsv2Parquet.readConf
 
+  // deletion vectors are applied by the ROW reader only; every factory
+  // gates columnar off when DVs exist — this guard turns a missed gate
+  // into a loud failure instead of silently resurrecting deleted rows
+  locally {
+    val fp = new Path(p.file)
+    require(Dsv2Parquet.readDv(fp.getParent, fp.getName, conf).isEmpty,
+      s"graft-parquet: columnar read of DV-carrying file ${p.file}")
+  }
+
   /** Collection re-assembly reads the FULL triplet stream, so filtered
    * (page-index) reads engage only on all-flat projections — which is
    * also the only shape [[Dsv2Parquet.translate]] produces predicates

@@ -81,23 +81,34 @@ class GraftParquetProvider extends TableProvider {
 }
 
 private[sources] case class GraftParquetTable(path: String,
-    override val schema: StructType) extends Table
+    override val schema: StructType,
+    mergeOnRead: Boolean = false) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  /** MERGE / UPDATE / rewrite-DELETE via group-based copy-on-write
-   * (see [[GraftRowLevelOperation]]): the surface that serves the
-   * repair plan as ONE catalog SQL statement. A `DELETE` whose
-   * predicate the footer-proof metadata path refuses
-   * ([[canDeleteWhere]] false) falls back here and REWRITES instead
-   * of erroring — the two delete paths compose exactly like Iceberg's
-   * metadata vs copy-on-write deletes. */
+  /** MERGE / UPDATE / rewrite-DELETE via row-level operations in the
+   * table's declared mode (`graft.merge.mode`): copy-on-write
+   * ([[GraftRowLevelOperation]] — whole touched FILES rewritten, the
+   * default) or merge-on-read ([[GraftDeltaOperation]] —
+   * position-delete sidecars plus insert files, write cost
+   * proportional to damaged ROWS). A `DELETE` whose predicate the
+   * footer-proof metadata path refuses ([[canDeleteWhere]] false)
+   * falls back here instead of erroring — the delete paths compose
+   * exactly like Iceberg's metadata vs row-level deletes. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => GraftRowLevelOperation(path, schema, info.command())
+    () =>
+      if (mergeOnRead) GraftDeltaOperation(path, schema, info.command())
+      else GraftRowLevelOperation(path, schema, info.command())
+
+  override def properties(): util.Map[String, String] =
+    if (mergeOnRead)
+      java.util.Collections.singletonMap(
+        Dsv2Parquet.MergeModeProperty, Dsv2Parquet.MergeOnRead)
+    else java.util.Collections.emptyMap()
 
   /** The reference's scan-select surface `writetime(col)` / `ttl(col)`
    * (MvSync.java:222-228) as METADATA COLUMNS: every wide physical
@@ -108,7 +119,10 @@ private[sources] case class GraftParquetTable(path: String,
    * name back onto the physical column ([[Dsv2Parquet.physicalName]]),
    * so both spellings read the same bytes and hash identically. */
   override def metadataColumns(): Array[MetadataColumn] =
-    (GraftMetadataColumn(Dsv2Parquet.FileMetaColumn, StringType)
+    (GraftMetadataColumn(Dsv2Parquet.FileMetaColumn, StringType,
+        nullable = false)
+      +: GraftMetadataColumn(Dsv2Parquet.PosMetaColumn, LongType,
+        nullable = false)
       +: schema.fields.collect {
         case f if f.name.startsWith("writetime_") =>
           GraftMetadataColumn(
@@ -140,7 +154,10 @@ private[sources] case class GraftParquetTable(path: String,
       val out = fs.create(new Path(path, Dsv2Parquet.SchemaFileName), true)
       try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
     }
-    drop.foreach(f => fs.delete(f, false))
+    drop.foreach { f =>
+      fs.delete(f, false)
+      Dsv2Parquet.deleteDvFor(fs, f.getParent, f.getName)
+    }
     Dsv2DeleteProbe.forPath(path).lastDropped.set(drop.length)
     Dsv2DeleteProbe.forPath(path).lastKept.set(keep.length)
   }
@@ -223,6 +240,9 @@ private[sources] class GraftParquetScanBuilder(path: String,
   private def serveFromFooters(agg: Aggregation)
       : Option[(StructType, Array[Any], String)] = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    // deletion vectors make footer row counts/stats over-counts —
+    // a table with DVs answers aggregates from real (DV-filtered) rows
+    if (Dsv2Parquet.hasDvs(path, new Configuration())) return None
     val blocks = footerBlocks
     def col(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, DataType)] = e match {
@@ -415,6 +435,12 @@ private[sources] case class GraftParquetScan(path: String,
     }
   }
 
+  /** Deletion vectors present? Row counts are then inexact and only
+   * the row reader applies them — gates limit truncation and the
+   * columnar path. */
+  @transient private lazy val dvPresent: Boolean =
+    Dsv2Parquet.hasDvs(path, new Configuration())
+
   /** The declared clustered layout, validated against the actual file
    * set: Some iff the sidecar exists and EVERY data file's name parses
    * a bucket id below the declared width. Third element = the distinct
@@ -487,7 +513,7 @@ private[sources] case class GraftParquetScan(path: String,
     // the limit; the rest never become tasks. Spark's own Limit on
     // top takes the final cut (partial pushdown).
     val limited = limit match {
-      case Some(l) if pushed.isEmpty && runtime.isEmpty =>
+      case Some(l) if pushed.isEmpty && runtime.isEmpty && !dvPresent =>
         var need = l.toLong
         survivors.takeWhile { case (_, b) =>
           val take = need > 0L
@@ -559,7 +585,8 @@ private[sources] case class GraftParquetScan(path: String,
     // ProjectingGroupReadSupport) — one directory may mix writers whose
     // repetitions differ, and parquet's containment check demands an
     // exact repetition match per file.
-    GraftParquetReaderFactory(required, pushed ++ runtime, limit, vectorize)
+    GraftParquetReaderFactory(required, pushed ++ runtime, limit,
+      vectorize && !dvPresent)
   }
 }
 
@@ -593,8 +620,11 @@ object Dsv2RuntimeProbe {
 }
 
 private[sources] case class GraftMetadataColumn(name: String,
-    dataType: DataType) extends MetadataColumn {
-  override def isNullable: Boolean = true
+    dataType: DataType, nullable: Boolean = true) extends MetadataColumn {
+  /** `_file`/`_pos` are per-row constants the readers always produce —
+   * non-nullable, which is also what qualifies them as SupportsDelta
+   * ROW ID attributes; provenance columns stay nullable. */
+  override def isNullable: Boolean = nullable
   override def comment(): String =
     "cell provenance (reference writetime()/ttl() scan surface)"
 }
@@ -667,7 +697,9 @@ private[sources] case class GraftParquetReaderFactory(
    * The decision depends only on the schema, never the partition, as
    * Spark requires (all partitions of a scan must agree). */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    vectorize && Dsv2Columnar.supported(required)
+    vectorize && Dsv2Columnar.supported(required) &&
+      // `_pos` row lineage is served by the row reader only
+      !required.fieldNames.contains(Dsv2Parquet.PosMetaColumn)
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -730,13 +762,27 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
       if (n == Dsv2Parquet.FileMetaColumn) UTF8String.fromString(p.file)
       else null)
 
+  /** `_pos` metadata fields: served per row from parquet's exact
+   * current row index (file-absolute, filter- and page-skip-proof). */
+  private val posSlots: Array[Boolean] =
+    required.fieldNames.map(_ == Dsv2Parquet.PosMetaColumn)
+
+  /** This file's deletion vector (merge-on-read): sorted positions the
+   * scan must drop, loaded executor-side from the sidecar. */
+  private val dv: Array[Long] = {
+    val fp = new Path(p.file)
+    Dsv2Parquet.readDv(fp.getParent, fp.getName, Dsv2Parquet.readConf)
+  }
+
   private val reader: ParquetReader[Group] = {
     val conf = Dsv2Parquet.readConf
     val b = ParquetReader.builder(
         // distinct: one physical column can back two required fields
         // (both spellings of a provenance column) — project it once
         new ProjectingGroupReadSupport(
-          physNames.distinct.filterNot(_ == Dsv2Parquet.FileMetaColumn)),
+          physNames.distinct.filterNot(n =>
+            n == Dsv2Parquet.FileMetaColumn ||
+              n == Dsv2Parquet.PosMetaColumn)),
         new Path(p.file))
       .withConf(conf)
       .withFileRange(p.start, p.end)
@@ -759,7 +805,8 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
    * file, in required order. */
   private val idxMap: Array[Int] = {
     val present = physNames.distinct
-      .filterNot(_ == Dsv2Parquet.FileMetaColumn)
+      .filterNot(n => n == Dsv2Parquet.FileMetaColumn ||
+        n == Dsv2Parquet.PosMetaColumn)
       .filter(fileSchema.containsField)
     physNames.map(present.indexOf(_))
   }
@@ -767,10 +814,18 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
   /** Early stop at the pushed limit: any `limit` rows satisfy an
    * unordered LIMIT (an ordered one plans TopN, which is never pushed
    * here), and `emitted` counts post-record-filter rows, so this is
-   * safe under pushed and runtime predicates alike. */
+   * safe under pushed and runtime predicates alike. Rows whose
+   * file-absolute index sits in the deletion vector are dropped here
+   * (exact under filters: `getCurrentRowIndex` is parquet's own row
+   * lineage, not an emit counter). */
   override def next(): Boolean = {
     if (limit.exists(emitted >= _)) return false
     row = reader.read()
+    if (dv.nonEmpty) {
+      while (row != null &&
+          java.util.Arrays.binarySearch(dv, reader.getCurrentRowIndex) >= 0)
+        row = reader.read()
+    }
     if (row != null) emitted += 1L
     row != null
   }
@@ -782,6 +837,7 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
       val fi = idxMap(i)
       vals(i) =
         if (fileConst(i) != null) fileConst(i)
+        else if (posSlots(i)) reader.getCurrentRowIndex
         else if (fi < 0 || row.getFieldRepetitionCount(fi) == 0) null
         else required.fields(i).dataType match {
           case ArrayType(elem, _) =>
@@ -905,6 +961,104 @@ private[sources] object Dsv2Parquet {
    * connector debugging surface). Served as a per-partition constant
    * by both readers; never a physical column. */
   val FileMetaColumn = "_file"
+
+  /** `_pos` metadata column: a row's FILE-ABSOLUTE row index — the
+   * second half of the (file, position) row identity merge-on-read
+   * delta writes address deletes by. Served by the row reader from
+   * parquet's exact `getCurrentRowIndex` (correct even under record
+   * filters and page-index skipping); never a physical column. */
+  val PosMetaColumn = "_pos"
+
+  // ---- deletion-vector sidecars (merge-on-read row-level ops) ----
+  // `_dv-<datafile>.bin` beside its data file: sorted file-absolute
+  // row positions the scan must drop. Format: magic, count, longs —
+  // published atomically (tmp + rename) and replaced whole on every
+  // delta commit (union of old + new). A 100 TB deployment would use
+  // a compressed bitmap (roaring) and a manifest; the PROTOCOL here —
+  // sidecar-per-file, scan-side application, union-on-commit,
+  // dropped with its data file — is the industry-standard shape
+  // (Iceberg v2 position deletes / Delta deletion vectors).
+  val DvPrefix = "_dv-"
+  private val DvMagic = 0x47445631 // "GDV1"
+
+  /** Table property selecting the row-level operation mode; persisted
+   * by the catalog in the `_props` sidecar. */
+  val MergeModeProperty = "graft.merge.mode"
+  val MergeOnRead = "merge-on-read"
+  val CopyOnWrite = "copy-on-write"
+
+  /** Table-properties sidecar (`k=v` lines), written by createTable
+   * for the graft.* properties it honors. */
+  val PropsFileName = "_props"
+
+  def dvPath(dir: Path, dataFileName: String): Path =
+    new Path(dir, s"$DvPrefix$dataFileName.bin")
+
+  /** Sorted deleted positions of one data file; empty when none. */
+  def readDv(dir: Path, dataFileName: String,
+      conf: Configuration): Array[Long] = {
+    val p = dvPath(dir, dataFileName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Array.empty
+    else {
+      val in = new java.io.DataInputStream(fs.open(p))
+      try {
+        require(in.readInt() == DvMagic,
+          s"graft-parquet: corrupt deletion vector $p")
+        val n = in.readInt()
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) { out(i) = in.readLong(); i += 1 }
+        out
+      } finally in.close()
+    }
+  }
+
+  /** Publish a deletion vector atomically (tmp + rename-over). */
+  def writeDv(dir: Path, dataFileName: String, positions: Array[Long],
+      conf: Configuration): Unit = {
+    val fs = dir.getFileSystem(conf)
+    val tmp = new Path(dir, s".dvtmp-${java.util.UUID.randomUUID()}")
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try {
+      out.writeInt(DvMagic)
+      out.writeInt(positions.length)
+      positions.foreach(out.writeLong)
+    } finally out.close()
+    val dst = dvPath(dir, dataFileName)
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (local) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } else {
+      if (fs.exists(dst)) fs.delete(dst, false)
+      require(fs.rename(tmp, dst),
+        s"graft-parquet: deletion-vector rename failed for $dst")
+    }
+  }
+
+  /** Any deletion vector under this table dir? Drives the scan-side
+   * gates: columnar off (the row reader applies DVs), footer-served
+   * aggregates off (row counts are no longer exact), pushed-limit
+   * row-group truncation off (per-group yield unknowable). */
+  def hasDvs(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    try fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith(DvPrefix))
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  /** Remove the DV sidecar of a data file being deleted/replaced. */
+  def deleteDvFor(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      dataFileName: String): Unit = {
+    val p = dvPath(dir, dataFileName)
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
 
   /** Metadata-column name → the physical wide column carrying its
    * bytes: `writetime(c)` ↔ `writetime_c`, `ttl(c)` ↔ `ttl_c` (the

@@ -240,9 +240,12 @@ private[sources] case class GraftParquetBatchWrite(path: String,
       else {
         val t = new Path(path, s"_trash-$queryId")
         fs.mkdirs(t)
-        removing.foreach(f => require(
-          fs.rename(f, new Path(t, f.getName)),
-          s"graft-parquet commit: trash move of $f failed"))
+        removing.foreach { f =>
+          require(fs.rename(f, new Path(t, f.getName)),
+            s"graft-parquet commit: trash move of $f failed")
+          // an overwritten file's deletion vector dies with it
+          Dsv2Parquet.deleteDvFor(fs, new Path(path), f.getName)
+        }
         Some(t)
       }
     staged.foreach { f =>
@@ -572,6 +575,10 @@ object Dsv2WriteProbe {
      * optional truncate + renames) — the only O(#tasks) serial section
      * of the write path, measured by the ScaleSmoke dsv2write curve. */
     val lastCommitMillis = new java.util.concurrent.atomic.AtomicLong
+    /** Merge-on-read evidence: files that received position deletes
+     * and total positions deleted in the latest delta commit. */
+    val lastDvFiles = new java.util.concurrent.atomic.AtomicInteger
+    val lastDvPositions = new java.util.concurrent.atomic.AtomicLong
   }
   private val byPath =
     new java.util.concurrent.ConcurrentHashMap[String, PathProbe]()

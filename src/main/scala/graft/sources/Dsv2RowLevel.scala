@@ -4,6 +4,7 @@ import java.util
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.Filter
@@ -181,7 +182,10 @@ private[sources] case class GraftReplaceScan(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetReaderFactory(required, Array.empty[Filter])
+    // deletion vectors (if a mode-mixed table carries them) apply in
+    // the ROW reader only — the rewrite must carry over live rows
+    GraftParquetReaderFactory(required, Array.empty[Filter],
+      vectorize = !Dsv2Parquet.hasDvs(path, new Configuration()))
 }
 
 /** The replace-commit: stage replacement files invisibly, verify, move
@@ -231,6 +235,9 @@ private[sources] case class GraftReplaceDataWrite(path: String,
     present.foreach { n =>
       require(fs.rename(new Path(target, n), new Path(trash, n)),
         s"graft-replace commit: trash move of $n failed")
+      // a replaced file's deletion vector dies with it: the rewrite
+      // carried over only live rows
+      Dsv2Parquet.deleteDvFor(fs, target, n)
     }
     staged.foreach { f =>
       val dst = new Path(target, f.getName)
@@ -247,6 +254,194 @@ private[sources] case class GraftReplaceDataWrite(path: String,
     Dsv2WriteProbe.forPath(path).lastCommittedRows.set(messages.collect {
       case GraftParquetCommitMessage(_, n) => n
     }.sum)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(stagingDir).getFileSystem(new Configuration())
+    fs.delete(new Path(stagingDir), true)
+  }
+}
+
+// ---------------------------------------------------------------------
+// MERGE-ON-READ row-level operations (r17 verdict #7, stretch):
+// copy-on-write rewrites whole FILES for per-mille damage; the delta
+// face below writes a position-delete sidecar per touched file (a
+// DELETION VECTOR the scan consults) plus ordinary insert files, so
+// the periodic-repair write cost is proportional to damaged ROWS.
+// Catalyst drives this through SupportsDelta: the rewritten MERGE
+// plan tags each output row INSERT/DELETE (updates split, see
+// representUpdateAsDeleteAndInsert) and routes them to a DeltaWriter
+// with the row's (file, position) identity — served by this scan's
+// `_file`/`_pos` metadata columns. The reconcile-then-SQL-repair
+// round trip under this mode is oracle-pinned by
+// `recon_post_repair_mor` (same oracle SQL as recon_post_repair).
+// ---------------------------------------------------------------------
+
+/** The delta (merge-on-read) operation: same scan surface as a plain
+ * table read — column pruning, residual filter pushdown, runtime
+ * row-group pruning on the command's join keys — plus the
+ * `_file`/`_pos` row identity the writer addresses deletes by. */
+private[sources] case class GraftDeltaOperation(path: String,
+    tableSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-delta:$cmd"
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(Dsv2Parquet.FileMetaColumn),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(Dsv2Parquet.PosMetaColumn))
+
+  /** Parquet files are immutable: an UPDATE is a position delete plus
+   * a re-insert — ask Catalyst to split them. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftParquetScanBuilder(path, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+            val idSchema = info.rowIdSchema.get()
+            GraftDeltaBatchWrite(path, info.schema(), info.queryId(),
+              idSchema.fieldIndex(Dsv2Parquet.FileMetaColumn),
+              idSchema.fieldIndex(Dsv2Parquet.PosMetaColumn))
+          }
+        }
+    }
+}
+
+/** Per-task commit payload: the task's (optional) insert file plus its
+ * per-data-file deleted positions. */
+private[sources] case class GraftDeltaCommitMessage(
+    insert: GraftParquetCommitMessage,
+    deletes: Map[String, Array[Long]]) extends WriterCommitMessage
+
+private[sources] case class GraftDeltaWriterFactory(stagingDir: String,
+    dataSchema: StructType, fileIdx: Int, posIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(stagingDir, dataSchema, fileIdx, posIdx,
+      partitionId, taskId)
+}
+
+/** Executor-side delta writer: inserts go through the ordinary staged
+ * parquet writer (lazily opened — a delete-only task stages nothing);
+ * deletes accumulate per data file as position lists, bounded by the
+ * task's share of the DAMAGE, not the table. */
+private[sources] class GraftDeltaWriter(stagingDir: String,
+    dataSchema: StructType, fileIdx: Int, posIdx: Int,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private var inserts: GraftParquetDataWriter = _
+  private val deletes = scala.collection.mutable.HashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+  override def insert(row: InternalRow): Unit = {
+    if (inserts == null)
+      inserts = new GraftParquetDataWriter(stagingDir, dataSchema,
+        partitionId, taskId)
+    inserts.write(row)
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val name = new Path(id.getUTF8String(fileIdx).toString).getName
+    deletes.getOrElseUpdate(name,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(posIdx)
+    ()
+  }
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    // defensive: representUpdateAsDeleteAndInsert makes Catalyst split
+    // updates, but the split IS delete+insert, so honor it directly
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val im =
+      if (inserts != null)
+        inserts.commit().asInstanceOf[GraftParquetCommitMessage]
+      else GraftParquetCommitMessage(None, 0L)
+    GraftDeltaCommitMessage(im,
+      deletes.map { case (k, v) => k -> v.toArray }.toMap)
+  }
+
+  override def abort(): Unit = if (inserts != null) inserts.abort()
+  override def close(): Unit = if (inserts != null) inserts.close()
+}
+
+/** The delta commit: verify staged inserts, UNION each touched file's
+ * new deleted positions into its deletion vector (atomic sidecar
+ * replace), rename inserts in, drop staging. Write cost is
+ * proportional to damaged rows + inserted rows — never to table size.
+ * Conflict stance mirrors the copy-on-write commit: a referenced data
+ * file that vanished means a concurrent rewrite replaced it (its row
+ * positions no longer name the same rows) — abort. */
+private[sources] case class GraftDeltaBatchWrite(path: String,
+    dataSchema: StructType, queryId: String, fileIdx: Int, posIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val stagingDir = s"$path/_staging-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    GraftDeltaWriterFactory(stagingDir, dataSchema, fileIdx, posIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
+    val staged = msgs.flatMap(_.insert.file).map(new Path(_))
+    staged.foreach(f => require(fs.isFile(f),
+      s"graft-delta commit: staged insert file missing: $f"))
+    val merged: Map[String, Array[Long]] = msgs.flatMap(_.deletes.toSeq)
+      .groupBy(_._1).map { case (n, seqs) => n -> seqs.flatMap(_._2).toArray }
+    val vanished = merged.keys.filterNot(n => fs.exists(new Path(target, n)))
+    if (vanished.nonEmpty) throw new IllegalStateException(
+      "graft-delta commit: concurrent writer conflict — data file(s) " +
+        s"referenced by position deletes no longer present: " +
+        s"${vanished.mkString(", ")}")
+    var totalPos = 0L
+    merged.foreach { case (name, pos) =>
+      val union = (Dsv2Parquet.readDv(target, name, conf) ++ pos)
+        .distinct.sorted
+      Dsv2Parquet.writeDv(target, name, union, conf)
+      totalPos += pos.length
+    }
+    staged.foreach { f =>
+      val dst = new Path(target, f.getName)
+      require(fs.rename(f, dst),
+        s"graft-delta commit: rename $f -> $dst failed")
+    }
+    fs.delete(new Path(stagingDir), true)
+    // inserted files are not bucket-aligned — retract any declared
+    // clustering (position deletes alone preserve the layout claim)
+    if (staged.nonEmpty) {
+      val clusteringSidecar = new Path(path, Dsv2Parquet.ClusteringFileName)
+      if (fs.exists(clusteringSidecar)) fs.delete(clusteringSidecar, false)
+    }
+    val probe = Dsv2WriteProbe.forPath(path)
+    probe.lastCommittedFiles.set(staged.length)
+    probe.lastCommittedRows.set(msgs.map(_.insert.rows).sum)
+    probe.lastTruncated.set(0)
+    probe.lastDvFiles.set(merged.size)
+    probe.lastDvPositions.set(totalPos)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

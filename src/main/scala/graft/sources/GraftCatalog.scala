@@ -130,10 +130,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
    * lacks); footers serve path-written tables that never declared. */
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
+    val mor = readMergeMode(p)
     readDdl(p) match {
-      case Some(schema) => GraftParquetTable(p, schema)
+      case Some(schema) => GraftParquetTable(p, schema, mor)
       case None if hasData(p) =>
-        GraftParquetTable(p, Dsv2Parquet.footerSchema(p))
+        GraftParquetTable(p, Dsv2Parquet.footerSchema(p), mor)
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -146,7 +147,43 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val p = pathOf(ident)
     writeDdl(p, schema)
-    GraftParquetTable(p, schema)
+    // honor the row-level operation mode, persisted next to the DDL so
+    // a fresh session loads the table in the declared mode
+    val mor = Option(properties.get(Dsv2Parquet.MergeModeProperty)) match {
+      case Some(Dsv2Parquet.MergeOnRead) => true
+      case Some(Dsv2Parquet.CopyOnWrite) | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft catalog: unknown ${Dsv2Parquet.MergeModeProperty} '$other' " +
+          s"(expected ${Dsv2Parquet.CopyOnWrite} | ${Dsv2Parquet.MergeOnRead})")
+    }
+    if (mor) writeProps(p, Map(
+      Dsv2Parquet.MergeModeProperty -> Dsv2Parquet.MergeOnRead))
+    GraftParquetTable(p, schema, mor)
+  }
+
+  private def propsFile(p: String) = new Path(p, Dsv2Parquet.PropsFileName)
+
+  private def writeProps(p: String, props: Map[String, String]): Unit = {
+    val fs = new Path(p).getFileSystem(conf)
+    val out = fs.create(propsFile(p), true)
+    try out.write(props.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMergeMode(p: String): Boolean = {
+    val fs = new Path(p).getFileSystem(conf)
+    if (!fs.exists(propsFile(p))) false
+    else {
+      val in = fs.open(propsFile(p))
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      text.linesIterator.map(_.trim).exists(
+        _ == s"${Dsv2Parquet.MergeModeProperty}=${Dsv2Parquet.MergeOnRead}")
+    }
   }
 
   /** Schema evolution, metadata-only: ADD COLUMN rewrites the declared

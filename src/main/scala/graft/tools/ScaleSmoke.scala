@@ -1411,6 +1411,61 @@ object ScaleSmoke {
             f"replaced=$replaced wall=${wall}%.2fs (no broadcast anywhere)")
           spark.catalog.dropTempView("smoke_merge_src_smj")
         }
+        // MERGE-ON-READ variant (r17 verdict #7): PER-MILLE damage —
+        // 1000 rows inside ONE file of 32. Copy-on-write's floor is
+        // the whole touched file; merge-on-read writes a deletion
+        // vector + a 1000-row insert file. The write bytes are the
+        // claim: repair cost proportional to damaged ROWS.
+        locally {
+          val t = "mmor"
+          spark.sql(
+            s"""CREATE TABLE $cat.db.$t (${src.schema.toDDL})
+               |TBLPROPERTIES ('graft.merge.mode'='merge-on-read')"""
+              .stripMargin)
+          src.writeTo(s"$cat.db.$t")
+            .option("graft.orderBy", "o_orderkey")
+            .option("graft.numPartitions", "32")
+            .append()
+          val dirF = new java.io.File(s"$mRoot/db/$t")
+          def listing(): Map[String, Long] =
+            Option(dirF.listFiles()).getOrElse(Array.empty)
+              .map(f => f.getName -> f.length).toMap
+          val before = listing()
+          val extents = spark.table(s"$cat.db.$t")
+            .select(col("o_orderkey"), col("_file").as("f"))
+            .groupBy("f").agg(min("o_orderkey").as("lo"))
+            .orderBy("lo").collect()
+          val lo = extents(0).getLong(1)
+          val cowFileBytes = new java.io.File(
+            new java.net.URI(extents(0).getString(0)).getPath).length
+          broadcast(src.filter(col("o_orderkey") >= lo &&
+              col("o_orderkey") < lo + 1000L)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0d))
+            .createOrReplaceTempView("smoke_merge_src_mor")
+          val (_, wall) = timed {
+            spark.sql(
+              s"""MERGE INTO $cat.db.$t t USING smoke_merge_src_mor s
+                 |ON t.o_orderkey = s.o_orderkey
+                 |WHEN MATCHED THEN UPDATE SET
+                 |  t.o_totalprice = s.o_totalprice""".stripMargin)
+          }
+          val probe = Dsv2WriteProbe.forPath(s"$mRoot/db/$t")
+          require(probe.lastTruncated.get() == 0 &&
+            probe.lastDvPositions.get() == 1000L,
+            s"expected 1000 position deletes and no rewrite, got " +
+              s"dv=${probe.lastDvPositions.get()} " +
+              s"truncated=${probe.lastTruncated.get()}")
+          val newBytes = listing().filterNot { case (n, _) =>
+            before.contains(n)
+          }.values.sum
+          require(newBytes * 10 < cowFileBytes,
+            s"merge-on-read wrote $newBytes bytes, not << $cowFileBytes")
+          println(f"[scale-smoke] merge-mor files=32 touchedRows=1000 " +
+            f"morBytes=$newBytes cowFloorBytes=$cowFileBytes " +
+            f"(${cowFileBytes.toDouble / newBytes}%.0fx less write) " +
+            f"wall=${wall}%.2fs")
+          spark.catalog.dropTempView("smoke_merge_src_mor")
+        }
       } finally {
         spark.conf.unset(s"spark.sql.catalog.$cat")
         spark.conf.unset(s"spark.sql.catalog.$cat.root")

@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read row-level operations: position-delete sidecars
+ * (deletion vectors) + insert files instead of whole-file rewrites —
+ * write cost proportional to damaged ROWS. Every face that reads a
+ * DV-carrying table must apply the vector (full scan, filtered scan,
+ * aggregates refused the footer shortcut), and every face that deletes
+ * a data file must drop its sidecar. */
+class Dsv2MergeOnReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCat[A](f: (String, String) => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mor").toString
+    val cat = s"gmor_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    try f(cat, tmp)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  private def morTable(cat: String, name: String): Unit =
+    spark.sql(s"""CREATE TABLE $cat.db.$name (k BIGINT, s STRING, v BIGINT)
+                 |TBLPROPERTIES ('graft.merge.mode'='merge-on-read')"""
+      .stripMargin)
+
+  test("_pos metadata column is the file-absolute row index") {
+    withCat { (cat, _) =>
+      spark.range(100).select(col("id").as("k"), lit("x").as("s"),
+        col("id").as("v")).coalesce(1).writeTo(s"$cat.db.p").create()
+      val got = spark.table(s"$cat.db.p").select(col("k"), col("_pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // one sorted single-partition file: position == write order == k
+      assert(got.size == 100 && got.forall { case (k, p) => k == p })
+    }
+  }
+
+  test("MoR MERGE writes deletion vectors + inserts, rewrites no files") {
+    withCat { (cat, tmp) =>
+      morTable(cat, "m")
+      spark.range(100).select(col("id").as("k"),
+        concat(lit("s"), col("id")).as("s"), lit(0L).as("v"))
+        .coalesce(2).writeTo(s"$cat.db.m").append()
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val before = Dsv2Parquet.dataFiles(s"$tmp/db/m", conf)
+        .map(_.getPath.getName).toSet
+      // source: 5 updates, 3 inserts, the rest untouched (no
+      // not-matched-by-source clause → no mass delete)
+      spark.range(95, 103).select(col("id").as("k"),
+        lit("upd").as("s"), lit(9L).as("v"))
+        .createOrReplaceTempView("mor_src")
+      spark.sql(
+        s"""MERGE INTO $cat.db.m t USING mor_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.s = s.s, t.v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v)"""
+          .stripMargin)
+      val probe = Dsv2WriteProbe.forPath(s"$tmp/db/m")
+      assert(probe.lastTruncated.get() == 0, "MoR must not rewrite files")
+      assert(probe.lastDvFiles.get() >= 1)
+      assert(probe.lastDvPositions.get() == 5L)
+      // the pre-image data files all survive (plus new insert files)
+      val after = Dsv2Parquet.dataFiles(s"$tmp/db/m", conf)
+        .map(_.getPath.getName).toSet
+      assert(before.subsetOf(after), s"before=$before after=$after")
+      // and the read applies the vectors: updated rows once, new rows
+      // present, untouched rows exact
+      val t = spark.table(s"$cat.db.m")
+      assert(t.count() == 103L)
+      assert(t.filter(col("s") === "upd").count() == 8L)
+      assert(t.filter(col("k") === 97 && col("v") === 9L).count() == 1L)
+      assert(t.filter(col("k") < 95 && col("v") =!= 0L).count() == 0L)
+      spark.catalog.dropTempView("mor_src")
+    }
+  }
+
+  test("successive MoR merges union their deletion vectors") {
+    withCat { (cat, tmp) =>
+      morTable(cat, "u")
+      spark.range(50).select(col("id").as("k"), lit("a").as("s"),
+        lit(0L).as("v")).coalesce(1).writeTo(s"$cat.db.u").append()
+      def upd(lo: Int, hi: Int, tag: String): Unit = {
+        spark.range(lo, hi).select(col("id").as("k"), lit(tag).as("s"),
+          lit(1L).as("v")).createOrReplaceTempView("mor_u_src")
+        spark.sql(
+          s"""MERGE INTO $cat.db.u t USING mor_u_src s ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET t.s = s.s, t.v = s.v""".stripMargin)
+        spark.catalog.dropTempView("mor_u_src")
+      }
+      upd(0, 5, "first")
+      upd(3, 8, "second") // overlaps: re-deletes positions of the
+                          // FIRST merge's re-inserts live elsewhere
+      val t = spark.table(s"$cat.db.u")
+      assert(t.count() == 50L)
+      assert(t.filter(col("s") === "second").count() == 5L)
+      assert(t.filter(col("s") === "first").count() == 3L)
+      assert(t.filter(col("s") === "a").count() == 42L)
+    }
+  }
+
+  test("MoR DELETE is position deletes; filtered + aggregate reads exact") {
+    withCat { (cat, tmp) =>
+      morTable(cat, "d")
+      spark.range(100).select(col("id").as("k"),
+        concat(lit("s"), col("id") % 7).as("s"), (col("id") % 5).as("v"))
+        .coalesce(1).writeTo(s"$cat.db.d").append()
+      // v-predicate is never file-aligned → row-level (delta) path
+      spark.sql(s"DELETE FROM $cat.db.d WHERE v = 3")
+      val probe = Dsv2WriteProbe.forPath(s"$tmp/db/d")
+      assert(probe.lastTruncated.get() == 0)
+      assert(probe.lastDvPositions.get() == 20L)
+      val t = spark.table(s"$cat.db.d")
+      assert(t.count() == 80L) // NOT the footer count (100)
+      assert(t.filter(col("v") === 3).count() == 0L)
+      // residual filters + DV compose
+      assert(t.filter(col("k") >= 50).count() == 40L)
+      // footer agg shortcut refused: min/max/count run on real rows
+      val agg = t.agg(count(lit(1)).as("n"), min("k"), max("k")).head()
+      assert(agg.getLong(0) == 80L)
+    }
+  }
+
+  test("dropping a data file drops its deletion vector") {
+    withCat { (cat, tmp) =>
+      morTable(cat, "c")
+      spark.range(100).select(col("id").as("k"), lit("x").as("s"),
+        (col("id") % 5).as("v")).coalesce(1).writeTo(s"$cat.db.c").append()
+      spark.sql(s"DELETE FROM $cat.db.c WHERE v = 3") // creates a DV
+      assert(Dsv2Parquet.hasDvs(s"$tmp/db/c",
+        new org.apache.hadoop.conf.Configuration()))
+      spark.sql(s"TRUNCATE TABLE $cat.db.c") // metadata delete: whole files
+      assert(!Dsv2Parquet.hasDvs(s"$tmp/db/c",
+        new org.apache.hadoop.conf.Configuration()),
+        "orphan deletion vector survived its data file")
+      assert(spark.table(s"$cat.db.c").count() == 0L)
+    }
+  }
+}
