@@ -128,6 +128,31 @@ class Dsv2MergeOnReadSpec extends SparkSpec {
     }
   }
 
+  test("compaction folds deletion vectors into clean files") {
+    withCat { (cat, tmp) =>
+      morTable(cat, "k")
+      spark.range(100).select(col("id").as("k"),
+        concat(lit("s"), col("id")).as("s"), (col("id") % 5).as("v"))
+        .coalesce(2).writeTo(s"$cat.db.k").append()
+      spark.sql(s"DELETE FROM $cat.db.k WHERE v = 2")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val p = s"$tmp/db/k"
+      assert(Dsv2Parquet.hasDvs(p, conf))
+      val expected = spark.table(s"$cat.db.k").collect()
+        .map(_.toSeq).toSet
+      val compacted = GraftMaintenance.compactDeletionVectors(spark, p)
+      assert(compacted == 2)
+      assert(!Dsv2Parquet.hasDvs(p, conf), "deletion vectors survived")
+      // identical live rows, now without any per-scan membership test,
+      // and the columnar path re-engages (no DVs left to gate it off)
+      assert(spark.table(s"$cat.db.k").collect().map(_.toSeq).toSet
+        == expected)
+      assert(spark.table(s"$cat.db.k").count() == 80L)
+      // idempotent: nothing left to compact
+      assert(GraftMaintenance.compactDeletionVectors(spark, p) == 0)
+    }
+  }
+
   test("dropping a data file drops its deletion vector") {
     withCat { (cat, tmp) =>
       morTable(cat, "c")
