@@ -183,13 +183,11 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
 
   private val conf = Dsv2Parquet.readConf
 
-  // deletion vectors are applied by the ROW reader only; every factory
-  // gates columnar off when DVs exist — this guard turns a missed gate
-  // into a loud failure instead of silently resurrecting deleted rows
-  locally {
+  /** This file's deletion vector (merge-on-read): sorted file-absolute
+   * positions the decode loop skips via run-aware decoder skip()s. */
+  private val dv: Array[Long] = {
     val fp = new Path(p.file)
-    require(Dsv2Parquet.readDv(fp.getParent, fp.getName, conf).isEmpty,
-      s"graft-parquet: columnar read of DV-carrying file ${p.file}")
+    Dsv2Parquet.readDv(fp.getParent, fp.getName, conf)
   }
 
   /** Collection re-assembly reads the FULL triplet stream, so filtered
@@ -199,13 +197,32 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
   private val flatOnly: Boolean = required.fields.forall(f =>
     !f.dataType.isInstanceOf[ArrayType] && !f.dataType.isInstanceOf[MapType])
 
+  // DV-applying decode needs per-column skip(), which the collection
+  // decoders don't implement — the factories route DV'd collection
+  // projections to the row reader; this guard makes a missed gate loud
+  // instead of silently resurrecting deleted rows
+  require(dv.isEmpty || flatOnly,
+    s"graft-parquet: columnar DV read of a collection projection ${p.file}")
+
+  /** Does the projection request the `_pos` row-lineage column? Its
+   * values are the decode cursor's absolute positions, which (like DV
+   * application) requires the FULL sequential row stream — both
+   * disable parquet's filtered read below. */
+  private val wantsPos: Boolean =
+    required.fieldNames.contains(Dsv2Parquet.PosMetaColumn)
+
   /** Record-level filter from the pushed+runtime predicates THIS file
    * can serve (same per-file cut as the row reader): drives parquet's
    * row-group statistics, dictionary, and COLUMN-INDEX (page-level
    * min/max) filtering — surviving rows are a superset of the matches,
-   * Spark's residual filter takes the exact cut. */
+   * Spark's residual filter takes the exact cut. Disabled when row
+   * POSITIONS matter (DV application, `_pos` projection): filtered
+   * reads drop rows invisibly, which would shear the cursor-derived
+   * positions (the row reader gets them exactly from parquet's own
+   * getCurrentRowIndex; this path derives them from sequential
+   * decode). */
   private val rowFilter: Option[FilterCompat.Filter] = {
-    if (!flatOnly) None
+    if (!flatOnly || dv.nonEmpty || wantsPos) None
     else {
       val fileSchemaPre = Dsv2Parquet.singleFileSchema(p.file)
       val preds = pushed
@@ -288,19 +305,47 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
   // ---- per-row-group decode state ----------------------------------
   private var decoders: Array[ColumnDecoder] = _
   private var rowsLeftInGroup: Long = 0L
+
+  /** File-absolute row index of the NEXT row the decoders will
+   * produce — drives [[PosDecoder]] and DV run-skipping. Meaningful
+   * only on the unfiltered path (rowFilter empty), which DV/_pos
+   * force. */
+  private var absCursor: Long = 0L
+  /** Index into [[dv]] of the first position >= absCursor. */
+  private var dvIdx: Int = 0
+
+  /** Row-group start offset (file-absolute row index) by the group's
+   * starting byte position, from the file's FULL footer — exact
+   * regardless of which groups this range selected. */
+  private lazy val rowOffsets: Map[Long, Long] = {
+    val fp = new Path(p.file)
+    val (_, blocks, _) = Dsv2Parquet.fileFooter(
+      fp.getFileSystem(conf).getFileStatus(fp), conf)
+    var acc = 0L
+    blocks.map { b =>
+      val r = b.getStartingPos -> acc
+      acc += b.getRowCount
+      r
+    }.toMap
+  }
+
   /** Row counts of the range-selected row groups, for the
    * zero-projected-columns case (no pages to read — counts only). */
-  private val groupRowCounts: Iterator[Long] =
-    reader.getRowGroups.asScala.map(_.getRowCount).iterator
+  private val countBlocks: Iterator[
+    org.apache.parquet.hadoop.metadata.BlockMetaData] =
+    reader.getRowGroups.asScala.iterator
 
   /** Advance to the next row group; false when the partition is done. */
   private def nextGroup(): Boolean = projection match {
     case None =>
-      if (!groupRowCounts.hasNext) false
+      if (!countBlocks.hasNext) false
       else {
-        rowsLeftInGroup = groupRowCounts.next()
+        val b = countBlocks.next()
+        rowsLeftInGroup = b.getRowCount
+        absCursor = rowOffsets(b.getStartingPos)
         decoders = uniquePhys.map(n =>
           (if (n == Dsv2Parquet.FileMetaColumn) FileConstDecoder
+           else if (n == Dsv2Parquet.PosMetaColumn) PosDecoder
            else NullDecoder): ColumnDecoder)
         true
       }
@@ -313,6 +358,7 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
         rowsLeftInGroup = pages.getRowCount
         probe.rowsAdmitted.addAndGet(rowsLeftInGroup): Unit
         val block = if (blocksIter.hasNext) Some(blocksIter.next()) else None
+        block.foreach(b => absCursor = rowOffsets(b.getStartingPos))
         // id-mode decode gate: every data page of the chunk must be
         // dictionary-encoded (EncodingStats proof) — a mixed chunk
         // materializes values like any other
@@ -333,6 +379,7 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
         decoders = uniquePhys.map { phys =>
           val dt = required.fields(physNames.indexOf(phys)).dataType
           if (phys == Dsv2Parquet.FileMetaColumn) FileConstDecoder
+          else if (phys == Dsv2Parquet.PosMetaColumn) PosDecoder
           else if (!fileSchema.containsField(phys)) NullDecoder
           else {
             val fileType = proj.getType(Seq(phys): _*)
@@ -383,17 +430,56 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
   override def next(): Boolean = {
     if (limitLeft <= 0L) return false
     while (rowsLeftInGroup <= 0L) if (!nextGroup()) return false
-    val n = math.min(BatchSize.toLong,
-      math.min(rowsLeftInGroup, limitLeft)).toInt
     var i = 0
-    while (i < uniqueVectors.length) {
-      uniqueVectors(i).reset()
-      decoders(i).decode(n, uniqueVectors(i))
-      i += 1
+    while (i < uniqueVectors.length) { uniqueVectors(i).reset(); i += 1 }
+    var filled = 0
+    if (dv.isEmpty) {
+      // fast path: one contiguous decode per column
+      val n = math.min(BatchSize.toLong,
+        math.min(rowsLeftInGroup, limitLeft)).toInt
+      i = 0
+      while (i < uniqueVectors.length) {
+        decoders(i).decode(n, uniqueVectors(i))
+        i += 1
+      }
+      rowsLeftInGroup -= n
+      absCursor += n
+      filled = n
+    } else {
+      // DV path: alternate LIVE runs (decoded) and DELETED runs
+      // (skipped — cursors advance, vectors untouched), run bounds
+      // from the sorted position vector
+      while (filled < BatchSize && rowsLeftInGroup > 0L &&
+          filled < limitLeft) {
+        while (dvIdx < dv.length && dv(dvIdx) < absCursor) dvIdx += 1
+        val nextDel = if (dvIdx < dv.length) dv(dvIdx) else Long.MaxValue
+        if (absCursor == nextDel) {
+          var s = 0
+          while (dvIdx < dv.length && dv(dvIdx) == absCursor + s &&
+              s < rowsLeftInGroup) { s += 1; dvIdx += 1 }
+          i = 0
+          while (i < uniqueVectors.length) { decoders(i).skip(s); i += 1 }
+          absCursor += s
+          rowsLeftInGroup -= s
+        } else {
+          val liveN = math.min(
+            math.min(BatchSize - filled, limitLeft - filled),
+            math.min(rowsLeftInGroup, nextDel - absCursor)).toInt
+          i = 0
+          while (i < uniqueVectors.length) {
+            decoders(i).decode(liveN, uniqueVectors(i))
+            i += 1
+          }
+          absCursor += liveN
+          rowsLeftInGroup -= liveN
+          filled += liveN
+        }
+      }
+      // a group tail of pure deletes can fill nothing — move on
+      if (filled == 0) return next()
     }
-    batch.setNumRows(n)
-    rowsLeftInGroup -= n
-    limitLeft -= n
+    batch.setNumRows(filled)
+    limitLeft -= filled
     true
   }
 
@@ -408,12 +494,16 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
 
   private sealed trait ColumnDecoder {
     def decode(n: Int, v: WritableColumnVector): Unit
+    /** Advance the column's cursors past `n` rows without touching the
+     * vector — the deleted-run complement of decode (DV application). */
+    def skip(n: Int): Unit
   }
 
   /** Column absent from this file: null-fill (schema evolution). */
   private object NullDecoder extends ColumnDecoder {
     override def decode(n: Int, v: WritableColumnVector): Unit =
       { v.appendNulls(n); () }
+    override def skip(n: Int): Unit = ()
   }
 
   /** `_file` metadata column: the partition's file path, constant. */
@@ -423,6 +513,19 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
       var i = 0
       while (i < n) { v.appendByteArray(bytes, 0, bytes.length); i += 1 }
     }
+    override def skip(n: Int): Unit = ()
+  }
+
+  /** `_pos` metadata column: the decode cursor's absolute positions —
+   * exact because DV/_pos projections force the unfiltered sequential
+   * read (see rowFilter). Reads the enclosing reader's [[absCursor]],
+   * which at decode time is the first row of the current run. */
+  private object PosDecoder extends ColumnDecoder {
+    override def decode(n: Int, v: WritableColumnVector): Unit = {
+      var i = 0
+      while (i < n) { v.appendLong(absCursor + i); i += 1 }
+    }
+    override def skip(n: Int): Unit = ()
   }
 
   /** One parquet value into the vector, selected ONCE per (file type,
@@ -560,21 +663,43 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
       else { val x = idsR.unpacked(idsR.unpackedIdx); idsR.unpackedIdx += 1; x }
     }
 
+    /** Advance the id stream past `count` values (deleted non-nulls). */
+    private def skipIds(count0: Int): Unit = {
+      var count = count0
+      while (count > 0) {
+        idsR.ensure()
+        if (idsR.rleLeft > 0) {
+          val take = math.min(count, idsR.rleLeft)
+          idsR.rleLeft -= take; count -= take
+        } else {
+          val take = math.min(count, 8 - idsR.unpackedIdx)
+          idsR.unpackedIdx += take; count -= take
+        }
+      }
+    }
+
     override def decode(n: Int, v: WritableColumnVector): Unit = {
-      val ids = v.reserveDictionaryIds(n)
+      // decode may be called several times per batch (DV run loop):
+      // values land at the vector's append cursor, and the ids vector
+      // is reserved ONCE per batch at full capacity
+      val base = v.getElementsAppended
+      val ids =
+        if (base == 0) v.reserveDictionaryIds(BatchSize)
+        else v.getDictionaryIds.asInstanceOf[WritableColumnVector]
       var i = 0
       while (i < n) {
         if (leftInPage == 0) advancePage()
         val m = math.min(n - i, leftInPage)
-        if (defs == null) readIds(ids, i, m) // required column: no nulls
+        val at = base + i
+        if (defs == null) readIds(ids, at, m) // required column: no nulls
         else {
           var done = 0
           while (done < m) {
             defs.ensure()
             if (defs.rleLeft > 0) {
               val take = math.min(m - done, defs.rleLeft)
-              if (defs.rleVal == maxDef) readIds(ids, i + done, take)
-              else v.putNulls(i + done, take)
+              if (defs.rleVal == maxDef) readIds(ids, at + done, take)
+              else v.putNulls(at + done, take)
               defs.rleLeft -= take
               done += take
             } else {
@@ -584,8 +709,8 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
               var j = 0
               while (j < take) {
                 if (defs.unpacked(defs.unpackedIdx + j) == maxDef)
-                  ids.putInt(i + done + j, readOneId())
-                else { v.putNull(i + done + j); () }
+                  ids.putInt(at + done + j, readOneId())
+                else { v.putNull(at + done + j); () }
                 j += 1
               }
               defs.unpackedIdx += take
@@ -597,6 +722,40 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
         i += m
       }
       v.addElementsAppended(n)
+    }
+
+    override def skip(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        if (leftInPage == 0) advancePage()
+        val m = math.min(left, leftInPage)
+        if (defs == null) skipIds(m)
+        else {
+          var done = 0
+          while (done < m) {
+            defs.ensure()
+            if (defs.rleLeft > 0) {
+              val take = math.min(m - done, defs.rleLeft)
+              if (defs.rleVal == maxDef) skipIds(take)
+              defs.rleLeft -= take
+              done += take
+            } else {
+              val take = math.min(m - done, 8 - defs.unpackedIdx)
+              var j = 0
+              var cnt = 0
+              while (j < take) {
+                if (defs.unpacked(defs.unpackedIdx + j) == maxDef) cnt += 1
+                j += 1
+              }
+              skipIds(cnt)
+              defs.unpackedIdx += take
+              done += take
+            }
+          }
+        }
+        leftInPage -= m
+        left -= m
+      }
     }
   }
 
@@ -612,6 +771,16 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
       while (i < n) {
         if (cr.getCurrentDefinitionLevel == maxDef) put(cr, v)
         else { v.appendNull(); () }
+        cr.consume()
+        i += 1
+      }
+    }
+    override def skip(n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        // a value exists only at max definition level; skip() tells the
+        // cursor not to materialize it, consume() advances the triplet
+        if (cr.getCurrentDefinitionLevel == maxDef) cr.skip()
         cr.consume()
         i += 1
       }
@@ -667,6 +836,8 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
         i += 1
       }
     }
+    override def skip(n: Int): Unit = throw new UnsupportedOperationException(
+      "graft-parquet: DV skip on a LIST column (row-reader territory)")
   }
 
   /** MAP: the key and value cursors share one repetition structure, so
@@ -709,5 +880,7 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
         i += 1
       }
     }
+    override def skip(n: Int): Unit = throw new UnsupportedOperationException(
+      "graft-parquet: DV skip on a MAP column (row-reader territory)")
   }
 }

@@ -586,7 +586,7 @@ private[sources] case class GraftParquetScan(path: String,
     // repetitions differ, and parquet's containment check demands an
     // exact repetition match per file.
     GraftParquetReaderFactory(required, pushed ++ runtime, limit,
-      vectorize && !dvPresent)
+      vectorize, dvTables = dvPresent)
   }
 }
 
@@ -651,7 +651,8 @@ private[sources] case class GraftParquetBucketPartition(file: String,
 private[sources] case class GraftParquetReaderFactory(
     required: StructType, pushed: Array[Filter],
     limit: Option[Int] = None,
-    vectorize: Boolean = true) extends PartitionReaderFactory {
+    vectorize: Boolean = true,
+    dvTables: Boolean = false) extends PartitionReaderFactory {
   /** All partition shapes read through the same per-range readers —
    * the bucket id is planner-side metadata, not reader state, and a
    * packed partition is a CHAIN of ranges. */
@@ -698,8 +699,11 @@ private[sources] case class GraftParquetReaderFactory(
    * Spark requires (all partitions of a scan must agree). */
   override def supportColumnarReads(p: InputPartition): Boolean =
     vectorize && Dsv2Columnar.supported(required) &&
-      // `_pos` row lineage is served by the row reader only
-      !required.fieldNames.contains(Dsv2Parquet.PosMetaColumn)
+      // DV application needs per-column skip(), which the collection
+      // decoders don't have — DV'd collection projections row-read
+      (!dvTables || required.fields.forall(f =>
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]))
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

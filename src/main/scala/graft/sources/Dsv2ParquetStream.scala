@@ -163,9 +163,9 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
     // projection resolution is per file inside ReadSupport.init
     // (ProjectingGroupReadSupport) — micro-batches routinely span
     // files from different writers
-    GraftParquetReaderFactory(required, pushed, vectorize = vectorize &&
-      // deletion vectors apply in the row reader only
-      !Dsv2Parquet.hasDvs(path, new org.apache.hadoop.conf.Configuration()))
+    GraftParquetReaderFactory(required, pushed, vectorize = vectorize,
+      dvTables = Dsv2Parquet.hasDvs(path,
+        new org.apache.hadoop.conf.Configuration()))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

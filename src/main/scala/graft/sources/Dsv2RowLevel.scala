@@ -183,9 +183,9 @@ private[sources] case class GraftReplaceScan(path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     // deletion vectors (if a mode-mixed table carries them) apply in
-    // the ROW reader only — the rewrite must carry over live rows
+    // both readers — the rewrite must carry over LIVE rows only
     GraftParquetReaderFactory(required, Array.empty[Filter],
-      vectorize = !Dsv2Parquet.hasDvs(path, new Configuration()))
+      dvTables = Dsv2Parquet.hasDvs(path, new Configuration()))
 }
 
 /** The replace-commit: stage replacement files invisibly, verify, move

@@ -128,6 +128,54 @@ class Dsv2MergeOnReadSpec extends SparkSpec {
     }
   }
 
+  test("DV reads stay COLUMNAR and exact across batch-boundary runs") {
+    withCat { (cat, tmp) =>
+      morTable(cat, "vb")
+      // one file, 20000 rows (crosses the 4096 batch boundary), a
+      // dictionary string column and a nullable long column
+      spark.range(20000).select(col("id").as("k"),
+        concat(lit("c"), (col("id") % 7).cast("string")).as("s"),
+        when(col("id") % 13 === 0, lit(null)).otherwise(col("id")).as("v"))
+        .coalesce(1).writeTo(s"$cat.db.vb").append()
+      // scattered singles, a long consecutive run, head rows, exact
+      // batch-boundary rows, and the file tail — every run shape the
+      // decode loop distinguishes
+      spark.sql(
+        s"""DELETE FROM $cat.db.vb WHERE k % 997 = 1 OR
+           |  (k >= 8000 AND k < 8500) OR k IN (0, 1, 4095, 4096, 4097,
+           |  12287, 12288, 19999)""".stripMargin)
+      val t = spark.table(s"$cat.db.vb")
+      // the scan must be columnar (the r18 point: no MoR read tax)
+      assert(t.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "DV'd flat scan fell back to the row reader")
+      val got = t.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      val deleted = (0L until 20000L).filter(k => k % 997 == 1 ||
+        (k >= 8000 && k < 8500) ||
+        Set(0L, 1L, 4095L, 4096L, 4097L, 12287L, 12288L, 19999L)(k)).toSet
+      val exp = (0L until 20000L).filterNot(deleted).map(k =>
+        (k, s"c${k % 7}", if (k % 13 == 0) null else k: Any)).toSet
+      assert(got.size == exp.size && got.map(x =>
+        (x._1, x._2, x._3: Any)) == exp)
+      // filters compose with DV application (residual re-check)
+      assert(t.filter(col("k") >= 8000 && col("k") < 8500).count() == 0L)
+      assert(t.filter(col("s") === "c3").count() ==
+        exp.count(_._2 == "c3").toLong)
+    }
+  }
+
+  test("_pos is served columnar and exact") {
+    withCat { (cat, _) =>
+      spark.range(10000).select(col("id").as("k"), lit("x").as("s"),
+        col("id").as("v")).coalesce(1).writeTo(s"$cat.db.pc").create()
+      val df = spark.table(s"$cat.db.pc").select(col("k"), col("_pos"))
+      assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "_pos projection fell back to the row reader")
+      assert(df.filter(col("k") =!= col("_pos")).count() == 0L)
+      assert(df.count() == 10000L)
+    }
+  }
+
   test("compaction folds deletion vectors into clean files") {
     withCat { (cat, tmp) =>
       morTable(cat, "k")
