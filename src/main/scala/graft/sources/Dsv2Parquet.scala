@@ -998,23 +998,40 @@ private[sources] object Dsv2Parquet {
   def dvPath(dir: Path, dataFileName: String): Path =
     new Path(dir, s"$DvPrefix$dataFileName.bin")
 
+  /** JVM-wide deletion-vector cache, same (path, mtime, length)
+   * staleness key as the footer cache: a multi-row-group file's ranges
+   * would otherwise re-read the sidecar once per task. ABSENCE is
+   * never cached — a delta commit can add a vector at any time, and a
+   * cached "no deletes" would resurrect rows. */
+  private val dvCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Array[Long])]()
+
   /** Sorted deleted positions of one data file; empty when none. */
   def readDv(dir: Path, dataFileName: String,
       conf: Configuration): Array[Long] = {
     val p = dvPath(dir, dataFileName)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Array.empty
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return Array.empty }
+    val key = p.toString
+    val hit = dvCache.get(key)
+    if (hit != null && hit._1 == st.getModificationTime &&
+        hit._2 == st.getLen) hit._3
     else {
       val in = new java.io.DataInputStream(fs.open(p))
-      try {
+      val out = try {
         require(in.readInt() == DvMagic,
           s"graft-parquet: corrupt deletion vector $p")
         val n = in.readInt()
-        val out = new Array[Long](n)
+        val arr = new Array[Long](n)
         var i = 0
-        while (i < n) { out(i) = in.readLong(); i += 1 }
-        out
+        while (i < n) { arr(i) = in.readLong(); i += 1 }
+        arr
       } finally in.close()
+      if (dvCache.size > 16384) dvCache.clear()
+      dvCache.put(key, (st.getModificationTime, st.getLen, out))
+      out
     }
   }
 

@@ -1464,6 +1464,26 @@ object ScaleSmoke {
             f"morBytes=$newBytes cowFloorBytes=$cowFileBytes " +
             f"(${cowFileBytes.toDouble / newBytes}%.0fx less write) " +
             f"wall=${wall}%.2fs")
+          // READ TAX of the deletion vectors (r18: none — the columnar
+          // decoders skip deleted runs; the claim is a full scan of the
+          // DV-carrying table within noise of a clean-table scan)
+          def scanWall(): Double = {
+            val (_, w) = timed(spark.table(s"$cat.db.$t")
+              .write.format("noop").mode("overwrite").save())
+            w
+          }
+          scanWall()
+          val dvScan = Seq(scanWall(), scanWall(), scanWall()).sorted.apply(1)
+          val clean = {
+            def w(): Double = {
+              val (_, x) = timed(spark.table(s"$cat.db.m8")
+                .write.format("noop").mode("overwrite").save())
+              x
+            }
+            w(); Seq(w(), w(), w()).sorted.apply(1)
+          }
+          println(f"[scale-smoke] merge-mor-scan dv=${dvScan}%.2fs " +
+            f"clean=${clean}%.2fs (tax=${dvScan / clean}%.2fx)")
           spark.catalog.dropTempView("smoke_merge_src_mor")
         }
       } finally {
