@@ -46,16 +46,25 @@ import org.apache.spark.unsafe.types.UTF8String
  * statistics. Swapping the data plane from parquet-hadoop calls to
  * CQL token-range reads changes nothing above `newScanBuilder`.
  *
- * Deliberately NOT a replacement for Spark's built-in parquet source
- * (which adds vectorized decoding, schema merge, partition discovery):
- * the point is the connector-side seam, exercised end-to-end by
- * `recon_classify_dsv2` against the same oracle as `recon_classify`.
+ * The point is the connector-side seam, exercised end-to-end by
+ * `recon_classify_dsv2` against the same oracle as `recon_classify` —
+ * but the read path is production-shaped in its own right (r17-r18):
+ * vectorized ColumnarBatch decode with bulk dictionary-id mode,
+ * schema-evolved directories (per-file projection + null fill, union
+ * schema inference), column-index page skipping, and measured AT or
+ * ABOVE the built-in source's decode throughput on the smoke shapes
+ * (ScaleSmoke dsv2scan). What it deliberately skips is Hive-style
+ * partition-directory discovery — the catalog + clustered layouts
+ * cover that ground here.
  *
  * Scale shape: one [[InputPartition]] per parquet ROW GROUP (the same
  * split unit Spark's own parquet source uses, and the moral equivalent
  * of a Cassandra token range) — a 1000-executor cluster gets genuine
  * parallelism from a multi-row-group file, and each reader touches
- * only its byte range. Planning reads footers only (one per file).
+ * only its byte range; SMALL row groups pack into multi-range tasks
+ * (Spark's own split-size formula) so a small-file directory doesn't
+ * drown in per-task overhead. Planning reads footers only (one per
+ * file, JVM-cached).
  *
  * Supported leaf types: BOOLEAN, INT32, INT64, FLOAT, DOUBLE, UTF8
  * BINARY, raw BINARY — the TableSchema surface (SURVEY §1.3). Nested

@@ -201,6 +201,51 @@ class Dsv2MergeOnReadSpec extends SparkSpec {
     }
   }
 
+  test("micro-batch streaming reads apply deletion vectors") {
+    withCat { (cat, tmp) =>
+      morTable(cat, "st")
+      spark.range(100).select(col("id").as("k"), lit("x").as("s"),
+        (col("id") % 5).as("v")).coalesce(1).writeTo(s"$cat.db.st").append()
+      spark.sql(s"DELETE FROM $cat.db.st WHERE v = 2")
+      val p = s"$tmp/db/st"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-mor-ck").toString
+      val outName = s"mor_stream_${java.lang.Long.toHexString(System.nanoTime())}"
+      val q = spark.readStream
+        .format(classOf[GraftParquetProvider].getName).load(p)
+        .writeStream.format("memory").queryName(outName)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val got = spark.table(outName)
+      assert(got.count() == 80L)
+      assert(got.filter(col("v") === 2).count() == 0L)
+      spark.catalog.dropTempView(outName)
+    }
+  }
+
+  test("delta commit aborts when a referenced data file vanished") {
+    withCat { (cat, tmp) =>
+      morTable(cat, "cf")
+      spark.range(10).select(col("id").as("k"), lit("x").as("s"),
+        lit(0L).as("v")).coalesce(1).writeTo(s"$cat.db.cf").append()
+      val schema = spark.table(s"$cat.db.cf").schema
+      val write = GraftDeltaBatchWrite(s"$tmp/db/cf", schema,
+        "spec-conflict", 0, 1)
+      // a message referencing a data file a concurrent rewrite removed
+      val msg = GraftDeltaCommitMessage(GraftParquetCommitMessage(None, 0L),
+        Map("part-gone.parquet" -> Array(3L)))
+      val ex = intercept[IllegalStateException] {
+        write.commit(Array(msg))
+      }
+      assert(ex.getMessage.contains("concurrent writer conflict"))
+      // nothing changed: no DV appeared, rows intact
+      assert(!Dsv2Parquet.hasDvs(s"$tmp/db/cf",
+        new org.apache.hadoop.conf.Configuration()))
+      assert(spark.table(s"$cat.db.cf").count() == 10L)
+    }
+  }
+
   test("dropping a data file drops its deletion vector") {
     withCat { (cat, tmp) =>
       morTable(cat, "c")
