@@ -177,18 +177,18 @@ private[sources] object Dsv2Columnar {
 private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
     required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    dvSidecars: Array[String] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
   import Dsv2Columnar.BatchSize
 
   private val conf = Dsv2Parquet.readConf
 
-  /** This file's deletion vector (merge-on-read): sorted file-absolute
-   * positions the decode loop skips via run-aware decoder skip()s. */
-  private val dv: Array[Long] = {
-    val fp = new Path(p.file)
-    Dsv2Parquet.readDv(fp.getParent, fp.getName, conf)
-  }
+  /** This file's deletion vector (merge-on-read): union of its
+   * planning-time sidecars, sorted file-absolute positions the decode
+   * loop skips via run-aware decoder skip()s. */
+  private val dv: Array[Long] =
+    Dsv2Parquet.readDvUnion(dvSidecars, conf)
 
   /** Collection re-assembly reads the FULL triplet stream, so filtered
    * (page-index) reads engage only on all-flat projections — which is

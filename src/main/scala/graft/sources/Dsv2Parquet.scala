@@ -163,10 +163,9 @@ private[sources] case class GraftParquetTable(path: String,
       val out = fs.create(new Path(path, Dsv2Parquet.SchemaFileName), true)
       try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
     }
-    drop.foreach { f =>
-      fs.delete(f, false)
-      Dsv2Parquet.deleteDvFor(fs, f.getParent, f.getName)
-    }
+    drop.foreach(f => fs.delete(f, false))
+    if (drop.nonEmpty)
+      Dsv2Parquet.deleteDvsFor(fs, drop(0).getParent, drop.map(_.getName))
     Dsv2DeleteProbe.forPath(path).lastDropped.set(drop.length)
     Dsv2DeleteProbe.forPath(path).lastKept.set(keep.length)
   }
@@ -444,11 +443,12 @@ private[sources] case class GraftParquetScan(path: String,
     }
   }
 
-  /** Deletion vectors present? Row counts are then inexact and only
-   * the row reader applies them — gates limit truncation and the
-   * columnar path. */
-  @transient private lazy val dvPresent: Boolean =
-    Dsv2Parquet.hasDvs(path, new Configuration())
+  /** Planning-time deletion-vector snapshot (data file name → sidecar
+   * paths). Non-empty ⇒ row counts are inexact — gates limit
+   * truncation; readers get the map through the factory. */
+  @transient private lazy val dvMap: Map[String, Array[String]] =
+    Dsv2Parquet.dvListing(path, new Configuration())
+  @transient private lazy val dvPresent: Boolean = dvMap.nonEmpty
 
   /** The declared clustered layout, validated against the actual file
    * set: Some iff the sidecar exists and EVERY data file's name parses
@@ -595,7 +595,7 @@ private[sources] case class GraftParquetScan(path: String,
     // repetitions differ, and parquet's containment check demands an
     // exact repetition match per file.
     GraftParquetReaderFactory(required, pushed ++ runtime, limit,
-      vectorize, dvTables = dvPresent)
+      vectorize, dvMap = dvMap)
   }
 }
 
@@ -661,7 +661,14 @@ private[sources] case class GraftParquetReaderFactory(
     required: StructType, pushed: Array[Filter],
     limit: Option[Int] = None,
     vectorize: Boolean = true,
-    dvTables: Boolean = false) extends PartitionReaderFactory {
+    /** data file name → DV sidecar paths, from the scan's planning-time
+     * listing (snapshot semantics); empty for DV-free tables. */
+    dvMap: Map[String, Array[String]] = Map.empty)
+    extends PartitionReaderFactory {
+
+  private def dvOf(p: GraftParquetPartition): Array[String] =
+    if (dvMap.isEmpty) Array.empty
+    else dvMap.getOrElse(new Path(p.file).getName, Array.empty)
   /** All partition shapes read through the same per-range readers —
    * the bucket id is planner-side metadata, not reader state, and a
    * packed partition is a CHAIN of ranges. */
@@ -697,9 +704,11 @@ private[sources] case class GraftParquetReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rs = ranges(p)
     if (rs.length == 1)
-      new GraftParquetPartitionReader(rs(0), required, pushed, limit)
+      new GraftParquetPartitionReader(rs(0), required, pushed, limit,
+        dvOf(rs(0)))
     else new ChainedReader[InternalRow](rs,
-      r => new GraftParquetPartitionReader(r, required, pushed, limit))
+      r => new GraftParquetPartitionReader(r, required, pushed, limit,
+        dvOf(r)))
   }
 
   /** Columnar whenever the projection's types allow (all of them, for
@@ -710,7 +719,7 @@ private[sources] case class GraftParquetReaderFactory(
     vectorize && Dsv2Columnar.supported(required) &&
       // DV application needs per-column skip(), which the collection
       // decoders don't have — DV'd collection projections row-read
-      (!dvTables || required.fields.forall(f =>
+      (dvMap.isEmpty || required.fields.forall(f =>
         !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
           !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]))
 
@@ -718,9 +727,11 @@ private[sources] case class GraftParquetReaderFactory(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val rs = ranges(p)
     if (rs.length == 1)
-      new GraftColumnarPartitionReader(rs(0), required, pushed, limit)
+      new GraftColumnarPartitionReader(rs(0), required, pushed, limit,
+        dvOf(rs(0)))
     else new ChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](rs,
-      r => new GraftColumnarPartitionReader(r, required, pushed, limit))
+      r => new GraftColumnarPartitionReader(r, required, pushed, limit,
+        dvOf(r)))
   }
 }
 
@@ -754,7 +765,8 @@ private[sources] class ProjectingGroupReadSupport(cols: Array[String])
 
 private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
     required: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    dvSidecars: Array[String] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   /** THIS file's schema (one extra footer parse per task — the price
@@ -780,12 +792,10 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
   private val posSlots: Array[Boolean] =
     required.fieldNames.map(_ == Dsv2Parquet.PosMetaColumn)
 
-  /** This file's deletion vector (merge-on-read): sorted positions the
-   * scan must drop, loaded executor-side from the sidecar. */
-  private val dv: Array[Long] = {
-    val fp = new Path(p.file)
-    Dsv2Parquet.readDv(fp.getParent, fp.getName, Dsv2Parquet.readConf)
-  }
+  /** This file's deletion vector (merge-on-read): union of its
+   * planning-time sidecars, sorted. */
+  private val dv: Array[Long] =
+    Dsv2Parquet.readDvUnion(dvSidecars, Dsv2Parquet.readConf)
 
   private val reader: ParquetReader[Group] = {
     val conf = Dsv2Parquet.readConf
@@ -983,14 +993,16 @@ private[sources] object Dsv2Parquet {
   val PosMetaColumn = "_pos"
 
   // ---- deletion-vector sidecars (merge-on-read row-level ops) ----
-  // `_dv-<datafile>.bin` beside its data file: sorted file-absolute
-  // row positions the scan must drop. Format: magic, count, longs —
-  // published atomically (tmp + rename) and replaced whole on every
-  // delta commit (union of old + new). A 100 TB deployment would use
-  // a compressed bitmap (roaring) and a manifest; the PROTOCOL here —
-  // sidecar-per-file, scan-side application, union-on-commit,
-  // dropped with its data file — is the industry-standard shape
-  // (Iceberg v2 position deletes / Delta deletion vectors).
+  // `_dv-<datafile>-<uuid>.bin` beside its data file: sorted
+  // file-absolute row positions the scan must drop. Format: magic,
+  // count, longs. Each delta COMMIT writes its own IMMUTABLE sidecar
+  // (atomic tmp + rename, never read-modify-write), and readers union
+  // every sidecar of their file — so concurrent delta commits COMMUTE
+  // (set union): no lost deletes without any lock service, the
+  // Iceberg multiple-delete-files stance. Sidecars die with their
+  // data file (drop/overwrite/rewrite/compaction). A 100 TB
+  // deployment would use a compressed bitmap (roaring) per sidecar;
+  // the PROTOCOL is the industry-standard shape.
   val DvPrefix = "_dv-"
   private val DvMagic = 0x47445631 // "GDV1"
 
@@ -1004,34 +1016,26 @@ private[sources] object Dsv2Parquet {
    * for the graft.* properties it honors. */
   val PropsFileName = "_props"
 
-  def dvPath(dir: Path, dataFileName: String): Path =
-    new Path(dir, s"$DvPrefix$dataFileName.bin")
-
-  /** JVM-wide deletion-vector cache, same (path, mtime, length)
-   * staleness key as the footer cache: a multi-row-group file's ranges
-   * would otherwise re-read the sidecar once per task. ABSENCE is
-   * never cached — a delta commit can add a vector at any time, and a
-   * cached "no deletes" would resurrect rows. */
+  /** JVM-wide deletion-vector cache. Sidecars are IMMUTABLE once
+   * renamed in, so the (path, mtime, length) key can never serve stale
+   * positions; absence is never cached (readers get the sidecar LIST
+   * from the driver's planning-time listing — snapshot semantics). */
   private val dvCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Long, Array[Long])]()
 
-  /** Sorted deleted positions of one data file; empty when none. */
-  def readDv(dir: Path, dataFileName: String,
-      conf: Configuration): Array[Long] = {
-    val p = dvPath(dir, dataFileName)
-    val fs = p.getFileSystem(conf)
-    val st =
-      try fs.getFileStatus(p)
-      catch { case _: java.io.FileNotFoundException => return Array.empty }
-    val key = p.toString
+  /** One sidecar's sorted positions (cached). */
+  def readDvSidecar(sidecar: Path, conf: Configuration): Array[Long] = {
+    val fs = sidecar.getFileSystem(conf)
+    val st = fs.getFileStatus(sidecar)
+    val key = sidecar.toString
     val hit = dvCache.get(key)
     if (hit != null && hit._1 == st.getModificationTime &&
         hit._2 == st.getLen) hit._3
     else {
-      val in = new java.io.DataInputStream(fs.open(p))
+      val in = new java.io.DataInputStream(fs.open(sidecar))
       val out = try {
         require(in.readInt() == DvMagic,
-          s"graft-parquet: corrupt deletion vector $p")
+          s"graft-parquet: corrupt deletion vector $sidecar")
         val n = in.readInt()
         val arr = new Array[Long](n)
         var i = 0
@@ -1044,9 +1048,17 @@ private[sources] object Dsv2Parquet {
     }
   }
 
-  /** Publish a deletion vector atomically (tmp + rename-over). */
-  def writeDv(dir: Path, dataFileName: String, positions: Array[Long],
-      conf: Configuration): Unit = {
+  /** Union of a file's sidecars: sorted, deduplicated. */
+  def readDvUnion(sidecars: Array[String],
+      conf: Configuration): Array[Long] =
+    if (sidecars.isEmpty) Array.empty
+    else sidecars.flatMap(s => readDvSidecar(new Path(s), conf))
+      .distinct.sorted
+
+  /** Publish ONE commit's positions for one data file as a fresh
+   * immutable sidecar (tmp + atomic rename to a unique name). */
+  def writeDvSidecar(dir: Path, dataFileName: String,
+      positions: Array[Long], conf: Configuration): Unit = {
     val fs = dir.getFileSystem(conf)
     val tmp = new Path(dir, s".dvtmp-${java.util.UUID.randomUUID()}")
     val out = new java.io.DataOutputStream(fs.create(tmp, true))
@@ -1055,40 +1067,57 @@ private[sources] object Dsv2Parquet {
       out.writeInt(positions.length)
       positions.foreach(out.writeLong)
     } finally out.close()
-    val dst = dvPath(dir, dataFileName)
-    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-    if (local) {
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(dst.toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    } else {
-      if (fs.exists(dst)) fs.delete(dst, false)
-      require(fs.rename(tmp, dst),
-        s"graft-parquet: deletion-vector rename failed for $dst")
-    }
+    val dst = new Path(dir,
+      s"$DvPrefix$dataFileName-${java.util.UUID.randomUUID()}.bin")
+    require(fs.rename(tmp, dst),
+      s"graft-parquet: deletion-vector rename failed for $dst")
+  }
+
+  /** The table's sidecar map from ONE directory listing:
+   * data file name → its sidecar paths. Taken at PLANNING time and
+   * shipped to readers (snapshot semantics — a delta commit landing
+   * mid-query is invisible, like any file-source snapshot). */
+  def dvListing(path: String,
+      conf: Configuration): Map[String, Array[String]] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val entries =
+      try {
+        if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath).filter(
+            _.getName.startsWith(DvPrefix))
+        else Array.empty[Path]
+      } catch { case _: java.io.FileNotFoundException => Array.empty[Path] }
+    entries.flatMap { s =>
+      // _dv-<datafile>-<uuid>.bin → <datafile>; data file names always
+      // end in .parquet (and contain hyphens, as does the uuid), so the
+      // unambiguous cut is after the LAST ".parquet" before the uuid
+      val n = s.getName.stripPrefix(DvPrefix).stripSuffix(".bin")
+      val cut = n.lastIndexOf(".parquet-")
+      if (cut < 0) None
+      else Some(n.substring(0, cut + ".parquet".length) -> s.toString)
+    }.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2) }
   }
 
   /** Any deletion vector under this table dir? Drives the scan-side
-   * gates: columnar off (the row reader applies DVs), footer-served
-   * aggregates off (row counts are no longer exact), pushed-limit
-   * row-group truncation off (per-group yield unknowable). */
-  def hasDvs(path: String, conf: Configuration): Boolean = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    try fs.exists(p) && fs.getFileStatus(p).isDirectory &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith(DvPrefix))
-    catch { case _: java.io.FileNotFoundException => false }
+   * gates: footer-served aggregates off (row counts are no longer
+   * exact), pushed-limit row-group truncation off (per-group yield
+   * unknowable), collection projections to the row reader. */
+  def hasDvs(path: String, conf: Configuration): Boolean =
+    dvListing(path, conf).nonEmpty
+
+  /** Remove every DV sidecar of data files being deleted/replaced —
+   * one listing for the whole batch. */
+  def deleteDvsFor(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      dataFileNames: Iterable[String]): Unit = {
+    val listing = dvListing(dir.toString, fs.getConf)
+    dataFileNames.foreach(n =>
+      listing.getOrElse(n, Array.empty[String])
+        .foreach(s => fs.delete(new Path(s), false)))
   }
 
-  /** Remove the DV sidecar of a data file being deleted/replaced. */
   def deleteDvFor(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      dataFileName: String): Unit = {
-    val p = dvPath(dir, dataFileName)
-    if (fs.exists(p)) { fs.delete(p, false); () }
-  }
+      dataFileName: String): Unit = deleteDvsFor(fs, dir, Seq(dataFileName))
 
   /** Metadata-column name → the physical wide column carrying its
    * bytes: `writetime(c)` ↔ `writetime_c`, `ttl(c)` ↔ `ttl_c` (the

@@ -164,7 +164,7 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
     // (ProjectingGroupReadSupport) — micro-batches routinely span
     // files from different writers
     GraftParquetReaderFactory(required, pushed, vectorize = vectorize,
-      dvTables = Dsv2Parquet.hasDvs(path,
+      dvMap = Dsv2Parquet.dvListing(path,
         new org.apache.hadoop.conf.Configuration()))
 
   override def commit(end: Offset): Unit = ()

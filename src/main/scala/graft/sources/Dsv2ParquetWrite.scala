@@ -243,9 +243,9 @@ private[sources] case class GraftParquetBatchWrite(path: String,
         removing.foreach { f =>
           require(fs.rename(f, new Path(t, f.getName)),
             s"graft-parquet commit: trash move of $f failed")
-          // an overwritten file's deletion vector dies with it
-          Dsv2Parquet.deleteDvFor(fs, new Path(path), f.getName)
         }
+        // an overwritten file's deletion vectors die with it
+        Dsv2Parquet.deleteDvsFor(fs, new Path(path), removing.map(_.getName))
         Some(t)
       }
     staged.foreach { f =>

@@ -185,7 +185,7 @@ private[sources] case class GraftReplaceScan(path: String,
     // deletion vectors (if a mode-mixed table carries them) apply in
     // both readers — the rewrite must carry over LIVE rows only
     GraftParquetReaderFactory(required, Array.empty[Filter],
-      dvTables = Dsv2Parquet.hasDvs(path, new Configuration()))
+      dvMap = Dsv2Parquet.dvListing(path, new Configuration()))
 }
 
 /** The replace-commit: stage replacement files invisibly, verify, move
@@ -235,10 +235,10 @@ private[sources] case class GraftReplaceDataWrite(path: String,
     present.foreach { n =>
       require(fs.rename(new Path(target, n), new Path(trash, n)),
         s"graft-replace commit: trash move of $n failed")
-      // a replaced file's deletion vector dies with it: the rewrite
-      // carried over only live rows
-      Dsv2Parquet.deleteDvFor(fs, target, n)
     }
+    // a replaced file's deletion vectors die with it: the rewrite
+    // carried over only live rows
+    if (present.nonEmpty) Dsv2Parquet.deleteDvsFor(fs, target, present)
     staged.foreach { f =>
       val dst = new Path(target, f.getName)
       require(fs.rename(f, dst),
@@ -419,9 +419,10 @@ private[sources] case class GraftDeltaBatchWrite(path: String,
         s"${vanished.mkString(", ")}")
     var totalPos = 0L
     merged.foreach { case (name, pos) =>
-      val union = (Dsv2Parquet.readDv(target, name, conf) ++ pos)
-        .distinct.sorted
-      Dsv2Parquet.writeDv(target, name, union, conf)
+      // each commit publishes its OWN immutable sidecar — no
+      // read-modify-write, so concurrent delta commits to the same
+      // file COMMUTE (readers union all sidecars)
+      Dsv2Parquet.writeDvSidecar(target, name, pos.distinct.sorted, conf)
       totalPos += pos.length
     }
     staged.foreach { f =>

@@ -34,8 +34,9 @@ object GraftMaintenance {
     val conf = new Configuration()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
+    val dvNames = Dsv2Parquet.dvListing(path, conf).keySet
     val dvFiles = Dsv2Parquet.dataFiles(path, conf).map(_.getPath)
-      .filter(f => fs.exists(Dsv2Parquet.dvPath(dir, f.getName)))
+      .filter(f => dvNames.contains(f.getName))
     if (dvFiles.isEmpty) return 0
 
     val fmt = classOf[GraftParquetProvider].getName
@@ -58,8 +59,8 @@ object GraftMaintenance {
     dvFiles.foreach { f =>
       require(fs.rename(f, new Path(trash, f.getName)),
         s"graft-compact: trash move of $f failed")
-      Dsv2Parquet.deleteDvFor(fs, dir, f.getName)
     }
+    Dsv2Parquet.deleteDvsFor(fs, dir, dvFiles.map(_.getName))
     Dsv2Parquet.dataFiles(staging.toString, conf).foreach { s =>
       val dst = new Path(dir, s.getPath.getName)
       require(fs.rename(s.getPath, dst),

@@ -224,6 +224,32 @@ class Dsv2MergeOnReadSpec extends SparkSpec {
     }
   }
 
+  test("concurrent delta commits commute (no lost deletes)") {
+    withCat { (cat, tmp) =>
+      morTable(cat, "cc")
+      spark.range(10).select(col("id").as("k"), lit("x").as("s"),
+        lit(0L).as("v")).coalesce(1).writeTo(s"$cat.db.cc").append()
+      val p = s"$tmp/db/cc"
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val name = Dsv2Parquet.dataFiles(p, conf).head.getPath.getName
+      val schema = spark.table(s"$cat.db.cc").schema
+      // two INTERLEAVED delta commits: each writes its OWN immutable
+      // sidecar — neither read-modify-writes shared state, so the
+      // union the next scan takes sees BOTH delete sets
+      val w1 = GraftDeltaBatchWrite(p, schema, "spec-cc-1", 0, 1)
+      val w2 = GraftDeltaBatchWrite(p, schema, "spec-cc-2", 0, 1)
+      val m1 = GraftDeltaCommitMessage(GraftParquetCommitMessage(None, 0L),
+        Map(name -> Array(3L)))
+      val m2 = GraftDeltaCommitMessage(GraftParquetCommitMessage(None, 0L),
+        Map(name -> Array(5L, 3L))) // overlap on 3 too: union dedups
+      w1.commit(Array(m1))
+      w2.commit(Array(m2))
+      val t = spark.table(s"$cat.db.cc")
+      assert(t.count() == 8L)
+      assert(t.filter(col("k").isin(3L, 5L)).count() == 0L)
+    }
+  }
+
   test("delta commit aborts when a referenced data file vanished") {
     withCat { (cat, tmp) =>
       morTable(cat, "cf")
