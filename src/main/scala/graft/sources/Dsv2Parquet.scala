@@ -937,6 +937,15 @@ private[sources] object Dsv2Parquet {
    * a storage-partitioned SMJ skip its per-partition sorts. */
   val SortWithinOption = "graft.sortWithin"
 
+  /** Write option: comma-separated columns to build parquet BLOOM
+   * FILTERS for — the missing rung of the selective-scan ladder for
+   * HIGH-cardinality point lookups, where min/max can't prune an
+   * unsorted layout and the dictionary overflows to plain encoding.
+   * Readers exploit them automatically: both read paths open with a
+   * record filter, and parquet's row-group filtering consults blooms
+   * (executor-side — footer stats stay the driver-side prune). */
+  val BloomForOption = "graft.bloomFor"
+
   /** Table-schema sidecar file name, shared by the catalog's
    * createTable and the empty-after-delete persistence. */
   val SchemaFileName = "_schema.ddl"

@@ -132,7 +132,8 @@ private[sources] case class GraftParquetWriteBuilder(path: String,
 
     override def toBatch: BatchWrite =
       GraftParquetBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
-        clusterBy, requiredNumPartitions(), sortWithin, overwriteFilters)
+        clusterBy, requiredNumPartitions(), sortWithin, overwriteFilters,
+        cols(Dsv2Parquet.BloomForOption))
     override def toStreaming: StreamingWrite =
       GraftParquetStreamingWrite(path, info.schema(), info.queryId(),
         truncateFirst)
@@ -148,7 +149,8 @@ private[sources] case class GraftParquetBatchWrite(path: String,
     schema: StructType, queryId: String, truncateFirst: Boolean,
     clusterBy: Array[String] = Array.empty, numPartitions: Int = 0,
     sortWithin: Array[String] = Array.empty,
-    overwriteFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    overwriteFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    bloomFor: Array[String] = Array.empty)
     extends BatchWrite {
 
   private val stagingDir = s"$path/_staging-$queryId"
@@ -201,7 +203,7 @@ private[sources] case class GraftParquetBatchWrite(path: String,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    GraftParquetWriterFactory(stagingDir, schema)
+    GraftParquetWriterFactory(stagingDir, schema, bloomFor)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val t0 = System.nanoTime()
@@ -429,10 +431,12 @@ private[sources] object GraftParquetStreamingWrite {
 }
 
 private[sources] case class GraftParquetWriterFactory(stagingDir: String,
-    schema: StructType) extends DataWriterFactory {
+    schema: StructType,
+    bloomFor: Array[String] = Array.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new GraftParquetDataWriter(stagingDir, schema, partitionId, taskId)
+    new GraftParquetDataWriter(stagingDir, schema, partitionId, taskId,
+      bloomFor)
 }
 
 /** Executor-side writer: one parquet file per non-empty partition,
@@ -440,7 +444,8 @@ private[sources] case class GraftParquetWriterFactory(stagingDir: String,
  * attempts never collide. The file is opened lazily on the first row —
  * an empty partition costs nothing and stages nothing. */
 private[sources] class GraftParquetDataWriter(stagingDir: String,
-    schema: StructType, partitionId: Int, taskId: Long)
+    schema: StructType, partitionId: Int, taskId: Long,
+    bloomFor: Array[String] = Array.empty)
     extends DataWriter[InternalRow] {
 
   private val msgType: MessageType = Dsv2Parquet.parquetMessageType(schema)
@@ -453,12 +458,16 @@ private[sources] class GraftParquetDataWriter(stagingDir: String,
     val conf = new Configuration()
     file = new Path(stagingDir,
       f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet")
-    writer = ExampleParquetWriter
+    val b = ExampleParquetWriter
       .builder(HadoopOutputFile.fromPath(file, conf))
       .withConf(conf)
       .withType(msgType)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
+    // sink-requested bloom filters (graft.bloomFor): the point-lookup
+    // rung for high-cardinality columns where stats and dictionaries
+    // can't prune
+    bloomFor.foreach(c => b.withBloomFilterEnabled(c, true))
+    writer = b.build()
   }
 
   /** One Spark internal value into a Group field, encoded exactly as

@@ -28,6 +28,26 @@ import org.apache.spark.sql.functions.col
  */
 object GraftMaintenance {
 
+  /** MINOR compaction: merge each data file's many per-commit DV
+   * sidecars into one (union, publish fresh, delete exactly the merged
+   * ones) WITHOUT touching data files — bounds the per-scan sidecar
+   * read fan-out between major compactions. Concurrent delta commits
+   * stay safe: their new sidecars are never in the merged set, and the
+   * reader's union is idempotent. Returns data files whose sidecars
+   * were merged. */
+  def compactDvSidecars(path: String): Int = {
+    val conf = new Configuration()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val multi = Dsv2Parquet.dvListing(path, conf).filter(_._2.length > 1)
+    multi.foreach { case (name, sidecars) =>
+      Dsv2Parquet.writeDvSidecar(dir, name,
+        Dsv2Parquet.readDvUnion(sidecars, conf), conf)
+      sidecars.foreach(s => fs.delete(new Path(s), false))
+    }
+    multi.size
+  }
+
   /** Fold every deletion vector under `path` into rewritten files.
    * Returns the number of data files compacted (0 = nothing to do). */
   def compactDeletionVectors(spark: SparkSession, path: String): Int = {

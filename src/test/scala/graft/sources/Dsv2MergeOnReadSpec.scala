@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
@@ -173,6 +175,52 @@ class Dsv2MergeOnReadSpec extends SparkSpec {
         "_pos projection fell back to the row reader")
       assert(df.filter(col("k") =!= col("_pos")).count() == 0L)
       assert(df.count() == 10000L)
+    }
+  }
+
+  test("minor compaction merges a file's sidecars without data rewrites") {
+    withCat { (cat, tmp) =>
+      morTable(cat, "mc")
+      spark.range(50).select(col("id").as("k"), lit("a").as("s"),
+        (col("id") % 10).as("v")).coalesce(1).writeTo(s"$cat.db.mc").append()
+      spark.sql(s"DELETE FROM $cat.db.mc WHERE v = 1")
+      spark.sql(s"DELETE FROM $cat.db.mc WHERE v = 2")
+      spark.sql(s"DELETE FROM $cat.db.mc WHERE v = 3")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val p = s"$tmp/db/mc"
+      val before = Dsv2Parquet.dvListing(p, conf)
+      assert(before.values.head.length == 3, before.toString)
+      val dataBefore = Dsv2Parquet.dataFiles(p, conf)
+        .map(f => f.getPath.getName -> f.getModificationTime).toSet
+      assert(GraftMaintenance.compactDvSidecars(p) == 1)
+      val after = Dsv2Parquet.dvListing(p, conf)
+      assert(after.values.head.length == 1, after.toString)
+      // data files untouched; live rows identical
+      assert(Dsv2Parquet.dataFiles(p, conf)
+        .map(f => f.getPath.getName -> f.getModificationTime).toSet
+        == dataBefore)
+      val t = spark.table(s"$cat.db.mc")
+      assert(t.count() == 35L)
+      assert(t.filter(col("v").isin(1L, 2L, 3L)).count() == 0L)
+    }
+  }
+
+  test("bloom filters write on request and the point lookup stays exact") {
+    withCat { (cat, tmp) =>
+      spark.range(5000).select(col("id").as("k"),
+        concat(lit("u-"), col("id")).as("s"), lit(0L).as("v"))
+        .coalesce(1).writeTo(s"$cat.db.bf")
+        .option("graft.bloomFor", "s").create()
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val f = Dsv2Parquet.dataFiles(s"$tmp/db/bf", conf).head
+      val (_, blocks, _) = Dsv2Parquet.fileFooter(f, conf)
+      val chunk = blocks.head.getColumns.asScala
+        .find(_.getPath.toDotString == "s").get
+      assert(chunk.getBloomFilterOffset >= 0L,
+        "no bloom filter written for the requested column")
+      val got = spark.table(s"$cat.db.bf").filter(col("s") === "u-1234")
+      assert(got.count() == 1L)
+      assert(got.select("k").collect().head.getLong(0) == 1234L)
     }
   }
 
