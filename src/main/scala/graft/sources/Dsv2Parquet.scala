@@ -946,6 +946,12 @@ private[sources] object Dsv2Parquet {
    * (executor-side — footer stats stay the driver-side prune). */
   val BloomForOption = "graft.bloomFor"
 
+  /** Expected distinct values per bloom column (sizing hint): parquet
+   * defaults to 1M NDV (~1.2 MB of bloom per chunk), which at small
+   * row groups costs more IO than it saves — size it to the real
+   * per-file cardinality. */
+  val BloomNdvOption = "graft.bloomNdv"
+
   /** Table-schema sidecar file name, shared by the catalog's
    * createTable and the empty-after-delete persistence. */
   val SchemaFileName = "_schema.ddl"

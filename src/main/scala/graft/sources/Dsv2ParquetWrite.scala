@@ -133,7 +133,9 @@ private[sources] case class GraftParquetWriteBuilder(path: String,
     override def toBatch: BatchWrite =
       GraftParquetBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
         clusterBy, requiredNumPartitions(), sortWithin, overwriteFilters,
-        cols(Dsv2Parquet.BloomForOption))
+        cols(Dsv2Parquet.BloomForOption),
+        Option(info.options().get(Dsv2Parquet.BloomNdvOption))
+          .map(_.toLong).getOrElse(0L))
     override def toStreaming: StreamingWrite =
       GraftParquetStreamingWrite(path, info.schema(), info.queryId(),
         truncateFirst)
@@ -150,7 +152,8 @@ private[sources] case class GraftParquetBatchWrite(path: String,
     clusterBy: Array[String] = Array.empty, numPartitions: Int = 0,
     sortWithin: Array[String] = Array.empty,
     overwriteFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    bloomFor: Array[String] = Array.empty)
+    bloomFor: Array[String] = Array.empty,
+    bloomNdv: Long = 0L)
     extends BatchWrite {
 
   private val stagingDir = s"$path/_staging-$queryId"
@@ -203,7 +206,7 @@ private[sources] case class GraftParquetBatchWrite(path: String,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    GraftParquetWriterFactory(stagingDir, schema, bloomFor)
+    GraftParquetWriterFactory(stagingDir, schema, bloomFor, bloomNdv)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val t0 = System.nanoTime()
@@ -432,11 +435,12 @@ private[sources] object GraftParquetStreamingWrite {
 
 private[sources] case class GraftParquetWriterFactory(stagingDir: String,
     schema: StructType,
-    bloomFor: Array[String] = Array.empty) extends DataWriterFactory {
+    bloomFor: Array[String] = Array.empty,
+    bloomNdv: Long = 0L) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new GraftParquetDataWriter(stagingDir, schema, partitionId, taskId,
-      bloomFor)
+      bloomFor, bloomNdv)
 }
 
 /** Executor-side writer: one parquet file per non-empty partition,
@@ -445,7 +449,8 @@ private[sources] case class GraftParquetWriterFactory(stagingDir: String,
  * an empty partition costs nothing and stages nothing. */
 private[sources] class GraftParquetDataWriter(stagingDir: String,
     schema: StructType, partitionId: Int, taskId: Long,
-    bloomFor: Array[String] = Array.empty)
+    bloomFor: Array[String] = Array.empty,
+    bloomNdv: Long = 0L)
     extends DataWriter[InternalRow] {
 
   private val msgType: MessageType = Dsv2Parquet.parquetMessageType(schema)
@@ -466,7 +471,10 @@ private[sources] class GraftParquetDataWriter(stagingDir: String,
     // sink-requested bloom filters (graft.bloomFor): the point-lookup
     // rung for high-cardinality columns where stats and dictionaries
     // can't prune
-    bloomFor.foreach(c => b.withBloomFilterEnabled(c, true))
+    bloomFor.foreach { c =>
+      b.withBloomFilterEnabled(c, true)
+      if (bloomNdv > 0L) b.withBloomFilterNDV(c, bloomNdv)
+    }
     writer = b.build()
   }
 

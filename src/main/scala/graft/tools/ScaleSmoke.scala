@@ -1537,6 +1537,44 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("bloom")) {
+      // Bloom-filter point lookup at scale: 6M rows, 32 UNSORTED files,
+      // a high-cardinality string key (dictionary overflows to plain,
+      // footer min/max spans everything) — the shape where stats,
+      // dictionary, and page index all fail to prune. The bloom is the
+      // only rung left: with it, parquet's open-time row-group filter
+      // drops every group that provably lacks the key.
+      import graft.sources.{Dsv2RuntimeProbe, GraftParquetProvider}
+      val fmt = classOf[GraftParquetProvider].getName
+      val bDir = "/tmp/graft-smoke-bloom"
+      try {
+        val src = replicate(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey")))
+          .select(col("o_orderkey").as("k"),
+            concat(lit("u-"), col("o_orderkey")).as("s"))
+        Seq(("with", true), ("without", false)).foreach { case (tag, on) =>
+          val p = s"$bDir/$tag"
+          val w = src.repartition(32).write.format(fmt)
+            .option("graft.schema", "k BIGINT, s STRING")
+            .mode("overwrite")
+          (if (on) w.option("graft.bloomFor", "s")
+            .option("graft.bloomNdv", "200000") else w).save(p)
+          val probe = Dsv2RuntimeProbe.forPath(p)
+          probe.reset()
+          val (cnt, wall) = timed(spark.read.format(fmt).load(p)
+            .filter(col("s") === "u-4242").count())
+          require(cnt == 1L, s"bloom smoke ($tag): expected 1 row, got $cnt")
+          println(f"[scale-smoke] bloom-$tag rows=6000000 files=32 " +
+            f"admitted=${probe.rowsAdmitted.get()} wall=${wall}%.2fs")
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(bDir))
+      }
+    }
+
     if (args.contains("dsv2scan")) {
       // Read-path smoke (r17): decode throughput of the three scan
       // implementations over the SAME bytes at 1× and factor× volume —
