@@ -33,7 +33,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  */
 class GraftCatalog extends TableCatalog with FunctionCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
   private val conf = new Configuration()
@@ -357,6 +358,73 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
+
+  /** PROCEDURE surface — table maintenance as plain SQL, the way every
+   * catalog-complete connector ships it (Iceberg's
+   * `CALL cat.system.rewrite_data_files`):
+   *   CALL <cat>.system.compact_table('ns.table')            — major
+   *   CALL <cat>.system.compact_deletion_vectors('ns.table') — minor
+   * Each returns one row with the affected file count. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.length == 1 && namespace(0) == "system")
+      Array("compact_table", "compact_deletion_vectors")
+        .map(n => Identifier.of(namespace, n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"graft catalog: procedures live in the `system` namespace, not " +
+        s"${ident.namespace().mkString(".")}")
+    ident.name() match {
+      case "compact_table" =>
+        GraftCompactProcedure("compact_table", root, major = true)
+      case "compact_deletion_vectors" =>
+        GraftCompactProcedure("compact_deletion_vectors", root, major = false)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unknown procedure $other")
+    }
+  }
+}
+
+/** One maintenance procedure (major = fold deletion vectors into
+ * rewritten files; minor = merge each file's sidecars). The body runs
+ * on the driver through [[GraftMaintenance]]; the result is one local
+ * row with the affected file count. */
+private[sources] case class GraftCompactProcedure(procName: String,
+    root: String, major: Boolean)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = procName
+  override def description(): String =
+    if (major) "rewrite DV-carrying data files to fold deletion vectors"
+    else "merge each data file's deletion-vector sidecars into one"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table",
+      org.apache.spark.sql.types.StringType).build())
+
+  override def call(input: InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val table = input.getUTF8String(0).toString
+    val path = (root +: table.split('.').toSeq).mkString("/")
+    val n =
+      if (major) GraftMaintenance.compactDeletionVectors(
+        org.apache.spark.sql.SparkSession.active, path)
+      else GraftMaintenance.compactDvSidecars(path)
+    val out = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](n))
+    java.util.Collections.singletonList(
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = Array(out)
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("files", IntegerType, nullable = false)))
+      }: org.apache.spark.sql.connector.read.Scan).iterator()
+  }
 }
 
 /** `bucket(numBuckets, cols…)` — bit-exact twin of the hash the V2

@@ -320,6 +320,29 @@ class Dsv2MergeOnReadSpec extends SparkSpec {
     }
   }
 
+  test("maintenance runs as SQL: CALL system.compact_*") {
+    withCat { (cat, tmp) =>
+      morTable(cat, "sq")
+      spark.range(60).select(col("id").as("k"), lit("a").as("s"),
+        (col("id") % 6).as("v")).coalesce(1).writeTo(s"$cat.db.sq").append()
+      spark.sql(s"DELETE FROM $cat.db.sq WHERE v = 1")
+      spark.sql(s"DELETE FROM $cat.db.sq WHERE v = 2")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val p = s"$tmp/db/sq"
+      // minor: two sidecars merge into one
+      val merged = spark.sql(
+        s"CALL $cat.system.compact_deletion_vectors('db.sq')").collect()
+      assert(merged.head.getInt(0) == 1)
+      assert(Dsv2Parquet.dvListing(p, conf).values.head.length == 1)
+      // major: the vector folds into a rewritten file
+      val folded = spark.sql(
+        s"CALL $cat.system.compact_table('db.sq')").collect()
+      assert(folded.head.getInt(0) == 1)
+      assert(!Dsv2Parquet.hasDvs(p, conf))
+      assert(spark.table(s"$cat.db.sq").count() == 40L)
+    }
+  }
+
   test("dropping a data file drops its deletion vector") {
     withCat { (cat, tmp) =>
       morTable(cat, "c")
