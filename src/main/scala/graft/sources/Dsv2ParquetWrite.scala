@@ -6,12 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.ParquetWriter
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.util.HadoopOutputFile
-import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -453,20 +450,19 @@ private[sources] class GraftParquetDataWriter(stagingDir: String,
     bloomNdv: Long = 0L)
     extends DataWriter[InternalRow] {
 
-  private val msgType: MessageType = Dsv2Parquet.parquetMessageType(schema)
-  private val factory = new SimpleGroupFactory(msgType)
   private var file: Path = _
-  private var writer: ParquetWriter[org.apache.parquet.example.data.Group] = _
+  private var writer: ParquetWriter[InternalRow] = _
   private var rows = 0L
 
   private def open(): Unit = {
     val conf = new Configuration()
     file = new Path(stagingDir,
       f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet")
-    val b = ExampleParquetWriter
-      .builder(HadoopOutputFile.fromPath(file, conf))
+    // direct InternalRow → RecordConsumer write support (no per-row
+    // Group materialization — see GraftInternalRowWriteSupport)
+    val b = new GraftRowParquetWriterBuilder(
+        HadoopOutputFile.fromPath(file, conf), schema)
       .withConf(conf)
-      .withType(msgType)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
     // sink-requested bloom filters (graft.bloomFor): the point-lookup
     // rung for high-cardinality columns where stats and dictionaries
@@ -478,86 +474,9 @@ private[sources] class GraftParquetDataWriter(stagingDir: String,
     writer = b.build()
   }
 
-  /** One Spark internal value into a Group field, encoded exactly as
-   * [[Dsv2Parquet.parquetMessageType]] declared it (timestamps as
-   * MICROS int64, dates as days int32, decimals as unscaled int32 /
-   * int64 / sign-extended two's-complement FLBA). Binary copies: the
-   * parquet writer buffers Binary refs until page flush, and the
-   * row's backing buffer is reused by the caller. */
-  private def addPrimitive(g: org.apache.parquet.example.data.Group,
-      fi: Int, dt: DataType, v: Any): Unit = dt match {
-    case LongType | TimestampType | TimestampNTZType =>
-      // NTZ rides the same int64-micros InternalRow representation as
-      // the instant type; parquetMessageType already distinguishes the
-      // annotations, so the value path is shared
-      g.add(fi, v.asInstanceOf[Long])
-    case IntegerType | DateType => g.add(fi, v.asInstanceOf[Int])
-    case ShortType => g.add(fi, v.asInstanceOf[Short].toInt)
-    case ByteType => g.add(fi, v.asInstanceOf[Byte].toInt)
-    case DoubleType => g.add(fi, v.asInstanceOf[Double])
-    case FloatType => g.add(fi, v.asInstanceOf[Float])
-    case BooleanType => g.add(fi, v.asInstanceOf[Boolean])
-    case StringType =>
-      val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-      g.add(fi, Binary.fromConstantByteArray(
-        java.util.Arrays.copyOf(b, b.length)))
-    case BinaryType =>
-      val b = v.asInstanceOf[Array[Byte]]
-      g.add(fi, Binary.fromConstantByteArray(
-        java.util.Arrays.copyOf(b, b.length)))
-    case d: DecimalType if d.precision <= 9 =>
-      g.add(fi, v.asInstanceOf[Decimal].toUnscaledLong.toInt)
-    case d: DecimalType if d.precision <= 18 =>
-      g.add(fi, v.asInstanceOf[Decimal].toUnscaledLong)
-    case d: DecimalType =>
-      val len = Dsv2Parquet.decimalFlbaBytes(d.precision)
-      val big = v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue()
-      val raw = big.toByteArray
-      val out = new Array[Byte](len)
-      if (big.signum < 0) java.util.Arrays.fill(out, 0xFF.toByte)
-      System.arraycopy(raw, 0, out, len - raw.length, raw.length)
-      g.add(fi, Binary.fromConstantByteArray(out))
-    case other => throw new UnsupportedOperationException(
-      s"graft-parquet: unsupported write type $other")
-  }
-
   override def write(row: InternalRow): Unit = {
     if (writer == null) open()
-    val g = factory.newGroup()
-    var i = 0
-    while (i < schema.length) {
-      if (!row.isNullAt(i)) {
-        schema.fields(i).dataType match {
-          case ArrayType(elem, _) =>
-            // the 3-level LIST shape parquetMessageType declared:
-            // field group → repeated `list` group → `element`
-            val arr = row.getArray(i)
-            val outer = g.addGroup(i)
-            var j = 0
-            while (j < arr.numElements()) {
-              val entry = outer.addGroup(0)
-              if (!arr.isNullAt(j)) addPrimitive(entry, 0, elem, arr.get(j, elem))
-              j += 1
-            }
-          case MapType(kt, vt, _) =>
-            // the 3-level MAP shape: required key, optional value
-            val m = row.getMap(i)
-            val outer = g.addGroup(i)
-            val ka = m.keyArray()
-            val va = m.valueArray()
-            var j = 0
-            while (j < m.numElements()) {
-              val kv = outer.addGroup(0)
-              addPrimitive(kv, 0, kt, ka.get(j, kt))
-              if (!va.isNullAt(j)) addPrimitive(kv, 1, vt, va.get(j, vt))
-              j += 1
-            }
-          case dt => addPrimitive(g, i, dt, row.get(i, dt))
-        }
-      }
-      i += 1
-    }
-    writer.write(g)
+    writer.write(row)
     rows += 1L
   }
 

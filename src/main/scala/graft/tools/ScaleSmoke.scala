@@ -1233,6 +1233,22 @@ object ScaleSmoke {
             f"wall=${wall}%.2fs commit=${commitMs}ms " +
             f"overwrite=${owWall}%.2fs owCommit=${owCommitMs}ms")
         }
+        // vs the builtin writer on the same bytes (r18: the direct
+        // InternalRow→RecordConsumer write support — no per-row Group
+        // materialization)
+        def medW(f: => Unit): Double = {
+          f
+          Seq(1, 2, 3).map { _ =>
+            val (_, w) = timed(f); w
+          }.sorted.apply(1)
+        }
+        val b = medW(src.repartition(64).write.mode("overwrite")
+          .parquet(s"$wDir/builtin"))
+        val g = medW(src.repartition(64).write.format(fmt)
+          .option("graft.schema", src.schema.toDDL)
+          .mode("overwrite").save(s"$wDir/graft"))
+        println(f"[scale-smoke] dsv2write-cmp rows=$n files=64 " +
+          f"builtin=${b}%.2fs graft=${g}%.2fs (graft_vs_builtin=${g / b}%.2fx)")
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
