@@ -1,0 +1,119 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Deterministic fuzz of the provider's full read surface: random flat
+ * schemas/data (nulls, low/high-cardinality strings, decimals) written
+ * through the DSv2 writer under random page sizes and bloom options,
+ * then read back through BOTH readers, with random deletion vectors
+ * (1-3 sidecars, union semantics) and random band filters (pushed +
+ * page index + residual) — every combination compared against a
+ * driver-side expected model. Seeded per iteration, so a failure
+ * reproduces exactly. This is the randomized complement of the
+ * shape-targeted specs: batch boundaries, RLE runs straddling pages,
+ * bit-width edges and filter/DV composition all arise by volume. */
+class Dsv2FuzzRoundTripSpec extends SparkSpec {
+
+  private def fmt = classOf[GraftParquetProvider].getName
+
+  private case class Col(name: String, dt: DataType,
+      gen: (scala.util.Random, Long) => Any)
+
+  test("randomized write/read/DV/filter round trips are exact") {
+    (0 until 10).foreach { iter =>
+      val rnd = new scala.util.Random(20260814L + iter)
+      val n = 2000 + rnd.nextInt(28000)
+      val lowK = 2 + rnd.nextInt(18)
+      val cols = scala.collection.mutable.ArrayBuffer[Col](
+        Col("k", LongType, (_, i) => i))
+      if (rnd.nextBoolean()) cols += Col("slow", StringType,
+        (r, _) => if (r.nextInt(10) == 0) null else s"cat_${r.nextInt(lowK)}")
+      if (rnd.nextBoolean()) cols += Col("shigh", StringType,
+        (r, i) => if (r.nextInt(17) == 0) null else s"u-$i-${r.nextInt(1 << 20)}")
+      if (rnd.nextBoolean()) cols += Col("v", LongType,
+        (r, _) => if (r.nextInt(7) == 0) null else java.lang.Long.valueOf(r.nextLong() >> 16))
+      if (rnd.nextBoolean()) cols += Col("d", DoubleType,
+        (r, _) => if (r.nextInt(11) == 0) null else java.lang.Double.valueOf(r.nextInt(1 << 20) / 7.0))
+      if (rnd.nextBoolean()) cols += Col("dec", DecimalType(9, 2),
+        (r, _) => if (r.nextInt(9) == 0) null
+          else new java.math.BigDecimal(r.nextInt(1 << 24)).movePointLeft(2))
+      if (rnd.nextBoolean()) cols += Col("wide", DecimalType(30, 2),
+        (r, _) => if (r.nextInt(9) == 0) null
+          else new java.math.BigDecimal(r.nextLong() >> 8).movePointLeft(2))
+      if (rnd.nextBoolean()) cols += Col("b", BooleanType,
+        (r, _) => if (r.nextInt(13) == 0) null else java.lang.Boolean.valueOf(r.nextBoolean()))
+      val schema = StructType(cols.map(c =>
+        StructField(c.name, c.dt, nullable = true)).toSeq)
+      val data: IndexedSeq[Row] = (0L until n.toLong).map(i =>
+        Row.fromSeq(cols.map(c => c.gen(rnd, i)).toSeq))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fuzz").toString
+      try {
+        val p = s"$tmp/t"
+        var w = spark.createDataFrame(
+            spark.sparkContext.parallelize(data.toSeq, 1), schema)
+          .write.format(fmt).option(Dsv2Parquet.SchemaOption, schema.toDDL)
+        if (rnd.nextBoolean())
+          w = w.option("parquet.page.row.count.limit",
+            (64 + rnd.nextInt(1000)).toString)
+        if (rnd.nextBoolean() && cols.exists(_.name == "shigh"))
+          w = w.option(Dsv2Parquet.BloomForOption, "shigh")
+        w.mode("append").save(p)
+
+        // random deletion vector: subset positions, split across 1-3
+        // sidecars to exercise the union
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val dv: Set[Long] =
+          if (rnd.nextInt(3) == 0) Set.empty
+          else (0L until n.toLong).filter(_ => rnd.nextInt(10) == 0).toSet
+        if (dv.nonEmpty) {
+          val fileName = Dsv2Parquet.dataFiles(p, conf).head.getPath.getName
+          val parts = dv.toArray.sorted
+            .grouped(math.max(1, dv.size / (1 + rnd.nextInt(3)))).toSeq
+          parts.foreach(ps => Dsv2Parquet.writeDvSidecar(
+            new org.apache.hadoop.fs.Path(p), fileName, ps, conf))
+        }
+
+        def norm(r: Row): Seq[String] = r.toSeq.map {
+          case null => "NULL"
+          case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+          case x => x.toString
+        }
+        val expectedAll = data.zipWithIndex
+          .filterNot { case (_, i) => dv(i.toLong) }.map(x => norm(x._1))
+          .sortBy(_.mkString("|"))
+        def got(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+          df.collect().toSeq.map(norm).sortBy(_.mkString("|"))
+
+        val vec = spark.read.format(fmt).load(p)
+        val rowR = spark.read.format(fmt)
+          .option(Dsv2Columnar.VectorizedOption, "false").load(p)
+        assert(got(vec) == expectedAll, s"iter=$iter vec full scan")
+        assert(got(rowR) == expectedAll, s"iter=$iter row full scan")
+        assert(vec.count() == expectedAll.size.toLong, s"iter=$iter count")
+
+        // random band filter on k (pushed + page-index + residual; DV
+        // composes when present)
+        val lo = rnd.nextInt(n).toLong
+        val hi = math.min(n.toLong, lo + 1 + rnd.nextInt(n))
+        val kIdx = 0
+        val expBand = data.zipWithIndex
+          .filterNot { case (_, i) => dv(i.toLong) }
+          .filter { case (r, _) =>
+            val k = r.getLong(kIdx); k >= lo && k < hi
+          }.map(x => norm(x._1)).sortBy(_.mkString("|"))
+        assert(got(vec.filter(col("k") >= lo && col("k") < hi)) == expBand,
+          s"iter=$iter vec band [$lo,$hi)")
+        assert(got(rowR.filter(col("k") >= lo && col("k") < hi)) == expBand,
+          s"iter=$iter row band [$lo,$hi)")
+      } finally {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }
+  }
+}
