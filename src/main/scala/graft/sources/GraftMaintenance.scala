@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions.col
  * Concurrency: single-maintenance-writer discipline (the documented
  * stance of every file-backed catalog here); a data file that vanishes
  * mid-compaction fails the swap loudly with the table recoverable from
- * the trash.
+ * the trash. Maintenance must also not run CONCURRENTLY with row-level
+ * operations on the same table: a delta commit landing between
+ * compaction's scan and its trash would have its sidecar deleted with
+ * the pre-image file (the check-then-act existence guards in the
+ * commits are best-effort detectors, not a lock service — the same
+ * boundary Iceberg draws without a catalog-level CAS).
  */
 object GraftMaintenance {
 

@@ -45,6 +45,22 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
           else new java.math.BigDecimal(r.nextLong() >> 8).movePointLeft(2))
       if (rnd.nextBoolean()) cols += Col("b", BooleanType,
         (r, _) => if (r.nextInt(13) == 0) null else java.lang.Boolean.valueOf(r.nextBoolean()))
+      if (rnd.nextBoolean()) cols += Col("dt", DateType,
+        (r, _) => if (r.nextInt(13) == 0) null
+          else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(r.nextInt(20000).toLong)))
+      if (rnd.nextBoolean()) cols += Col("ts", TimestampType,
+        (r, _) => if (r.nextInt(13) == 0) null
+          else new java.sql.Timestamp(1000000000000L + r.nextInt(1 << 30).toLong * 1000L))
+      if (rnd.nextBoolean()) cols += Col("tsn", TimestampNTZType,
+        (r, _) => if (r.nextInt(13) == 0) null
+          else java.time.LocalDateTime.ofEpochSecond(
+            1000000000L + r.nextInt(1 << 30).toLong, 0, java.time.ZoneOffset.UTC))
+      if (rnd.nextBoolean()) cols += Col("i", IntegerType,
+        (r, _) => if (r.nextInt(13) == 0) null else java.lang.Integer.valueOf(r.nextInt()))
+      if (rnd.nextBoolean()) cols += Col("sh", ShortType,
+        (r, _) => if (r.nextInt(13) == 0) null else java.lang.Short.valueOf(r.nextInt().toShort))
+      if (rnd.nextBoolean()) cols += Col("fl", FloatType,
+        (r, _) => if (r.nextInt(13) == 0) null else java.lang.Float.valueOf(r.nextInt(1 << 16) / 3.0f))
       val schema = StructType(cols.map(c =>
         StructField(c.name, c.dt, nullable = true)).toSeq)
       val data: IndexedSeq[Row] = (0L until n.toLong).map(i =>
