@@ -150,17 +150,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     writeDdl(p, schema)
     // honor the row-level operation mode, persisted next to the DDL so
     // a fresh session loads the table in the declared mode
-    val mor = Option(properties.get(Dsv2Parquet.MergeModeProperty)) match {
+    val mor = parseMergeMode(properties)
+    if (mor) writeProps(p, Map(
+      Dsv2Parquet.MergeModeProperty -> Dsv2Parquet.MergeOnRead))
+    GraftParquetTable(p, schema, mor)
+  }
+
+  private def parseMergeMode(properties: util.Map[String, String]): Boolean =
+    Option(properties.get(Dsv2Parquet.MergeModeProperty)) match {
       case Some(Dsv2Parquet.MergeOnRead) => true
       case Some(Dsv2Parquet.CopyOnWrite) | None => false
       case Some(other) => throw new IllegalArgumentException(
         s"graft catalog: unknown ${Dsv2Parquet.MergeModeProperty} '$other' " +
           s"(expected ${Dsv2Parquet.CopyOnWrite} | ${Dsv2Parquet.MergeOnRead})")
     }
-    if (mor) writeProps(p, Map(
+
+  /** Shared with [[GraftStagedTable]]: persist the graft.* properties
+   * inside a (possibly still-invisible staging) table dir. */
+  private[sources] def writeStagedProps(p: String,
+      properties: util.Map[String, String]): Unit =
+    if (parseMergeMode(properties)) writeProps(p, Map(
       Dsv2Parquet.MergeModeProperty -> Dsv2Parquet.MergeOnRead))
-    GraftParquetTable(p, schema, mor)
-  }
 
   private def propsFile(p: String) = new Path(p, Dsv2Parquet.PropsFileName)
 
@@ -241,13 +251,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   // no table for CREATE), never a schema-only husk ----
 
   private def staged(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], replacing: Boolean): GraftStagedTable = {
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replacing: Boolean): GraftStagedTable = {
     require(partitions.isEmpty,
       "graft catalog: partition transforms not supported")
     val ns = (root +: ident.namespace().toSeq).mkString("/")
     val staging = new Path(ns,
       s".staging-${ident.name}-${java.util.UUID.randomUUID()}")
-    GraftStagedTable(this, pathOf(ident), staging.toString, schema, replacing)
+    GraftStagedTable(this, pathOf(ident), staging.toString, schema,
+      properties, replacing)
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -255,7 +267,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    staged(ident, schema, partitions, replacing = false)
+    staged(ident, schema, partitions, properties, replacing = false)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -263,14 +275,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    staged(ident, schema, partitions, replacing = true)
+    staged(ident, schema, partitions, properties, replacing = true)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable =
-    staged(ident, schema, partitions, replacing = true)
+    staged(ident, schema, partitions, properties, replacing = true)
 
   /** The staged DDL write, shared with [[GraftStagedTable]]. */
   private[sources] def writeStagedDdl(p: String, schema: StructType): Unit =
@@ -478,7 +490,8 @@ final case class GraftBucketBound(types: Array[DataType])
  * publish succeeded — recoverable at every crash point. */
 private[sources] case class GraftStagedTable(catalog: GraftCatalog,
     finalPath: String, stagingPath: String,
-    override val schema: StructType, replacing: Boolean)
+    override val schema: StructType,
+    props: java.util.Map[String, String], replacing: Boolean)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.catalog.TableCapability
@@ -503,6 +516,9 @@ private[sources] case class GraftStagedTable(catalog: GraftCatalog,
     // declare the schema inside the still-invisible staging dir, so
     // the published table is complete the instant the rename lands
     catalog.writeStagedDdl(stagingPath, schema)
+    // graft.* table properties (e.g. the merge mode) publish with the
+    // same rename — a staged CTAS honors them like a plain CREATE
+    catalog.writeStagedProps(stagingPath, props)
     val trash: Option[Path] =
       if (replacing && fs.exists(dst)) {
         val t = new Path(dst.getParent, s".trash-${dst.getName}-" +

@@ -193,6 +193,36 @@ class Dsv2BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read deletes preserve the storage-partitioned layout") {
+    withTmp { tmp =>
+      withSpj(tmp) { cat =>
+        val a = spark.range(200).select(col("id").as("k"),
+          (col("id") * 3).as("va"))
+        val b = spark.range(200).select(col("id").as("k"),
+          (col("id") * 7).as("vb"))
+        a.writeTo(s"$cat.db.sa")
+          .tableProperty(Dsv2Parquet.MergeModeProperty, Dsv2Parquet.MergeOnRead)
+          .option(Dsv2Parquet.ClusterByOption, "k")
+          .option(Dsv2Parquet.NumPartitionsOption, "4")
+          .create()
+        writeClustered(b, cat, "sb", "k", 4)
+        // delta position deletes: no file rewritten, no insert — the
+        // clustered layout claim survives (a subset of a bucket is
+        // still exactly that bucket)
+        spark.sql(s"DELETE FROM $cat.db.sa WHERE k % 10 = 3")
+        val conf = new org.apache.hadoop.conf.Configuration()
+        assert(Dsv2Parquet.hasDvs(s"$tmp/db/sa", conf))
+        assert(Dsv2Parquet.clustering(s"$tmp/db/sa", conf).nonEmpty,
+          "delete-only delta commit retracted the clustering sidecar")
+        val j = spark.table(s"$cat.db.sa")
+          .join(spark.table(s"$cat.db.sb"), "k")
+        assert(shuffles(j) == 0, "MoR delete broke the zero-exchange join")
+        assert(j.count() == 180L)
+        assert(j.filter(col("k") % 10 === 3).count() == 0L)
+      }
+    }
+  }
+
   test("bucket function matches the writer exchange's routing") {
     withTmp { tmp =>
       withSpj(tmp) { cat =>
