@@ -208,6 +208,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val p = pathOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val current = readDdl(p).getOrElse(Dsv2Parquet.footerSchema(p))
+    var mor = readMergeMode(p)
     val next = changes.foldLeft(current) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -216,11 +217,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           s"column ${add.fieldNames()(0)} already exists")
         s.add(StructField(add.fieldNames()(0), add.dataType(),
           nullable = true))
+      // ALTER TABLE … SET TBLPROPERTIES('graft.merge.mode'=…): switch
+      // the ROW-LEVEL OPERATION mode of an existing table. Metadata
+      // only — existing deletion vectors keep applying either way (the
+      // copy-on-write paths fold them into any rewrite they do).
+      case (s, set: TableChange.SetProperty)
+          if set.property() == Dsv2Parquet.MergeModeProperty =>
+        mor = parseMergeMode(
+          java.util.Collections.singletonMap(set.property(), set.value()))
+        s
+      case (s, rm: TableChange.RemoveProperty)
+          if rm.property() == Dsv2Parquet.MergeModeProperty =>
+        mor = false
+        s
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER $other")
     }
     writeDdl(p, next)
-    GraftParquetTable(p, next)
+    if (mor) writeProps(p, Map(
+      Dsv2Parquet.MergeModeProperty -> Dsv2Parquet.MergeOnRead))
+    else {
+      val fs = new Path(p).getFileSystem(conf)
+      if (fs.exists(propsFile(p))) fs.delete(propsFile(p), false)
+    }
+    GraftParquetTable(p, next, mor)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

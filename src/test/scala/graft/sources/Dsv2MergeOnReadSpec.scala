@@ -320,6 +320,39 @@ class Dsv2MergeOnReadSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE switches the merge mode either way") {
+    withCat { (cat, tmp) =>
+      // starts copy-on-write: a MERGE rewrites files
+      spark.range(20).select(col("id").as("k"), lit("a").as("s"),
+        lit(0L).as("v")).coalesce(1).writeTo(s"$cat.db.sw").create()
+      spark.range(1).select(col("id").as("k"), lit("b").as("s"),
+        lit(1L).as("v")).createOrReplaceTempView("sw_src")
+      def merge(): Unit = spark.sql(
+        s"""MERGE INTO $cat.db.sw t USING sw_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.s = s.s, t.v = s.v""".stripMargin)
+      val probe = Dsv2WriteProbe.forPath(s"$tmp/db/sw")
+      merge()
+      assert(probe.lastTruncated.get() > 0, "CoW merge rewrote nothing")
+      // switch to merge-on-read: the same MERGE now writes a DV
+      spark.sql(s"""ALTER TABLE $cat.db.sw
+        |SET TBLPROPERTIES('graft.merge.mode'='merge-on-read')""".stripMargin)
+      merge()
+      assert(probe.lastTruncated.get() == 0 && probe.lastDvFiles.get() > 0,
+        "post-ALTER merge did not run merge-on-read")
+      assert(Dsv2Parquet.hasDvs(s"$tmp/db/sw",
+        new org.apache.hadoop.conf.Configuration()))
+      // and back: copy-on-write folds the vectors into its rewrite
+      spark.sql(s"""ALTER TABLE $cat.db.sw
+        |SET TBLPROPERTIES('graft.merge.mode'='copy-on-write')""".stripMargin)
+      merge()
+      assert(probe.lastTruncated.get() > 0)
+      val t = spark.table(s"$cat.db.sw")
+      assert(t.count() == 20L)
+      assert(t.filter(col("k") === 0 && col("s") === "b").count() == 1L)
+      spark.catalog.dropTempView("sw_src")
+    }
+  }
+
   test("maintenance runs as SQL: CALL system.compact_*") {
     withCat { (cat, tmp) =>
       morTable(cat, "sq")
