@@ -155,7 +155,7 @@ private[sources] case class GraftParquetTable(path: String,
     val (drop, keep) = Dsv2Parquet.deleteDecisions(path, filters)
       .getOrElse(throw new UnsupportedOperationException(
         s"graft-parquet: cannot metadata-delete by ${filters.mkString(", ")}"))
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(Dsv2Parquet.readConf)
     if (keep.isEmpty && drop.nonEmpty) {
       // a delete (e.g. TRUNCATE) that removes the LAST data file must
       // not make the table vanish from the catalog — persist the schema
@@ -250,7 +250,7 @@ private[sources] class GraftParquetScanBuilder(path: String,
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     // deletion vectors make footer row counts/stats over-counts —
     // a table with DVs answers aggregates from real (DV-filtered) rows
-    if (Dsv2Parquet.hasDvs(path, new Configuration())) return None
+    if (Dsv2Parquet.hasDvs(path, Dsv2Parquet.readConf)) return None
     val blocks = footerBlocks
     def col(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, DataType)] = e match {
@@ -321,7 +321,7 @@ private[sources] class GraftParquetScanBuilder(path: String,
 
   private lazy val footerBlocks
       : Array[org.apache.parquet.hadoop.metadata.BlockMetaData] = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     Dsv2Parquet.fileFooters(Dsv2Parquet.dataFiles(path, conf), conf)
       .flatMap { case (_, blocks, _) => blocks }
   }
@@ -436,7 +436,7 @@ private[sources] case class GraftParquetScan(path: String,
    * scan instance so the re-plan prunes from memory. */
   @transient private lazy val footerBlocks
       : Array[(String, org.apache.parquet.hadoop.metadata.BlockMetaData)] = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val files = Dsv2Parquet.dataFiles(path, conf)
     files.zip(Dsv2Parquet.fileFooters(files, conf)).flatMap {
       case (f, (_, blocks, _)) => blocks.map(b => f.getPath.toString -> b)
@@ -447,7 +447,7 @@ private[sources] case class GraftParquetScan(path: String,
    * paths). Non-empty ⇒ row counts are inexact — gates limit
    * truncation; readers get the map through the factory. */
   @transient private lazy val dvMap: Map[String, Array[String]] =
-    Dsv2Parquet.dvListing(path, new Configuration())
+    Dsv2Parquet.dvListing(path, Dsv2Parquet.readConf)
   @transient private lazy val dvPresent: Boolean = dvMap.nonEmpty
 
   /** The declared clustered layout, validated against the actual file
@@ -458,7 +458,7 @@ private[sources] case class GraftParquetScan(path: String,
    * push handles on the join side). */
   @transient private lazy val clusteringInfo
       : Option[(Array[String], Int, Array[Int], Array[String])] =
-    Dsv2Parquet.clustering(path, new Configuration()).flatMap {
+    Dsv2Parquet.clustering(path, Dsv2Parquet.readConf).flatMap {
       case (cols, num, sortCols) =>
         val buckets = footerBlocks.map { case (file, _) =>
           Dsv2Parquet.bucketOfFile(new Path(file).getName)
@@ -1275,7 +1275,7 @@ private[sources] object Dsv2Parquet {
     case object All extends Tri
     case object NoneM extends Tri
     case object Unknown extends Tri
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
 
     def colStats(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
         c: String): Option[(Long, Long, Long)] =
@@ -1437,7 +1437,7 @@ private[sources] object Dsv2Parquet {
    * Spark type differs across files fails fast — silently picking one
    * decode would corrupt the other files' bytes. */
   def footerSchema(path: String): StructType = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val files = dataFiles(path, conf)
     require(files.nonEmpty, s"no parquet data files under $path")
     fileFooters(files, conf).map { case (schema, _, _) =>

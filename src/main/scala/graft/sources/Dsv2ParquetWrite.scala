@@ -174,13 +174,13 @@ private[sources] case class GraftParquetBatchWrite(path: String,
       else None
     val existing: Option[String] =
       if (truncateFirst) None
-      else Dsv2Parquet.clustering(path, new Configuration())
+      else Dsv2Parquet.clustering(path, Dsv2Parquet.readConf)
         .map { case (cols, n, sort) => desc(cols, n, sort) }
     // pre-existing data the commit did NOT write: a clustered append
     // beside it may only declare when those files already carry the
     // same declared layout
     def tableWasEmpty: Boolean =
-      Dsv2Parquet.dataFiles(path, new Configuration())
+      Dsv2Parquet.dataFiles(path, Dsv2Parquet.readConf)
         .forall(f => committed(f.getPath.getName))
     declared match {
       case Some(desc) if truncateFirst || existing.contains(desc) ||
@@ -207,7 +207,7 @@ private[sources] case class GraftParquetBatchWrite(path: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val t0 = System.nanoTime()
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     val staged = messages.collect {
@@ -266,7 +266,7 @@ private[sources] case class GraftParquetBatchWrite(path: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val fs = new Path(stagingDir).getFileSystem(conf)
     fs.delete(new Path(stagingDir), true)
   }
@@ -363,7 +363,7 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     val staged = messages.collect {
@@ -417,7 +417,7 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val fs = new Path(stagingDir(epochId)).getFileSystem(conf)
     fs.delete(new Path(stagingDir(epochId)), true)
   }
@@ -455,7 +455,7 @@ private[sources] class GraftParquetDataWriter(stagingDir: String,
   private var rows = 0L
 
   private def open(): Unit = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     file = new Path(stagingDir,
       f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.parquet")
     // direct InternalRow → RecordConsumer write support (no per-row
@@ -488,7 +488,7 @@ private[sources] class GraftParquetDataWriter(stagingDir: String,
   override def abort(): Unit = {
     if (writer != null) { writer.close(); writer = null }
     if (file != null) {
-      val fs = file.getFileSystem(new Configuration())
+      val fs = file.getFileSystem(Dsv2Parquet.readConf)
       fs.delete(file, false)
     }
   }

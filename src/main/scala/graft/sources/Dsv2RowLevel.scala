@@ -167,7 +167,7 @@ private[sources] case class GraftReplaceScan(path: String,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val all = Dsv2Parquet.dataFiles(path, conf)
     val files = all.filter(f => keepFiles.forall(_.contains(f.getPath.toString)))
     op.scannedFiles.set(files.map(_.getPath.getName))
@@ -185,7 +185,7 @@ private[sources] case class GraftReplaceScan(path: String,
     // deletion vectors (if a mode-mixed table carries them) apply in
     // both readers — the rewrite must carry over LIVE rows only
     GraftParquetReaderFactory(required, Array.empty[Filter],
-      dvMap = Dsv2Parquet.dvListing(path, new Configuration()))
+      dvMap = Dsv2Parquet.dvListing(path, Dsv2Parquet.readConf))
 }
 
 /** The replace-commit: stage replacement files invisibly, verify, move
@@ -202,7 +202,7 @@ private[sources] case class GraftReplaceDataWrite(path: String,
     GraftParquetWriterFactory(stagingDir, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     val staged = messages.collect {
@@ -257,7 +257,7 @@ private[sources] case class GraftReplaceDataWrite(path: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(stagingDir).getFileSystem(new Configuration())
+    val fs = new Path(stagingDir).getFileSystem(Dsv2Parquet.readConf)
     fs.delete(new Path(stagingDir), true)
   }
 }
@@ -403,7 +403,7 @@ private[sources] case class GraftDeltaBatchWrite(path: String,
     GraftDeltaWriterFactory(stagingDir, dataSchema, fileIdx, posIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
@@ -446,7 +446,7 @@ private[sources] case class GraftDeltaBatchWrite(path: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(stagingDir).getFileSystem(new Configuration())
+    val fs = new Path(stagingDir).getFileSystem(Dsv2Parquet.readConf)
     fs.delete(new Path(stagingDir), true)
   }
 }

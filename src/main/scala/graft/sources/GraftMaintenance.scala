@@ -41,7 +41,7 @@ object GraftMaintenance {
    * reader's union is idempotent. Returns data files whose sidecars
    * were merged. */
   def compactDvSidecars(path: String): Int = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val multi = Dsv2Parquet.dvListing(path, conf).filter(_._2.length > 1)
@@ -56,7 +56,7 @@ object GraftMaintenance {
   /** Fold every deletion vector under `path` into rewritten files.
    * Returns the number of data files compacted (0 = nothing to do). */
   def compactDeletionVectors(spark: SparkSession, path: String): Int = {
-    val conf = new Configuration()
+    val conf = Dsv2Parquet.readConf
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val dvNames = Dsv2Parquet.dvListing(path, conf).keySet
