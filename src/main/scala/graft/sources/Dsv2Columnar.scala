@@ -205,9 +205,10 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
     s"graft-parquet: columnar DV read of a collection projection ${p.file}")
 
   /** Does the projection request the `_pos` row-lineage column? Its
-   * values are the decode cursor's absolute positions, which (like DV
-   * application) requires the FULL sequential row stream — both
-   * disable parquet's filtered read below. */
+   * values are the decode cursor's absolute positions, which requires
+   * the FULL sequential row stream — it disables parquet's filtered
+   * read below. (Only row-level operations project `_pos`, and their
+   * scans want every live row anyway.) */
   private val wantsPos: Boolean =
     required.fieldNames.contains(Dsv2Parquet.PosMetaColumn)
 
@@ -215,14 +216,16 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
    * can serve (same per-file cut as the row reader): drives parquet's
    * row-group statistics, dictionary, and COLUMN-INDEX (page-level
    * min/max) filtering — surviving rows are a superset of the matches,
-   * Spark's residual filter takes the exact cut. Disabled when row
-   * POSITIONS matter (DV application, `_pos` projection): filtered
-   * reads drop rows invisibly, which would shear the cursor-derived
-   * positions (the row reader gets them exactly from parquet's own
-   * getCurrentRowIndex; this path derives them from sequential
-   * decode). */
+   * Spark's residual filter takes the exact cut. DV application
+   * COMPOSES with the filtered read (r18 verdict #1: a selective band
+   * on a merge-on-read table must not decode every live row): the
+   * store's retained-row-index stream (`PageReadStore.getRowIndexes` +
+   * `getRowIndexOffset`) gives each surviving row's exact
+   * file-absolute position, which merges against the sorted DV
+   * positions run by run. Disabled only for `_pos` projections (the
+   * sequential cursor is that column's value source). */
   private val rowFilter: Option[FilterCompat.Filter] = {
-    if (!flatOnly || dv.nonEmpty || wantsPos) None
+    if (!flatOnly || wantsPos) None
     else {
       val fileSchemaPre = Dsv2Parquet.singleFileSchema(p.file)
       val preds = pushed
@@ -308,11 +311,26 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
 
   /** File-absolute row index of the NEXT row the decoders will
    * produce — drives [[PosDecoder]] and DV run-skipping. Meaningful
-   * only on the unfiltered path (rowFilter empty), which DV/_pos
-   * force. */
+   * only on the unfiltered path (rowFilter empty), which _pos
+   * forces. */
   private var absCursor: Long = 0L
   /** Index into [[dv]] of the first position >= absCursor. */
   private var dvIdx: Int = 0
+
+  /** FILTERED DV path only: file-absolute positions of the current
+   * group's retained rows, in decode-stream order (parquet's
+   * retained-row-index stream shifted by the group's row-index
+   * offset) — the decoders' triplet streams are synchronized to
+   * exactly these rows, so position k of this iterator IS stream
+   * row k. One-value lookahead via [[pendingPos]]. */
+  private var posIter: java.util.PrimitiveIterator.OfLong = _
+  private var pendingPos: Long = -1L
+  private var hasPending = false
+  private def peekPos(): Long = {
+    if (!hasPending) { pendingPos = posIter.nextLong(); hasPending = true }
+    pendingPos
+  }
+  private def popPos(): Unit = hasPending = false
 
   /** Row-group start offset (file-absolute row index) by the group's
    * starting byte position, from the file's FULL footer — exact
@@ -359,6 +377,26 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
         probe.rowsAdmitted.addAndGet(rowsLeftInGroup): Unit
         val block = if (blocksIter.hasNext) Some(blocksIter.next()) else None
         block.foreach(b => absCursor = rowOffsets(b.getStartingPos))
+        if (dv.nonEmpty && rowFilter.isDefined) {
+          // retained-row positions for the DV merge: within-group
+          // indexes from the store, shifted to file-absolute by the
+          // group's offset; a store with no index stream retained
+          // every row — synthesize the contiguous range
+          val off: Long = pages.getRowIndexOffset.orElseThrow(() =>
+            new IllegalStateException(
+              s"graft-parquet: no row-index offset for ${p.file}"))
+          hasPending = false
+          posIter = pages.getRowIndexes
+            .map[java.util.PrimitiveIterator.OfLong] { inner =>
+              new java.util.PrimitiveIterator.OfLong {
+                override def hasNext: Boolean = inner.hasNext
+                override def nextLong(): Long = inner.nextLong() + off
+              }
+            }
+            .orElseGet(() =>
+              java.util.stream.LongStream
+                .range(off, off + pages.getRowCount).iterator())
+        }
         // id-mode decode gate: every data page of the chunk must be
         // dictionary-encoded (EncodingStats proof) — a mixed chunk
         // materializes values like any other
@@ -445,6 +483,46 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
       rowsLeftInGroup -= n
       absCursor += n
       filled = n
+    } else if (rowFilter.isDefined) {
+      // FILTERED DV path: the decoders' triplet streams hold only the
+      // rows parquet's filtered read retained (page-index skipping
+      // intact — the r18 verdict's one remaining scale-soft spot);
+      // their file-absolute positions come from [[posIter]], merged
+      // against the sorted DV. Runs of same liveness decode/skip in
+      // bulk exactly like the sequential path — they just need not be
+      // positionally contiguous.
+      while (filled < BatchSize && rowsLeftInGroup > 0L &&
+          filled < limitLeft) {
+        val first = peekPos()
+        while (dvIdx < dv.length && dv(dvIdx) < first) dvIdx += 1
+        val live0 = dvIdx >= dv.length || dv(dvIdx) != first
+        val cap: Long =
+          if (live0) math.min(
+            math.min(BatchSize - filled, limitLeft - filled),
+            rowsLeftInGroup)
+          else math.min(rowsLeftInGroup, Int.MaxValue.toLong)
+        popPos()
+        var n = 1
+        var break = false
+        while (!break && n < cap) {
+          val pos = peekPos()
+          while (dvIdx < dv.length && dv(dvIdx) < pos) dvIdx += 1
+          val live = dvIdx >= dv.length || dv(dvIdx) != pos
+          if (live == live0) { popPos(); n += 1 } else break = true
+        }
+        i = 0
+        if (live0) {
+          while (i < uniqueVectors.length) {
+            decoders(i).decode(n, uniqueVectors(i)); i += 1
+          }
+          filled += n
+        } else {
+          while (i < uniqueVectors.length) { decoders(i).skip(n); i += 1 }
+        }
+        rowsLeftInGroup -= n
+      }
+      // a group tail of pure deletes can fill nothing — move on
+      if (filled == 0) return next()
     } else {
       // DV path: alternate LIVE runs (decoded) and DELETED runs
       // (skipped — cursors advance, vectors untouched), run bounds

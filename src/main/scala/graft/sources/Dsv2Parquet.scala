@@ -908,7 +908,7 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
   override def close(): Unit = reader.close()
 }
 
-private[sources] object Dsv2Parquet {
+private[graft] object Dsv2Parquet {
   /** One JVM-wide READ Configuration: constructing a Hadoop
    * Configuration parses the default XML resources — measured
    * ~10-14 ms, which per-reader construction made the DOMINANT cost of

@@ -1553,6 +1553,74 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("pageindex-dv")) {
+      // Page-index skipping on a DELETION-VECTOR-carrying table (r18
+      // verdict #1, the one remaining "plan you wouldn't want at
+      // 100×"): a selective band on a merge-on-read table used to
+      // decode every live row, because DV application forced the
+      // unfiltered sequential read. Now the filtered read's
+      // retained-row-index stream merges against the sorted DV, so
+      // admitted rows stay proportional to the band — not the table.
+      import graft.sources.{Dsv2Parquet, Dsv2RuntimeProbe, GraftParquetProvider}
+      val fmt = classOf[GraftParquetProvider].getName
+      val pDir = "/tmp/graft-smoke-pageindex-dv"
+      try {
+        replicate(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+          .orderBy("o_orderkey").coalesce(2)
+          .write.mode("overwrite")
+          // 2k-row pages: the probe file then carries ~150 pages —
+          // the page-to-file ratio a production-sized (128MB+) file
+          // has at the DEFAULT 20k-row page limit, so the skipping
+          // fraction below reflects a 100TB table, not the
+          // granularity floor of a small file with a handful of pages
+          .option("parquet.page.row.count.limit", "2000")
+          .parquet(pDir)
+        val n = spark.read.parquet(pDir).count()
+        // delete ~1% of each file: every 100th position
+        val fs = new org.apache.hadoop.fs.Path(pDir)
+          .getFileSystem(Dsv2Parquet.readConf)
+        var dvRows = 0L
+        Dsv2Parquet.dataFiles(pDir, Dsv2Parquet.readConf).foreach { f =>
+          val rows = Dsv2Parquet.fileFooter(f, Dsv2Parquet.readConf)
+            ._2.map(_.getRowCount).sum
+          val dels = (0L until rows by 100L).toArray
+          dvRows += dels.length
+          Dsv2Parquet.writeDvSidecar(f.getPath.getParent,
+            f.getPath.getName, dels, Dsv2Parquet.readConf)
+        }
+        val live = n - dvRows
+        val ext = spark.read.parquet(pDir)
+          .agg(min("o_orderkey"), max("o_orderkey")).head()
+        val lo = ext.getLong(0) + (ext.getLong(1) - ext.getLong(0)) / 3
+        val hi = lo + 1000L
+        val probe = Dsv2RuntimeProbe.forPath(pDir)
+        probe.reset()
+        val (cnt, wall) = timed(spark.read.format(fmt).load(pDir)
+          .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+          .count())
+        val admitted = probe.rowsAdmitted.get()
+        // cross-check the DV semantics: matched = band minus deletions
+        val expect = spark.read.parquet(pDir)
+          .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+          .count() * 99L / 100L
+        println(f"[scale-smoke] pageindex-dv rows=$n live=$live " +
+          f"kept_groups=${probe.lastKept.get()}/${probe.lastPlanned.get()} " +
+          f"admitted=$admitted matched=$cnt wall=${wall}%.2fs " +
+          f"(admitted/live=${admitted.toDouble / live}%.5f)")
+        require(cnt > 0L && math.abs(cnt - expect) <= expect / 10 + 20,
+          s"band matched $cnt, expected ≈$expect")
+        require(admitted > 0L && admitted < live / 10,
+          s"DV'd selective scan admitted $admitted of $live live rows " +
+            "— page-index skipping disengaged")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(pDir))
+      }
+    }
+
     if (args.contains("bloom")) {
       // Bloom-filter point lookup at scale: 6M rows, 32 UNSORTED files,
       // a high-cardinality string key (dictionary overflows to plain,

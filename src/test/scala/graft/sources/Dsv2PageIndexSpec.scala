@@ -91,6 +91,67 @@ class Dsv2PageIndexSpec extends SparkSpec {
     }
   }
 
+  test("page index composes with deletion vectors: pages skipped AND " +
+      "deleted rows absent") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      // one file, one row group, 1000-row pages on a sorted key — and
+      // a deletion vector over it (r18 verdict #1: a selective band on
+      // a merge-on-read table must NOT decode every live row)
+      spark.range(0, 200000).select(col("id").as("k"), (col("id") * 3).as("v"))
+        .coalesce(1).sortWithinPartitions("k")
+        .write
+        .option("parquet.page.size", "4096")
+        .option("parquet.page.row.count.limit", "1000")
+        .parquet(p)
+      val dataFile = new java.io.File(p).listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      // sorted coalesced range ⇒ file position == k: delete every 3rd
+      // row of the band plus scattered far-away rows (page-boundary
+      // stress on both sides of the band)
+      val deleted = (54300L until 54400L by 3L).toArray ++
+        Array(0L, 999L, 1000L, 123456L, 199999L)
+      Dsv2Parquet.writeDvSidecar(new org.apache.hadoop.fs.Path(p), dataFile,
+        deleted.sorted, Dsv2Parquet.readConf)
+      val probe = Dsv2RuntimeProbe.forPath(p)
+      probe.reset()
+      val got = spark.read.format(fmt).load(p)
+        .filter(col("k") >= 54300L && col("k") < 54500L)
+        .select("k", "v").as[(Long, Long)].collect().toSet
+      val exp = (54300L until 54500L).filterNot(deleted.contains)
+        .map(k => (k, k * 3)).toSet
+      assert(got == exp)
+      // the filtered read must still have admitted only candidate
+      // pages — not the whole group (200k rows)
+      val admitted = probe.rowsAdmitted.get()
+      assert(admitted > 0L && admitted < 20000L, s"admitted=$admitted")
+    }
+  }
+
+  test("DV + page index stays exact across batch boundaries and " +
+      "all-deleted pages") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      spark.range(0, 60000).select(col("id").as("k"),
+        (col("id") % 9).cast("int").as("v"))
+        .coalesce(1).sortWithinPartitions("k")
+        .write.option("parquet.page.row.count.limit", "500").parquet(p)
+      val dataFile = new java.io.File(p).listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      // delete an ENTIRE retained page (30000-30499), a run crossing
+      // the 4096-batch boundary of the retained stream, and singletons
+      val deleted = (30000L until 30500L).toArray ++
+        (33000L until 33100L).toArray ++ Array(29999L, 34001L)
+      Dsv2Parquet.writeDvSidecar(new org.apache.hadoop.fs.Path(p), dataFile,
+        deleted.sorted, Dsv2Parquet.readConf)
+      val got = spark.read.format(fmt).load(p)
+        .filter(col("k") >= 29000L && col("k") < 35000L)
+        .select("k").as[Long].collect().toSet
+      val exp = (29000L until 35000L).toSet -- deleted.toSet
+      assert(got == exp)
+    }
+  }
+
   test("filtered reads stay exact under nulls and residual re-check") {
     withTmp { tmp =>
       val p = s"$tmp/t"
