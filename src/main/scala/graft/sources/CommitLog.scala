@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/**
+ * A MINIMAL COMMIT LOG for [[GraftParquetProvider]] tables — versioned
+ * manifests giving readers true snapshots and writers compare-and-swap
+ * commits (r18 verdict #2).
+ *
+ * Without a log, table state is "whatever the directory listing says":
+ * atomic renames plus existence checks make single-writer operation
+ * crash-safe, but concurrent maintenance vs row-level commits race in
+ * a window no listing can close (a delta commit landing between
+ * compaction's scan and its swap loses its sidecar). The log closes
+ * that window the way every table format does — Iceberg's metadata
+ * pointer, Delta's _delta_log — reduced to its essential core:
+ *
+ *  - `_v<N>.manifest` (N zero-padded, monotonically increasing) lists
+ *    the table's data files and deletion-vector sidecars BY NAME. The
+ *    manifest with the highest N IS the table state; files in the
+ *    directory but not in it are invisible (uncommitted, orphaned, or
+ *    historical).
+ *  - Publishing version N+1 is a CAS: the manifest is staged to a
+ *    temp name and promoted with an atomic create-if-absent (POSIX
+ *    `link(2)` on local filesystems — EEXIST is the "lost the race"
+ *    signal; create-no-overwrite elsewhere). Exactly one writer wins
+ *    a version; losers re-read the new state and either RETRY (their
+ *    update commutes — appends, delta deletes) or ABORT (it doesn't —
+ *    rewrites whose scanned files were replaced). Same race-guard
+ *    philosophy as the reference's read-before-delete
+ *    (DBOperations.java:61-70) lifted to table granularity.
+ *  - Manifests are immutable once published (cached forever by name)
+ *    and previous versions remain readable: `VERSION AS OF` is a
+ *    manifest choice, and replaced data files are NOT physically
+ *    deleted by log-enabled commits — `expire_snapshots` reclaims
+ *    them once the retention window passes.
+ *
+ * The log is opt-in per table (TBLPROPERTIES('graft.commit.log'=
+ * 'true') or [[enable]]); presence of any manifest under the table dir
+ * is the source of truth. Non-log tables keep the r17/r18 listing
+ * semantics unchanged.
+ *
+ * Scale shape: one small text file per commit, one `listStatus` per
+ * planning (the same listing the data files need anyway), O(files)
+ * manifest size. At 100 TB the listing is the catalog's problem
+ * everywhere (Iceberg keeps manifests in a tree for that reason);
+ * this single-level log is the correct-first rung with the same
+ * commit semantics.
+ */
+object CommitLog {
+  val Prefix = "_v"
+  val Suffix = ".manifest"
+  private val Header = "graft-manifest 1"
+
+  /** One published table version: data files + DV sidecars +
+   * equality-delete files, all by NAME (relative to the table dir). */
+  final case class Snapshot(version: Long, dataFiles: Set[String],
+      dvFiles: Set[String], eqFiles: Set[String] = Set.empty) {
+    /** data file name → its DV sidecar paths under `dir` (the same
+     * shape [[Dsv2Parquet.dvListing]] serves from a raw listing). */
+    def dvMapUnder(dir: Path): Map[String, Array[String]] =
+      dvFiles.toArray.flatMap { s =>
+        Dsv2Parquet.dvTarget(s).map(_ -> new Path(dir, s).toString)
+      }.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2) }
+  }
+
+  def manifestName(v: Long): String = f"$Prefix$v%020d$Suffix"
+
+  /** `_v<N>.manifest` → N; None for any other name. */
+  def versionOf(name: String): Option[Long] =
+    if (name.startsWith(Prefix) && name.endsWith(Suffix)) {
+      val mid = name.substring(Prefix.length, name.length - Suffix.length)
+      if (mid.nonEmpty && mid.forall(_.isDigit)) Some(mid.toLong) else None
+    } else None
+
+  /** Published manifests are immutable — parse once per JVM. */
+  private val cache = new ConcurrentHashMap[String, Snapshot]()
+
+  private def parse(text: String, version: Long): Snapshot = {
+    val lines = text.linesIterator.toArray
+    require(lines.nonEmpty && lines(0) == Header,
+      s"graft-manifest: bad header in version $version")
+    var data = Set.empty[String]
+    var dv = Set.empty[String]
+    var eq = Set.empty[String]
+    lines.drop(1).filter(_.nonEmpty).foreach { l =>
+      val tag = l.charAt(0)
+      require(l.length > 2 && l.charAt(1) == ' ',
+        s"graft-manifest: bad line '$l' in version $version")
+      val name = l.substring(2)
+      tag match {
+        case 'D' => data += name
+        case 'V' => dv += name
+        case 'E' => eq += name
+        case other => throw new IllegalArgumentException(
+          s"graft-manifest: unknown entry tag '$other' in version $version")
+      }
+    }
+    Snapshot(version, data, dv, eq)
+  }
+
+  /** Read one version's manifest (cached; fails if absent — an expired
+   * or never-published version). */
+  def read(dir: Path, version: Long, conf: Configuration): Snapshot = {
+    val p = new Path(dir, manifestName(version))
+    val key = p.toString
+    val cached = cache.get(key)
+    if (cached != null) return cached
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
+      s"graft-manifest: version $version of $dir does not exist " +
+        "(never published, or expired)")
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    val snap = parse(text, version)
+    cache.put(key, snap)
+    snap
+  }
+
+  /** All published versions under `dir`, ascending (empty = the table
+   * has no commit log). */
+  def versions(dir: Path, conf: Configuration): Array[Long] = {
+    val fs = dir.getFileSystem(conf)
+    try {
+      if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory)
+        Array.empty[Long]
+      else fs.listStatus(dir)
+        .flatMap(s => versionOf(s.getPath.getName)).sorted
+    } catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+  }
+
+  def enabled(path: String, conf: Configuration): Boolean =
+    versions(new Path(path), conf).nonEmpty
+
+  /** The current snapshot (highest published version), or None when
+   * the table has no commit log. */
+  def latest(path: String, conf: Configuration): Option[Snapshot] = {
+    val dir = new Path(path)
+    versions(dir, conf).lastOption.map(read(dir, _, conf))
+  }
+
+  /** The snapshot to read: an explicit `VERSION AS OF`, else the
+   * latest; None when the table has no commit log (callers fall back
+   * to listing semantics). An explicit version on a log-less table
+   * fails loudly — silently serving current state would misanswer a
+   * time-travel query. */
+  def snapshotFor(path: String, conf: Configuration,
+      versionAsOf: Option[Long]): Option[Snapshot] = versionAsOf match {
+    case Some(v) =>
+      require(enabled(path, conf),
+        s"graft-manifest: VERSION AS OF $v on $path, which has no " +
+          "commit log (set TBLPROPERTIES('graft.commit.log'='true'))")
+      Some(read(new Path(path), v, conf))
+    case None => latest(path, conf)
+  }
+
+  /** CAS-publish `snap` as version `snap.version`: true iff THIS call
+   * created the manifest. Losing the race (version already published
+   * by a concurrent writer) returns false and leaves no trace. */
+  def tryCommit(path: String, snap: Snapshot,
+      conf: Configuration): Boolean = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val dst = new Path(dir, manifestName(snap.version))
+    val tmp = new Path(dir, s"._manifest-tmp-${UUID.randomUUID()}")
+    val body = (Seq(Header) ++
+      snap.dataFiles.toSeq.sorted.map("D " + _) ++
+      snap.dvFiles.toSeq.sorted.map("V " + _) ++
+      snap.eqFiles.toSeq.sorted.map("E " + _)).mkString("", "\n", "\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val won =
+      if (fs.getScheme == "file") {
+        // POSIX link(2): atomic create-if-absent — the one primitive a
+        // local filesystem gives that rename lacks (rename REPLACES an
+        // existing destination, so it cannot detect the lost race)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        // HDFS-ish: rename does NOT replace an existing file there, so
+        // exists-then-rename is the standard CAS approximation (what
+        // Delta's LogStore does per storage backend)
+        !fs.exists(dst) && fs.rename(tmp, dst)
+      }
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    won
+  }
+
+  /** Start the log: snapshot the CURRENT listing into version 1.
+   * Idempotent — an already-enabled table returns its latest version
+   * untouched. */
+  def enable(path: String, conf: Configuration): Snapshot = {
+    latest(path, conf).getOrElse {
+      val dir = new Path(path)
+      val data = Dsv2Parquet.dataFiles(path, conf)
+        .map(_.getPath.getName).toSet
+      val dv = Dsv2Parquet.dvListing(path, conf)
+        .values.flatten.map(new Path(_).getName).toSet
+      val snap = Snapshot(1L, data, dv)
+      if (tryCommit(path, snap, conf)) snap
+      else latest(path, conf).get // lost an enable race — theirs stands
+    }
+  }
+
+  /** Retry loop for COMMUTING updates (appends, delta deletes, DV
+   * sidecar merges): re-read the latest snapshot, recompute the next
+   * state through `update`, CAS. `update` returning None aborts (the
+   * caller found the new base state invalidates its work — e.g. a
+   * file its deletes reference was replaced). Returns the published
+   * snapshot, or None on abort. */
+  def commitUpdate(path: String, conf: Configuration)(
+      update: Snapshot => Option[Snapshot]): Option[Snapshot] = {
+    var attempts = 0
+    while (attempts < 1000) {
+      val cur = latest(path, conf).getOrElse(throw new IllegalStateException(
+        s"graft-manifest: $path has no commit log"))
+      update(cur) match {
+        case None => return None
+        case Some(next0) =>
+          val next = next0.copy(version = cur.version + 1)
+          if (tryCommit(path, next, conf)) return Some(next)
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"graft-manifest: commit of $path contended past 1000 attempts")
+  }
+}

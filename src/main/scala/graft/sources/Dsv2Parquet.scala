@@ -91,7 +91,8 @@ class GraftParquetProvider extends TableProvider {
 
 private[sources] case class GraftParquetTable(path: String,
     override val schema: StructType,
-    mergeOnRead: Boolean = false) extends Table
+    mergeOnRead: Boolean = false,
+    versionAsOf: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with SupportsMetadataColumns
@@ -108,10 +109,14 @@ private[sources] case class GraftParquetTable(path: String,
    * exactly like Iceberg's metadata vs row-level deletes. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(versionAsOf.isEmpty,
+      s"graft-parquet: cannot mutate $path pinned at VERSION AS OF " +
+        s"${versionAsOf.get}")
     () =>
       if (mergeOnRead) GraftDeltaOperation(path, schema, info.command())
       else GraftRowLevelOperation(path, schema, info.command())
+  }
 
   override def properties(): util.Map[String, String] =
     if (mergeOnRead)
@@ -152,6 +157,9 @@ private[sources] case class GraftParquetTable(path: String,
     Dsv2Parquet.deleteDecisions(path, filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(versionAsOf.isEmpty,
+      s"graft-parquet: cannot delete from $path pinned at VERSION AS " +
+        s"OF ${versionAsOf.get}")
     val (drop, keep) = Dsv2Parquet.deleteDecisions(path, filters)
       .getOrElse(throw new UnsupportedOperationException(
         s"graft-parquet: cannot metadata-delete by ${filters.mkString(", ")}"))
@@ -163,9 +171,24 @@ private[sources] case class GraftParquetTable(path: String,
       val out = fs.create(new Path(path, Dsv2Parquet.SchemaFileName), true)
       try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
     }
-    drop.foreach(f => fs.delete(f, false))
-    if (drop.nonEmpty)
-      Dsv2Parquet.deleteDvsFor(fs, drop(0).getParent, drop.map(_.getName))
+    if (CommitLog.enabled(path, Dsv2Parquet.readConf)) {
+      // logical retire: the manifest drop IS the delete (re-proved per
+      // CAS attempt); the bytes stay for time travel
+      CommitLog.commitUpdate(path, Dsv2Parquet.readConf) { cur =>
+        val removed = Dsv2Parquet.deleteDecisions(path, filters).getOrElse(
+          throw new IllegalStateException(
+            s"graft-parquet: metadata delete no longer file-aligned " +
+              s"(${filters.mkString(", ")}) — a file changed mid-commit"))
+          ._1.map(_.getName).toSet
+        Some(cur.copy(dataFiles = cur.dataFiles -- removed,
+          dvFiles = cur.dvFiles.filterNot(v =>
+            Dsv2Parquet.dvTarget(v).exists(removed.contains))))
+      }
+    } else {
+      drop.foreach(f => fs.delete(f, false))
+      if (drop.nonEmpty)
+        Dsv2Parquet.deleteDvsFor(fs, drop(0).getParent, drop.map(_.getName))
+    }
     Dsv2DeleteProbe.forPath(path).lastDropped.set(drop.length)
     Dsv2DeleteProbe.forPath(path).lastKept.set(keep.length)
   }
@@ -179,15 +202,24 @@ private[sources] case class GraftParquetTable(path: String,
       Option(options.get(Dsv2Parquet.MaxRowGroupsPerTriggerOption))
         .map(_.toInt),
       Option(options.get(Dsv2Columnar.VectorizedOption))
-        .forall(_.toBoolean))
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+        .forall(_.toBoolean),
+      // SQL `VERSION AS OF` (catalog loadTable) or the read option —
+      // either pins every planning listing to that manifest
+      versionAsOf.orElse(
+        Option(options.get(Dsv2Parquet.VersionAsOfOption)).map(_.toLong)))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      s"graft-parquet: cannot write to $path pinned at VERSION AS OF " +
+        s"${versionAsOf.get} — writes go to the current version")
     GraftParquetWriteBuilder(path, info)
+  }
 }
 
 private[sources] class GraftParquetScanBuilder(path: String,
     tableSchema: StructType,
     maxRowGroupsPerTrigger: Option[Int] = None,
-    vectorize: Boolean = true) extends ScanBuilder
+    vectorize: Boolean = true,
+    versionAsOf: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = tableSchema
@@ -250,7 +282,8 @@ private[sources] class GraftParquetScanBuilder(path: String,
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     // deletion vectors make footer row counts/stats over-counts —
     // a table with DVs answers aggregates from real (DV-filtered) rows
-    if (Dsv2Parquet.hasDvs(path, Dsv2Parquet.readConf)) return None
+    if (Dsv2Parquet.dvListing(path, Dsv2Parquet.readConf,
+        versionAsOf).nonEmpty) return None
     val blocks = footerBlocks
     def col(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, DataType)] = e match {
@@ -322,7 +355,8 @@ private[sources] class GraftParquetScanBuilder(path: String,
   private lazy val footerBlocks
       : Array[org.apache.parquet.hadoop.metadata.BlockMetaData] = {
     val conf = Dsv2Parquet.readConf
-    Dsv2Parquet.fileFooters(Dsv2Parquet.dataFiles(path, conf), conf)
+    Dsv2Parquet.fileFooters(
+      Dsv2Parquet.dataFiles(path, conf, versionAsOf), conf)
       .flatMap { case (_, blocks, _) => blocks }
   }
 
@@ -331,7 +365,7 @@ private[sources] class GraftParquetScanBuilder(path: String,
       GraftParquetAggScan(schema, values, desc)
     case None =>
       GraftParquetScan(path, required, pushed, maxRowGroupsPerTrigger, limit,
-        vectorize)
+        vectorize, versionAsOf)
   }
 }
 
@@ -368,7 +402,8 @@ private[sources] case class GraftParquetScan(path: String,
     required: StructType, pushed: Array[Filter],
     maxRowGroupsPerTrigger: Option[Int] = None,
     limit: Option[Int] = None,
-    vectorize: Boolean = true) extends Scan with Batch
+    vectorize: Boolean = true,
+    versionAsOf: Option[Long] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -437,7 +472,7 @@ private[sources] case class GraftParquetScan(path: String,
   @transient private lazy val footerBlocks
       : Array[(String, org.apache.parquet.hadoop.metadata.BlockMetaData)] = {
     val conf = Dsv2Parquet.readConf
-    val files = Dsv2Parquet.dataFiles(path, conf)
+    val files = Dsv2Parquet.dataFiles(path, conf, versionAsOf)
     files.zip(Dsv2Parquet.fileFooters(files, conf)).flatMap {
       case (f, (_, blocks, _)) => blocks.map(b => f.getPath.toString -> b)
     }
@@ -447,7 +482,7 @@ private[sources] case class GraftParquetScan(path: String,
    * paths). Non-empty ⇒ row counts are inexact — gates limit
    * truncation; readers get the map through the factory. */
   @transient private lazy val dvMap: Map[String, Array[String]] =
-    Dsv2Parquet.dvListing(path, Dsv2Parquet.readConf)
+    Dsv2Parquet.dvListing(path, Dsv2Parquet.readConf, versionAsOf)
   @transient private lazy val dvPresent: Boolean = dvMap.nonEmpty
 
   /** The declared clustered layout, validated against the actual file
@@ -925,6 +960,17 @@ private[graft] object Dsv2Parquet {
    * micro-batch (the connector analogue of maxFilesPerTrigger). */
   val MaxRowGroupsPerTriggerOption = "graft.maxRowGroupsPerTrigger"
 
+  /** Read option: pin the scan to one published [[CommitLog]] version
+   * (time travel). SQL `VERSION AS OF n` resolves to the same thing
+   * through the catalog's versioned loadTable. */
+  val VersionAsOfOption = "graft.versionAsOf"
+
+  /** Table property enabling the [[CommitLog]] (versioned manifests,
+   * CAS commits, snapshot isolation, time travel). Enable-only: once
+   * manifests exist they ARE the table state — deleting them would
+   * resurrect every orphaned file the log had retired. */
+  val CommitLogProperty = "graft.commit.log"
+
   /** Write options requesting a sink-driven exchange: ordered (range
    * partition + sort — disjoint sorted files) or clustered (hash —
    * one key, one task). Comma-separated column lists. */
@@ -1071,9 +1117,11 @@ private[graft] object Dsv2Parquet {
       .distinct.sorted
 
   /** Publish ONE commit's positions for one data file as a fresh
-   * immutable sidecar (tmp + atomic rename to a unique name). */
+   * immutable sidecar (tmp + atomic rename to a unique name); returns
+   * the sidecar's name (a commit-logged caller adds it to the next
+   * manifest). */
   def writeDvSidecar(dir: Path, dataFileName: String,
-      positions: Array[Long], conf: Configuration): Unit = {
+      positions: Array[Long], conf: Configuration): String = {
     val fs = dir.getFileSystem(conf)
     val tmp = new Path(dir, s".dvtmp-${java.util.UUID.randomUUID()}")
     val out = new java.io.DataOutputStream(fs.create(tmp, true))
@@ -1086,6 +1134,7 @@ private[graft] object Dsv2Parquet {
       s"$DvPrefix$dataFileName-${java.util.UUID.randomUUID()}.bin")
     require(fs.rename(tmp, dst),
       s"graft-parquet: deletion-vector rename failed for $dst")
+    dst.getName
   }
 
   /** The table's sidecar map from ONE directory listing:
@@ -1093,26 +1142,56 @@ private[graft] object Dsv2Parquet {
    * shipped to readers (snapshot semantics — a delta commit landing
    * mid-query is invisible, like any file-source snapshot). */
   def dvListing(path: String,
-      conf: Configuration): Map[String, Array[String]] = {
+      conf: Configuration): Map[String, Array[String]] =
+    dvListing(path, conf, None)
+
+  /** Same snapshot rule as [[dataFiles]]: a commit-logged table serves
+   * the manifest's sidecar set (latest or `versionAsOf`), a log-less
+   * table the raw listing. */
+  def dvListing(path: String, conf: Configuration,
+      versionAsOf: Option[Long]): Map[String, Array[String]] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val entries =
+    val all =
       try {
         if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath).filter(
-            _.getName.startsWith(DvPrefix))
+          fs.listStatus(p).map(_.getPath)
         else Array.empty[Path]
       } catch { case _: java.io.FileNotFoundException => Array.empty[Path] }
-    entries.flatMap { s =>
-      // _dv-<datafile>-<uuid>.bin → <datafile>; data file names always
-      // end in .parquet (and contain hyphens, as does the uuid), so the
-      // unambiguous cut is after the LAST ".parquet" before the uuid
-      val n = s.getName.stripPrefix(DvPrefix).stripSuffix(".bin")
+    val entries = all.filter(_.getName.startsWith(DvPrefix))
+    val vs = all.flatMap(x => CommitLog.versionOf(x.getName))
+    val snapped: Array[Path] = versionAsOf match {
+      case Some(v) =>
+        require(vs.nonEmpty,
+          s"graft-manifest: VERSION AS OF $v on $path, which has no " +
+            "commit log")
+        val s = CommitLog.read(p, v, conf)
+        val byName = entries.map(e => e.getName -> e).toMap
+        s.dvFiles.toArray.sorted.map(n => byName.getOrElse(n,
+          throw new IllegalStateException(
+            s"graft-manifest: version ${s.version} of $path references " +
+              s"missing deletion vector $n")))
+      case None if vs.nonEmpty =>
+        val s = CommitLog.read(p, vs.max, conf)
+        entries.filter(e => s.dvFiles.contains(e.getName))
+      case None => entries
+    }
+    snapped.flatMap(s => dvTarget(s.getName).map(_ -> s.toString))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2) }
+  }
+
+  /** `_dv-<datafile>-<uuid>.bin` → `<datafile>`; data file names always
+   * end in .parquet (and contain hyphens, as does the uuid), so the
+   * unambiguous cut is after the LAST ".parquet" before the uuid. */
+  def dvTarget(sidecarName: String): Option[String] =
+    if (!sidecarName.startsWith(DvPrefix) || !sidecarName.endsWith(".bin"))
+      None
+    else {
+      val n = sidecarName.stripPrefix(DvPrefix).stripSuffix(".bin")
       val cut = n.lastIndexOf(".parquet-")
       if (cut < 0) None
-      else Some(n.substring(0, cut + ".parquet".length) -> s.toString)
-    }.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2) }
-  }
+      else Some(n.substring(0, cut + ".parquet".length))
+    }
 
   /** Any deletion vector under this table dir? Drives the scan-side
    * gates: footer-served aggregates off (row counts are no longer
@@ -1405,16 +1484,46 @@ private[graft] object Dsv2Parquet {
     out
   }
 
-  def dataFiles(path: String, conf: Configuration): Array[FileStatus] = {
+  def dataFiles(path: String, conf: Configuration): Array[FileStatus] =
+    dataFiles(path, conf, None)
+
+  /** The table's data files. ONE directory listing; when the listing
+   * shows a commit log ([[CommitLog]] manifests), the returned set is
+   * the MANIFEST's — the latest version's, or exactly `versionAsOf`'s
+   * (time travel). Files present in the directory but not in the
+   * manifest (uncommitted, replaced, orphaned) are invisible. A
+   * log-less table keeps pure listing semantics. */
+  def dataFiles(path: String, conf: Configuration,
+      versionAsOf: Option[Long]): Array[FileStatus] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     val files =
       if (st.isDirectory) fs.listStatus(p).filter(_.isFile)
       else Array(st)
-    files.filter { f =>
+    val base = files.filter { f =>
       val n = f.getPath.getName
       n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!st.isDirectory) return base
+    val vs = files.flatMap(f => CommitLog.versionOf(f.getPath.getName))
+    val snap: Option[CommitLog.Snapshot] = versionAsOf match {
+      case Some(v) =>
+        require(vs.nonEmpty,
+          s"graft-manifest: VERSION AS OF $v on $path, which has no " +
+            "commit log")
+        Some(CommitLog.read(p, v, conf))
+      case None =>
+        if (vs.isEmpty) None else Some(CommitLog.read(p, vs.max, conf))
+    }
+    snap match {
+      case None => base
+      case Some(s) =>
+        val byName = base.map(f => f.getPath.getName -> f).toMap
+        s.dataFiles.toArray.sorted.map(n => byName.getOrElse(n,
+          throw new IllegalStateException(
+            s"graft-manifest: version ${s.version} of $path references " +
+              s"missing data file $n (expired or physically deleted)")))
     }
   }
 

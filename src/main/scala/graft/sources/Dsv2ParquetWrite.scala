@@ -217,6 +217,49 @@ private[sources] case class GraftParquetBatchWrite(path: String,
     // step — a missing staged file fails the job with old data intact
     staged.foreach(f => require(fs.isFile(f),
       s"graft-parquet commit: staged file missing: $f"))
+    if (CommitLog.enabled(path, conf)) {
+      // COMMIT-LOGGED table: files retire LOGICALLY — the staged
+      // renames land invisibly (no manifest references them yet), and
+      // ONE CAS manifest publish is the commit point. Replaced files
+      // stay on disk for time travel until expire_snapshots. Losing
+      // the CAS re-reads the new base: appends commute (retry);
+      // truncate/overwrite recompute their removal set against the
+      // new state (overwrite-wins semantics, re-proved per attempt).
+      staged.foreach { f =>
+        val dst = new Path(target, f.getName)
+        require(fs.rename(f, dst),
+          s"graft-parquet commit: rename $f -> $dst failed")
+      }
+      val stagedNames = staged.map(_.getName).toSet
+      var removedCount = 0
+      CommitLog.commitUpdate(path, conf) { cur =>
+        val removedNames: Set[String] =
+          if (truncateFirst) cur.dataFiles
+          else if (overwriteFilters.nonEmpty)
+            Dsv2Parquet.deleteDecisions(path, overwriteFilters).getOrElse(
+              throw new IllegalStateException(
+                "graft-parquet overwrite: the predicate is no longer " +
+                  s"file-aligned (${overwriteFilters.mkString(", ")}) — " +
+                  "a file changed between planning and commit"))
+              ._1.map(_.getName).toSet
+          else Set.empty[String]
+        removedCount = removedNames.size
+        Some(cur.copy(
+          dataFiles = cur.dataFiles -- removedNames ++ stagedNames,
+          dvFiles = cur.dvFiles.filterNot(v =>
+            Dsv2Parquet.dvTarget(v).exists(removedNames.contains))))
+      }
+      fs.delete(new Path(stagingDir), true)
+      maintainClustering(fs, stagedNames)
+      Dsv2WriteProbe.forPath(path).lastTruncated.set(removedCount)
+      Dsv2WriteProbe.forPath(path).lastCommittedFiles.set(staged.length)
+      Dsv2WriteProbe.forPath(path).lastCommittedRows.set(messages.collect {
+        case GraftParquetCommitMessage(_, n) => n
+      }.sum)
+      Dsv2WriteProbe.forPath(path).lastCommitMillis.set(
+        (System.nanoTime() - t0) / 1000000L)
+      return
+    }
     // overwrite: the old files move ASIDE (into a `_`-prefixed trash
     // directory the listing never shows) rather than being deleted, so
     // a driver crash between here and the staged renames leaves the

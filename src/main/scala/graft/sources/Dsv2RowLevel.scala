@@ -214,6 +214,45 @@ private[sources] case class GraftReplaceDataWrite(path: String,
       throw new IllegalStateException(
         "graft-replace commit: the operation's scan never planned — " +
           "nothing to replace"))
+    if (CommitLog.enabled(path, conf)) {
+      // COMMIT-LOGGED table: the conflict check is version-based — a
+      // scanned file must still be in the CURRENT manifest, else a
+      // concurrent rewrite replaced it (this op's output carries stale
+      // copies of its rows) and the operation aborts; losing the CAS
+      // re-validates against the new version before retrying. Replaced
+      // files retire logically (manifest drop) — old versions stay
+      // readable for time travel.
+      staged.foreach { f =>
+        val dst = new Path(target, f.getName)
+        require(fs.rename(f, dst),
+          s"graft-replace commit: rename $f -> $dst failed")
+      }
+      val stagedNames = staged.map(_.getName).toSet
+      val scannedSet = scanned.toSet
+      CommitLog.commitUpdate(path, conf) { cur =>
+        val gone = scannedSet.filterNot(cur.dataFiles.contains)
+        if (gone.nonEmpty) throw new IllegalStateException(
+          "graft-replace commit: concurrent writer conflict — scanned " +
+            s"file(s) no longer in version ${cur.version}: " +
+            s"${gone.mkString(", ")}; aborting this operation (re-run " +
+            "it against the current table)")
+        Some(cur.copy(
+          dataFiles = cur.dataFiles -- scannedSet ++ stagedNames,
+          // a replaced file's deletion vectors die with it: the
+          // rewrite carried over only live rows
+          dvFiles = cur.dvFiles.filterNot(v =>
+            Dsv2Parquet.dvTarget(v).exists(scannedSet.contains))))
+      }
+      fs.delete(new Path(stagingDir), true)
+      val clustering = new Path(path, Dsv2Parquet.ClusteringFileName)
+      if (fs.exists(clustering)) fs.delete(clustering, false)
+      Dsv2WriteProbe.forPath(path).lastCommittedFiles.set(staged.length)
+      Dsv2WriteProbe.forPath(path).lastTruncated.set(scanned.length)
+      Dsv2WriteProbe.forPath(path).lastCommittedRows.set(messages.collect {
+        case GraftParquetCommitMessage(_, n) => n
+      }.sum)
+      return
+    }
     // replace exactly the scanned groups: files appended AFTER the
     // scan are untouched, but a SCANNED file that vanished means a
     // concurrent row-level operation or overwrite replaced it — this
@@ -412,6 +451,49 @@ private[sources] case class GraftDeltaBatchWrite(path: String,
       s"graft-delta commit: staged insert file missing: $f"))
     val merged: Map[String, Array[Long]] = msgs.flatMap(_.deletes.toSeq)
       .groupBy(_._1).map { case (n, seqs) => n -> seqs.flatMap(_._2).toArray }
+    if (CommitLog.enabled(path, conf)) {
+      // COMMIT-LOGGED table: sidecars + inserts land invisibly, ONE
+      // CAS publish references them. Delta commits COMMUTE (immutable
+      // per-commit sidecars, unioned at read) so a lost CAS retries —
+      // but each attempt re-validates that every referenced data file
+      // is still in the new base version. A compaction that retired a
+      // referenced file between this op's scan and its publish makes
+      // the retry abort loudly: the maintenance-vs-delta race the
+      // listing semantics could only document is now a detected
+      // version conflict.
+      var totalPos0 = 0L
+      val sidecarNames = merged.map { case (name, pos) =>
+        totalPos0 += pos.length
+        Dsv2Parquet.writeDvSidecar(target, name, pos.distinct.sorted, conf)
+      }.toSet
+      staged.foreach { f =>
+        val dst = new Path(target, f.getName)
+        require(fs.rename(f, dst),
+          s"graft-delta commit: rename $f -> $dst failed")
+      }
+      val stagedNames = staged.map(_.getName).toSet
+      CommitLog.commitUpdate(path, conf) { cur =>
+        val gone = merged.keys.filterNot(cur.dataFiles.contains)
+        if (gone.nonEmpty) throw new IllegalStateException(
+          "graft-delta commit: concurrent writer conflict — data " +
+            "file(s) referenced by position deletes no longer in " +
+            s"version ${cur.version}: ${gone.mkString(", ")}")
+        Some(cur.copy(dataFiles = cur.dataFiles ++ stagedNames,
+          dvFiles = cur.dvFiles ++ sidecarNames))
+      }
+      fs.delete(new Path(stagingDir), true)
+      if (staged.nonEmpty) {
+        val clustering = new Path(path, Dsv2Parquet.ClusteringFileName)
+        if (fs.exists(clustering)) fs.delete(clustering, false)
+      }
+      val probe0 = Dsv2WriteProbe.forPath(path)
+      probe0.lastCommittedFiles.set(staged.length)
+      probe0.lastCommittedRows.set(msgs.map(_.insert.rows).sum)
+      probe0.lastTruncated.set(0)
+      probe0.lastDvFiles.set(merged.size)
+      probe0.lastDvPositions.set(totalPos0)
+      return
+    }
     val vanished = merged.keys.filterNot(n => fs.exists(new Path(target, n)))
     if (vanished.nonEmpty) throw new IllegalStateException(
       "graft-delta commit: concurrent writer conflict — data file(s) " +
