@@ -170,18 +170,20 @@ object CommitLog {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val dst = new Path(dir, manifestName(snap.version))
-    val tmp = new Path(dir, s"._manifest-tmp-${UUID.randomUUID()}")
     val body = (Seq(Header) ++
       snap.dataFiles.toSeq.sorted.map("D " + _) ++
       snap.dvFiles.toSeq.sorted.map("V " + _) ++
       snap.eqFiles.toSeq.sorted.map("E " + _)).mkString("", "\n", "\n")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val won =
-      if (fs.getScheme == "file") {
-        // POSIX link(2): atomic create-if-absent — the one primitive a
-        // local filesystem gives that rename lacks (rename REPLACES an
-        // existing destination, so it cannot detect the lost race)
+    if (fs.getScheme == "file") {
+      // POSIX link(2): atomic create-if-absent — the one primitive a
+      // local filesystem gives that rename lacks (rename REPLACES an
+      // existing destination, so it cannot detect the lost race).
+      // Staged to a temp name first so the published manifest is
+      // never observable half-written.
+      val tmp = new Path(dir, s"._manifest-tmp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val won =
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(dst.toUri.getPath),
@@ -190,14 +192,32 @@ object CommitLog {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
-      } else {
-        // HDFS-ish: rename does NOT replace an existing file there, so
-        // exists-then-rename is the standard CAS approximation (what
-        // Delta's LogStore does per storage backend)
-        !fs.exists(dst) && fs.rename(tmp, dst)
+      if (fs.exists(tmp)) fs.delete(tmp, false)
+      won
+    } else {
+      // Non-local stores: EXCLUSIVE create (`create(dst, overwrite =
+      // false)`), the atomic create-if-absent HDFS provides — never
+      // exists-then-rename, whose rename may silently replace the
+      // destination on some schemes and let two writers both "win".
+      // Object stores without a conditional put need a LogStore-style
+      // coordination service and are documented unsupported.
+      try {
+        val out = fs.create(dst, false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // scheme variance: some FileSystems signal the exclusivity
+        // loss as a plain IOException — lost iff the version now exists
+        case _: java.io.IOException if fs.exists(dst) => false
       }
-    if (fs.exists(tmp)) fs.delete(tmp, false)
-    won
+    }
+  }
+
+  /** Forget a cached manifest (paired with its physical expiry —
+   * same-JVM reads of an expired version must fail, not resurrect). */
+  def invalidate(dir: Path, version: Long): Unit = {
+    cache.remove(new Path(dir, manifestName(version)).toString): Unit
   }
 
   /** Start the log: snapshot the CURRENT listing into version 1.

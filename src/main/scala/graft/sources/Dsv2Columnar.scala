@@ -466,10 +466,28 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
   }
 
   override def next(): Boolean = {
-    if (limitLeft <= 0L) return false
-    while (rowsLeftInGroup <= 0L) if (!nextGroup()) return false
+    var filled = 0
+    // loop — never recurse — across zero-yield row groups (a group
+    // whose tail is pure deletes fills nothing): a partition with many
+    // consecutive all-deleted groups must not grow the stack one frame
+    // per group.
+    while (filled == 0) {
+      if (limitLeft <= 0L) return false
+      while (rowsLeftInGroup <= 0L) if (!nextGroup()) return false
+      var i = 0
+      while (i < uniqueVectors.length) { uniqueVectors(i).reset(); i += 1 }
+      filled = fillBatch()
+    }
+    batch.setNumRows(filled)
+    limitLeft -= filled
+    true
+  }
+
+  /** Fill up to one batch from the current row group; 0 when the
+   * group's remaining rows were all deleted (caller advances groups
+   * and retries). */
+  private def fillBatch(): Int = {
     var i = 0
-    while (i < uniqueVectors.length) { uniqueVectors(i).reset(); i += 1 }
     var filled = 0
     if (dv.isEmpty) {
       // fast path: one contiguous decode per column
@@ -521,8 +539,6 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
         }
         rowsLeftInGroup -= n
       }
-      // a group tail of pure deletes can fill nothing — move on
-      if (filled == 0) return next()
     } else {
       // DV path: alternate LIVE runs (decoded) and DELETED runs
       // (skipped — cursors advance, vectors untouched), run bounds
@@ -553,12 +569,8 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
           filled += liveN
         }
       }
-      // a group tail of pure deletes can fill nothing — move on
-      if (filled == 0) return next()
     }
-    batch.setNumRows(filled)
-    limitLeft -= filled
-    true
+    filled
   }
 
   override def get(): ColumnarBatch = batch

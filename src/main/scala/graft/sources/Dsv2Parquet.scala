@@ -118,11 +118,15 @@ private[sources] case class GraftParquetTable(path: String,
       else GraftRowLevelOperation(path, schema, info.command())
   }
 
-  override def properties(): util.Map[String, String] =
+  override def properties(): util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
     if (mergeOnRead)
-      java.util.Collections.singletonMap(
-        Dsv2Parquet.MergeModeProperty, Dsv2Parquet.MergeOnRead)
-    else java.util.Collections.emptyMap()
+      m.put(Dsv2Parquet.MergeModeProperty, Dsv2Parquet.MergeOnRead)
+    // manifest presence IS the property (no sidecar flag to drift)
+    if (CommitLog.enabled(path, Dsv2Parquet.readConf))
+      m.put(Dsv2Parquet.CommitLogProperty, "true")
+    m
+  }
 
   /** The reference's scan-select surface `writetime(col)` / `ttl(col)`
    * (MvSync.java:222-228) as METADATA COLUMNS: every wide physical

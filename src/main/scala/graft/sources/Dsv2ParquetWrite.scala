@@ -345,6 +345,13 @@ private[sources] case class GraftParquetBatchWrite(path: String,
  * long-running stream's directory listing stays flat. `truncate`
  * (outputMode = complete) replaces the committed snapshot each epoch,
  * so the directory always holds exactly the latest aggregate state.
+ *
+ * On a COMMIT-LOGGED table each epoch additionally publishes one
+ * manifest version after its renames (the files are invisible until
+ * then), and complete-mode replacement is LOGICAL — prior epochs stay
+ * on disk for time travel until expire_snapshots. Epoch replays stay
+ * idempotent: deterministic destination names re-union (append) or
+ * re-pin (complete) the manifest to the identical state.
  */
 private[sources] case class GraftParquetStreamingWrite(path: String,
     schema: StructType, queryId: String, truncateFirst: Boolean)
@@ -409,6 +416,7 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
     val conf = Dsv2Parquet.readConf
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
+    val logged = CommitLog.enabled(path, conf)
     val staged = messages.collect {
       case GraftParquetCommitMessage(Some(f), _) => new Path(f)
     }.sortBy(_.getName)
@@ -423,7 +431,10 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
         // replayed rename lands on the same name instead of beside it.
         staged.foreach(f => require(fs.isFile(f),
           s"graft-parquet epoch $epochId commit: staged file missing: $f"))
-        if (truncateFirst) {
+        if (truncateFirst && !logged) {
+          // on a commit-logged table the truncate is LOGICAL (the
+          // manifest publish below) — the replaced files stay on disk
+          // for time travel, never physically deleted here
           val old = Dsv2Parquet.dataFiles(path, conf)
           old.foreach(f => fs.delete(f.getPath, false))
           Dsv2WriteProbe.forPath(path).lastTruncated.set(old.length)
@@ -448,6 +459,26 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
             s"${staged(stagedIdx)} -> $dst failed")
       }
       stagedIdx += 1
+    }
+    if (logged) {
+      // COMMIT-LOGGED table: the renamed epoch files are invisible
+      // until a manifest references them — publish ONE version per
+      // epoch. Complete mode retires the previous snapshot logically
+      // (files stay for time travel); append unions. Replays are
+      // idempotent: the same deterministic destination names re-union
+      // (append) or re-pin (complete) to the identical state.
+      val dstNames = dsts.map(_.getName).toSet
+      var removed = 0
+      CommitLog.commitUpdate(path, conf) { cur =>
+        if (truncateFirst) {
+          val retired = cur.dataFiles -- dstNames
+          removed = retired.size
+          Some(cur.copy(dataFiles = dstNames,
+            dvFiles = cur.dvFiles.filterNot(v =>
+              Dsv2Parquet.dvTarget(v).exists(retired.contains))))
+        } else Some(cur.copy(dataFiles = cur.dataFiles ++ dstNames))
+      }
+      if (truncateFirst) Dsv2WriteProbe.forPath(path).lastTruncated.set(removed)
     }
     fs.delete(new Path(stagingDir(epochId)), true)
     gcMarkers(fs, epochId)

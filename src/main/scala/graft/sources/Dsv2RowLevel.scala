@@ -472,6 +472,7 @@ private[sources] case class GraftDeltaBatchWrite(path: String,
           s"graft-delta commit: rename $f -> $dst failed")
       }
       val stagedNames = staged.map(_.getName).toSet
+      CommitRaceProbe.beforeDeltaPublish(path)
       CommitLog.commitUpdate(path, conf) { cur =>
         val gone = merged.keys.filterNot(cur.dataFiles.contains)
         if (gone.nonEmpty) throw new IllegalStateException(

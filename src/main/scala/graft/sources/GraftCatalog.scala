@@ -140,6 +140,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     }
   }
 
+  /** SQL time travel: `SELECT … FROM cat.ns.t VERSION AS OF n` — the
+   * loaded table pins every planning listing (data files + DV
+   * sidecars) to commit-log version n. Mutations through a pinned
+   * table are refused ([[GraftParquetTable]] require()s). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF '$version' — graft versions are " +
+          "the commit log's integer manifest numbers"))
+    loadTable(ident) match {
+      case t: GraftParquetTable => t.copy(versionAsOf = Some(v))
+      case other => other
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -153,6 +168,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val mor = parseMergeMode(properties)
     if (mor) writeProps(p, Map(
       Dsv2Parquet.MergeModeProperty -> Dsv2Parquet.MergeOnRead))
+    // TBLPROPERTIES('graft.commit.log'='true'): publish version 1 (an
+    // empty snapshot for a fresh table) — from here every commit is a
+    // CAS manifest publish and the table is time-travelable
+    if (parseCommitLog(properties)) CommitLog.enable(p, conf): Unit
     GraftParquetTable(p, schema, mor)
   }
 
@@ -165,12 +184,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           s"(expected ${Dsv2Parquet.CopyOnWrite} | ${Dsv2Parquet.MergeOnRead})")
     }
 
+  private def parseCommitLog(properties: util.Map[String, String]): Boolean =
+    Option(properties.get(Dsv2Parquet.CommitLogProperty)) match {
+      case Some("true") => true
+      case Some("false") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft catalog: ${Dsv2Parquet.CommitLogProperty} must be " +
+          s"'true' or 'false', got '$other'")
+    }
+
   /** Shared with [[GraftStagedTable]]: persist the graft.* properties
    * inside a (possibly still-invisible staging) table dir. */
   private[sources] def writeStagedProps(p: String,
-      properties: util.Map[String, String]): Unit =
+      properties: util.Map[String, String]): Unit = {
     if (parseMergeMode(properties)) writeProps(p, Map(
       Dsv2Parquet.MergeModeProperty -> Dsv2Parquet.MergeOnRead))
+    // a commit-logged CTAS publishes its version-1 manifest INSIDE the
+    // still-invisible staging dir (manifests list relative names, so
+    // the publish rename carries the log with the table)
+    if (parseCommitLog(properties)) CommitLog.enable(p, conf): Unit
+  }
 
   private def propsFile(p: String) = new Path(p, Dsv2Parquet.PropsFileName)
 
@@ -230,6 +263,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           if rm.property() == Dsv2Parquet.MergeModeProperty =>
         mor = false
         s
+      // ALTER TABLE … SET TBLPROPERTIES('graft.commit.log'='true'):
+      // start the log by snapshotting the CURRENT listing into version
+      // 1 (idempotent on an already-logged table). ENABLE-ONLY: once
+      // manifests exist they ARE the table state — unsetting would
+      // resurrect every file the log has since retired.
+      case (s, set: TableChange.SetProperty)
+          if set.property() == Dsv2Parquet.CommitLogProperty =>
+        require(parseCommitLog(java.util.Collections.singletonMap(
+          set.property(), set.value())),
+          s"graft catalog: ${Dsv2Parquet.CommitLogProperty} is " +
+            "enable-only — published manifests ARE the table state and " +
+            "cannot be disavowed (expire_snapshots reclaims history)")
+        CommitLog.enable(p, conf)
+        s
+      case (_, rm: TableChange.RemoveProperty)
+          if rm.property() == Dsv2Parquet.CommitLogProperty =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: cannot UNSET ${Dsv2Parquet.CommitLogProperty} " +
+            "— published manifests ARE the table state; dropping the log " +
+            "would resurrect every file it retired")
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER $other")
     }
@@ -396,10 +449,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
    * `CALL cat.system.rewrite_data_files`):
    *   CALL <cat>.system.compact_table('ns.table')            — major
    *   CALL <cat>.system.compact_deletion_vectors('ns.table') — minor
+   *   CALL <cat>.system.expire_snapshots('ns.table', n)      — reclaim
    * Each returns one row with the affected file count. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.length == 1 && namespace(0) == "system")
-      Array("compact_table", "compact_deletion_vectors")
+      Array("compact_table", "compact_deletion_vectors", "expire_snapshots")
         .map(n => Identifier.of(namespace, n))
     else Array.empty
 
@@ -413,6 +467,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         GraftCompactProcedure("compact_table", root, major = true)
       case "compact_deletion_vectors" =>
         GraftCompactProcedure("compact_deletion_vectors", root, major = false)
+      case "expire_snapshots" => GraftExpireProcedure(root)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure $other")
     }
@@ -455,6 +510,44 @@ private[sources] case class GraftCompactProcedure(procName: String,
         override def rows(): Array[InternalRow] = Array(out)
         override def readSchema(): StructType = StructType(Seq(
           StructField("files", IntegerType, nullable = false)))
+      }: org.apache.spark.sql.connector.read.Scan).iterator()
+  }
+}
+
+/** `expire_snapshots('ns.table', retain_last)`: drop commit-log
+ * versions older than the newest `retain_last` and physically delete
+ * the files only they reference — the reclamation half of the log's
+ * "commits never physically delete" contract ([[GraftMaintenance
+ * .expireSnapshots]]). Returns one row with the deleted file count. */
+private[sources] case class GraftExpireProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "drop commit-log versions past retain_last, deleting their orphaned files"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table",
+      org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("retain_last", IntegerType).build())
+
+  override def call(input: InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val table = input.getUTF8String(0).toString
+    val retain = input.getInt(1)
+    val path = (root +: table.split('.').toSeq).mkString("/")
+    val n = GraftMaintenance.expireSnapshots(path, retain)
+    val out = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](n))
+    java.util.Collections.singletonList(
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = Array(out)
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("deleted_files", IntegerType, nullable = false)))
       }: org.apache.spark.sql.connector.read.Scan).iterator()
   }
 }

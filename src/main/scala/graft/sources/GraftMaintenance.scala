@@ -1,6 +1,5 @@
 package graft.sources
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
@@ -21,34 +20,62 @@ import org.apache.spark.sql.functions.col
  * rename staged in → drop trash. Cost is proportional to the
  * DV-carrying fraction of the table, never the table.
  *
- * Concurrency: single-maintenance-writer discipline (the documented
- * stance of every file-backed catalog here); a data file that vanishes
- * mid-compaction fails the swap loudly with the table recoverable from
- * the trash. Maintenance must also not run CONCURRENTLY with row-level
- * operations on the same table: a delta commit landing between
- * compaction's scan and its trash would have its sidecar deleted with
- * the pre-image file (the check-then-act existence guards in the
- * commits are best-effort detectors, not a lock service — the same
- * boundary Iceberg draws without a catalog-level CAS).
+ * Concurrency: on a LOG-LESS table, single-maintenance-writer
+ * discipline (the documented stance of every file-backed catalog
+ * here); a data file that vanishes mid-compaction fails the swap
+ * loudly with the table recoverable from the trash, and maintenance
+ * must not run CONCURRENTLY with row-level operations (the
+ * check-then-act existence guards in the commits are best-effort
+ * detectors, not a lock service). On a COMMIT-LOGGED table that
+ * boundary disappears: maintenance commits through
+ * [[CommitLog.commitUpdate]] — the manifest swap is the commit point,
+ * NOTHING the prior version references is physically deleted (that is
+ * [[expireSnapshots]]' job), and compaction-vs-delta is a detected
+ * version conflict: whichever publishes second sees the other's
+ * change, and the non-commuting loser aborts loudly — deletes are
+ * never lost.
  */
 object GraftMaintenance {
 
   /** MINOR compaction: merge each data file's many per-commit DV
-   * sidecars into one (union, publish fresh, delete exactly the merged
+   * sidecars into one (union, publish fresh, retire exactly the merged
    * ones) WITHOUT touching data files — bounds the per-scan sidecar
    * read fan-out between major compactions. Concurrent delta commits
    * stay safe: their new sidecars are never in the merged set, and the
-   * reader's union is idempotent. Returns data files whose sidecars
-   * were merged. */
+   * reader's union is idempotent. On a commit-logged table the swap is
+   * a manifest update (merged inputs retire logically, staying on disk
+   * for time travel); a data file retired mid-merge simply drops its
+   * merge — the retiring commit already owned its rows' delete state.
+   * Returns data files whose sidecars were merged. */
   def compactDvSidecars(path: String): Int = {
     val conf = Dsv2Parquet.readConf
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val multi = Dsv2Parquet.dvListing(path, conf).filter(_._2.length > 1)
-    multi.foreach { case (name, sidecars) =>
-      Dsv2Parquet.writeDvSidecar(dir, name,
-        Dsv2Parquet.readDvUnion(sidecars, conf), conf)
-      sidecars.foreach(s => fs.delete(new Path(s), false))
+    if (multi.isEmpty) return 0
+    if (CommitLog.enabled(path, conf)) {
+      val replacements = multi.toSeq.map { case (name, sidecars) =>
+        (name, sidecars.map(new Path(_).getName).toSet,
+          Dsv2Parquet.writeDvSidecar(dir, name,
+            Dsv2Parquet.readDvUnion(sidecars, conf), conf))
+      }
+      CommitLog.commitUpdate(path, conf) { cur =>
+        var dv = cur.dvFiles
+        replacements.foreach { case (dataName, merged, union) =>
+          // swap only while every merged input is still current AND the
+          // data file lives — a concurrent rewrite/compaction that
+          // retired either already owns those rows' delete state
+          if (cur.dataFiles.contains(dataName) && merged.subsetOf(dv))
+            dv = dv -- merged + union
+        }
+        Some(cur.copy(dvFiles = dv))
+      }
+    } else {
+      multi.foreach { case (name, sidecars) =>
+        Dsv2Parquet.writeDvSidecar(dir, name,
+          Dsv2Parquet.readDvUnion(sidecars, conf), conf)
+        sidecars.foreach(s => fs.delete(new Path(s), false))
+      }
     }
     multi.size
   }
@@ -59,9 +86,13 @@ object GraftMaintenance {
     val conf = Dsv2Parquet.readConf
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val dvNames = Dsv2Parquet.dvListing(path, conf).keySet
-    val dvFiles = Dsv2Parquet.dataFiles(path, conf).map(_.getPath)
-      .filter(f => dvNames.contains(f.getName))
+    // on a logged table, pin the WHOLE compaction (listing + scan +
+    // conflict check) to one base version
+    val base = CommitLog.latest(path, conf)
+    val dvNames = Dsv2Parquet.dvListing(path, conf,
+      base.map(_.version)).keySet
+    val dvFiles = Dsv2Parquet.dataFiles(path, conf, base.map(_.version))
+      .map(_.getPath).filter(f => dvNames.contains(f.getName))
     if (dvFiles.isEmpty) return 0
 
     val fmt = classOf[GraftParquetProvider].getName
@@ -70,7 +101,10 @@ object GraftMaintenance {
     // live rows of the DV-carrying files only — the provider scan
     // applies the vectors; untouched files never enter the job
     val targets = dvFiles.map(_.toString).toSet
-    val live = spark.read.format(fmt).load(path)
+    val reader = spark.read.format(fmt)
+    base.foreach(s =>
+      reader.option(Dsv2Parquet.VersionAsOfOption, s.version.toString))
+    val live = reader.load(path)
       .withColumn("__f", col(Dsv2Parquet.FileMetaColumn))
       .filter(col("__f").isInCollection(targets))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -78,26 +112,123 @@ object GraftMaintenance {
       .option(Dsv2Parquet.SchemaOption, schema.toDDL)
       .mode("append").save(staging.toString)
 
-    // two-phase swap, recoverable at every crash point
-    val trash = new Path(dir, s"_trash-compact-${java.util.UUID.randomUUID()}")
-    fs.mkdirs(trash)
-    dvFiles.foreach { f =>
-      require(fs.rename(f, new Path(trash, f.getName)),
-        s"graft-compact: trash move of $f failed")
+    base match {
+      case Some(baseSnap) =>
+        // COMMIT-LOGGED table: rename the rewritten files in (invisible
+        // until a manifest references them) and publish ONE manifest
+        // version swapping the file sets. Nothing the prior version
+        // references is physically deleted — [[expireSnapshots]]
+        // reclaims history. The conflict stance makes compaction-vs-
+        // row-level a real version conflict: a scanned file retired by
+        // a concurrent rewrite, or a NEW deletion vector landed on a
+        // scanned file by a concurrent delta commit (deletes this
+        // rewrite did not fold — publishing would lose them), aborts
+        // loudly and the table stays on the other writer's version.
+        val scannedSet = dvFiles.map(_.getName).toSet
+        val baseDvs = baseSnap.dvFiles.filter(v =>
+          Dsv2Parquet.dvTarget(v).exists(scannedSet.contains))
+        val newNames = Dsv2Parquet.dataFiles(staging.toString, conf).map { s =>
+          val dst = new Path(dir, s.getPath.getName)
+          require(fs.rename(s.getPath, dst),
+            s"graft-compact: rename ${s.getPath} -> $dst failed")
+          dst.getName
+        }.toSet
+        CommitRaceProbe.beforeCompactionPublish(path)
+        CommitLog.commitUpdate(path, conf) { cur =>
+          val gone = scannedSet.filterNot(cur.dataFiles.contains)
+          if (gone.nonEmpty) throw new IllegalStateException(
+            "graft-compact: concurrent writer conflict — compacted " +
+              s"file(s) no longer in version ${cur.version}: " +
+              s"${gone.mkString(", ")}; aborting this compaction")
+          val newDvs = cur.dvFiles.filter(v =>
+            Dsv2Parquet.dvTarget(v).exists(scannedSet.contains)) -- baseDvs
+          if (newDvs.nonEmpty) throw new IllegalStateException(
+            "graft-compact: concurrent delta commit landed deletion " +
+              s"vector(s) on file(s) being compacted: " +
+              s"${newDvs.mkString(", ")}; aborting this compaction — " +
+              "publishing would lose those deletes")
+          Some(cur.copy(
+            dataFiles = cur.dataFiles -- scannedSet ++ newNames,
+            dvFiles = cur.dvFiles -- baseDvs))
+        }
+        fs.delete(staging, true)
+      case None =>
+        // two-phase swap, recoverable at every crash point
+        val trash = new Path(dir,
+          s"_trash-compact-${java.util.UUID.randomUUID()}")
+        fs.mkdirs(trash)
+        dvFiles.foreach { f =>
+          require(fs.rename(f, new Path(trash, f.getName)),
+            s"graft-compact: trash move of $f failed")
+        }
+        Dsv2Parquet.deleteDvsFor(fs, dir, dvFiles.map(_.getName))
+        Dsv2Parquet.dataFiles(staging.toString, conf).foreach { s =>
+          val dst = new Path(dir, s.getPath.getName)
+          require(fs.rename(s.getPath, dst),
+            s"graft-compact: rename ${s.getPath} -> $dst failed")
+        }
+        fs.delete(trash, true)
+        fs.delete(staging, true)
     }
-    Dsv2Parquet.deleteDvsFor(fs, dir, dvFiles.map(_.getName))
-    Dsv2Parquet.dataFiles(staging.toString, conf).foreach { s =>
-      val dst = new Path(dir, s.getPath.getName)
-      require(fs.rename(s.getPath, dst),
-        s"graft-compact: rename ${s.getPath} -> $dst failed")
-    }
-    fs.delete(trash, true)
-    fs.delete(staging, true)
     // rewritten file names are not bucket-aligned — retract any
     // declared clustered layout rather than let the scan report a
     // partitioning the files no longer prove
     val clusteringSidecar = new Path(dir, Dsv2Parquet.ClusteringFileName)
     if (fs.exists(clusteringSidecar)) fs.delete(clusteringSidecar, false)
     dvFiles.length
+  }
+
+  /** `expire_snapshots`: drop manifests older than the newest
+   * `retainLast` versions and physically delete every file (data + DV
+   * sidecar + equality-delete) ONLY the dropped versions reference —
+   * the reclamation half of the log's "commits never physically
+   * delete" contract. Never touches the latest version or any file a
+   * retained version still references. Returns the number of files
+   * (manifests + data + sidecars) deleted. */
+  def expireSnapshots(path: String, retainLast: Int): Int = {
+    require(retainLast >= 1,
+      s"graft-expire: retain_last must be >= 1, got $retainLast")
+    val conf = Dsv2Parquet.readConf
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val versions = CommitLog.versions(dir, conf)
+    require(versions.nonEmpty,
+      s"graft-expire: $path has no commit log — nothing to expire")
+    val (expired, retained) =
+      versions.splitAt(math.max(0, versions.length - retainLast))
+    if (expired.isEmpty) return 0
+    val keep: Set[String] = retained.toSet.flatMap { (v: Long) =>
+      val s = CommitLog.read(dir, v, conf)
+      s.dataFiles ++ s.dvFiles ++ s.eqFiles
+    }
+    val drop: Set[String] = expired.toSet.flatMap { (v: Long) =>
+      val s = CommitLog.read(dir, v, conf)
+      (s.dataFiles ++ s.dvFiles ++ s.eqFiles) -- keep
+    }
+    var n = 0
+    drop.foreach { name =>
+      if (fs.delete(new Path(dir, name), false)) n += 1
+    }
+    expired.foreach { v =>
+      if (fs.delete(new Path(dir, CommitLog.manifestName(v)), false)) n += 1
+      // the manifest cache must forget what the filesystem forgot —
+      // same-JVM reads of an expired version must fail, not resurrect
+      CommitLog.invalidate(dir, v)
+    }
+    n
+  }
+}
+
+/** Test seam for the commit-race specs: callbacks fired on the driver
+ * immediately before a manifest publish, letting a spec land a
+ * concurrent commit deterministically inside the race window (the
+ * window is real — the hook only widens it to a test's timescale).
+ * No-ops in production. */
+object CommitRaceProbe {
+  @volatile var beforeCompactionPublish: String => Unit = _ => ()
+  @volatile var beforeDeltaPublish: String => Unit = _ => ()
+  def reset(): Unit = {
+    beforeCompactionPublish = _ => ()
+    beforeDeltaPublish = _ => ()
   }
 }

@@ -1,0 +1,477 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** A RawLocalFileSystem under a non-`file` scheme: forces
+ * [[CommitLog.tryCommit]] down its non-local (exclusive-create) CAS
+ * branch against a real local directory. */
+class GraftTestRemoteFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftremote"
+  override def getUri: java.net.URI = java.net.URI.create("graftremote:///")
+}
+
+/** The commit log itself (r19 verdict #1/#2): CAS publish on both
+ * filesystem branches, commitUpdate retry/abort, manifest parse
+ * hygiene, TBLPROPERTIES wiring, SQL VERSION AS OF, maintenance
+ * through the manifest, the compaction-vs-delta race (loser aborts,
+ * no lost deletes), streaming epochs on a logged table, and
+ * expire_snapshots. */
+class CommitLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fmt = classOf[GraftParquetProvider].getName
+  private def conf = Dsv2Parquet.readConf
+
+  private def withTmp[A](f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clog").toString
+    try f(tmp)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  private def withCatalog[A](f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clogcat").toString
+    val cat = s"gclog_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    try f(cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  private def root(cat: String): String =
+    spark.conf.get(s"spark.sql.catalog.$cat.root")
+
+  private def assertCauseContains(t: Throwable, msg: String): Unit = {
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain.exists(c => Option(c.getMessage).exists(_.contains(msg))),
+      s"no cause contains '$msg': $t")
+  }
+
+  private def parquetFilesOnDisk(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(n => n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")).toSet
+
+  // ---- the log primitive itself ------------------------------------
+
+  test("versionOf: manifest names round-trip, everything else is None") {
+    assert(CommitLog.versionOf(CommitLog.manifestName(7L)) == Some(7L))
+    assert(CommitLog.versionOf(CommitLog.manifestName(0L)) == Some(0L))
+    assert(CommitLog.versionOf("_v5.manifest") == Some(5L))
+    assert(CommitLog.versionOf("_v.manifest").isEmpty)
+    assert(CommitLog.versionOf("_v12x3.manifest").isEmpty)
+    assert(CommitLog.versionOf("part-0.parquet").isEmpty)
+    assert(CommitLog.versionOf("_v1.manifestx").isEmpty)
+    assert(CommitLog.versionOf("v1.manifest").isEmpty)
+  }
+
+  test("tryCommit: exactly one concurrent publisher wins a version") {
+    withTmp { tmp =>
+      assert(CommitLog.tryCommit(tmp,
+        CommitLog.Snapshot(1L, Set("seed.parquet"), Set.empty), conf))
+      val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val barrier = new java.util.concurrent.CyclicBarrier(n)
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = (0 until n).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            barrier.await()
+            if (CommitLog.tryCommit(tmp,
+                CommitLog.Snapshot(2L, Set(s"f$i.parquet"), Set.empty), conf))
+              wins.incrementAndGet(): Unit
+          }
+        })
+      }
+      tasks.foreach(_.get())
+      pool.shutdown()
+      assert(wins.get() == 1, s"${wins.get()} writers won version 2")
+      // the published manifest is exactly the winner's snapshot
+      val snap = CommitLog.read(new Path(tmp), 2L, conf)
+      assert(snap.dataFiles.size == 1 &&
+        snap.dataFiles.head.matches("f[0-7]\\.parquet"))
+      // no temp residue
+      assert(!new java.io.File(tmp).listFiles()
+        .exists(_.getName.startsWith("._manifest-tmp")))
+    }
+  }
+
+  test("tryCommit: non-local scheme CASes via exclusive create") {
+    withTmp { tmp0 =>
+      val c = new Configuration(conf)
+      c.set("fs.graftremote.impl", classOf[GraftTestRemoteFs].getName)
+      c.setBoolean("fs.graftremote.impl.disable.cache", true)
+      val tmp = s"graftremote://$tmp0"
+      assert(new Path(tmp).getFileSystem(c).getScheme == "graftremote")
+      assert(CommitLog.tryCommit(tmp,
+        CommitLog.Snapshot(1L, Set("a.parquet"), Set.empty), c))
+      // losing the race: the version exists — create(overwrite=false)
+      // refuses, tryCommit reports the loss, the winner's bytes stand
+      assert(!CommitLog.tryCommit(tmp,
+        CommitLog.Snapshot(1L, Set("b.parquet"), Set.empty), c))
+      assert(CommitLog.read(new Path(tmp), 1L, c).dataFiles ==
+        Set("a.parquet"))
+    }
+  }
+
+  test("commitUpdate: contended commuting updates all land (retry loop)") {
+    withTmp { tmp =>
+      assert(CommitLog.tryCommit(tmp,
+        CommitLog.Snapshot(1L, Set.empty, Set.empty), conf))
+      val n = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val barrier = new java.util.concurrent.CyclicBarrier(n)
+      val tasks = (0 until n).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            barrier.await()
+            val published = CommitLog.commitUpdate(tmp, conf)(cur =>
+              Some(cur.copy(dataFiles = cur.dataFiles + s"f$i.parquet")))
+            assert(published.nonEmpty)
+          }
+        })
+      }
+      tasks.foreach(_.get())
+      pool.shutdown()
+      val latest = CommitLog.latest(tmp, conf).get
+      assert(latest.version == 1L + n)
+      assert(latest.dataFiles ==
+        (0 until n).map(i => s"f$i.parquet").toSet)
+      // every intermediate version remains readable (time travel)
+      assert(CommitLog.read(new Path(tmp), 1L, conf).dataFiles.isEmpty)
+      assert((1 to n).forall(v =>
+        CommitLog.read(new Path(tmp), 1L + v, conf).dataFiles.size == v))
+    }
+  }
+
+  test("commitUpdate: None aborts without publishing; no log fails loudly") {
+    withTmp { tmp =>
+      assert(CommitLog.tryCommit(tmp,
+        CommitLog.Snapshot(1L, Set("a.parquet"), Set.empty), conf))
+      assert(CommitLog.commitUpdate(tmp, conf)(_ => None).isEmpty)
+      assert(CommitLog.latest(tmp, conf).get.version == 1L)
+    }
+    withTmp { tmp =>
+      val e = intercept[IllegalStateException] {
+        CommitLog.commitUpdate(tmp, conf)(cur => Some(cur))
+      }
+      assert(e.getMessage.contains("no commit log"))
+    }
+  }
+
+  test("manifest parse: bad header / bad line / unknown tag fail loudly") {
+    def writeManifest(tmp: String, text: String): Unit = {
+      val p = new Path(tmp, CommitLog.manifestName(1L))
+      val out = p.getFileSystem(conf).create(p, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+    withTmp { tmp =>
+      writeManifest(tmp, "garbage\nD a.parquet\n")
+      assertCauseContains(intercept[IllegalArgumentException] {
+        CommitLog.read(new Path(tmp), 1L, conf)
+      }, "bad header")
+    }
+    withTmp { tmp =>
+      writeManifest(tmp, "graft-manifest 1\nD\n")
+      assertCauseContains(intercept[IllegalArgumentException] {
+        CommitLog.read(new Path(tmp), 1L, conf)
+      }, "bad line")
+    }
+    withTmp { tmp =>
+      writeManifest(tmp, "graft-manifest 1\nX a.parquet\n")
+      assertCauseContains(intercept[IllegalArgumentException] {
+        CommitLog.read(new Path(tmp), 1L, conf)
+      }, "unknown entry tag")
+    }
+    withTmp { tmp =>
+      assertCauseContains(intercept[IllegalArgumentException] {
+        CommitLog.read(new Path(tmp), 9L, conf)
+      }, "does not exist")
+    }
+  }
+
+  test("enable is idempotent and snapshots the current listing") {
+    withTmp { tmp =>
+      spark.range(10).select(col("id").as("k")).coalesce(1)
+        .write.format(fmt).option(Dsv2Parquet.SchemaOption, "k BIGINT")
+        .mode("append").save(tmp)
+      val s1 = CommitLog.enable(tmp, conf)
+      assert(s1.version == 1L && s1.dataFiles == parquetFilesOnDisk(tmp))
+      // second enable returns the existing latest, publishes nothing
+      assert(CommitLog.enable(tmp, conf).version == 1L)
+      assert(CommitLog.versions(new Path(tmp), conf).toSeq == Seq(1L))
+    }
+  }
+
+  // ---- the user surfaces -------------------------------------------
+
+  test("TBLPROPERTIES starts the log; SQL VERSION AS OF time-travels") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.commit.log'='true')")
+      val p = s"${root(cat)}/db/t"
+      assert(CommitLog.enabled(p, conf), "CREATE did not publish version 1")
+      spark.range(10).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()
+      spark.range(10, 20).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").count() == 20L)
+      assert(spark.sql(s"SELECT k FROM $cat.db.t VERSION AS OF 2")
+        .as[Long].collect().toSet == (0L until 10L).toSet)
+      assert(spark.sql(s"SELECT k FROM $cat.db.t VERSION AS OF 1").count() == 0L)
+      // the loaded table reports the property
+      assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.t").collect()
+        .exists(r => r.getString(0) == Dsv2Parquet.CommitLogProperty &&
+          r.getString(1) == "true"))
+      // enable-only: UNSET and SET-to-false are refused
+      assertCauseContains(intercept[Throwable] {
+        spark.sql(
+          s"ALTER TABLE $cat.db.t UNSET TBLPROPERTIES ('graft.commit.log')")
+      }, "cannot UNSET")
+      assertCauseContains(intercept[Throwable] {
+        spark.sql(s"ALTER TABLE $cat.db.t " +
+          "SET TBLPROPERTIES ('graft.commit.log'='false')")
+      }, "enable-only")
+    }
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES starts the log on a live table") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT)")
+      val p = s"${root(cat)}/db/t"
+      spark.range(1, 1001).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()
+      spark.range(1001, 2001).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()
+      assert(!CommitLog.enabled(p, conf))
+      spark.sql(
+        s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('graft.commit.log'='true')")
+      assert(CommitLog.latest(p, conf).get.version == 1L)
+      assert(CommitLog.latest(p, conf).get.dataFiles == parquetFilesOnDisk(p))
+      // a file-aligned metadata DELETE now retires LOGICALLY: the
+      // dropped file stays on disk, readable at version 1
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k <= 1000")
+      assert(CommitLog.latest(p, conf).get.version == 2L)
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet ==
+        (1001L to 2000L).toSet)
+      assert(parquetFilesOnDisk(p).size == 2,
+        "logical retire must not physically delete")
+      assert(spark.sql(s"SELECT k FROM $cat.db.t VERSION AS OF 1").count() ==
+        2000L)
+    }
+  }
+
+  test("atomic CTAS honors graft.commit.log") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.c TBLPROPERTIES " +
+        "('graft.commit.log'='true') AS SELECT id AS k FROM range(5)")
+      val p = s"${root(cat)}/db/c"
+      assert(CommitLog.enabled(p, conf))
+      assert(spark.sql(s"SELECT k FROM $cat.db.c VERSION AS OF 1")
+        .count() == 5L)
+      spark.range(5, 9).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.c").append()
+      assert(spark.sql(s"SELECT k FROM $cat.db.c").count() == 9L)
+      assert(spark.sql(s"SELECT k FROM $cat.db.c VERSION AS OF 1")
+        .count() == 5L)
+    }
+  }
+
+  // ---- maintenance and the race it was built to close ---------------
+
+  test("compaction racing a delta commit: compaction aborts, no lost deletes") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) TBLPROPERTIES " +
+        "('graft.merge.mode'='merge-on-read', 'graft.commit.log'='true')")
+      val p = s"${root(cat)}/db/t"
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .coalesce(2).writeTo(s"$cat.db.t").append()
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 3")
+      assert(Dsv2WriteProbe.forPath(p).lastDvPositions.get() == 10L)
+      // a delta commit lands INSIDE compaction's publish window
+      CommitRaceProbe.beforeCompactionPublish = { _ =>
+        spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 7"): Unit
+      }
+      try {
+        val e = intercept[IllegalStateException] {
+          GraftMaintenance.compactDeletionVectors(spark, p)
+        }
+        assert(e.getMessage.contains("concurrent delta commit landed"))
+      } finally CommitRaceProbe.reset()
+      // loser aborted, NOTHING lost: both delete sets visible
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet ==
+        (0L until 100L).filterNot(k => k % 10 == 3 || k % 10 == 7).toSet)
+      // after the dust settles, compaction succeeds and preserves state
+      assert(GraftMaintenance.compactDeletionVectors(spark, p) == 2)
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet ==
+        (0L until 100L).filterNot(k => k % 10 == 3 || k % 10 == 7).toSet)
+      assert(CommitLog.latest(p, conf).get.dvFiles.isEmpty,
+        "compaction must retire the folded deletion vectors")
+    }
+  }
+
+  test("delta commit racing a compaction: delta aborts, no partial repair") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) TBLPROPERTIES " +
+        "('graft.merge.mode'='merge-on-read', 'graft.commit.log'='true')")
+      val p = s"${root(cat)}/db/t"
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .coalesce(2).writeTo(s"$cat.db.t").append()
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 3")
+      // a compaction wins the version INSIDE the delta's publish window
+      CommitRaceProbe.beforeDeltaPublish = { _ =>
+        CommitRaceProbe.beforeDeltaPublish = _ => () // one-shot
+        GraftMaintenance.compactDeletionVectors(spark, p): Unit
+      }
+      try {
+        assertCauseContains(intercept[Throwable] {
+          spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 7")
+        }, "concurrent writer conflict")
+      } finally CommitRaceProbe.reset()
+      // the table is the compaction's state: first deletes folded in,
+      // the aborted delta invisible — not partially applied
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet ==
+        (0L until 100L).filterNot(_ % 10 == 3).toSet)
+      assert(CommitLog.latest(p, conf).get.dvFiles.isEmpty)
+      // re-run repairs cleanly against the compacted table
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 7")
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet ==
+        (0L until 100L).filterNot(k => k % 10 == 3 || k % 10 == 7).toSet)
+    }
+  }
+
+  test("minor compaction merges sidecars through the manifest") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) TBLPROPERTIES " +
+        "('graft.merge.mode'='merge-on-read', 'graft.commit.log'='true')")
+      val p = s"${root(cat)}/db/t"
+      spark.range(100).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 3")
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 7")
+      assert(CommitLog.latest(p, conf).get.dvFiles.size == 2)
+      assert(GraftMaintenance.compactDvSidecars(p) == 1)
+      val after = CommitLog.latest(p, conf).get
+      assert(after.dvFiles.size == 1, "sidecars not merged in the manifest")
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet ==
+        (0L until 100L).filterNot(k => k % 10 == 3 || k % 10 == 7).toSet)
+      // merged inputs stay on disk for time travel (logical retire)
+      val diskDvs = Option(new java.io.File(p).listFiles()).get
+        .map(_.getName).count(_.startsWith("_dv-"))
+      assert(diskDvs == 3, s"expected 2 retired + 1 merged, got $diskDvs")
+    }
+  }
+
+  test("expire_snapshots reclaims only what no retained version references") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.commit.log'='true')")
+      val p = s"${root(cat)}/db/t"
+      spark.range(1, 1001).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append() // v2
+      spark.range(1001, 2001).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append() // v3
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k <= 1000") // v4, logical
+      assert(parquetFilesOnDisk(p).size == 2)
+      val deleted = spark.sql(
+        s"CALL $cat.system.expire_snapshots('db.t', 1)").collect()
+      // 3 manifests (v1..v3) + the one data file only they referenced
+      assert(deleted.head.getInt(0) == 4, deleted.mkString)
+      assert(parquetFilesOnDisk(p).size == 1)
+      assert(CommitLog.versions(new Path(p), conf).toSeq == Seq(4L))
+      // expired versions are gone — even from the same-JVM cache
+      assertCauseContains(intercept[Throwable] {
+        spark.sql(s"SELECT k FROM $cat.db.t VERSION AS OF 2").count()
+      }, "does not exist")
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet ==
+        (1001L to 2000L).toSet)
+      // retaining more than history is a no-op
+      assert(spark.sql(s"CALL $cat.system.expire_snapshots('db.t', 5)")
+        .collect().head.getInt(0) == 0)
+    }
+  }
+
+  // ---- streaming epochs on a logged table ---------------------------
+
+  test("streaming epochs publish manifest versions (append mode)") {
+    withTmp { tmp =>
+      val src = s"$tmp/src"
+      val dst = s"$tmp/dst"
+      new java.io.File(dst).mkdirs()
+      CommitLog.enable(dst, conf)
+      spark.range(10).select(col("id").as("k")).coalesce(1).write.parquet(src)
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.format(fmt).outputMode("append")
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start(dst)
+      try {
+        q.processAllAvailable()
+        spark.range(10, 25).select(col("id").as("k"))
+          .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      val latest = CommitLog.latest(dst, conf).get
+      assert(latest.version >= 3L, "one manifest version per epoch")
+      assert(spark.read.format(fmt).load(dst).as[Long].collect().toSet ==
+        (0L until 25L).toSet)
+      // the first epoch alone is still readable
+      assert(spark.read.format(fmt)
+        .option(Dsv2Parquet.VersionAsOfOption, "2").load(dst)
+        .as[Long].collect().toSet == (0L until 10L).toSet)
+    }
+  }
+
+  test("complete-mode epochs retire logically on a logged table") {
+    withTmp { tmp =>
+      val src = s"$tmp/src"
+      val dst = s"$tmp/dst"
+      new java.io.File(dst).mkdirs()
+      CommitLog.enable(dst, conf)
+      spark.range(8).select((col("id") % 2).as("g")).coalesce(1)
+        .write.parquet(src)
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("g BIGINT"))
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .groupBy("g").agg(count(lit(1)).as("n"))
+        .writeStream.format(fmt).outputMode("complete")
+        .option(Dsv2Parquet.SchemaOption, "g BIGINT, n BIGINT")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start(dst)
+      try {
+        q.processAllAvailable()
+        spark.range(8).select(lit(1L).as("g")).coalesce(1)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      // current snapshot = final counts only
+      val got = spark.read.format(fmt).load(dst).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> 4L, 1L -> 12L), got.toString)
+      // the replaced epoch stayed on disk (manifest-referenced history,
+      // never physically deleted by a logged commit) and reads back
+      val v2 = spark.read.format(fmt)
+        .option(Dsv2Parquet.VersionAsOfOption, "2").load(dst).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(v2 == Map(0L -> 4L, 1L -> 4L), v2.toString)
+      assert(parquetFilesOnDisk(dst).size >
+        CommitLog.latest(dst, conf).get.dataFiles.size)
+    }
+  }
+}
