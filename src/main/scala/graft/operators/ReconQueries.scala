@@ -805,6 +805,77 @@ object ReconQueries {
     }
   }
 
+  /** TIME TRAVEL under the oracle (the commit log's read face): the
+   * merge-on-read MERGE repair runs on a COMMIT-LOGGED table, then the
+   * scan pins `VERSION AS OF` the pre-repair manifest and must
+   * classify the DAMAGED state byte-for-byte — the reference's
+   * verification re-read (DBOperations.java:61-70) lifted to table
+   * granularity: a repair's pre-image stays queryable AFTER the repair
+   * landed, because logged commits retire files logically instead of
+   * deleting them. Shares recon_stats' oracle SQL verbatim. The
+   * require()s pin that the travel crosses a real mutation: deletion
+   * vectors were written, a new version published, and the CURRENT
+   * read is fully repaired while the pinned read still sees the
+   * damage. */
+  def reconTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{CommitLog, Dsv2Parquet, Dsv2WriteProbe}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"gtt_$tag"
+    val view = s"graft_tt_src_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+    try {
+      val damaged = MvSyncDemo.mvDf(spark, dir)
+      spark.sql(
+        s"""CREATE TABLE $cat.db.mv (${damaged.schema.toDDL})
+           |TBLPROPERTIES ('graft.merge.mode'='merge-on-read',
+           |               'graft.commit.log'='true')""".stripMargin)
+      damaged.writeTo(s"$cat.db.mv").append()
+      val path = s"$tmp/db/mv"
+      val preRepair = CommitLog.latest(path, Dsv2Parquet.readConf).get.version
+      MvSyncDemo.baseDf(spark, dir).selectExpr(damaged.columns: _*)
+        .createOrReplaceTempView(view)
+      val pk = MvSyncDemo.mvSchema.sortedPk
+      val setList = damaged.columns.filterNot(pk.contains)
+        .map(c => s"t.$c = s.$c").mkString(", ")
+      spark.sql(
+        s"""MERGE INTO $cat.db.mv t USING $view s
+           |ON t.o_custkey = s.o_custkey AND t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET $setList
+           |WHEN NOT MATCHED THEN INSERT (${damaged.columns.mkString(", ")})
+           |  VALUES (${damaged.columns.map(c => s"s.$c").mkString(", ")})
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val probe = Dsv2WriteProbe.forPath(path)
+      require(probe.lastDvPositions.get() > 0,
+        "recon_time_travel: the repair wrote no deletion vectors — " +
+          "nothing to travel past")
+      require(CommitLog.latest(path, Dsv2Parquet.readConf)
+          .get.version > preRepair,
+        "recon_time_travel: the repair published no new version")
+      // the un-pinned read must be the REPAIRED state — the pinned
+      // read below differing from it is the feature under test
+      val postProblems = MvReconciler.reconcile(
+        MvSyncDemo.baseDf(spark, dir), spark.table(s"$cat.db.mv"),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .filter(col("problem") =!= "CONSISTENT").count()
+      require(postProblems == 0L,
+        s"recon_time_travel: $postProblems problems survived the repair")
+      MvReconciler.reconcile(
+        MvSyncDemo.baseDf(spark, dir),
+        spark.sql(s"SELECT * FROM $cat.db.mv VERSION AS OF $preRepair"),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .groupBy("problem").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(view)
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      deleteRecursively(new java.io.File(tmp))
+    }
+  }
+
   /** The FULL 22-type diff matrix under the ORACLE (not just specs):
    * classify the [[AllTypesFixture]] base/MV pair — blob deep-equals,
    * map/set sort-canonicalization (order-permuted on EVERY common row),
@@ -1083,7 +1154,8 @@ object ReconQueries {
     "recon_post_repair" -> reconPostRepair,
     "recon_post_repair_dsv2" -> reconPostRepairDsv2,
     "recon_post_repair_merge" -> reconPostRepairMerge,
-    "recon_post_repair_mor" -> reconPostRepairMor)
+    "recon_post_repair_mor" -> reconPostRepairMor,
+    "recon_time_travel" -> reconTimeTravel)
 
   val oracleSql: Map[String, String] = Map(
     "recon_classify" ->
@@ -1154,6 +1226,11 @@ object ReconQueries {
     "recon_stream_replay" -> AllTypesFixture.oracleSql,
     "recon_report_lines" -> AllTypesFixture.reportOracleSql,
     "recon_stats" ->
+      (Cte + "SELECT problem, CAST(count(*) AS BIGINT) AS n FROM classified GROUP BY problem"),
+    // same oracle as recon_stats: after the MoR repair on a
+    // commit-logged table, VERSION AS OF the pre-repair manifest must
+    // serve the DAMAGED classification byte-for-byte
+    "recon_time_travel" ->
       (Cte + "SELECT problem, CAST(count(*) AS BIGINT) AS n FROM classified GROUP BY problem"),
     // the reference stats LINE rebuilt as one string: all-fix-flags
     // arithmetic (del = missing-in-base, upsert = missing-in-mv +
