@@ -132,4 +132,134 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
       }
     }
   }
+
+  /** Randomized OPERATION SEQUENCES against a driver-side model: each
+   * iteration creates a catalog table (random copy-on-write /
+   * merge-on-read, random commit-log-from-birth) and runs a random
+   * program of append / row-level DELETE / MERGE / INSERT OVERWRITE /
+   * major+minor compaction / merge-mode switch / mid-life log enable,
+   * comparing the FULL table contents with an in-memory Map after
+   * every step. On logged tables every published version's expected
+   * state is recorded and re-read via SQL `VERSION AS OF` at the end,
+   * then expire_snapshots(1) must keep exactly the final state. The
+   * randomized complement of CommitLogSpec's shape-targeted cases:
+   * commit composition (delta-after-compact, overwrite-after-delta,
+   * mode switches with live DVs) arises by volume. Seeded, so any
+   * failure reproduces exactly. */
+  test("randomized operation sequences match the model (log and log-less)") {
+    import graft.sources.{CommitLog, GraftMaintenance}
+    (0 until 10).foreach { iter =>
+      val rnd = new scala.util.Random(20260814L + 100 + iter)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-seqfuzz").toString
+      val cat = s"gsf${iter}_${java.lang.Long.toHexString(System.nanoTime())}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+      try {
+        val p = s"$tmp/db/t"
+        val conf = Dsv2Parquet.readConf
+        var mor = rnd.nextBoolean()
+        var logged = rnd.nextBoolean()
+        val props = Seq(
+          Some(s"'${Dsv2Parquet.MergeModeProperty}'='" +
+            s"${if (mor) Dsv2Parquet.MergeOnRead else Dsv2Parquet.CopyOnWrite}'"),
+          if (logged) Some(s"'${Dsv2Parquet.CommitLogProperty}'='true'")
+          else None).flatten.mkString(", ")
+        spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
+          s"TBLPROPERTIES ($props)")
+
+        val model = scala.collection.mutable.Map.empty[Long, Long]
+        var nextKey = 0L
+        val history = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+        def df(rows: Seq[(Long, Long)]) = {
+          import spark.implicits._
+          rows.toDF("k", "v").coalesce(1 + rnd.nextInt(2))
+        }
+        def freshRows(m: Int): Seq[(Long, Long)] = (0 until m).map { _ =>
+          nextKey += 1; (nextKey, rnd.nextInt(1 << 20).toLong)
+        }
+        def checkpoint(): Unit = if (logged)
+          history(CommitLog.latest(p, conf).get.version) = model.toMap
+
+        (0 until 6).foreach { step =>
+          rnd.nextInt(8) match {
+            case 0 | 1 => // append a fresh batch
+              val rows = freshRows(50 + rnd.nextInt(200))
+              df(rows).writeTo(s"$cat.db.t").append()
+              model ++= rows
+            case 2 => // row-level DELETE (CoW rewrite or MoR delta)
+              val m = 5 + rnd.nextInt(8)
+              val r = rnd.nextInt(m)
+              spark.sql(s"DELETE FROM $cat.db.t WHERE k % $m = $r")
+              model.keys.filter(_ % m == r).toSeq.foreach(model.remove)
+            case 3 => // MERGE: update an existing band + insert fresh keys
+              val m = 4 + rnd.nextInt(6)
+              val r = rnd.nextInt(m)
+              val updates = model.keys.filter(_ % m == r).toSeq.sorted
+                .map(k => (k, model(k) + 100000L))
+              val inserts = freshRows(20 + rnd.nextInt(60))
+              val view = s"seqsrc_${cat}_$step"
+              df(updates ++ inserts).createOrReplaceTempView(view)
+              spark.sql(
+                s"""MERGE INTO $cat.db.t t USING $view s ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET v = s.v
+                   |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+                   |""".stripMargin)
+              spark.catalog.dropTempView(view)
+              model ++= updates ++ inserts
+            case 4 => // INSERT OVERWRITE: truncate + replace
+              val rows = freshRows(30 + rnd.nextInt(100))
+              val view = s"seqovr_${cat}_$step"
+              df(rows).createOrReplaceTempView(view)
+              spark.sql(
+                s"INSERT OVERWRITE TABLE $cat.db.t SELECT k, v FROM $view")
+              spark.catalog.dropTempView(view)
+              model.clear()
+              model ++= rows
+            case 5 => // maintenance (no-op on the model)
+              if (rnd.nextBoolean())
+                GraftMaintenance.compactDeletionVectors(spark, p): Unit
+              else GraftMaintenance.compactDvSidecars(p): Unit
+            case 6 => // merge-mode switch (metadata only)
+              mor = !mor
+              val mode = if (mor) Dsv2Parquet.MergeOnRead
+                else Dsv2Parquet.CopyOnWrite
+              spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES " +
+                s"('${Dsv2Parquet.MergeModeProperty}'='$mode')")
+            case 7 => // mid-life log enable (idempotent when already on)
+              spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES " +
+                s"('${Dsv2Parquet.CommitLogProperty}'='true')")
+              logged = true
+          }
+          checkpoint()
+          val got = spark.sql(s"SELECT k, v FROM $cat.db.t").collect()
+            .map(r => r.getLong(0) -> r.getLong(1))
+          assert(got.length == got.map(_._1).distinct.length,
+            s"iter=$iter step=$step duplicate keys")
+          assert(got.toMap == model.toMap,
+            s"iter=$iter step=$step state diverged from the model")
+        }
+
+        // every recorded version remains exactly re-readable
+        history.foreach { case (version, expected) =>
+          val got = spark.sql(
+            s"SELECT k, v FROM $cat.db.t VERSION AS OF $version").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == expected, s"iter=$iter VERSION AS OF $version")
+        }
+        if (logged) {
+          spark.sql(s"CALL $cat.system.expire_snapshots('db.t', 1)").collect()
+          val got = spark.sql(s"SELECT k, v FROM $cat.db.t").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == model.toMap, s"iter=$iter state after expire")
+        }
+      } finally {
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.root")
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }
+  }
 }
