@@ -911,6 +911,30 @@ object ReconQueries {
         .mode("append").save(s"$tmp/base")
       mv.write.format(fmt).option("graft.schema", mv.schema.toDDL)
         .mode("append").save(s"$tmp/mv")
+      // displace every 7th MV key into a fresh insert file behind a
+      // position-delete DELETION VECTOR: the read-back table is
+      // logically identical but merge-on-read-shaped, so the full
+      // 22-type classification — including the LIST/MAP/SET columns —
+      // is driver-verified THROUGH columnar DV application, not just
+      // on clean files
+      val conf = graft.sources.Dsv2Parquet.readConf
+      val moved = spark.read.format(fmt).load(s"$tmp/mv")
+        .select((col(graft.sources.Dsv2Parquet.FileMetaColumn).as("__f") +:
+          col(graft.sources.Dsv2Parquet.PosMetaColumn).as("__p") +:
+          mv.columns.toIndexedSeq.map(col)): _*)
+        .filter(col("id") % 7 === 0)
+        .localCheckpoint()
+      moved.drop("__f", "__p").write.format(fmt)
+        .mode("append").save(s"$tmp/mv")
+      moved.select("__f", "__p").collect()
+        .groupBy(_.getString(0)).foreach { case (f, rows) =>
+          graft.sources.Dsv2Parquet.writeDvSidecar(
+            new org.apache.hadoop.fs.Path(s"$tmp/mv"),
+            new org.apache.hadoop.fs.Path(f).getName,
+            rows.map(_.getLong(1)).sorted, conf): Unit
+        }
+      require(graft.sources.Dsv2Parquet.hasDvs(s"$tmp/mv", conf),
+        "recon_classify_alltypes_dsv2: the MV table carries no DVs")
       def rd(p: String) = spark.read.format(fmt).load(p)
       MvReconciler.reconcile(
         rd(s"$tmp/base"), rd(s"$tmp/mv"),

@@ -193,16 +193,11 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
   /** Collection re-assembly reads the FULL triplet stream, so filtered
    * (page-index) reads engage only on all-flat projections — which is
    * also the only shape [[Dsv2Parquet.translate]] produces predicates
-   * for. */
+   * for. DV application composes with collections regardless: the
+   * LIST/MAP decoders skip deleted records at record granularity
+   * through their repetition runs. */
   private val flatOnly: Boolean = required.fields.forall(f =>
     !f.dataType.isInstanceOf[ArrayType] && !f.dataType.isInstanceOf[MapType])
-
-  // DV-applying decode needs per-column skip(), which the collection
-  // decoders don't implement — the factories route DV'd collection
-  // projections to the row reader; this guard makes a missed gate loud
-  // instead of silently resurrecting deleted rows
-  require(dv.isEmpty || flatOnly,
-    s"graft-parquet: columnar DV read of a collection projection ${p.file}")
 
   /** Does the projection request the `_pos` row-lineage column? Its
    * values are the decode cursor's absolute positions, which requires
@@ -926,8 +921,22 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
         i += 1
       }
     }
-    override def skip(n: Int): Unit = throw new UnsupportedOperationException(
-      "graft-parquet: DV skip on a LIST column (row-reader territory)")
+
+    /** DV application: advance past `n` whole RECORDS (first triplet +
+     * repetition-level>0 continuations) without touching the vector —
+     * `cr.skip()` spares materializing each defined element. */
+    override def skip(n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        if (cr.getCurrentDefinitionLevel == dElem) cr.skip()
+        cr.consume(); read += 1L
+        while (read < total && cr.getCurrentRepetitionLevel > 0) {
+          if (cr.getCurrentDefinitionLevel == dElem) cr.skip()
+          cr.consume(); read += 1L
+        }
+        i += 1
+      }
+    }
   }
 
   /** MAP: the key and value cursors share one repetition structure, so
@@ -970,7 +979,21 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
         i += 1
       }
     }
-    override def skip(n: Int): Unit = throw new UnsupportedOperationException(
-      "graft-parquet: DV skip on a MAP column (row-reader territory)")
+
+    /** DV application: advance both cursors past `n` whole records in
+     * lockstep without touching the vector. */
+    override def skip(n: Int): Unit = {
+      def skipEntry(): Unit = {
+        if (kr.getCurrentDefinitionLevel == dKey) kr.skip()
+        if (vr.getCurrentDefinitionLevel == dVal) vr.skip()
+        kr.consume(); vr.consume(); read += 1L
+      }
+      var i = 0
+      while (i < n) {
+        skipEntry()
+        while (read < total && kr.getCurrentRepetitionLevel > 0) skipEntry()
+        i += 1
+      }
+    }
   }
 }

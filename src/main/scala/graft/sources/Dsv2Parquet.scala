@@ -755,12 +755,7 @@ private[sources] case class GraftParquetReaderFactory(
    * The decision depends only on the schema, never the partition, as
    * Spark requires (all partitions of a scan must agree). */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    vectorize && Dsv2Columnar.supported(required) &&
-      // DV application needs per-column skip(), which the collection
-      // decoders don't have — DV'd collection projections row-read
-      (dvMap.isEmpty || required.fields.forall(f =>
-        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-          !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]))
+    vectorize && Dsv2Columnar.supported(required)
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1200,7 +1195,7 @@ private[graft] object Dsv2Parquet {
   /** Any deletion vector under this table dir? Drives the scan-side
    * gates: footer-served aggregates off (row counts are no longer
    * exact), pushed-limit row-group truncation off (per-group yield
-   * unknowable), collection projections to the row reader. */
+   * unknowable). */
   def hasDvs(path: String, conf: Configuration): Boolean =
     dvListing(path, conf).nonEmpty
 

@@ -166,6 +166,57 @@ class Dsv2MergeOnReadSpec extends SparkSpec {
     }
   }
 
+  test("DV'd LIST/MAP projections stay COLUMNAR and exact") {
+    withCat { (cat, tmp) =>
+      spark.sql(
+        s"""CREATE TABLE $cat.db.cm (k BIGINT, xs ARRAY<BIGINT>,
+           |  m MAP<STRING, BIGINT>)
+           |TBLPROPERTIES ('graft.merge.mode'='merge-on-read')"""
+          .stripMargin)
+      // null / empty / short collections, null elements and values,
+      // 20000 rows so deleted runs straddle the 4096 batch boundary
+      def src = spark.range(20000).select(col("id").as("k"),
+        when(col("id") % 11 === 0, lit(null))
+          .when(col("id") % 13 === 0, array().cast("array<bigint>"))
+          .otherwise(array(col("id"),
+            when(col("id") % 4 === 0, lit(null)).otherwise(col("id") + 1),
+            col("id") % 7)).as("xs"),
+        when(col("id") % 7 === 0, lit(null))
+          .otherwise(map(
+            concat(lit("a"), (col("id") % 3).cast("string")), col("id"),
+            lit("b"),
+            when(col("id") % 5 === 0, lit(null)).otherwise(col("id") * 2)))
+          .as("m"))
+      src.coalesce(1).writeTo(s"$cat.db.cm").append()
+      val delPred = col("k") % 997 === 1 ||
+        (col("k") >= 8000 && col("k") < 8500) ||
+        col("k").isInCollection(Seq(0L, 1L, 4095L, 4096L, 4097L, 19999L))
+      spark.sql(
+        s"""DELETE FROM $cat.db.cm WHERE k % 997 = 1 OR
+           |  (k >= 8000 AND k < 8500) OR
+           |  k IN (0, 1, 4095, 4096, 4097, 19999)""".stripMargin)
+      assert(Dsv2WriteProbe.forPath(s"$tmp/db/cm").lastDvFiles.get() == 1)
+      val t = spark.table(s"$cat.db.cm")
+      // the r18 #3 point: a DV'd collection projection must no longer
+      // pay the row-reader tax
+      assert(t.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "DV'd collection scan fell back to the row reader")
+      def norm(r: org.apache.spark.sql.Row): (Long, Any, Any) = (
+        r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[Any](1).toList,
+        if (r.isNullAt(2)) null
+        else r.getMap[String, Any](2).toList.sortBy(_._1))
+      val got = t.collect().map(norm).toSet
+      val exp = src.filter(!delPred).collect().map(norm).toSet
+      assert(got.size == exp.size && got == exp)
+      // the row reader serves the identical answer
+      val rowR = spark.read.format(classOf[GraftParquetProvider].getName)
+        .option(Dsv2Columnar.VectorizedOption, "false").load(s"$tmp/db/cm")
+        .select("k", "xs", "m")
+      assert(rowR.collect().map(norm).toSet == exp)
+    }
+  }
+
   test("_pos is served columnar and exact") {
     withCat { (cat, _) =>
       spark.range(10000).select(col("id").as("k"), lit("x").as("s"),
