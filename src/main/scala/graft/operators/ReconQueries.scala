@@ -805,6 +805,70 @@ object ReconQueries {
     }
   }
 
+  /** EQUALITY-DELETE repair under the oracle — the connector face a
+   * STREAMING repairer drives: the damaged MV lives in a COMMIT-LOGGED
+   * path table; the repair is computed from the CLASSIFICATION alone —
+   * keys to remove (orphans + inconsistent pre-images) and base rows
+   * to insert (missing + inconsistent) — and lands as ONE
+   * [[graft.sources.EqualityRepair]] commit: executor-written `_eq-`
+   * key sidecars plus staged insert files, with no `_file`/`_pos`
+   * knowledge anywhere (the reference's repair statements bind KEYS,
+   * never storage positions — DBOperations.java:58-194,240-387). The
+   * read-back reconcile shares recon_post_repair's oracle verbatim.
+   * The require()s pin the shape: equality sidecars landed (no DVs, no
+   * rewrites), and `compact_table` afterwards folds them away with the
+   * repaired state intact. */
+  def reconPostRepairEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{CommitLog, Dsv2Parquet, EqualityRepair, GraftMaintenance}
+    val fmt = classOf[graft.sources.GraftParquetProvider].getName
+    val tmp = java.nio.file.Files.createTempDirectory("graft-eq").toString
+    try {
+      val path = s"$tmp/mv"
+      val damaged = MvSyncDemo.mvDf(spark, dir)
+      damaged.write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, damaged.schema.toDDL)
+        .mode("append").save(path)
+      CommitLog.enable(path, Dsv2Parquet.readConf)
+      val baseDf = MvSyncDemo.baseDf(spark, dir)
+      def readBack = spark.read.format(fmt).load(path)
+      val pk = MvSyncDemo.mvSchema.sortedPk
+      val classified = MvReconciler.reconcile(baseDf, readBack,
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .select((pk.map(col) :+ col("problem")).toIndexedSeq: _*)
+        .localCheckpoint()
+      val deleteKeys = classified.filter(col("problem")
+          .isin("MISSING_IN_BASE_TABLE", "INCONSISTENT"))
+        .select(pk.map(col).toIndexedSeq: _*)
+      val insertKeys = classified.filter(col("problem")
+          .isin("MISSING_IN_MV_TABLE", "INCONSISTENT"))
+        .select(pk.map(col).toIndexedSeq: _*)
+      val inserts = baseDf.selectExpr(damaged.columns.toIndexedSeq: _*)
+        .join(insertKeys, pk.toSeq, "left_semi")
+      EqualityRepair.commit(spark, path, pk.toSeq, deleteKeys, inserts)
+      val snap = CommitLog.latest(path, Dsv2Parquet.readConf).get
+      require(snap.eqFiles.nonEmpty,
+        "recon_post_repair_eq: no equality sidecars landed")
+      require(snap.dvFiles.isEmpty,
+        "recon_post_repair_eq: position deletes landed — not an " +
+          "equality repair")
+      val healed = MvReconciler.reconcile(baseDf, readBack,
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .groupBy("problem").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      // fold: compaction retires the sidecars, the state must hold
+      GraftMaintenance.compactDeletionVectors(spark, path): Unit
+      require(CommitLog.latest(path, Dsv2Parquet.readConf)
+          .get.eqFiles.isEmpty,
+        "recon_post_repair_eq: compaction left equality sidecars live")
+      val foldedProblems = MvReconciler.reconcile(baseDf, readBack,
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .filter(col("problem") =!= "CONSISTENT").count()
+      require(foldedProblems == 0L,
+        s"recon_post_repair_eq: $foldedProblems problems after folding")
+      healed
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
   /** TIME TRAVEL under the oracle (the commit log's read face): the
    * merge-on-read MERGE repair runs on a COMMIT-LOGGED table, then the
    * scan pins `VERSION AS OF` the pre-repair manifest and must
@@ -1179,6 +1243,7 @@ object ReconQueries {
     "recon_post_repair_dsv2" -> reconPostRepairDsv2,
     "recon_post_repair_merge" -> reconPostRepairMerge,
     "recon_post_repair_mor" -> reconPostRepairMor,
+    "recon_post_repair_eq" -> reconPostRepairEq,
     "recon_time_travel" -> reconTimeTravel)
 
   val oracleSql: Map[String, String] = Map(
@@ -1308,6 +1373,11 @@ object ReconQueries {
     // same oracle once more: the MERGE-ON-READ face (deletion vectors
     // + insert files, zero file rewrites) must read back identical
     "recon_post_repair_mor" ->
+      """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
+    // and once more: the EQUALITY-DELETE face (key sidecars + insert
+    // files — the repair path that needs no _file/_pos knowledge)
+    "recon_post_repair_eq" ->
       """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
         |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
     "recon_repair_plan" -> planOracle(

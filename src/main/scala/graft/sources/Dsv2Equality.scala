@@ -1,0 +1,335 @@
+package graft.sources
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * EQUALITY-DELETE sidecars for commit-logged [[GraftParquetProvider]]
+ * tables — deletes by KEY VALUE instead of by (file, position), the
+ * Iceberg equality-delete idea reduced to this connector's shape. The
+ * client that needs them is a streaming repairer: it knows which KEYS
+ * are damaged (from the reconcile classification) but not where their
+ * rows physically live — position deletes would force a scan-planning
+ * round trip per repair; an equality delete is write-only.
+ *
+ * Shape:
+ *  - `_eq-<uuid>.bin` holds the key-column names, the TARGET data-file
+ *    names (the table's data files at commit time — rows inserted
+ *    later are exempt, which is what gives upsert = eq-delete + insert
+ *    its semantics), and the deleted keys in a canonical string
+ *    encoding. Sidecars are written FROM EXECUTORS (one per non-empty
+ *    partition of the delete-key frame; only names return to the
+ *    driver) and are invisible until ONE CAS manifest publish commits
+ *    them together with the staged insert files ([[EqualityRepair
+ *    .commit]]).
+ *  - Scans apply them as a per-row membership probe: a row of a
+ *    TARGETED file whose canonical key is in the set is dead. The
+ *    probe is bloom-gated (a bitset of key hashes in front of the
+ *    exact hash set), so the common live row costs one hash + one bit
+ *    test. Key columns are widened into the physical read when the
+ *    projection lacks them and dropped again after the probe.
+ *  - Equality deletes are TRANSIENT state: `compact_table` folds them
+ *    into rewritten files and retires the sidecars from the manifest,
+ *    returning scans to the vectorized zero-probe path. The read tax
+ *    window is repair-to-next-maintenance, the same trade the
+ *    reference accepts between repair and Cassandra compaction.
+ *
+ * v1 boundaries (fail-fast, documented): commit-logged tables only
+ * (the manifest IS what sequences deletes against inserts); one key
+ * tuple per table (every sidecar must agree on keyCols); key types
+ * integral or string (canonical encoding = Spark's CAST AS STRING);
+ * row-level operations (MERGE/UPDATE/DELETE rewrites) refuse tables
+ * with live equality deletes — fold them first.
+ */
+object Dsv2Equality {
+  val EqPrefix = "_eq-"
+  private val Magic = 0x47454144 // "GEAD"
+
+  /** One sidecar's content: keys deleted from exactly `targets`. */
+  final case class EqDelete(keyCols: Array[String], targets: Set[String],
+      keys: Array[String])
+
+  /** Bloom-gated exact membership probe: a power-of-two bitset of key
+   * hashes in front of the hash set, so the common LIVE row pays one
+   * hash + one bit test and only bloom hits touch the set. */
+  final class KeyFilter(keys: Array[String]) extends Serializable {
+    private val set = new java.util.HashSet[String](
+      math.max(16, keys.length * 2))
+    keys.foreach(set.add)
+    private val nbits = Integer.highestOneBit(
+      math.max(64, keys.length * 8)) * 2
+    private val words = new Array[Long](nbits >>> 6)
+    keys.foreach { k =>
+      val b = k.hashCode & (nbits - 1)
+      words(b >>> 6) |= 1L << (b & 63)
+    }
+    def contains(k: String): Boolean = {
+      val b = k.hashCode & (nbits - 1)
+      ((words(b >>> 6) >>> (b & 63)) & 1L) != 0L && set.contains(k)
+    }
+    def size: Int = set.size
+  }
+
+  private[sources] def supportedKeyType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType => true
+    case _ => false
+  }
+
+  /** Canonical key encoding, defined ONCE for both sides: integral
+   * components render as decimal digits, string components as
+   * `<utf8ByteLen>:<value>` (the length prefix makes multi-column
+   * tuples injective even when values contain the separator), null
+   * components as a bare U+0001 sentinel no delete key can carry
+   * (the writer refuses null keys), components joined by U+0000.
+   * [[canonicalExpr]] is the writer-side Spark expression;
+   * [[canonicalOf]] the reader-side per-row twin. */
+  def canonicalExpr(keyCols: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws("\u0000", keyCols.map { c =>
+      when(col(c).isNull,
+        raise_error(lit(s"graft-eq: null key component $c")))
+        .otherwise(concat(
+          octet_length(col(c).cast("string")).cast("string"),
+          lit(":"), col(c).cast("string")))
+    }: _*)
+
+  def canonicalOf(r: InternalRow, idx: Array[Int],
+      types: Array[DataType]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < idx.length) {
+      if (i > 0) sb.append('\u0000')
+      if (r.isNullAt(idx(i))) sb.append('\u0001')
+      else {
+        val s = types(i) match {
+          case LongType => java.lang.Long.toString(r.getLong(idx(i)))
+          case IntegerType => java.lang.Integer.toString(r.getInt(idx(i)))
+          case ShortType =>
+            java.lang.Integer.toString(r.getShort(idx(i)).toInt)
+          case ByteType => java.lang.Integer.toString(r.getByte(idx(i)).toInt)
+          case StringType => r.getUTF8String(idx(i)).toString
+          case other => throw new IllegalStateException(
+            s"graft-eq: unsupported key type $other")
+        }
+        sb.append(s.getBytes("UTF-8").length).append(':').append(s): Unit
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Write one sidecar (executor-side; the file is invisible until a
+   * manifest references it). Returns its name. */
+  def write(dir: Path, keyCols: Array[String], targets: Set[String],
+      keys: Iterator[String], conf: Configuration): String = {
+    val fs = dir.getFileSystem(conf)
+    val name = s"$EqPrefix${UUID.randomUUID()}.bin"
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(new Path(dir, name), true)))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(1)
+      out.writeInt(keyCols.length)
+      keyCols.foreach(out.writeUTF)
+      out.writeInt(targets.size)
+      targets.toArray.sorted.foreach(out.writeUTF)
+      // key count back-patched cheaply by buffering names only: keys
+      // stream through — count written first requires two passes, so
+      // write a sentinel-terminated stream instead
+      var n = 0
+      keys.foreach { k => out.writeBoolean(true); out.writeUTF(k); n += 1 }
+      out.writeBoolean(false)
+    } finally out.close()
+    name
+  }
+
+  /** Sidecars are immutable once committed — parse once per JVM. */
+  private val cache = new ConcurrentHashMap[String, EqDelete]()
+
+  def read(dir: Path, name: String, conf: Configuration): EqDelete = {
+    val key = new Path(dir, name).toString
+    val cached = cache.get(key)
+    if (cached != null) return cached
+    val fs = dir.getFileSystem(conf)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(new Path(dir, name))))
+    val eq = try {
+      require(in.readInt() == Magic, s"graft-eq: bad magic in $name")
+      require(in.readInt() == 1, s"graft-eq: unknown version in $name")
+      val keyCols = Array.fill(in.readInt())(in.readUTF())
+      val targets = Array.fill(in.readInt())(in.readUTF()).toSet
+      val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (in.readBoolean()) keys += in.readUTF()
+      EqDelete(keyCols, targets, keys.toArray)
+    } finally in.close()
+    cache.put(key, eq)
+    eq
+  }
+
+  /** The scan-side bundle for one snapshot: the (single, enforced) key
+   * tuple's fields resolved against the table schema, and one shared
+   * [[KeyFilter]] per sidecar with its target set — a reader of file F
+   * probes exactly the filters targeting F. None when the snapshot
+   * carries no equality deletes. */
+  def forSnapshot(path: String, snap: Option[CommitLog.Snapshot],
+      tableSchema: StructType, conf: Configuration)
+      : Option[(Array[StructField], Array[(Set[String], KeyFilter)])] = {
+    val eqNames = snap.map(_.eqFiles).getOrElse(Set.empty)
+    if (eqNames.isEmpty) return None
+    val dir = new Path(path)
+    val eqs = eqNames.toArray.sorted.map(read(dir, _, conf))
+    val keyCols = eqs.head.keyCols
+    require(eqs.forall(_.keyCols.sameElements(keyCols)),
+      s"graft-eq: sidecars of $path disagree on key columns")
+    val fields = keyCols.map(c => tableSchema.fields.find(_.name == c)
+      .getOrElse(throw new IllegalStateException(
+        s"graft-eq: key column $c missing from the table schema")))
+    Some((fields, eqs.map(e => e.targets -> new KeyFilter(e.keys))))
+  }
+}
+
+/**
+ * The repair face a STREAMING reconciler drives: upserts and deletes
+ * by KEY, one atomic commit, no `_file`/`_pos` knowledge (the
+ * reference's repair statements are exactly this shape —
+ * DBOperations.java:58-194,240-387 bind keys, never storage
+ * positions). `deleteKeys` rows name keys to remove from the CURRENT
+ * data files; `inserts` rows land beside them exempt from those
+ * deletes — so an upsert is (key ∈ deleteKeys) + (new row ∈ inserts).
+ */
+object EqualityRepair {
+  def commit(spark: SparkSession, path: String, keyCols: Seq[String],
+      deleteKeys: DataFrame, inserts: DataFrame): Unit = {
+    val conf = Dsv2Parquet.readConf
+    require(CommitLog.enabled(path, conf),
+      s"graft-eq: equality deletes need the commit log on $path (set " +
+        s"TBLPROPERTIES('${Dsv2Parquet.CommitLogProperty}'='true'))")
+    val tableSchema = Dsv2Parquet.footerSchema(path)
+    val kc = keyCols.toArray
+    kc.foreach { c =>
+      val f = tableSchema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-eq: key column $c not in the table schema"))
+      require(Dsv2Equality.supportedKeyType(f.dataType),
+        s"graft-eq: unsupported key type ${f.dataType} for $c " +
+          "(integral and string keys only)")
+      require(deleteKeys.schema.fieldNames.contains(c),
+        s"graft-eq: deleteKeys frame lacks key column $c")
+    }
+    val base = CommitLog.latest(path, conf).get
+    // one key tuple per table: a second repair must agree with the
+    // sidecars already live (compaction retires them)
+    base.eqFiles.headOption.foreach { n =>
+      val prev = Dsv2Equality.read(new Path(path), n, conf)
+      require(prev.keyCols.sameElements(kc),
+        s"graft-eq: table already carries equality deletes keyed by " +
+          s"${prev.keyCols.mkString(",")}; fold them (compact_table) " +
+          "before changing the key tuple")
+    }
+    val targets = base.dataFiles
+
+    // canonical keys computed IN SPARK (CAST AS STRING, null keys
+    // refused at runtime), sidecars written from executors; only the
+    // O(#partitions) names return to the driver
+    val canon = Dsv2Equality.canonicalExpr(kc.toIndexedSeq)
+    val bTargets = spark.sparkContext.broadcast(targets)
+    import spark.implicits._
+    val slices = math.min(8, math.max(1,
+      deleteKeys.rdd.getNumPartitions))
+    val eqNames: Array[String] = deleteKeys.select(canon.as("k"))
+      .repartition(slices).as[String]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else Iterator(Dsv2Equality.write(new Path(path), kc,
+          bTargets.value, it, Dsv2Parquet.readConf))
+      }.collect()
+
+    // staged inserts through the ordinary writer, renamed in invisibly
+    val staging = s"$path/_staging-eq-${UUID.randomUUID()}"
+    val insertNames: Set[String] =
+      if (inserts.isEmpty) Set.empty
+      else {
+        inserts.select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
+          .write.format(classOf[GraftParquetProvider].getName)
+          .option(Dsv2Parquet.SchemaOption, tableSchema.toDDL)
+          .mode("append").save(staging)
+        val fs = new Path(path).getFileSystem(conf)
+        Dsv2Parquet.dataFiles(staging, conf).map { s =>
+          val dst = new Path(path, s.getPath.getName)
+          require(fs.rename(s.getPath, dst),
+            s"graft-eq: rename ${s.getPath} -> $dst failed")
+          dst.getName
+        }.toSet
+      }
+    try {
+      CommitRaceProbe.beforeEqPublish(path)
+      CommitLog.commitUpdate(path, conf) { cur =>
+        // a targeted file retired by a concurrent rewrite means its
+        // replacement does NOT carry these deletes — abort, never lose
+        val gone = targets.filterNot(cur.dataFiles.contains)
+        if (gone.nonEmpty) throw new IllegalStateException(
+          "graft-eq commit: concurrent writer conflict — targeted " +
+            s"file(s) no longer in version ${cur.version}: " +
+            s"${gone.mkString(", ")}")
+        Some(cur.copy(dataFiles = cur.dataFiles ++ insertNames,
+          eqFiles = cur.eqFiles ++ eqNames))
+      }: Unit
+    } finally {
+      val fs = new Path(path).getFileSystem(conf)
+      fs.delete(new Path(staging), true): Unit
+    }
+  }
+}
+
+/** Row-reader wrapper applying equality deletes: probes each assembled
+ * row's canonical key against the filters targeting its file, then
+ * projects the widened read schema back down to the requested one
+ * (identity when the projection already carried the key columns). */
+private[sources] final class EqFilteringReader(
+    inner: org.apache.spark.sql.connector.read.PartitionReader[InternalRow],
+    widened: StructType, out: StructType, keyIdx: Array[Int],
+    keyTypes: Array[DataType], filters: Array[Dsv2Equality.KeyFilter])
+    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+  private val identity = widened.length == out.length
+  private val outIdx = out.fields.map(f => widened.fieldIndex(f.name))
+  private val outTypes = out.fields.map(_.dataType)
+  private var cur: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val r = inner.get()
+      val dead = filters.nonEmpty && {
+        val k = Dsv2Equality.canonicalOf(r, keyIdx, keyTypes)
+        var i = 0
+        var hit = false
+        while (!hit && i < filters.length) {
+          hit = filters(i).contains(k); i += 1
+        }
+        hit
+      }
+      if (!dead) { cur = r; return true }
+    }
+    false
+  }
+
+  override def get(): InternalRow =
+    if (identity) cur
+    else {
+      val vals = new Array[Any](outIdx.length)
+      var i = 0
+      while (i < outIdx.length) {
+        vals(i) =
+          if (cur.isNullAt(outIdx(i))) null else cur.get(outIdx(i), outTypes(i))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+    }
+
+  override def close(): Unit = inner.close()
+}

@@ -113,6 +113,13 @@ private[sources] case class GraftParquetTable(path: String,
     require(versionAsOf.isEmpty,
       s"graft-parquet: cannot mutate $path pinned at VERSION AS OF " +
         s"${versionAsOf.get}")
+    // live equality deletes would be invisible to the rewrite scans'
+    // position bookkeeping — fold them into files first
+    require(CommitLog.latest(path, Dsv2Parquet.readConf)
+        .forall(_.eqFiles.isEmpty),
+      s"graft-parquet: $path carries live equality deletes — fold them " +
+        "first (CALL <cat>.system.compact_table) before row-level " +
+        "operations")
     () =>
       if (mergeOnRead) GraftDeltaOperation(path, schema, info.command())
       else GraftRowLevelOperation(path, schema, info.command())
@@ -288,6 +295,9 @@ private[sources] class GraftParquetScanBuilder(path: String,
     // a table with DVs answers aggregates from real (DV-filtered) rows
     if (Dsv2Parquet.dvListing(path, Dsv2Parquet.readConf,
         versionAsOf).nonEmpty) return None
+    // equality deletes likewise: footer counts ignore the key probe
+    if (CommitLog.snapshotFor(path, Dsv2Parquet.readConf, versionAsOf)
+        .exists(_.eqFiles.nonEmpty)) return None
     val blocks = footerBlocks
     def col(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, DataType)] = e match {
@@ -489,6 +499,20 @@ private[sources] case class GraftParquetScan(path: String,
     Dsv2Parquet.dvListing(path, Dsv2Parquet.readConf, versionAsOf)
   @transient private lazy val dvPresent: Boolean = dvMap.nonEmpty
 
+  /** Planning-time EQUALITY-DELETE snapshot ([[Dsv2Equality]]): the
+   * key fields and one bloom-gated key filter per sidecar. Non-empty ⇒
+   * readers row-read with a per-row membership probe (key columns
+   * widened into the physical read) and the limit/row-count shortcuts
+   * are off — transient state compact_table folds away. */
+  @transient private lazy val eqInfo: Option[(Array[StructField],
+      Array[(Set[String], Dsv2Equality.KeyFilter)])] = {
+    val snap = CommitLog.snapshotFor(path, Dsv2Parquet.readConf, versionAsOf)
+    if (snap.forall(_.eqFiles.isEmpty)) None
+    else Dsv2Equality.forSnapshot(path, snap,
+      Dsv2Parquet.footerSchema(path), Dsv2Parquet.readConf)
+  }
+  @transient private lazy val eqPresent: Boolean = eqInfo.nonEmpty
+
   /** The declared clustered layout, validated against the actual file
    * set: Some iff the sidecar exists and EVERY data file's name parses
    * a bucket id below the declared width. Third element = the distinct
@@ -561,7 +585,8 @@ private[sources] case class GraftParquetScan(path: String,
     // the limit; the rest never become tasks. Spark's own Limit on
     // top takes the final cut (partial pushdown).
     val limited = limit match {
-      case Some(l) if pushed.isEmpty && runtime.isEmpty && !dvPresent =>
+      case Some(l) if pushed.isEmpty && runtime.isEmpty && !dvPresent &&
+          !eqPresent =>
         var need = l.toLong
         survivors.takeWhile { case (_, b) =>
           val take = need > 0L
@@ -633,8 +658,13 @@ private[sources] case class GraftParquetScan(path: String,
     // ProjectingGroupReadSupport) — one directory may mix writers whose
     // repetitions differ, and parquet's containment check demands an
     // exact repetition match per file.
-    GraftParquetReaderFactory(required, pushed ++ runtime, limit,
-      vectorize, dvMap = dvMap)
+    GraftParquetReaderFactory(required, pushed ++ runtime,
+      // reader-level early stop counts PRE-probe rows — with equality
+      // deletes in play Spark's own Limit takes the whole cut
+      if (eqPresent) None else limit,
+      vectorize, dvMap = dvMap,
+      eqKeyFields = eqInfo.map(_._1).getOrElse(Array.empty),
+      eqFilters = eqInfo.map(_._2).getOrElse(Array.empty))
   }
 }
 
@@ -702,7 +732,13 @@ private[sources] case class GraftParquetReaderFactory(
     vectorize: Boolean = true,
     /** data file name → DV sidecar paths, from the scan's planning-time
      * listing (snapshot semantics); empty for DV-free tables. */
-    dvMap: Map[String, Array[String]] = Map.empty)
+    dvMap: Map[String, Array[String]] = Map.empty,
+    /** EQUALITY-DELETE snapshot ([[Dsv2Equality]]): the table's key
+     * fields and one shared bloom-gated filter per sidecar with its
+     * target file set. Non-empty forces the row reader with a per-row
+     * key probe (key columns widened into the physical read). */
+    eqKeyFields: Array[StructField] = Array.empty,
+    eqFilters: Array[(Set[String], Dsv2Equality.KeyFilter)] = Array.empty)
     extends PartitionReaderFactory {
 
   private def dvOf(p: GraftParquetPartition): Array[String] =
@@ -742,20 +778,36 @@ private[sources] case class GraftParquetReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rs = ranges(p)
-    if (rs.length == 1)
-      new GraftParquetPartitionReader(rs(0), required, pushed, limit,
-        dvOf(rs(0)))
-    else new ChainedReader[InternalRow](rs,
-      r => new GraftParquetPartitionReader(r, required, pushed, limit,
-        dvOf(r)))
+    def mk(r: GraftParquetPartition): PartitionReader[InternalRow] =
+      if (eqFilters.isEmpty)
+        new GraftParquetPartitionReader(r, required, pushed, limit, dvOf(r))
+      else {
+        // equality deletes: read the WIDENED schema (projection ∪ key
+        // columns), probe each assembled row's canonical key against
+        // the filters targeting this file, project back down
+        val widened = StructType(required.fields ++
+          eqKeyFields.filterNot(f => required.fieldNames.contains(f.name)))
+        val applicable = eqFilters.collect {
+          case (targets, f) if targets.contains(new Path(r.file).getName) => f
+        }
+        new EqFilteringReader(
+          new GraftParquetPartitionReader(r, widened, pushed, None, dvOf(r)),
+          widened, required,
+          eqKeyFields.map(f => widened.fieldIndex(f.name)),
+          eqKeyFields.map(_.dataType), applicable)
+      }
+    if (rs.length == 1) mk(rs(0))
+    else new ChainedReader[InternalRow](rs, mk)
   }
 
   /** Columnar whenever the projection's types allow (all of them, for
    * the type surface this provider serves — see [[Dsv2Columnar]]).
    * The decision depends only on the schema, never the partition, as
-   * Spark requires (all partitions of a scan must agree). */
+   * Spark requires (all partitions of a scan must agree). Equality
+   * deletes force the row reader (the per-row key probe); they are
+   * transient — compact_table restores the vectorized path. */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    vectorize && Dsv2Columnar.supported(required)
+    vectorize && Dsv2Columnar.supported(required) && eqFilters.isEmpty
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

@@ -159,13 +159,21 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
     out.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // projection resolution is per file inside ReadSupport.init
     // (ProjectingGroupReadSupport) — micro-batches routinely span
     // files from different writers
+    val conf = Dsv2Parquet.readConf
+    // equality deletes apply to streamed micro-batches exactly like
+    // batch scans (the key probe composes with the DV application)
+    val eqInfo = CommitLog.latest(path, conf).filter(_.eqFiles.nonEmpty)
+      .flatMap(s => Dsv2Equality.forSnapshot(path, Some(s),
+        Dsv2Parquet.footerSchema(path), conf))
     GraftParquetReaderFactory(required, pushed, vectorize = vectorize,
-      dvMap = Dsv2Parquet.dvListing(path,
-        new org.apache.hadoop.conf.Configuration()))
+      dvMap = Dsv2Parquet.dvListing(path, conf),
+      eqKeyFields = eqInfo.map(_._1).getOrElse(Array.empty),
+      eqFilters = eqInfo.map(_._2).getOrElse(Array.empty))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -247,7 +247,10 @@ private[sources] case class GraftParquetBatchWrite(path: String,
         Some(cur.copy(
           dataFiles = cur.dataFiles -- removedNames ++ stagedNames,
           dvFiles = cur.dvFiles.filterNot(v =>
-            Dsv2Parquet.dvTarget(v).exists(removedNames.contains))))
+            Dsv2Parquet.dvTarget(v).exists(removedNames.contains)),
+          // a truncate retires every file an equality delete could
+          // target — the sidecars are dead weight after it
+          eqFiles = if (truncateFirst) Set.empty else cur.eqFiles))
       }
       fs.delete(new Path(stagingDir), true)
       maintainClustering(fs, stagedNames)

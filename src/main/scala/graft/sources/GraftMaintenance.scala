@@ -80,8 +80,9 @@ object GraftMaintenance {
     multi.size
   }
 
-  /** Fold every deletion vector under `path` into rewritten files.
-   * Returns the number of data files compacted (0 = nothing to do). */
+  /** Fold every deletion vector AND equality-delete sidecar under
+   * `path` into rewritten files. Returns the number of data files
+   * compacted (0 = nothing to do). */
   def compactDeletionVectors(spark: SparkSession, path: String): Int = {
     val conf = Dsv2Parquet.readConf
     val dir = new Path(path)
@@ -91,8 +92,14 @@ object GraftMaintenance {
     val base = CommitLog.latest(path, conf)
     val dvNames = Dsv2Parquet.dvListing(path, conf,
       base.map(_.version)).keySet
+    // equality-delete targets still live in the base version rewrite
+    // too — folding them is what retires the sidecars (and returns
+    // scans to the vectorized zero-probe path)
+    val eqTargets: Set[String] = base.map(_.eqFiles.flatMap(n =>
+      Dsv2Equality.read(dir, n, conf).targets)).getOrElse(Set.empty)
     val dvFiles = Dsv2Parquet.dataFiles(path, conf, base.map(_.version))
-      .map(_.getPath).filter(f => dvNames.contains(f.getName))
+      .map(_.getPath).filter(f =>
+        dvNames.contains(f.getName) || eqTargets.contains(f.getName))
     if (dvFiles.isEmpty) return 0
 
     val fmt = classOf[GraftParquetProvider].getName
@@ -147,9 +154,20 @@ object GraftMaintenance {
               s"vector(s) on file(s) being compacted: " +
               s"${newDvs.mkString(", ")}; aborting this compaction — " +
               "publishing would lose those deletes")
+          val newEq = (cur.eqFiles -- baseSnap.eqFiles).filter(n =>
+            Dsv2Equality.read(dir, n, conf).targets
+              .exists(scannedSet.contains))
+          if (newEq.nonEmpty) throw new IllegalStateException(
+            "graft-compact: concurrent equality-delete commit targets " +
+              s"file(s) being compacted: ${newEq.mkString(", ")}; " +
+              "aborting this compaction — publishing would lose those " +
+              "deletes")
           Some(cur.copy(
             dataFiles = cur.dataFiles -- scannedSet ++ newNames,
-            dvFiles = cur.dvFiles -- baseDvs))
+            dvFiles = cur.dvFiles -- baseDvs,
+            // every live target of every base sidecar was rewritten —
+            // the base equality deletes are fully applied
+            eqFiles = cur.eqFiles -- baseSnap.eqFiles))
         }
         fs.delete(staging, true)
       case None =>
@@ -227,8 +245,10 @@ object GraftMaintenance {
 object CommitRaceProbe {
   @volatile var beforeCompactionPublish: String => Unit = _ => ()
   @volatile var beforeDeltaPublish: String => Unit = _ => ()
+  @volatile var beforeEqPublish: String => Unit = _ => ()
   def reset(): Unit = {
     beforeCompactionPublish = _ => ()
     beforeDeltaPublish = _ => ()
+    beforeEqPublish = _ => ()
   }
 }

@@ -1,0 +1,183 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Equality-delete sidecars ([[Dsv2Equality]]/[[EqualityRepair]]):
+ * key-value deletes committed atomically with inserts through the
+ * manifest, applied at scan as a bloom-gated key probe — the repair
+ * face that needs no `_file`/`_pos` knowledge. */
+class Dsv2EqualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fmt = classOf[GraftParquetProvider].getName
+  private def conf = Dsv2Parquet.readConf
+
+  private def withTmp[A](f: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-eqspec").toString
+    try f(tmp)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  /** A logged two-file table of (k, s, v), k = 0..n-1. */
+  private def mkTable(tmp: String, n: Long = 1000L): String = {
+    val p = s"$tmp/t"
+    spark.range(n).select(col("id").as("k"),
+      concat(lit("s"), (col("id") % 5).cast("string")).as("s"),
+      (col("id") * 2).as("v"))
+      .coalesce(2).write.format(fmt)
+      .option(Dsv2Parquet.SchemaOption, "k BIGINT, s STRING, v BIGINT")
+      .mode("append").save(p)
+    CommitLog.enable(p, conf)
+    p
+  }
+
+  test("eq commit: upsert = delete keys + insert rows, one version") {
+    withTmp { tmp =>
+      val p = mkTable(tmp)
+      val deletes = Seq(3L, 77L, 500L, 999L).toDF("k") // 3,77 also re-inserted
+      val inserts = Seq((3L, "patched", 333L), (77L, "patched", 777L),
+        (5000L, "new", 1L)).toDF("k", "s", "v")
+      EqualityRepair.commit(spark, p, Seq("k"), deletes, inserts)
+      val snap = CommitLog.latest(p, conf).get
+      assert(snap.version == 2L && snap.eqFiles.nonEmpty)
+      val got = spark.read.format(fmt).load(p)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(got.size == 1000 - 4 + 3)
+      assert(!got.contains(500L) && !got.contains(999L))
+      // inserted rows are EXEMPT from the deletes that rode with them
+      assert(got(3L) == ("patched", 333L) && got(77L) == ("patched", 777L))
+      assert(got(5000L) == ("new", 1L))
+      // count() must not be footer-served (over-count)
+      assert(spark.read.format(fmt).load(p).count() == 999L)
+      // pushed limit must not truncate below the probe: take more rows
+      // than any one file holds post-delete
+      assert(spark.read.format(fmt).load(p).limit(998).count() == 998L)
+    }
+  }
+
+  test("projection WITHOUT the key columns still applies the deletes") {
+    withTmp { tmp =>
+      val p = mkTable(tmp)
+      EqualityRepair.commit(spark, p, Seq("k"),
+        spark.range(0, 1000, 10).select(col("id").as("k")),
+        spark.emptyDataFrame.selectExpr())
+      val vs = spark.read.format(fmt).load(p).select("v")
+        .as[Long].collect().toSet
+      assert(vs.size == 900)
+      assert(!vs.contains(0L) && !vs.contains(20L) && vs.contains(2L))
+    }
+  }
+
+  test("multi-column string keys are injective under the encoding") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      // ("a b", "c") must NOT collide with ("a", "b c") under any
+      // separator games — the length prefix disambiguates
+      Seq(("a b", "c", 1L), ("a", "b c", 2L), ("x", "y", 3L))
+        .toDF("k1", "k2", "v").coalesce(1)
+        .write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k1 STRING, k2 STRING, v BIGINT")
+        .mode("append").save(p)
+      CommitLog.enable(p, conf)
+      EqualityRepair.commit(spark, p, Seq("k1", "k2"),
+        Seq(("a b", "c")).toDF("k1", "k2"),
+        spark.emptyDataFrame.selectExpr())
+      val got = spark.read.format(fmt).load(p).select("v")
+        .as[Long].collect().toSet
+      assert(got == Set(2L, 3L), s"collision: $got")
+    }
+  }
+
+  test("time travel reads the pre-delete state; compaction folds") {
+    withTmp { tmp =>
+      val p = mkTable(tmp)
+      EqualityRepair.commit(spark, p, Seq("k"),
+        Seq(1L, 2L, 3L).toDF("k"), spark.emptyDataFrame.selectExpr())
+      assert(spark.read.format(fmt).load(p).count() == 997L)
+      assert(spark.read.format(fmt)
+        .option(Dsv2Parquet.VersionAsOfOption, "1").load(p).count() == 1000L)
+      // row-level operations refuse live equality deletes
+      val e = intercept[Exception] {
+        spark.read.format(fmt).load(p).limit(1).collect()
+        val cat = s"geq_${java.lang.Long.toHexString(System.nanoTime())}"
+        spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+        try spark.sql(s"DELETE FROM $cat.t WHERE k % 7 = 0")
+        finally {
+          spark.conf.unset(s"spark.sql.catalog.$cat")
+          spark.conf.unset(s"spark.sql.catalog.$cat.root")
+        }
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(c => Option(c.getMessage)
+          .exists(_.contains("live equality deletes"))), e.toString)
+      // compaction folds the sidecars; scans return to vectorized
+      assert(GraftMaintenance.compactDeletionVectors(spark, p) == 2)
+      assert(CommitLog.latest(p, conf).get.eqFiles.isEmpty)
+      val t = spark.read.format(fmt).load(p)
+      assert(t.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(t.count() == 997L)
+      assert(t.filter(col("k") < 5).as[(Long, String, Long)].collect()
+        .map(_._1).toSet == Set(0L, 4L))
+    }
+  }
+
+  test("eq commit racing a compaction aborts — no lost deletes") {
+    withTmp { tmp =>
+      val p = mkTable(tmp)
+      // put a DV on the table so compaction has something to rewrite
+      val fn = Dsv2Parquet.dataFiles(p, conf).head.getPath.getName
+      val dvName = Dsv2Parquet.writeDvSidecar(
+        new org.apache.hadoop.fs.Path(p), fn, Array(0L, 1L), conf)
+      CommitLog.commitUpdate(p, conf)(cur =>
+        Some(cur.copy(dvFiles = cur.dvFiles + dvName)))
+      val before = spark.read.format(fmt).load(p).count()
+      // a compaction retires the targeted files INSIDE the eq commit's
+      // publish window — the eq commit must abort, never lose deletes
+      CommitRaceProbe.beforeEqPublish = { _ =>
+        GraftMaintenance.compactDeletionVectors(spark, p): Unit
+      }
+      try {
+        val e = intercept[IllegalStateException] {
+          EqualityRepair.commit(spark, p, Seq("k"),
+            Seq(5L).toDF("k"), spark.emptyDataFrame.selectExpr())
+        }
+        assert(e.getMessage.contains("concurrent writer conflict"))
+      } finally CommitRaceProbe.reset()
+      // the aborted delete is invisible; the compaction's state stands
+      // (the DV'd rows were already dead in `before` and stay folded)
+      assert(spark.read.format(fmt).load(p).count() == before)
+      assert(spark.read.format(fmt).load(p).filter(col("k") === 5).count()
+        == 1L)
+      // re-run repairs cleanly against the compacted table
+      EqualityRepair.commit(spark, p, Seq("k"),
+        Seq(5L).toDF("k"), spark.emptyDataFrame.selectExpr())
+      assert(spark.read.format(fmt).load(p).filter(col("k") === 5).count()
+        == 0L)
+    }
+  }
+
+  test("streamed micro-batches apply equality deletes") {
+    withTmp { tmp =>
+      val p = mkTable(tmp, n = 200L)
+      EqualityRepair.commit(spark, p, Seq("k"),
+        spark.range(0, 200, 2).select(col("id").as("k")),
+        spark.emptyDataFrame.selectExpr())
+      val sink = s"eqstream_${java.lang.Long.toHexString(System.nanoTime())}"
+      val q = spark.readStream.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT, s STRING, v BIGINT")
+        .load(p)
+        .writeStream.format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      val ks = spark.table(sink).select("k").as[Long].collect().toSet
+      assert(ks == (1L until 200L by 2).toSet)
+    }
+  }
+}
