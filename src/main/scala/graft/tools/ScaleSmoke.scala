@@ -1621,6 +1621,59 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("eqdelete")) {
+      // EQUALITY-DELETE scale shape: the write side must be
+      // damage-proportional (sidecar of keys + one CAS — never a scan
+      // or rewrite), the read side pays a bounded bloom-gated probe
+      // tax ONLY while sidecars are live, and compact_table returns
+      // the table to the vectorized zero-probe path. The tax window is
+      // repair-to-next-maintenance; this smoke measures all three
+      // phases on the same table.
+      import graft.sources.{CommitLog, Dsv2Parquet, EqualityRepair, GraftMaintenance, GraftParquetProvider}
+      val fmt = classOf[GraftParquetProvider].getName
+      val pDir = "/tmp/graft-smoke-eqdelete"
+      try {
+        replicate(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+          .withColumn("rid", monotonically_increasing_id())
+          .coalesce(4)
+          .write.mode("overwrite").parquet(pDir)
+        CommitLog.enable(pDir, Dsv2Parquet.readConf)
+        val n = spark.read.format(fmt).load(pDir).count()
+        val (cleanCnt, cleanWall) = timed(spark.read.format(fmt).load(pDir)
+          .agg(sum("o_totalprice")).head())
+        // repair 0.1% of keys: delete + re-insert (the upsert shape)
+        val victims = spark.read.format(fmt).load(pDir)
+          .filter(col("rid") % 1000 === 7).localCheckpoint()
+        val nVictims = victims.count()
+        val (_, commitWall) = timed(EqualityRepair.commit(spark, pDir,
+          Seq("rid"), victims.select("rid"), victims))
+        val snap = CommitLog.latest(pDir, Dsv2Parquet.readConf).get
+        require(snap.eqFiles.nonEmpty, "eq commit published no sidecars")
+        val (probedN, probedWall) = timed(
+          spark.read.format(fmt).load(pDir).count())
+        require(probedN == n,
+          s"upsert must preserve the row count: $probedN vs $n")
+        val (_, foldWall) = timed(
+          GraftMaintenance.compactDeletionVectors(spark, pDir))
+        require(CommitLog.latest(pDir, Dsv2Parquet.readConf)
+          .get.eqFiles.isEmpty, "fold left sidecars live")
+        val (foldedN, foldedWall) = timed(
+          spark.read.format(fmt).load(pDir).count())
+        require(foldedN == n, s"fold changed the row count: $foldedN vs $n")
+        println(f"[scale-smoke] eqdelete rows=$n keys=$nVictims " +
+          f"commit=${commitWall}%.2fs clean=${cleanWall}%.2fs " +
+          f"probed=${probedWall}%.2fs (tax=${probedWall / cleanWall}%.2fx) " +
+          f"fold=${foldWall}%.2fs folded=${foldedWall}%.2fs " +
+          f"cleanAgg=${cleanCnt.getDouble(0)}%.1f")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(pDir))
+      }
+    }
+
     if (args.contains("bloom")) {
       // Bloom-filter point lookup at scale: 6M rows, 32 UNSORTED files,
       // a high-cardinality string key (dictionary overflows to plain,
