@@ -869,6 +869,77 @@ object ReconQueries {
     } finally deleteRecursively(new java.io.File(tmp))
   }
 
+  /** The STREAMING-RECONCILER-DRIVEN repair: the continuous monitor
+   * ([[graft.streaming.StreamingReconciler]]) classifies the damaged
+   * MV from CHANGE FEEDS replayed across 8 micro-batches; its settled
+   * per-key updates drive ONE [[graft.sources.EqualityRepair]] commit
+   * on the commit-logged table. Key-only knowledge end to end — the
+   * monitor never sees storage, the repair never names `_file`/`_pos`,
+   * and the connector sequences deletes against inserts through the
+   * manifest. This is the reference's continuous-repair deployment
+   * shape (classify → bind repair statements by key,
+   * DBOperations.java:58-194) with Structured Streaming as the
+   * classifier and the DSv2 commit log as the mutation fabric. Shares
+   * recon_post_repair's oracle verbatim. */
+  def reconPostRepairEqStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{CommitLog, Dsv2Parquet, EqualityRepair}
+    import graft.streaming.StreamingReconciler
+    val fmt = classOf[graft.sources.GraftParquetProvider].getName
+    val tmp = java.nio.file.Files.createTempDirectory("graft-eqs").toString
+    val sink = s"graft_eqs_${java.lang.Long.toHexString(System.nanoTime())}"
+    try {
+      val path = s"$tmp/mv"
+      val damaged = MvSyncDemo.mvDf(spark, dir)
+      damaged.write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, damaged.schema.toDDL)
+        .mode("append").save(path)
+      CommitLog.enable(path, Dsv2Parquet.readConf)
+      val baseDf = MvSyncDemo.baseDf(spark, dir)
+      // change feeds: 4 files per side → 8 micro-batches, so the
+      // stateful operator genuinely merges across triggers
+      baseDf.selectExpr(damaged.columns.toIndexedSeq: _*)
+        .repartition(4).write.parquet(s"$tmp/feed/base")
+      spark.read.format(fmt).load(path)
+        .repartition(4).write.parquet(s"$tmp/feed/mv")
+      def feed(p: String) = spark.readStream.schema(damaged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val updates = StreamingReconciler.monitor(
+        feed(s"$tmp/feed/base"), feed(s"$tmp/feed/mv"),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema).toDF()
+      val q = updates.writeStream.outputMode("update")
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      // settle: the max-seq update per key is its final classification
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("seq").desc)
+      val keyParts = split(col("key"), "\\|")
+      val settled = spark.table(sink)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(keyParts.getItem(0).cast("bigint").as("o_custkey"),
+          keyParts.getItem(1).cast("bigint").as("o_orderkey"),
+          col("problem"))
+        .localCheckpoint()
+      val pk = Seq("o_custkey", "o_orderkey")
+      val deleteKeys = settled.filter(col("problem")
+        .isin("MISSING_IN_BASE_TABLE", "INCONSISTENT")).select(pk.map(col): _*)
+      val insertKeys = settled.filter(col("problem")
+        .isin("MISSING_IN_MV_TABLE", "INCONSISTENT")).select(pk.map(col): _*)
+      val inserts = baseDf.selectExpr(damaged.columns.toIndexedSeq: _*)
+        .join(insertKeys, pk, "left_semi")
+      EqualityRepair.commit(spark, path, pk, deleteKeys, inserts)
+      require(CommitLog.latest(path, Dsv2Parquet.readConf)
+          .get.eqFiles.nonEmpty,
+        "recon_post_repair_eq_stream: no equality sidecars landed")
+      MvReconciler.reconcile(baseDf, spark.read.format(fmt).load(path),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema, Trusted)
+        .groupBy("problem").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(sink)
+      deleteRecursively(new java.io.File(tmp))
+    }
+  }
+
   /** TIME TRAVEL under the oracle (the commit log's read face): the
    * merge-on-read MERGE repair runs on a COMMIT-LOGGED table, then the
    * scan pins `VERSION AS OF` the pre-repair manifest and must
@@ -1244,6 +1315,7 @@ object ReconQueries {
     "recon_post_repair_merge" -> reconPostRepairMerge,
     "recon_post_repair_mor" -> reconPostRepairMor,
     "recon_post_repair_eq" -> reconPostRepairEq,
+    "recon_post_repair_eq_stream" -> reconPostRepairEqStream,
     "recon_time_travel" -> reconTimeTravel)
 
   val oracleSql: Map[String, String] = Map(
@@ -1378,6 +1450,11 @@ object ReconQueries {
     // and once more: the EQUALITY-DELETE face (key sidecars + insert
     // files — the repair path that needs no _file/_pos knowledge)
     "recon_post_repair_eq" ->
+      """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
+    // and the streaming twin: the continuous monitor classifies, the
+    // equality commit repairs — key-only knowledge end to end
+    "recon_post_repair_eq_stream" ->
       """SELECT 'CONSISTENT' AS problem, CAST(count(*) AS BIGINT) AS n
         |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
     "recon_repair_plan" -> planOracle(
