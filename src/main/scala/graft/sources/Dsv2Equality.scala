@@ -210,7 +210,12 @@ object EqualityRepair {
     require(CommitLog.enabled(path, conf),
       s"graft-eq: equality deletes need the commit log on $path (set " +
         s"TBLPROPERTIES('${Dsv2Parquet.CommitLogProperty}'='true'))")
-    val tableSchema = Dsv2Parquet.footerSchema(path)
+    // a fresh (file-less) table has no footers yet — the inserts
+    // define its shape, and the deletes are no-ops against it
+    val tableSchema =
+      if (Dsv2Parquet.dataFiles(path, conf).nonEmpty)
+        Dsv2Parquet.footerSchema(path)
+      else inserts.schema
     val kc = keyCols.toArray
     kc.foreach { c =>
       val f = tableSchema.fields.find(_.name == c).getOrElse(

@@ -180,18 +180,26 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
         def checkpoint(): Unit = if (logged)
           history(CommitLog.latest(p, conf).get.version) = model.toMap
 
+        // row-level operations refuse live equality deletes — fold
+        // first, exactly as a production maintenance schedule would
+        def foldEqIfLive(): Unit =
+          if (logged && CommitLog.latest(p, conf).exists(_.eqFiles.nonEmpty))
+            GraftMaintenance.compactDeletionVectors(spark, p): Unit
+
         (0 until 6).foreach { step =>
-          rnd.nextInt(8) match {
+          rnd.nextInt(if (logged) 9 else 8) match {
             case 0 | 1 => // append a fresh batch
               val rows = freshRows(50 + rnd.nextInt(200))
               df(rows).writeTo(s"$cat.db.t").append()
               model ++= rows
             case 2 => // row-level DELETE (CoW rewrite or MoR delta)
+              foldEqIfLive()
               val m = 5 + rnd.nextInt(8)
               val r = rnd.nextInt(m)
               spark.sql(s"DELETE FROM $cat.db.t WHERE k % $m = $r")
               model.keys.filter(_ % m == r).toSeq.foreach(model.remove)
             case 3 => // MERGE: update an existing band + insert fresh keys
+              foldEqIfLive()
               val m = 4 + rnd.nextInt(6)
               val r = rnd.nextInt(m)
               val updates = model.keys.filter(_ % m == r).toSeq.sorted
@@ -229,6 +237,16 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
               spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES " +
                 s"('${Dsv2Parquet.CommitLogProperty}'='true')")
               logged = true
+            case 8 => // equality repair: delete a band by KEY + insert
+              // fresh rows in one manifest commit (logged tables only)
+              val m = 6 + rnd.nextInt(6)
+              val r = rnd.nextInt(m)
+              val victims = model.keys.filter(_ % m == r).toSeq.sorted
+              val inserts = freshRows(10 + rnd.nextInt(40))
+              graft.sources.EqualityRepair.commit(spark, p, Seq("k"),
+                df(victims.map(k => (k, 0L))).select("k"), df(inserts))
+              victims.foreach(model.remove)
+              model ++= inserts
           }
           checkpoint()
           val got = spark.sql(s"SELECT k, v FROM $cat.db.t").collect()

@@ -104,4 +104,41 @@ class Dsv2StreamSinkSpec extends SparkSpec {
       assert(spark.read.parquet(p).count() == 2L)
     }
   }
+
+  test("replayed epoch commits stay idempotent on a COMMIT-LOGGED table") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val conf = Dsv2Parquet.readConf
+      new java.io.File(p).mkdirs()
+      CommitLog.enable(p, conf)
+      val schema = StructType.fromDDL("k BIGINT")
+      def replay(qid: String, truncate: Boolean, epoch: Long,
+          v: Long): Unit = {
+        val sw = GraftParquetStreamingWrite(p, schema, qid, truncate)
+        val w = new GraftParquetDataWriter(s"$p/_staging-$qid-e$epoch",
+          schema, 0, 0L)
+        w.write(org.apache.spark.sql.catalyst.InternalRow(v))
+        sw.commit(epoch, Array(w.commit()))
+      }
+      replay("spec-lg", truncate = false, 1L, 10L)
+      val vAfterFirst = CommitLog.latest(p, conf).get.version
+      // replay of the SAME epoch: manifest re-publish must re-pin the
+      // identical file set (a new version, same state — no duplicates)
+      replay("spec-lg", truncate = false, 1L, 99L)
+      val snap = CommitLog.latest(p, conf).get
+      assert(snap.version > vAfterFirst)
+      assert(spark.read.format(fmt).load(p).as[Long].collect().toList ==
+        List(10L))
+      // complete-mode epochs on a logged table: replay re-pins, old
+      // epochs stay on disk for time travel
+      replay("spec-lgc", truncate = true, 5L, 42L)
+      replay("spec-lgc", truncate = true, 5L, 43L)
+      assert(spark.read.format(fmt).load(p).as[Long].collect().toList ==
+        List(42L))
+      val onDisk = Option(new java.io.File(p).listFiles()).get
+        .count(_.getName.endsWith(".parquet"))
+      assert(onDisk > CommitLog.latest(p, conf).get.dataFiles.size,
+        "logged complete-mode truncation must retire logically")
+    }
+  }
 }
