@@ -447,13 +447,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   /** PROCEDURE surface — table maintenance as plain SQL, the way every
    * catalog-complete connector ships it (Iceberg's
    * `CALL cat.system.rewrite_data_files`):
-   *   CALL <cat>.system.compact_table('ns.table')            — major
-   *   CALL <cat>.system.compact_deletion_vectors('ns.table') — minor
-   *   CALL <cat>.system.expire_snapshots('ns.table', n)      — reclaim
+   *   CALL <cat>.system.compact_table('ns.table')             — major
+   *   CALL <cat>.system.compact_deletion_vectors('ns.table')  — minor
+   *   CALL <cat>.system.compact_small_files('ns.table', mb)   — binpack
+   *   CALL <cat>.system.expire_snapshots('ns.table', n)       — reclaim
    * Each returns one row with the affected file count. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.length == 1 && namespace(0) == "system")
-      Array("compact_table", "compact_deletion_vectors", "expire_snapshots")
+      Array("compact_table", "compact_deletion_vectors",
+        "compact_small_files", "expire_snapshots")
         .map(n => Identifier.of(namespace, n))
     else Array.empty
 
@@ -467,6 +469,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         GraftCompactProcedure("compact_table", root, major = true)
       case "compact_deletion_vectors" =>
         GraftCompactProcedure("compact_deletion_vectors", root, major = false)
+      case "compact_small_files" => GraftBinpackProcedure(root)
       case "expire_snapshots" => GraftExpireProcedure(root)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure $other")
@@ -510,6 +513,45 @@ private[sources] case class GraftCompactProcedure(procName: String,
         override def rows(): Array[InternalRow] = Array(out)
         override def readSchema(): StructType = StructType(Seq(
           StructField("files", IntegerType, nullable = false)))
+      }: org.apache.spark.sql.connector.read.Scan).iterator()
+  }
+}
+
+/** `compact_small_files('ns.table', target_mb)`: bin-pack every data
+ * file smaller than the target into ~target-sized rewritten files
+ * ([[GraftMaintenance.compactSmallFiles]]). Returns one row with the
+ * packed input-file count. */
+private[sources] case class GraftBinpackProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "compact_small_files"
+  override def description(): String =
+    "bin-pack data files below target_mb into ~target-sized files"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table",
+      org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("target_mb", IntegerType).build())
+
+  override def call(input: InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val table = input.getUTF8String(0).toString
+    val targetMb = input.getInt(1)
+    val path = (root +: table.split('.').toSeq).mkString("/")
+    val n = GraftMaintenance.compactSmallFiles(
+      org.apache.spark.sql.SparkSession.active, path,
+      targetMb.toLong * 1024L * 1024L)
+    val out = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](n))
+    java.util.Collections.singletonList(
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = Array(out)
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("packed_files", IntegerType, nullable = false)))
       }: org.apache.spark.sql.connector.read.Scan).iterator()
   }
 }

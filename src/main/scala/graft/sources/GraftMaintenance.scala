@@ -86,7 +86,6 @@ object GraftMaintenance {
   def compactDeletionVectors(spark: SparkSession, path: String): Int = {
     val conf = Dsv2Parquet.readConf
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
     // on a logged table, pin the WHOLE compaction (listing + scan +
     // conflict check) to one base version
     val base = CommitLog.latest(path, conf)
@@ -97,41 +96,83 @@ object GraftMaintenance {
     // scans to the vectorized zero-probe path)
     val eqTargets: Set[String] = base.map(_.eqFiles.flatMap(n =>
       Dsv2Equality.read(dir, n, conf).targets)).getOrElse(Set.empty)
-    val dvFiles = Dsv2Parquet.dataFiles(path, conf, base.map(_.version))
+    val files = Dsv2Parquet.dataFiles(path, conf, base.map(_.version))
       .map(_.getPath).filter(f =>
         dvNames.contains(f.getName) || eqTargets.contains(f.getName))
-    if (dvFiles.isEmpty) return 0
+    if (files.isEmpty) return 0
+    rewriteFiles(spark, path, base, files, outPartitions = None)
+  }
 
+  /** BIN-PACK compaction (Iceberg's rewrite_data_files binpack): fold
+   * every data file smaller than `targetBytes` into ~target-sized
+   * rewritten files — the small-file accumulation a streaming sink or
+   * many small repair commits leave behind is a per-scan task-overhead
+   * tax (and at 100 TB, a NameNode/listing tax) that grows without
+   * bound unless folded. Any DVs or equality deletes on the packed
+   * files fold in with them. Same commit discipline as
+   * [[compactDeletionVectors]]: manifest swap on logged tables
+   * (nothing physically deleted), trash swap otherwise. Returns the
+   * number of input files packed (0 = nothing worth packing). */
+  def compactSmallFiles(spark: SparkSession, path: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, s"graft-compact: target_bytes must be " +
+      s"positive, got $targetBytes")
+    val conf = Dsv2Parquet.readConf
+    val base = CommitLog.latest(path, conf)
+    val smalls = Dsv2Parquet.dataFiles(path, conf, base.map(_.version))
+      .filter(_.getLen < targetBytes)
+    if (smalls.length < 2) return 0 // a lone small file gains nothing
+    val n = math.max(1, math.ceil(
+      smalls.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    rewriteFiles(spark, path, base, smalls.map(_.getPath),
+      outPartitions = Some(n))
+  }
+
+  /** The shared rewrite: scan the LIVE rows of exactly `files` (the
+   * provider scan applies their deletion vectors and equality deletes;
+   * untouched files never enter the job), stage, swap.
+   *
+   * COMMIT-LOGGED swap: rename the rewritten files in (invisible until
+   * a manifest references them) and publish ONE manifest version
+   * swapping the file sets. Nothing the prior version references is
+   * physically deleted — [[expireSnapshots]] reclaims history. The
+   * conflict stance makes compaction-vs-row-level a real version
+   * conflict: a scanned file retired by a concurrent rewrite, or a NEW
+   * deletion vector / equality delete landed on a scanned file by a
+   * concurrent commit (deletes this rewrite did not fold — publishing
+   * would lose them), aborts loudly and the table stays on the other
+   * writer's version. Base equality sidecars whose live targets were
+   * ALL rewritten are fully applied and retire; partially-covered ones
+   * stay (their keys were folded out of the rewritten files, which are
+   * new and therefore exempt — remaining targets still need the probe).
+   *
+   * Log-less swap: two-phase via a trash dir, recoverable at every
+   * crash point. */
+  private def rewriteFiles(spark: SparkSession, path: String,
+      base: Option[CommitLog.Snapshot], files: Array[Path],
+      outPartitions: Option[Int]): Int = {
+    val conf = Dsv2Parquet.readConf
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
     val fmt = classOf[GraftParquetProvider].getName
     val schema = Dsv2Parquet.footerSchema(path)
     val staging = new Path(dir, s"_staging-compact-${java.util.UUID.randomUUID()}")
-    // live rows of the DV-carrying files only — the provider scan
-    // applies the vectors; untouched files never enter the job
-    val targets = dvFiles.map(_.toString).toSet
+    val targets = files.map(_.toString).toSet
     val reader = spark.read.format(fmt)
     base.foreach(s =>
       reader.option(Dsv2Parquet.VersionAsOfOption, s.version.toString))
-    val live = reader.load(path)
+    val live0 = reader.load(path)
       .withColumn("__f", col(Dsv2Parquet.FileMetaColumn))
       .filter(col("__f").isInCollection(targets))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val live = outPartitions.fold(live0)(live0.repartition)
     live.write.format(fmt)
       .option(Dsv2Parquet.SchemaOption, schema.toDDL)
       .mode("append").save(staging.toString)
 
     base match {
       case Some(baseSnap) =>
-        // COMMIT-LOGGED table: rename the rewritten files in (invisible
-        // until a manifest references them) and publish ONE manifest
-        // version swapping the file sets. Nothing the prior version
-        // references is physically deleted — [[expireSnapshots]]
-        // reclaims history. The conflict stance makes compaction-vs-
-        // row-level a real version conflict: a scanned file retired by
-        // a concurrent rewrite, or a NEW deletion vector landed on a
-        // scanned file by a concurrent delta commit (deletes this
-        // rewrite did not fold — publishing would lose them), aborts
-        // loudly and the table stays on the other writer's version.
-        val scannedSet = dvFiles.map(_.getName).toSet
+        val scannedSet = files.map(_.getName).toSet
         val baseDvs = baseSnap.dvFiles.filter(v =>
           Dsv2Parquet.dvTarget(v).exists(scannedSet.contains))
         val newNames = Dsv2Parquet.dataFiles(staging.toString, conf).map { s =>
@@ -162,12 +203,15 @@ object GraftMaintenance {
               s"file(s) being compacted: ${newEq.mkString(", ")}; " +
               "aborting this compaction — publishing would lose those " +
               "deletes")
+          // an eq sidecar retires only when every target still live in
+          // the base was rewritten — else its remaining targets keep it
+          val applied = baseSnap.eqFiles.filter(n =>
+            Dsv2Equality.read(dir, n, conf).targets
+              .intersect(baseSnap.dataFiles).subsetOf(scannedSet))
           Some(cur.copy(
             dataFiles = cur.dataFiles -- scannedSet ++ newNames,
             dvFiles = cur.dvFiles -- baseDvs,
-            // every live target of every base sidecar was rewritten —
-            // the base equality deletes are fully applied
-            eqFiles = cur.eqFiles -- baseSnap.eqFiles))
+            eqFiles = cur.eqFiles -- applied))
         }
         fs.delete(staging, true)
       case None =>
@@ -175,11 +219,11 @@ object GraftMaintenance {
         val trash = new Path(dir,
           s"_trash-compact-${java.util.UUID.randomUUID()}")
         fs.mkdirs(trash)
-        dvFiles.foreach { f =>
+        files.foreach { f =>
           require(fs.rename(f, new Path(trash, f.getName)),
             s"graft-compact: trash move of $f failed")
         }
-        Dsv2Parquet.deleteDvsFor(fs, dir, dvFiles.map(_.getName))
+        Dsv2Parquet.deleteDvsFor(fs, dir, files.map(_.getName))
         Dsv2Parquet.dataFiles(staging.toString, conf).foreach { s =>
           val dst = new Path(dir, s.getPath.getName)
           require(fs.rename(s.getPath, dst),
@@ -193,7 +237,7 @@ object GraftMaintenance {
     // partitioning the files no longer prove
     val clusteringSidecar = new Path(dir, Dsv2Parquet.ClusteringFileName)
     if (fs.exists(clusteringSidecar)) fs.delete(clusteringSidecar, false)
-    dvFiles.length
+    files.length
   }
 
   /** `expire_snapshots`: drop manifests older than the newest

@@ -1674,6 +1674,44 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("binpack")) {
+      // Small-file compaction: many tiny files are a per-scan task
+      // tax (open + footer + schedule per file) that binpack folds
+      // into ~target-sized files. Measures the same count before and
+      // after the pack on a commit-logged table.
+      import graft.sources.{CommitLog, Dsv2Parquet, GraftMaintenance, GraftParquetProvider}
+      val fmt = classOf[GraftParquetProvider].getName
+      val pDir = "/tmp/graft-smoke-binpack"
+      try {
+        replicate(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+          .repartition(256)
+          .write.mode("overwrite").parquet(pDir)
+        CommitLog.enable(pDir, Dsv2Parquet.readConf)
+        val files0 = Dsv2Parquet.dataFiles(pDir, Dsv2Parquet.readConf).length
+        val (n0, smallWall) = timed(spark.read.format(fmt).load(pDir)
+          .agg(sum("o_totalprice")).head().getDouble(0))
+        val (packed, packWall) = timed(GraftMaintenance.compactSmallFiles(
+          spark, pDir, 128L * 1024 * 1024))
+        val files1 = Dsv2Parquet.dataFiles(pDir, Dsv2Parquet.readConf).length
+        val (n1, packedWall) = timed(spark.read.format(fmt).load(pDir)
+          .agg(sum("o_totalprice")).head().getDouble(0))
+        require(packed == files0 && files1 < files0 / 8,
+          s"binpack left $files1 of $files0 files")
+        require(math.abs(n0 - n1) < math.abs(n0) * 1e-9,
+          s"binpack changed the aggregate: $n0 vs $n1")
+        println(f"[scale-smoke] binpack files=$files0->$files1 " +
+          f"pack=${packWall}%.2fs scan_small=${smallWall}%.2fs " +
+          f"scan_packed=${packedWall}%.2fs " +
+          f"(speedup=${smallWall / packedWall}%.2fx)")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(pDir))
+      }
+    }
+
     if (args.contains("bloom")) {
       // Bloom-filter point lookup at scale: 6M rows, 32 UNSORTED files,
       // a high-cardinality string key (dictionary overflows to plain,

@@ -164,6 +164,65 @@ class Dsv2EqualitySpec extends SparkSpec {
     }
   }
 
+  test("compact_small_files bin-packs, folding DVs and eq deletes in") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      // 8 small files, logged
+      spark.range(4000).select(col("id").as("k"), (col("id") * 3).as("v"))
+        .repartition(8).write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT, v BIGINT")
+        .mode("append").save(p)
+      CommitLog.enable(p, conf)
+      assert(Dsv2Parquet.dataFiles(p, conf).length == 8)
+      // damage riding along: one DV + one eq delete — both must fold
+      val fn = Dsv2Parquet.dataFiles(p, conf).head.getPath.getName
+      val dvName = Dsv2Parquet.writeDvSidecar(
+        new org.apache.hadoop.fs.Path(p), fn, Array(0L), conf)
+      CommitLog.commitUpdate(p, conf)(cur =>
+        Some(cur.copy(dvFiles = cur.dvFiles + dvName)))
+      EqualityRepair.commit(spark, p, Seq("k"), Seq(7L, 8L).toDF("k"),
+        spark.emptyDataFrame.selectExpr())
+      val expect = spark.read.format(fmt).load(p)
+        .as[(Long, Long)].collect().toSet
+      assert(expect.size == 4000 - 1 - 2)
+      // everything is tiny → one ~64MB bin packs all 8 files
+      assert(GraftMaintenance.compactSmallFiles(spark, p,
+        64L * 1024 * 1024) == 8)
+      val snap = CommitLog.latest(p, conf).get
+      assert(snap.dataFiles.size == 1, snap.dataFiles.toString)
+      assert(snap.dvFiles.isEmpty && snap.eqFiles.isEmpty,
+        "pack must fold the DV and retire the fully-applied eq sidecar")
+      assert(spark.read.format(fmt).load(p)
+        .as[(Long, Long)].collect().toSet == expect)
+      // below-threshold singleton: nothing worth packing
+      assert(GraftMaintenance.compactSmallFiles(spark, p,
+        64L * 1024 * 1024) == 0)
+    }
+  }
+
+  test("compact_small_files works log-less and over the CALL surface") {
+    withTmp { tmp =>
+      val cat = s"gbp_${java.lang.Long.toHexString(System.nanoTime())}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+      try {
+        spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT)")
+        spark.range(1000).select(col("id").as("k")).repartition(5)
+          .writeTo(s"$cat.db.t").append()
+        assert(Dsv2Parquet.dataFiles(s"$tmp/db/t", conf).length == 5)
+        val packed = spark.sql(
+          s"CALL $cat.system.compact_small_files('db.t', 64)").collect()
+        assert(packed.head.getInt(0) == 5)
+        assert(Dsv2Parquet.dataFiles(s"$tmp/db/t", conf).length == 1)
+        assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long]
+          .collect().toSet == (0L until 1000L).toSet)
+      } finally {
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      }
+    }
+  }
+
   test("streamed micro-batches apply equality deletes") {
     withTmp { tmp =>
       val p = mkTable(tmp, n = 200L)
