@@ -450,12 +450,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
    *   CALL <cat>.system.compact_table('ns.table')             — major
    *   CALL <cat>.system.compact_deletion_vectors('ns.table')  — minor
    *   CALL <cat>.system.compact_small_files('ns.table', mb)   — binpack
+   *   CALL <cat>.system.rewrite_clustered('ns.t','k',8,'k')   — layout
    *   CALL <cat>.system.expire_snapshots('ns.table', n)       — reclaim
    * Each returns one row with the affected file count. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.length == 1 && namespace(0) == "system")
       Array("compact_table", "compact_deletion_vectors",
-        "compact_small_files", "expire_snapshots")
+        "compact_small_files", "rewrite_clustered", "expire_snapshots")
         .map(n => Identifier.of(namespace, n))
     else Array.empty
 
@@ -470,6 +471,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case "compact_deletion_vectors" =>
         GraftCompactProcedure("compact_deletion_vectors", root, major = false)
       case "compact_small_files" => GraftBinpackProcedure(root)
+      case "rewrite_clustered" => GraftReclusterProcedure(root)
       case "expire_snapshots" => GraftExpireProcedure(root)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure $other")
@@ -552,6 +554,55 @@ private[sources] case class GraftBinpackProcedure(root: String)
         override def rows(): Array[InternalRow] = Array(out)
         override def readSchema(): StructType = StructType(Seq(
           StructField("packed_files", IntegerType, nullable = false)))
+      }: org.apache.spark.sql.connector.read.Scan).iterator()
+  }
+}
+
+/** `rewrite_clustered('ns.table', 'c1,c2', buckets, 'sort1,...')`:
+ * rewrite the whole table through the sink-demanded hash exchange and
+ * re-declare the clustered layout ([[GraftMaintenance.reclusterTable]])
+ * — restores the zero-exchange storage-partitioned reconcile after
+ * repairs retracted it. Pass '' for sort_within to skip the
+ * within-bucket sort. Returns one row with the replaced file count. */
+private[sources] case class GraftReclusterProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "rewrite_clustered"
+  override def description(): String =
+    "rewrite the table hash-clustered and re-declare the SPJ layout"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table",
+      org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("cluster_by",
+      org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("buckets", IntegerType).build(),
+    ProcedureParameter.in("sort_within",
+      org.apache.spark.sql.types.StringType).build())
+
+  override def call(input: InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val table = input.getUTF8String(0).toString
+    val clusterBy = input.getUTF8String(1).toString.split(',')
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val buckets = input.getInt(2)
+    val sortWithin = input.getUTF8String(3).toString.split(',')
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val path = (root +: table.split('.').toSeq).mkString("/")
+    val n = GraftMaintenance.reclusterTable(
+      org.apache.spark.sql.SparkSession.active, path, clusterBy, buckets,
+      sortWithin)
+    val out = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](n))
+    java.util.Collections.singletonList(
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = Array(out)
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("replaced_files", IntegerType, nullable = false)))
       }: org.apache.spark.sql.connector.read.Scan).iterator()
   }
 }

@@ -128,6 +128,94 @@ object GraftMaintenance {
       outPartitions = Some(n))
   }
 
+  /** RE-CLUSTER maintenance: rewrite the WHOLE table through the
+   * sink-demanded hash exchange (`graft.clusterBy` + strict partition
+   * count + optional within-bucket sort) and re-declare the clustered
+   * layout. This is the restore half of the SPJ story: row-level
+   * repairs and compactions RETRACT a declared layout (their output
+   * files are not bucket-aligned), after which the periodic reconcile
+   * pays its exchange again — a scheduled re-cluster brings back the
+   * zero-exchange zero-sort storage-partitioned join. DVs and equality
+   * deletes fold in (the rewrite carries live rows only).
+   *
+   * Replace-ALL is non-commuting with everything: on a logged table
+   * the publish verifies the base version is still current and aborts
+   * on ANY concurrent commit. Returns the number of files replaced. */
+  def reclusterTable(spark: SparkSession, path: String,
+      clusterBy: Seq[String], buckets: Int,
+      sortWithin: Seq[String] = Seq.empty): Int = {
+    require(clusterBy.nonEmpty && buckets > 0,
+      s"graft-recluster: need cluster columns and a positive bucket " +
+        s"count, got ${clusterBy.mkString(",")} / $buckets")
+    val conf = Dsv2Parquet.readConf
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val base = CommitLog.latest(path, conf)
+    val files = Dsv2Parquet.dataFiles(path, conf, base.map(_.version))
+    if (files.isEmpty) return 0
+    val fmt = classOf[GraftParquetProvider].getName
+    val schema = Dsv2Parquet.footerSchema(path)
+    val staging = new Path(dir,
+      s"_staging-recluster-${java.util.UUID.randomUUID()}")
+    val reader = spark.read.format(fmt)
+    base.foreach(s =>
+      reader.option(Dsv2Parquet.VersionAsOfOption, s.version.toString))
+    val w = reader.load(path)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.format(fmt)
+      .option(Dsv2Parquet.SchemaOption, schema.toDDL)
+      .option(Dsv2Parquet.ClusterByOption, clusterBy.mkString(","))
+      .option(Dsv2Parquet.NumPartitionsOption, buckets.toString)
+    (if (sortWithin.nonEmpty)
+      w.option(Dsv2Parquet.SortWithinOption, sortWithin.mkString(","))
+    else w).mode("append").save(staging.toString)
+
+    val scannedSet = files.map(_.getPath.getName).toSet
+    base match {
+      case Some(baseSnap) =>
+        val newNames = Dsv2Parquet.dataFiles(staging.toString, conf).map { s =>
+          val dst = new Path(dir, s.getPath.getName)
+          require(fs.rename(s.getPath, dst),
+            s"graft-recluster: rename ${s.getPath} -> $dst failed")
+          dst.getName
+        }.toSet
+        CommitLog.commitUpdate(path, conf) { cur =>
+          if (cur.version != baseSnap.version) throw new IllegalStateException(
+            "graft-recluster: concurrent writer conflict — the table " +
+              s"moved from version ${baseSnap.version} to ${cur.version} " +
+              "during the rewrite; aborting (re-run against the current " +
+              "table)")
+          Some(CommitLog.Snapshot(cur.version, newNames, Set.empty))
+        }
+      case None =>
+        val trash = new Path(dir,
+          s"_trash-recluster-${java.util.UUID.randomUUID()}")
+        fs.mkdirs(trash)
+        files.foreach { f =>
+          require(fs.rename(f.getPath, new Path(trash, f.getPath.getName)),
+            s"graft-recluster: trash move of ${f.getPath} failed")
+        }
+        Dsv2Parquet.deleteDvsFor(fs, dir, scannedSet)
+        Dsv2Parquet.dataFiles(staging.toString, conf).foreach { s =>
+          val dst = new Path(dir, s.getPath.getName)
+          require(fs.rename(s.getPath, dst),
+            s"graft-recluster: rename ${s.getPath} -> $dst failed")
+        }
+        fs.delete(trash, true)
+    }
+    // promote the staged write's layout declaration to the table dir
+    // (the staged commit declared it inside the staging dir)
+    val stagedSidecar = new Path(staging, Dsv2Parquet.ClusteringFileName)
+    val sidecar = new Path(dir, Dsv2Parquet.ClusteringFileName)
+    require(fs.exists(stagedSidecar),
+      "graft-recluster: the staged write declared no clustered layout")
+    if (fs.exists(sidecar)) fs.delete(sidecar, false)
+    require(fs.rename(stagedSidecar, sidecar),
+      "graft-recluster: clustering sidecar promote failed")
+    fs.delete(staging, true)
+    files.length
+  }
+
   /** The shared rewrite: scan the LIVE rows of exactly `files` (the
    * provider scan applies their deletion vectors and equality deletes;
    * untouched files never enter the job), stage, swap.

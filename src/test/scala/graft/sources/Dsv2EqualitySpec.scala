@@ -223,6 +223,63 @@ class Dsv2EqualitySpec extends SparkSpec {
     }
   }
 
+  test("rewrite_clustered restores the SPJ layout after a repair broke it") {
+    withTmp { tmp =>
+      val cat = s"grc_${java.lang.Long.toHexString(System.nanoTime())}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+      try {
+        val p = s"$tmp/db/t"
+        spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) " +
+          "TBLPROPERTIES ('graft.merge.mode'='merge-on-read', " +
+          "'graft.commit.log'='true')")
+        spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("v"))
+          .write.format(fmt)
+          .option(Dsv2Parquet.ClusterByOption, "k")
+          .option(Dsv2Parquet.NumPartitionsOption, "4")
+          .option(Dsv2Parquet.SortWithinOption, "k")
+          .mode("append").save(p)
+        assert(Dsv2Parquet.clustering(p, conf).exists(_._2 == 4))
+        // a MoR repair lands DVs + insert files → layout retracted
+        spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 3")
+        spark.sql(
+          s"""MERGE INTO $cat.db.t t
+             |USING (SELECT 5000 + id AS k, 1 AS v FROM range(10)) s
+             |ON t.k = s.k WHEN NOT MATCHED THEN INSERT (k, v)
+             |VALUES (s.k, s.v)""".stripMargin)
+        assert(Dsv2Parquet.clustering(p, conf).isEmpty,
+          "the repair should have retracted the declared layout")
+        val expect = spark.sql(s"SELECT k, v FROM $cat.db.t")
+          .as[(Long, Long)].collect().toSet
+        val preVersion = CommitLog.latest(p, conf).get.version
+        val replaced = spark.sql(
+          s"CALL $cat.system.rewrite_clustered('db.t', 'k', 4, 'k')")
+          .collect().head.getInt(0)
+        assert(replaced > 0)
+        // layout re-declared, every file a bucket, DVs folded, state exact
+        assert(Dsv2Parquet.clustering(p, conf)
+          .contains((Array("k"), 4, Array("k"))) ||
+          Dsv2Parquet.clustering(p, conf).exists { case (c, n, s) =>
+            c.sameElements(Array("k")) && n == 4 && s.sameElements(Array("k"))
+          })
+        assert(CommitLog.latest(p, conf).get.dvFiles.isEmpty)
+        assert(spark.sql(s"SELECT k, v FROM $cat.db.t")
+          .as[(Long, Long)].collect().toSet == expect)
+        // every rewritten file parses a bucket id below the width —
+        // the invariant the scan's KeyGroupedPartitioning report needs
+        assert(Dsv2Parquet.dataFiles(p, conf).forall(f =>
+          Dsv2Parquet.bucketOfFile(f.getPath.getName).exists(_ < 4)))
+        // pre-recluster history stays readable (replace-all was logical)
+        assert(spark.sql(
+          s"SELECT k FROM $cat.db.t VERSION AS OF $preVersion").count() ==
+          expect.size.toLong)
+      } finally {
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      }
+    }
+  }
+
   test("streamed micro-batches apply equality deletes") {
     withTmp { tmp =>
       val p = mkTable(tmp, n = 200L)
