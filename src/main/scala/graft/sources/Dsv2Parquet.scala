@@ -483,10 +483,23 @@ private[sources] case class GraftParquetScan(path: String,
    * post-[[filter]] re-plan), and at fleet scale the footer pass over a
    * large file count is itself real IO — cache it on the driver-side
    * scan instance so the re-plan prunes from memory. */
+  /** ONE planning listing, shared by the data-file, deletion-vector
+   * and commit-log views below — a commit landing mid-planning cannot
+   * make them disagree (and a 100k-file table pays one listing RPC per
+   * planning, not three). */
+  @transient private lazy val tableListing
+      : (Array[org.apache.hadoop.fs.FileStatus], Boolean) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(Dsv2Parquet.readConf)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory) (fs.listStatus(p), true) else (Array(st), false)
+  }
+
   @transient private lazy val footerBlocks
       : Array[(String, org.apache.parquet.hadoop.metadata.BlockMetaData)] = {
     val conf = Dsv2Parquet.readConf
-    val files = Dsv2Parquet.dataFiles(path, conf, versionAsOf)
+    val files = Dsv2Parquet.dataFilesFrom(tableListing._1, new Path(path),
+      tableListing._2, conf, versionAsOf)
     files.zip(Dsv2Parquet.fileFooters(files, conf)).flatMap {
       case (f, (_, blocks, _)) => blocks.map(b => f.getPath.toString -> b)
     }
@@ -496,7 +509,8 @@ private[sources] case class GraftParquetScan(path: String,
    * paths). Non-empty ⇒ row counts are inexact — gates limit
    * truncation; readers get the map through the factory. */
   @transient private lazy val dvMap: Map[String, Array[String]] =
-    Dsv2Parquet.dvListing(path, Dsv2Parquet.readConf, versionAsOf)
+    Dsv2Parquet.dvListingFrom(tableListing._1.map(_.getPath), new Path(path),
+      Dsv2Parquet.readConf, versionAsOf)
   @transient private lazy val dvPresent: Boolean = dvMap.nonEmpty
 
   /** Planning-time EQUALITY-DELETE snapshot ([[Dsv2Equality]]): the
@@ -506,10 +520,20 @@ private[sources] case class GraftParquetScan(path: String,
    * are off — transient state compact_table folds away. */
   @transient private lazy val eqInfo: Option[(Array[StructField],
       Array[(Set[String], Dsv2Equality.KeyFilter)])] = {
-    val snap = CommitLog.snapshotFor(path, Dsv2Parquet.readConf, versionAsOf)
+    val conf = Dsv2Parquet.readConf
+    val vs = tableListing._1
+      .flatMap(f => CommitLog.versionOf(f.getPath.getName)).sorted
+    val snap: Option[CommitLog.Snapshot] = versionAsOf match {
+      case Some(v) =>
+        require(vs.nonEmpty,
+          s"graft-manifest: VERSION AS OF $v on $path, which has no " +
+            "commit log")
+        Some(CommitLog.read(new Path(path), v, conf))
+      case None => vs.lastOption.map(CommitLog.read(new Path(path), _, conf))
+    }
     if (snap.forall(_.eqFiles.isEmpty)) None
     else Dsv2Equality.forSnapshot(path, snap,
-      Dsv2Parquet.footerSchema(path), Dsv2Parquet.readConf)
+      Dsv2Parquet.footerSchema(path), conf)
   }
   @transient private lazy val eqPresent: Boolean = eqInfo.nonEmpty
 
@@ -1209,18 +1233,27 @@ private[graft] object Dsv2Parquet {
           fs.listStatus(p).map(_.getPath)
         else Array.empty[Path]
       } catch { case _: java.io.FileNotFoundException => Array.empty[Path] }
+    dvListingFrom(all, p, conf, versionAsOf)
+  }
+
+  /** [[dvListing]] over a listing ALREADY TAKEN — the scan consolidates
+   * data files, sidecars and the commit-log snapshot onto ONE
+   * `listStatus`, so all three views of planning agree even when a
+   * commit lands mid-planning. */
+  def dvListingFrom(all: Array[Path], p: Path, conf: Configuration,
+      versionAsOf: Option[Long]): Map[String, Array[String]] = {
     val entries = all.filter(_.getName.startsWith(DvPrefix))
     val vs = all.flatMap(x => CommitLog.versionOf(x.getName))
     val snapped: Array[Path] = versionAsOf match {
       case Some(v) =>
         require(vs.nonEmpty,
-          s"graft-manifest: VERSION AS OF $v on $path, which has no " +
+          s"graft-manifest: VERSION AS OF $v on $p, which has no " +
             "commit log")
         val s = CommitLog.read(p, v, conf)
         val byName = entries.map(e => e.getName -> e).toMap
         s.dvFiles.toArray.sorted.map(n => byName.getOrElse(n,
           throw new IllegalStateException(
-            s"graft-manifest: version ${s.version} of $path references " +
+            s"graft-manifest: version ${s.version} of $p references " +
               s"missing deletion vector $n")))
       case None if vs.nonEmpty =>
         val s = CommitLog.read(p, vs.max, conf)
@@ -1550,18 +1583,25 @@ private[graft] object Dsv2Parquet {
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     val files =
-      if (st.isDirectory) fs.listStatus(p).filter(_.isFile)
+      if (st.isDirectory) fs.listStatus(p)
       else Array(st)
+    dataFilesFrom(files, p, st.isDirectory, conf, versionAsOf)
+  }
+
+  /** [[dataFiles]] over a listing already taken (see [[dvListingFrom]]). */
+  def dataFilesFrom(all: Array[FileStatus], p: Path, isDir: Boolean,
+      conf: Configuration, versionAsOf: Option[Long]): Array[FileStatus] = {
+    val files = if (isDir) all.filter(_.isFile) else all
     val base = files.filter { f =>
       val n = f.getPath.getName
       n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
     }
-    if (!st.isDirectory) return base
+    if (!isDir) return base
     val vs = files.flatMap(f => CommitLog.versionOf(f.getPath.getName))
     val snap: Option[CommitLog.Snapshot] = versionAsOf match {
       case Some(v) =>
         require(vs.nonEmpty,
-          s"graft-manifest: VERSION AS OF $v on $path, which has no " +
+          s"graft-manifest: VERSION AS OF $v on $p, which has no " +
             "commit log")
         Some(CommitLog.read(p, v, conf))
       case None =>
@@ -1573,7 +1613,7 @@ private[graft] object Dsv2Parquet {
         val byName = base.map(f => f.getPath.getName -> f).toMap
         s.dataFiles.toArray.sorted.map(n => byName.getOrElse(n,
           throw new IllegalStateException(
-            s"graft-manifest: version ${s.version} of $path references " +
+            s"graft-manifest: version ${s.version} of $p references " +
               s"missing data file $n (expired or physically deleted)")))
     }
   }
