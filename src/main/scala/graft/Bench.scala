@@ -67,6 +67,10 @@ object Bench {
     // replay micro-batches through the streaming engine — they measure
     // micro-batch scheduling, not the operators
     "recon_stream_replay", "recon_stream_dsv2", "recon_stream_evict",
+    // same argument: its wall is 8 micro-batches of scheduling around
+    // the monitor; the equality-repair operator itself is swept as
+    // recon_post_repair_eq and measured in the eqdelete scale smoke
+    "recon_post_repair_eq_stream",
     "q_events_hourly_stream",
     "q_events_hourly_sink_dsv2", "q_events_sessions_stream",
     "q_events_dedup_stream", "q_events_stream_join", "q_events_dedup_wm_stream",
