@@ -452,11 +452,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
    *   CALL <cat>.system.compact_small_files('ns.table', mb)   — binpack
    *   CALL <cat>.system.rewrite_clustered('ns.t','k',8,'k')   — layout
    *   CALL <cat>.system.expire_snapshots('ns.table', n)       — reclaim
-   * Each returns one row with the affected file count. */
+   *   CALL <cat>.system.snapshots('ns.table')                 — history
+   * Each returns one row with the affected file count (snapshots: one
+   * row per published version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.length == 1 && namespace(0) == "system")
       Array("compact_table", "compact_deletion_vectors",
-        "compact_small_files", "rewrite_clustered", "expire_snapshots")
+        "compact_small_files", "rewrite_clustered", "expire_snapshots",
+        "snapshots")
         .map(n => Identifier.of(namespace, n))
     else Array.empty
 
@@ -473,6 +476,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case "compact_small_files" => GraftBinpackProcedure(root)
       case "rewrite_clustered" => GraftReclusterProcedure(root)
       case "expire_snapshots" => GraftExpireProcedure(root)
+      case "snapshots" => GraftSnapshotsProcedure(root)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure $other")
     }
@@ -603,6 +607,50 @@ private[sources] case class GraftReclusterProcedure(root: String)
         override def rows(): Array[InternalRow] = Array(out)
         override def readSchema(): StructType = StructType(Seq(
           StructField("replaced_files", IntegerType, nullable = false)))
+      }: org.apache.spark.sql.connector.read.Scan).iterator()
+  }
+}
+
+/** `snapshots('ns.table')`: one row per published commit-log version
+ * (version, data/dv/eq file counts) — the DESCRIBE HISTORY face of
+ * the log, the surface an operator consults before `VERSION AS OF`
+ * or `expire_snapshots`. */
+private[sources] case class GraftSnapshotsProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "snapshots"
+  override def description(): String =
+    "list the table's published commit-log versions"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table",
+      org.apache.spark.sql.types.StringType).build())
+
+  override def call(input: InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val table = input.getUTF8String(0).toString
+    val path = (root +: table.split('.').toSeq).mkString("/")
+    val conf = Dsv2Parquet.readConf
+    val dir = new Path(path)
+    val out: Array[InternalRow] = CommitLog.versions(dir, conf).map { v =>
+      val s = CommitLog.read(dir, v, conf)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](s.version, s.dataFiles.size, s.dvFiles.size,
+          s.eqFiles.size))
+    }
+    java.util.Collections.singletonList(
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("version", org.apache.spark.sql.types.LongType,
+            nullable = false),
+          StructField("data_files", IntegerType, nullable = false),
+          StructField("dv_files", IntegerType, nullable = false),
+          StructField("eq_files", IntegerType, nullable = false)))
       }: org.apache.spark.sql.connector.read.Scan).iterator()
   }
 }

@@ -405,6 +405,20 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("snapshots lists the published history (DESCRIBE HISTORY face)") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.commit.log'='true')")
+      spark.range(10).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()
+      spark.range(10, 20).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()
+      val rows = spark.sql(s"CALL $cat.system.snapshots('db.t')")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.toSeq == Seq((1L, 0), (2L, 1), (3L, 2)), rows.mkString)
+    }
+  }
+
   // ---- streaming epochs on a logged table ---------------------------
 
   test("streaming epochs publish manifest versions (append mode)") {
