@@ -57,9 +57,12 @@ object CommitLog {
   private val Header = "graft-manifest 1"
 
   /** One published table version: data files + DV sidecars +
-   * equality-delete files, all by NAME (relative to the table dir). */
+   * equality-delete files, all by NAME (relative to the table dir),
+   * plus free-form commit metadata (`operation`, `ts` millis — the
+   * DESCRIBE HISTORY columns). */
   final case class Snapshot(version: Long, dataFiles: Set[String],
-      dvFiles: Set[String], eqFiles: Set[String] = Set.empty) {
+      dvFiles: Set[String], eqFiles: Set[String] = Set.empty,
+      meta: Map[String, String] = Map.empty) {
     /** data file name → its DV sidecar paths under `dir` (the same
      * shape [[Dsv2Parquet.dvListing]] serves from a raw listing). */
     def dvMapUnder(dir: Path): Map[String, Array[String]] =
@@ -87,6 +90,7 @@ object CommitLog {
     var data = Set.empty[String]
     var dv = Set.empty[String]
     var eq = Set.empty[String]
+    var meta = Map.empty[String, String]
     lines.drop(1).filter(_.nonEmpty).foreach { l =>
       val tag = l.charAt(0)
       require(l.length > 2 && l.charAt(1) == ' ',
@@ -96,11 +100,17 @@ object CommitLog {
         case 'D' => data += name
         case 'V' => dv += name
         case 'E' => eq += name
+        case 'M' =>
+          // commit metadata: `M key value` (value may contain spaces)
+          val cut = name.indexOf(' ')
+          require(cut > 0,
+            s"graft-manifest: bad metadata line '$l' in version $version")
+          meta += name.substring(0, cut) -> name.substring(cut + 1)
         case other => throw new IllegalArgumentException(
           s"graft-manifest: unknown entry tag '$other' in version $version")
       }
     }
-    Snapshot(version, data, dv, eq)
+    Snapshot(version, data, dv, eq, meta)
   }
 
   /** Read one version's manifest (cached; fails if absent — an expired
@@ -171,6 +181,7 @@ object CommitLog {
     val fs = dir.getFileSystem(conf)
     val dst = new Path(dir, manifestName(snap.version))
     val body = (Seq(Header) ++
+      snap.meta.toSeq.sortBy(_._1).map { case (k, v) => s"M $k $v" } ++
       snap.dataFiles.toSeq.sorted.map("D " + _) ++
       snap.dvFiles.toSeq.sorted.map("V " + _) ++
       snap.eqFiles.toSeq.sorted.map("E " + _)).mkString("", "\n", "\n")
@@ -214,6 +225,11 @@ object CommitLog {
     }
   }
 
+  /** Commit metadata for a publish happening NOW. */
+  private def stamp(operation: String): Map[String, String] =
+    Map("operation" -> operation,
+      "ts" -> System.currentTimeMillis().toString)
+
   /** Forget a cached manifest (paired with its physical expiry —
    * same-JVM reads of an expired version must fail, not resurrect). */
   def invalidate(dir: Path, version: Long): Unit = {
@@ -230,7 +246,7 @@ object CommitLog {
         .map(_.getPath.getName).toSet
       val dv = Dsv2Parquet.dvListing(path, conf)
         .values.flatten.map(new Path(_).getName).toSet
-      val snap = Snapshot(1L, data, dv)
+      val snap = Snapshot(1L, data, dv, meta = stamp("enable"))
       if (tryCommit(path, snap, conf)) snap
       else latest(path, conf).get // lost an enable race — theirs stands
     }
@@ -242,7 +258,8 @@ object CommitLog {
    * caller found the new base state invalidates its work — e.g. a
    * file its deletes reference was replaced). Returns the published
    * snapshot, or None on abort. */
-  def commitUpdate(path: String, conf: Configuration)(
+  def commitUpdate(path: String, conf: Configuration,
+      operation: String = "")(
       update: Snapshot => Option[Snapshot]): Option[Snapshot] = {
     var attempts = 0
     while (attempts < 1000) {
@@ -251,7 +268,8 @@ object CommitLog {
       update(cur) match {
         case None => return None
         case Some(next0) =>
-          val next = next0.copy(version = cur.version + 1)
+          val next = next0.copy(version = cur.version + 1,
+            meta = if (operation.isEmpty) next0.meta else stamp(operation))
           if (tryCommit(path, next, conf)) return Some(next)
       }
       attempts += 1

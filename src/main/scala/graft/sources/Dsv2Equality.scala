@@ -274,7 +274,7 @@ object EqualityRepair {
       }
     try {
       CommitRaceProbe.beforeEqPublish(path)
-      CommitLog.commitUpdate(path, conf) { cur =>
+      CommitLog.commitUpdate(path, conf, operation = "eq-repair") { cur =>
         // a targeted file retired by a concurrent rewrite means its
         // replacement does NOT carry these deletes — abort, never lose
         val gone = targets.filterNot(cur.dataFiles.contains)

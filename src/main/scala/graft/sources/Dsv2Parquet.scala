@@ -185,7 +185,8 @@ private[sources] case class GraftParquetTable(path: String,
     if (CommitLog.enabled(path, Dsv2Parquet.readConf)) {
       // logical retire: the manifest drop IS the delete (re-proved per
       // CAS attempt); the bytes stay for time travel
-      CommitLog.commitUpdate(path, Dsv2Parquet.readConf) { cur =>
+      CommitLog.commitUpdate(path, Dsv2Parquet.readConf,
+          operation = "delete") { cur =>
         val removed = Dsv2Parquet.deleteDecisions(path, filters).getOrElse(
           throw new IllegalStateException(
             s"graft-parquet: metadata delete no longer file-aligned " +

@@ -232,7 +232,10 @@ private[sources] case class GraftParquetBatchWrite(path: String,
       }
       val stagedNames = staged.map(_.getName).toSet
       var removedCount = 0
-      CommitLog.commitUpdate(path, conf) { cur =>
+      CommitLog.commitUpdate(path, conf,
+        operation = if (truncateFirst) "truncate"
+          else if (overwriteFilters.nonEmpty) "overwrite" else "append"
+      ) { cur =>
         val removedNames: Set[String] =
           if (truncateFirst) cur.dataFiles
           else if (overwriteFilters.nonEmpty)
@@ -472,7 +475,7 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
       // (append) or re-pin (complete) to the identical state.
       val dstNames = dsts.map(_.getName).toSet
       var removed = 0
-      CommitLog.commitUpdate(path, conf) { cur =>
+      CommitLog.commitUpdate(path, conf, operation = "stream-epoch") { cur =>
         if (truncateFirst) {
           val retired = cur.dataFiles -- dstNames
           removed = retired.size

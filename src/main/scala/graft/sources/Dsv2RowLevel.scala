@@ -229,7 +229,7 @@ private[sources] case class GraftReplaceDataWrite(path: String,
       }
       val stagedNames = staged.map(_.getName).toSet
       val scannedSet = scanned.toSet
-      CommitLog.commitUpdate(path, conf) { cur =>
+      CommitLog.commitUpdate(path, conf, operation = "replace") { cur =>
         val gone = scannedSet.filterNot(cur.dataFiles.contains)
         if (gone.nonEmpty) throw new IllegalStateException(
           "graft-replace commit: concurrent writer conflict — scanned " +
@@ -473,7 +473,7 @@ private[sources] case class GraftDeltaBatchWrite(path: String,
       }
       val stagedNames = staged.map(_.getName).toSet
       CommitRaceProbe.beforeDeltaPublish(path)
-      CommitLog.commitUpdate(path, conf) { cur =>
+      CommitLog.commitUpdate(path, conf, operation = "delta") { cur =>
         val gone = merged.keys.filterNot(cur.dataFiles.contains)
         if (gone.nonEmpty) throw new IllegalStateException(
           "graft-delta commit: concurrent writer conflict — data " +

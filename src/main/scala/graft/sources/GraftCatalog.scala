@@ -640,7 +640,12 @@ private[sources] case class GraftSnapshotsProcedure(root: String)
       val s = CommitLog.read(dir, v, conf)
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](s.version, s.dataFiles.size, s.dvFiles.size,
-          s.eqFiles.size))
+          s.eqFiles.size,
+          s.meta.get("operation")
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+            .orNull,
+          s.meta.get("ts").flatMap(_.toLongOption)
+            .map(java.lang.Long.valueOf).orNull))
     }
     java.util.Collections.singletonList(
       new org.apache.spark.sql.connector.read.LocalScan {
@@ -650,7 +655,11 @@ private[sources] case class GraftSnapshotsProcedure(root: String)
             nullable = false),
           StructField("data_files", IntegerType, nullable = false),
           StructField("dv_files", IntegerType, nullable = false),
-          StructField("eq_files", IntegerType, nullable = false)))
+          StructField("eq_files", IntegerType, nullable = false),
+          StructField("operation", org.apache.spark.sql.types.StringType,
+            nullable = true),
+          StructField("ts_millis", org.apache.spark.sql.types.LongType,
+            nullable = true)))
       }: org.apache.spark.sql.connector.read.Scan).iterator()
   }
 }

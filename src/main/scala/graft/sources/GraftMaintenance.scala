@@ -59,7 +59,8 @@ object GraftMaintenance {
           Dsv2Parquet.writeDvSidecar(dir, name,
             Dsv2Parquet.readDvUnion(sidecars, conf), conf))
       }
-      CommitLog.commitUpdate(path, conf) { cur =>
+      CommitLog.commitUpdate(path, conf,
+          operation = "compact-minor") { cur =>
         var dv = cur.dvFiles
         replacements.foreach { case (dataName, merged, union) =>
           // swap only while every merged input is still current AND the
@@ -179,7 +180,7 @@ object GraftMaintenance {
             s"graft-recluster: rename ${s.getPath} -> $dst failed")
           dst.getName
         }.toSet
-        CommitLog.commitUpdate(path, conf) { cur =>
+        CommitLog.commitUpdate(path, conf, operation = "recluster") { cur =>
           if (cur.version != baseSnap.version) throw new IllegalStateException(
             "graft-recluster: concurrent writer conflict — the table " +
               s"moved from version ${baseSnap.version} to ${cur.version} " +
@@ -270,7 +271,9 @@ object GraftMaintenance {
           dst.getName
         }.toSet
         CommitRaceProbe.beforeCompactionPublish(path)
-        CommitLog.commitUpdate(path, conf) { cur =>
+        CommitLog.commitUpdate(path, conf,
+            operation = if (outPartitions.isEmpty) "compact" else "binpack"
+        ) { cur =>
           val gone = scannedSet.filterNot(cur.dataFiles.contains)
           if (gone.nonEmpty) throw new IllegalStateException(
             "graft-compact: concurrent writer conflict — compacted " +

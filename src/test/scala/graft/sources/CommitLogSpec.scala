@@ -414,8 +414,13 @@ class CommitLogSpec extends SparkSpec {
       spark.range(10, 20).select(col("id").as("k")).coalesce(1)
         .writeTo(s"$cat.db.t").append()
       val rows = spark.sql(s"CALL $cat.system.snapshots('db.t')")
-        .collect().map(r => (r.getLong(0), r.getInt(1)))
-      assert(rows.toSeq == Seq((1L, 0), (2L, 1), (3L, 2)), rows.mkString)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+      assert(rows.toSeq == Seq((1L, 0, "enable"), (2L, 1, "append"),
+        (3L, 2, "append")), rows.mkString)
+      // commit timestamps are stamped and non-decreasing
+      val ts = spark.sql(s"CALL $cat.system.snapshots('db.t')")
+        .collect().map(_.getLong(5))
+      assert(ts.forall(_ > 0L) && ts.sorted.sameElements(ts))
     }
   }
 
