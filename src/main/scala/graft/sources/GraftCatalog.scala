@@ -155,6 +155,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     }
   }
 
+  /** SQL `TIMESTAMP AS OF t`: resolve to the NEWEST version whose
+   * commit timestamp is ≤ t (manifests stamp `ts` millis at publish;
+   * a version predating the metadata counts as old enough). Spark
+   * hands the timestamp in MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadTable(ident) match {
+      case t: GraftParquetTable =>
+        val millis = timestamp / 1000L
+        val dir = new Path(t.path)
+        val vs = CommitLog.versions(dir, conf)
+        require(vs.nonEmpty,
+          s"graft catalog: TIMESTAMP AS OF on $ident, which has no " +
+            "commit log (set TBLPROPERTIES('graft.commit.log'='true'))")
+        val eligible = vs.filter(v =>
+          CommitLog.read(dir, v, conf).meta.get("ts")
+            .flatMap(_.toLongOption).forall(_ <= millis))
+        require(eligible.nonEmpty,
+          s"graft catalog: TIMESTAMP AS OF precedes $ident's history " +
+            s"(first commit at ts ${CommitLog.read(dir, vs.min, conf)
+              .meta.getOrElse("ts", "?")} ms)")
+        t.copy(versionAsOf = Some(eligible.max))
+      case other => other
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

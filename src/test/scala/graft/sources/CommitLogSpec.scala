@@ -421,6 +421,17 @@ class CommitLogSpec extends SparkSpec {
       val ts = spark.sql(s"CALL $cat.system.snapshots('db.t')")
         .collect().map(_.getLong(5))
       assert(ts.forall(_ > 0L) && ts.sorted.sameElements(ts))
+      // TIMESTAMP AS OF resolves to the newest version at-or-before:
+      // version 2's own stamp must read version 2's state
+      assert(spark.sql(s"SELECT k FROM $cat.db.t TIMESTAMP AS OF " +
+        s"timestamp_millis(${ts(1)})").count() == 10L)
+      // far future = latest; before history = refused
+      assert(spark.sql(s"SELECT k FROM $cat.db.t TIMESTAMP AS OF " +
+        s"timestamp_millis(${ts(2) + 3600000L})").count() == 20L)
+      assertCauseContains(intercept[Throwable] {
+        spark.sql(s"SELECT k FROM $cat.db.t TIMESTAMP AS OF " +
+          s"timestamp_millis(${ts(0) - 3600000L})").count()
+      }, "precedes")
     }
   }
 
