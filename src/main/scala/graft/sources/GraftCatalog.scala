@@ -477,13 +477,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
    *   CALL <cat>.system.rewrite_clustered('ns.t','k',8,'k')   — layout
    *   CALL <cat>.system.expire_snapshots('ns.table', n)       — reclaim
    *   CALL <cat>.system.snapshots('ns.table')                 — history
+   *   CALL <cat>.system.rollback_to_version('ns.table', v)    — undo
+   *   CALL <cat>.system.remove_orphan_files('ns.table', ms)   — gc
    * Each returns one row with the affected file count (snapshots: one
-   * row per published version). */
+   * row per published version; rollback: the new version). */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.length == 1 && namespace(0) == "system")
       Array("compact_table", "compact_deletion_vectors",
         "compact_small_files", "rewrite_clustered", "expire_snapshots",
-        "snapshots")
+        "snapshots", "rollback_to_version", "remove_orphan_files")
         .map(n => Identifier.of(namespace, n))
     else Array.empty
 
@@ -501,6 +503,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case "rewrite_clustered" => GraftReclusterProcedure(root)
       case "expire_snapshots" => GraftExpireProcedure(root)
       case "snapshots" => GraftSnapshotsProcedure(root)
+      case "rollback_to_version" => GraftRollbackProcedure(root)
+      case "remove_orphan_files" => GraftOrphanProcedure(root)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unknown procedure $other")
     }
@@ -715,6 +719,83 @@ private[sources] case class GraftExpireProcedure(root: String)
     val retain = input.getInt(1)
     val path = (root +: table.split('.').toSeq).mkString("/")
     val n = GraftMaintenance.expireSnapshots(path, retain)
+    val out = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](n))
+    java.util.Collections.singletonList(
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = Array(out)
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("deleted_files", IntegerType, nullable = false)))
+      }: org.apache.spark.sql.connector.read.Scan).iterator()
+  }
+}
+
+/** `rollback_to_version('ns.table', v)`: publish a new commit-log
+ * version whose file sets are exactly version `v`'s — metadata-only
+ * undo preserving history ([[GraftMaintenance.rollbackTo]]). Returns
+ * one row with the newly published version. */
+private[sources] case class GraftRollbackProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "rollback_to_version"
+  override def description(): String =
+    "set the table back to a prior commit-log version (history preserved)"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table",
+      org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("version",
+      org.apache.spark.sql.types.LongType).build())
+
+  override def call(input: InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val table = input.getUTF8String(0).toString
+    val version = input.getLong(1)
+    val path = (root +: table.split('.').toSeq).mkString("/")
+    val v = GraftMaintenance.rollbackTo(path, version)
+    val out = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](v))
+    java.util.Collections.singletonList(
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = Array(out)
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("version", org.apache.spark.sql.types.LongType,
+            nullable = false)))
+      }: org.apache.spark.sql.connector.read.Scan).iterator()
+  }
+}
+
+/** `remove_orphan_files('ns.table', older_than_ms)`: delete
+ * table-shaped files no published commit-log version references and
+ * older than the age guard ([[GraftMaintenance.removeOrphanFiles]]).
+ * Returns one row with the deleted file count. */
+private[sources] case class GraftOrphanProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "remove_orphan_files"
+  override def description(): String =
+    "delete unreferenced table files older than the age guard"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table",
+      org.apache.spark.sql.types.StringType).build(),
+    ProcedureParameter.in("older_than_ms",
+      org.apache.spark.sql.types.LongType).build())
+
+  override def call(input: InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val table = input.getUTF8String(0).toString
+    val olderThan = input.getLong(1)
+    val path = (root +: table.split('.').toSeq).mkString("/")
+    val n = GraftMaintenance.removeOrphanFiles(path, olderThan)
     val out = new org.apache.spark.sql.catalyst.expressions
       .GenericInternalRow(Array[Any](n))
     java.util.Collections.singletonList(

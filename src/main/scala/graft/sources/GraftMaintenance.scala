@@ -370,6 +370,82 @@ object GraftMaintenance {
     }
     n
   }
+
+  /** `rollback_to_version`: publish a NEW version whose file sets are
+   * exactly those of `version` — a metadata-only undo (zero data
+   * movement, the same face as Iceberg's `rollback_to_snapshot`) that
+   * PRESERVES history: the rolled-over versions stay readable via
+   * `VERSION AS OF` until `expire_snapshots` reclaims them, and the
+   * rollback itself appears in `snapshots` as one more commit. Fails
+   * if the target version has expired or any file it references has
+   * been physically reclaimed. Rollback is last-write-wins BY DESIGN:
+   * the published state ignores the current snapshot entirely, so a
+   * commit that lands concurrently is rolled over too (that is what
+   * "set the table to version N" means). Returns the new version. */
+  def rollbackTo(path: String, version: Long): Long = {
+    val conf = Dsv2Parquet.readConf
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    require(CommitLog.enabled(path, conf),
+      s"graft-rollback: $path has no commit log (set " +
+        "TBLPROPERTIES('graft.commit.log'='true'))")
+    val target = CommitLog.read(dir, version, conf)
+    (target.dataFiles ++ target.dvFiles ++ target.eqFiles).foreach { f =>
+      require(fs.exists(new Path(dir, f)),
+        s"graft-rollback: version $version references $f, which " +
+          "expire_snapshots has physically reclaimed — unrecoverable")
+    }
+    // The restored file names may not be bucket-aligned with a layout
+    // declared AFTER the target version — retract any clustering claim
+    // rather than let the scan report a partitioning the restored
+    // files no longer prove (same conservatism as compaction).
+    val clustering = new Path(dir, Dsv2Parquet.ClusteringFileName)
+    if (fs.exists(clustering)) fs.delete(clustering, false)
+    CommitLog.commitUpdate(path, conf,
+      operation = s"rollback to $version")(_ => Some(target)).get.version
+  }
+
+  /** `remove_orphan_files`: delete files in the table directory that
+   * match a table-file shape (data `*.parquet`, DV `_dv-*.bin`,
+   * equality `_eq-*.bin`) but are referenced by NO published commit-log
+   * version — crashed writes' promoted-then-never-committed leftovers
+   * and externally copied-in strays. Manifests, staging dirs, epoch
+   * markers and the clustering sidecar are never candidates. The
+   * `olderThanMs` age guard is what keeps a LIVE writer's
+   * renamed-but-not-yet-manifested files safe (a batch commit renames
+   * staged files in BEFORE publishing the manifest) — pass 0 only when
+   * no writer can be in flight. Requires the commit log: on a log-less
+   * table the listing IS the state and nothing is orphaned. Returns
+   * the deleted file count. */
+  def removeOrphanFiles(path: String, olderThanMs: Long): Int = {
+    require(olderThanMs >= 0,
+      s"graft-orphans: older_than_ms must be >= 0, got $olderThanMs")
+    val conf = Dsv2Parquet.readConf
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val versions = CommitLog.versions(dir, conf)
+    require(versions.nonEmpty,
+      s"graft-orphans: $path has no commit log — the directory " +
+        "listing IS the table state, nothing can be orphaned")
+    val referenced: Set[String] = versions.toSet.flatMap { (v: Long) =>
+      val s = CommitLog.read(dir, v, conf)
+      s.dataFiles ++ s.dvFiles ++ s.eqFiles
+    }
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var n = 0
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      val tableShaped =
+        (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith(".")) ||
+        (name.startsWith(Dsv2Parquet.DvPrefix) && name.endsWith(".bin")) ||
+        (name.startsWith(Dsv2Equality.EqPrefix) && name.endsWith(".bin"))
+      if (st.isFile && tableShaped && !referenced.contains(name) &&
+          st.getModificationTime <= cutoff &&
+          fs.delete(st.getPath, false)) n += 1
+    }
+    n
+  }
 }
 
 /** Test seam for the commit-race specs: callbacks fired on the driver

@@ -405,6 +405,88 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("rollback_to_version restores a prior state, history preserved") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.commit.log'='true')")            // v1
+      spark.range(10).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()                         // v2
+      spark.range(10, 20).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()                         // v3
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k < 10")          // v4
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").count() == 10L)
+      val v = spark.sql(
+        s"CALL $cat.system.rollback_to_version('db.t', 2)").collect()
+      assert(v.head.getLong(0) == 5L, v.mkString)               // v5
+      // the table IS version 2's state again — zero data movement
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long]
+        .collect().toSet == (0L until 10L).toSet)
+      // rolled-over versions remain time-travelable until expiry
+      assert(spark.sql(s"SELECT k FROM $cat.db.t VERSION AS OF 3")
+        .count() == 20L)
+      assert(spark.sql(s"SELECT k FROM $cat.db.t VERSION AS OF 4")
+        .count() == 10L)
+      // the rollback is itself one more commit in the history
+      val hist = spark.sql(s"CALL $cat.system.snapshots('db.t')")
+        .collect().map(r => (r.getLong(0), r.getString(4)))
+      assert(hist.last == ((5L, "rollback to 2")), hist.mkString)
+      // rolling forward again works too (undo the undo)
+      spark.sql(s"CALL $cat.system.rollback_to_version('db.t', 4)")
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long]
+        .collect().toSet == (10L until 20L).toSet)
+      // a never-published version is refused
+      assertCauseContains(intercept[Throwable] {
+        spark.sql(s"CALL $cat.system.rollback_to_version('db.t', 99)")
+          .collect()
+      }, "does not exist")
+      // a reclaimed target is refused: expire past v2, then ask for it
+      spark.sql(s"CALL $cat.system.expire_snapshots('db.t', 1)")
+      assertCauseContains(intercept[Throwable] {
+        spark.sql(s"CALL $cat.system.rollback_to_version('db.t', 2)")
+          .collect()
+      }, "does not exist")
+    }
+  }
+
+  test("remove_orphan_files deletes only unreferenced, age-gated files") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.commit.log'='true')")
+      spark.range(10).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()
+      val p = s"${root(cat)}/db/t"
+      // plant strays of every table-file shape + a non-candidate
+      val strayData = new java.io.File(p, "stray-crashed-write.parquet")
+      val strayDv = new java.io.File(p,
+        s"${Dsv2Parquet.DvPrefix}stray.parquet-x.bin")
+      val strayEq = new java.io.File(p, s"${Dsv2Equality.EqPrefix}stray.bin")
+      val marker = new java.io.File(p, "_clustering_unrelated")
+      Seq(strayData, strayDv, strayEq, marker).foreach { f =>
+        val w = new java.io.FileWriter(f); w.write("x"); w.close()
+      }
+      // age guard: nothing is old enough yet
+      assert(spark.sql(
+        s"CALL $cat.system.remove_orphan_files('db.t', ${86400L * 1000})")
+        .collect().head.getInt(0) == 0)
+      assert(strayData.exists() && strayDv.exists() && strayEq.exists())
+      // no guard: exactly the three table-shaped strays go
+      assert(spark.sql(s"CALL $cat.system.remove_orphan_files('db.t', 0)")
+        .collect().head.getInt(0) == 3)
+      assert(!strayData.exists() && !strayDv.exists() && !strayEq.exists())
+      assert(marker.exists(), "non-table-shaped file must survive")
+      // referenced data + manifests untouched; the table still reads
+      assert(parquetFilesOnDisk(p).size == 1)
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").count() == 10L)
+      assert(CommitLog.versions(new Path(p), conf).length == 2)
+      // a log-less table is refused — its listing IS the state
+      spark.sql(s"CREATE TABLE $cat.db.nolog (k BIGINT)")
+      assertCauseContains(intercept[Throwable] {
+        spark.sql(s"CALL $cat.system.remove_orphan_files('db.nolog', 0)")
+          .collect()
+      }, "no commit log")
+    }
+  }
+
   test("snapshots lists the published history (DESCRIBE HISTORY face)") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) " +
