@@ -137,9 +137,9 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
    * iteration creates a catalog table (random copy-on-write /
    * merge-on-read, random commit-log-from-birth) and runs a random
    * program of append / row-level DELETE / MERGE / INSERT OVERWRITE /
-   * major+minor compaction / merge-mode switch / mid-life log enable,
-   * comparing the FULL table contents with an in-memory Map after
-   * every step. On logged tables every published version's expected
+   * major+minor compaction / merge-mode switch / mid-life log enable /
+   * rollback_to_version / remove_orphan_files, comparing the FULL
+   * table contents with an in-memory Map after every step. On logged tables every published version's expected
    * state is recorded and re-read via SQL `VERSION AS OF` at the end,
    * then expire_snapshots(1) must keep exactly the final state. The
    * randomized complement of CommitLogSpec's shape-targeted cases:
@@ -187,7 +187,7 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
             GraftMaintenance.compactDeletionVectors(spark, p): Unit
 
         (0 until 6).foreach { step =>
-          rnd.nextInt(if (logged) 9 else 8) match {
+          rnd.nextInt(if (logged) 11 else 8) match {
             case 0 | 1 => // append a fresh batch
               val rows = freshRows(50 + rnd.nextInt(200))
               df(rows).writeTo(s"$cat.db.t").append()
@@ -247,6 +247,21 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
                 df(victims.map(k => (k, 0L))).select("k"), df(inserts))
               victims.foreach(model.remove)
               model ++= inserts
+            case 9 => // rollback to a recorded version: the model IS
+              // that version's recorded expected state (logged only)
+              if (history.nonEmpty) {
+                val versions = history.keys.toSeq.sorted
+                val target = versions(rnd.nextInt(versions.length))
+                spark.sql(
+                  s"CALL $cat.system.rollback_to_version('db.t', $target)")
+                  .collect(): Unit
+                model.clear()
+                model ++= history(target)
+              }
+            case 10 => // orphan GC mid-program: must delete nothing any
+              // published version references (step + end checks prove it)
+              spark.sql(s"CALL $cat.system.remove_orphan_files('db.t', 0)")
+                .collect(): Unit
           }
           checkpoint()
           val got = spark.sql(s"SELECT k, v FROM $cat.db.t").collect()
