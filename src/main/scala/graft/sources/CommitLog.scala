@@ -230,6 +230,30 @@ object CommitLog {
     Map("operation" -> operation,
       "ts" -> System.currentTimeMillis().toString)
 
+  /** The table's DECLARED schema DDL at commit time (`_schema.ddl`
+   * beside the data), recorded into each manifest's metadata so time
+   * travel serves the AS-OF schema — a column added later must not
+   * appear (null-filled) in a version committed before it existed.
+   * None for path-written tables that never declared: their schema is
+   * the footer union, which the pinned file set already scopes. */
+  private def declaredDdl(path: String,
+      conf: Configuration): Option[String] = {
+    val p = new Path(path, Dsv2Parquet.SchemaFileName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val ddl = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      // the manifest format is line-based — a DDL that somehow grew a
+      // newline is unrecordable, not a reason to fail the commit
+      if (ddl.nonEmpty && !ddl.contains('\n')) Some(ddl) else None
+    }
+  }
+
   /** Forget a cached manifest (paired with its physical expiry —
    * same-JVM reads of an expired version must fail, not resurrect). */
   def invalidate(dir: Path, version: Long): Unit = {
@@ -246,7 +270,8 @@ object CommitLog {
         .map(_.getPath.getName).toSet
       val dv = Dsv2Parquet.dvListing(path, conf)
         .values.flatten.map(new Path(_).getName).toSet
-      val snap = Snapshot(1L, data, dv, meta = stamp("enable"))
+      val snap = Snapshot(1L, data, dv, meta = stamp("enable") ++
+        declaredDdl(path, conf).map("schema" -> _))
       if (tryCommit(path, snap, conf)) snap
       else latest(path, conf).get // lost an enable race — theirs stands
     }
@@ -261,6 +286,7 @@ object CommitLog {
   def commitUpdate(path: String, conf: Configuration,
       operation: String = "")(
       update: Snapshot => Option[Snapshot]): Option[Snapshot] = {
+    val schemaMeta = declaredDdl(path, conf).map("schema" -> _).toMap
     var attempts = 0
     while (attempts < 1000) {
       val cur = latest(path, conf).getOrElse(throw new IllegalStateException(
@@ -269,7 +295,8 @@ object CommitLog {
         case None => return None
         case Some(next0) =>
           val next = next0.copy(version = cur.version + 1,
-            meta = if (operation.isEmpty) next0.meta else stamp(operation))
+            meta = (if (operation.isEmpty) next0.meta
+              else stamp(operation)) ++ schemaMeta)
           if (tryCommit(path, next, conf)) return Some(next)
       }
       attempts += 1

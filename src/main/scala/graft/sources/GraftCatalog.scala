@@ -150,8 +150,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         s"graft catalog: VERSION AS OF '$version' — graft versions are " +
           "the commit log's integer manifest numbers"))
     loadTable(ident) match {
-      case t: GraftParquetTable => t.copy(versionAsOf = Some(v))
+      case t: GraftParquetTable => pinVersion(t, v)
       case other => other
+    }
+  }
+
+  /** Pin a loaded table to commit-log version `v`, serving the schema
+   * RECORDED at that commit when the manifest carries one — a column
+   * added by a later ALTER must not appear (null-filled) in a version
+   * committed before it existed. Manifests from before schema
+   * recording fall back to the current declared schema. */
+  private def pinVersion(t: GraftParquetTable,
+      v: Long): GraftParquetTable = {
+    val snap = CommitLog.snapshotFor(t.path, conf, Some(v)).get
+    snap.meta.get("schema") match {
+      case Some(ddl) =>
+        t.copy(schema = StructType.fromDDL(ddl), versionAsOf = Some(v))
+      case None => t.copy(versionAsOf = Some(v))
     }
   }
 
@@ -175,7 +190,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           s"graft catalog: TIMESTAMP AS OF precedes $ident's history " +
             s"(first commit at ts ${CommitLog.read(dir, vs.min, conf)
               .meta.getOrElse("ts", "?")} ms)")
-        t.copy(versionAsOf = Some(eligible.max))
+        pinVersion(t, eligible.max)
       case other => other
     }
 
@@ -311,6 +326,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         s"graft catalog: unsupported ALTER $other")
     }
     writeDdl(p, next)
+    // on a logged table a schema change is a commit like any other:
+    // publish a version (file sets unchanged) so the history records
+    // it and VERSION AS OF at-or-after serves the new schema
+    if (next != current && CommitLog.enabled(p, conf))
+      CommitLog.commitUpdate(p, conf, "alter schema")(Some(_)): Unit
     if (mor) writeProps(p, Map(
       Dsv2Parquet.MergeModeProperty -> Dsv2Parquet.MergeOnRead))
     else {

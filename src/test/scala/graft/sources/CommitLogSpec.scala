@@ -405,6 +405,39 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("time travel serves the schema AS OF the commit, not the current") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.commit.log'='true')")            // v1
+      spark.range(5).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()                         // v2
+      spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMN v BIGINT")   // v3
+      spark.range(5, 8).select(col("id").as("k"), (col("id") * 10).as("v"))
+        .coalesce(1).writeTo(s"$cat.db.t").append()             // v4
+      // current read: both columns, old rows null-filled
+      assert(spark.sql(s"SELECT * FROM $cat.db.t").columns.toSeq ==
+        Seq("k", "v"))
+      // a version committed BEFORE the ALTER must not show the column
+      assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 2")
+        .columns.toSeq == Seq("k"))
+      // the ALTER itself is a published, history-visible commit…
+      val hist = spark.sql(s"CALL $cat.system.snapshots('db.t')")
+        .collect().map(r => (r.getLong(0), r.getString(4)))
+      assert(hist.toSeq == Seq((1L, "enable"), (2L, "append"),
+        (3L, "alter schema"), (4L, "append")), hist.mkString)
+      // …whose pinned read already serves the widened schema
+      assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 3")
+        .columns.toSeq == Seq("k", "v"))
+      assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 4")
+        .count() == 8L)
+      // TIMESTAMP AS OF resolves through the same pinning
+      val ts2 = spark.sql(s"CALL $cat.system.snapshots('db.t')")
+        .collect().map(_.getLong(5)).apply(1)
+      assert(spark.sql(s"SELECT * FROM $cat.db.t TIMESTAMP AS OF " +
+        s"timestamp_millis($ts2)").columns.toSeq == Seq("k"))
+    }
+  }
+
   test("rollback_to_version restores a prior state, history preserved") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) " +
