@@ -80,7 +80,8 @@ class GraftParquetProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val ddl = options.get(Dsv2Parquet.SchemaOption)
     if (ddl != null && ddl.nonEmpty) StructType.fromDDL(ddl)
-    else Dsv2Parquet.footerSchema(Dsv2Parquet.pathOf(options))
+    else Dsv2Parquet.footerSchema(Dsv2Parquet.pathOf(options),
+      Option(options.get(Dsv2Parquet.VersionAsOfOption)).map(_.toLong))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -1637,9 +1638,15 @@ private[graft] object Dsv2Parquet {
    * null-fills what an individual file lacks). A same-name column whose
    * Spark type differs across files fails fast — silently picking one
    * decode would corrupt the other files' bytes. */
-  def footerSchema(path: String): StructType = {
+  def footerSchema(path: String): StructType = footerSchema(path, None)
+
+  /** [[footerSchema]] scoped to a pinned commit-log version: the union
+   * runs over exactly THAT version's files, so an undeclared
+   * (path-read) table's time-travel schema is the as-of one — a
+   * column that exists only in later files does not leak in. */
+  def footerSchema(path: String, versionAsOf: Option[Long]): StructType = {
     val conf = Dsv2Parquet.readConf
-    val files = dataFiles(path, conf)
+    val files = dataFiles(path, conf, versionAsOf)
     require(files.nonEmpty, s"no parquet data files under $path")
     fileFooters(files, conf).map { case (schema, _, _) =>
       sparkSchema(schema)
