@@ -217,6 +217,25 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("path reads pin the footer-union schema to the version") {
+    withTmp { tmp =>
+      spark.range(10).select(col("id").as("k")).coalesce(1)
+        .write.format(fmt).option(Dsv2Parquet.SchemaOption, "k BIGINT")
+        .mode("append").save(tmp)
+      CommitLog.enable(tmp, conf)                               // v1
+      spark.range(3).select(col("id").as("k"), col("id").as("v"))
+        .coalesce(1).write.format(fmt).mode("append").save(tmp) // v2
+      // current path read: footer union of v2's files = both columns
+      assert(spark.read.format(fmt).load(tmp).columns.sorted.toSeq ==
+        Seq("k", "v"))
+      // pinned path read: union over v1's files only — no column leak
+      val pinned = spark.read.format(fmt)
+        .option(Dsv2Parquet.VersionAsOfOption, "1").load(tmp)
+      assert(pinned.columns.toSeq == Seq("k"))
+      assert(pinned.count() == 10L)
+    }
+  }
+
   // ---- the user surfaces -------------------------------------------
 
   test("TBLPROPERTIES starts the log; SQL VERSION AS OF time-travels") {
