@@ -133,6 +133,99 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
     }
   }
 
+  /** Randomized SCHEMA-EVOLUTION HISTORIES: each iteration runs a
+   * random program of append / ALTER TABLE ADD COLUMN / rollback on a
+   * commit-logged table, snapshotting after every step what a pinned
+   * read must serve — the columns DECLARED at that commit and the row
+   * values as written (columns added later must read as absent, not
+   * null-filled; columns added before a row's insert but after
+   * another's must null-fill exactly the older rows). At the end every
+   * published version is re-read via SQL `VERSION AS OF` and compared
+   * field-by-field. Seeded, so any failure reproduces exactly. */
+  test("randomized schema-evolution histories time-travel exactly") {
+    import graft.sources.CommitLog
+    (0 until 5).foreach { iter =>
+      val rnd = new scala.util.Random(20260815L + iter)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-schfuzz").toString
+      val cat = s"gsc${iter}_${java.lang.Long.toHexString(System.nanoTime())}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+      try {
+        val p = s"$tmp/db/t"
+        val conf = Dsv2Parquet.readConf
+        spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, c0 BIGINT) " +
+          s"TBLPROPERTIES ('${Dsv2Parquet.CommitLogProperty}'='true')")
+        var cols = Vector("c0")
+        var nextKey = 0L
+        // per key: the values actually written (the columns that
+        // existed at its insert; a pinned read projects / null-fills)
+        var rows = Map.empty[Long, Map[String, Long]]
+        // version -> (declared columns, full written rows)
+        val history = scala.collection.mutable.Map
+          .empty[Long, (Vector[String], Map[Long, Map[String, Long]])]
+        def checkpoint(): Unit =
+          history(CommitLog.latest(p, conf).get.version) = (cols, rows)
+        checkpoint() // v1 (enable)
+
+        (0 until 6).foreach { step =>
+          rnd.nextInt(4) match {
+            case 0 | 1 => // append fresh keys valued in ALL current cols
+              val fresh = (0 until 10 + rnd.nextInt(30)).map { _ =>
+                nextKey += 1
+                nextKey -> cols.map(c =>
+                  c -> rnd.nextInt(1 << 20).toLong).toMap
+              }.toMap
+              val schema = org.apache.spark.sql.types.StructType(
+                ("k" +: cols).map(n => org.apache.spark.sql.types
+                  .StructField(n, org.apache.spark.sql.types.LongType)))
+              val data = fresh.toSeq.sortBy(_._1).map { case (k, vs) =>
+                org.apache.spark.sql.Row.fromSeq(
+                  k +: cols.map(c => vs(c)))
+              }
+              spark.createDataFrame(
+                spark.sparkContext.parallelize(data, 1), schema)
+                .writeTo(s"$cat.db.t").append()
+              rows ++= fresh
+            case 2 => // widen the schema: a commit like any other
+              val c = s"c${cols.length}"
+              spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMN $c BIGINT")
+              cols = cols :+ c
+            case 3 => // rollback: contents revert, schema stays current
+              val versions = history.keys.toSeq.sorted
+              val target = versions(rnd.nextInt(versions.length))
+              spark.sql(
+                s"CALL $cat.system.rollback_to_version('db.t', $target)")
+                .collect(): Unit
+              rows = history(target)._2
+          }
+          checkpoint()
+        }
+
+        history.toSeq.sortBy(_._1).foreach { case (v, (vcols, vrows)) =>
+          val df = spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF $v")
+          assert(df.columns.toSeq == ("k" +: vcols),
+            s"iter=$iter v=$v schema mismatch: ${df.columns.toSeq}")
+          val got = df.collect().map { r =>
+            r.getLong(0) -> vcols.zipWithIndex.map { case (c, i) =>
+              c -> (if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1)))
+            }.toMap
+          }.toMap
+          val expected = vrows.map { case (k, vs) =>
+            k -> vcols.map(c => c -> vs.get(c)).toMap
+          }
+          assert(got == expected, s"iter=$iter VERSION AS OF $v contents")
+        }
+      } finally {
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.root")
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+      }
+    }
+  }
+
   /** Randomized OPERATION SEQUENCES against a driver-side model: each
    * iteration creates a catalog table (random copy-on-write /
    * merge-on-read, random commit-log-from-birth) and runs a random
