@@ -1712,6 +1712,54 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("loghistory")) {
+      // COMMIT-LOG history depth vs planning cost: reads take ONE
+      // directory listing + ONE (cached-immutable) manifest read
+      // regardless of how many versions exist — history depth must
+      // not tax the scan. The listing does grow by one small entry
+      // per retained version; expire_snapshots is the bound. This
+      // smoke publishes 300 no-op versions between two identical
+      // reads and then expires them.
+      import graft.sources.{CommitLog, Dsv2Parquet, GraftMaintenance, GraftParquetProvider}
+      val fmt = classOf[GraftParquetProvider].getName
+      val pDir = "/tmp/graft-smoke-loghistory"
+      try {
+        replicate(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+          .coalesce(4)
+          .write.mode("overwrite").parquet(pDir)
+        val conf = Dsv2Parquet.readConf
+        CommitLog.enable(pDir, conf)
+        def read() = spark.read.format(fmt).load(pDir)
+          .agg(sum("o_totalprice")).head().getDouble(0)
+        val (a0, shallowWall) = timed(read())
+        val (_, publishWall) = timed((1 to 300).foreach { _ =>
+          CommitLog.commitUpdate(pDir, conf, "noop")(Some(_)): Unit
+        })
+        val depth = CommitLog.versions(
+          new org.apache.hadoop.fs.Path(pDir), conf).length
+        val (a1, deepWall) = timed(read())
+        require(math.abs(a0 - a1) < math.abs(a0) * 1e-9,
+          s"history depth changed the answer: $a0 vs $a1")
+        val (expired, expireWall) = timed(
+          GraftMaintenance.expireSnapshots(pDir, 1))
+        val (a2, postWall) = timed(read())
+        require(math.abs(a0 - a2) < math.abs(a0) * 1e-9,
+          s"expire changed the answer: $a0 vs $a2")
+        println(f"[scale-smoke] loghistory versions=$depth " +
+          f"publish300=${publishWall}%.2fs scan_1v=${shallowWall}%.2fs " +
+          f"scan_${depth}v=${deepWall}%.2fs " +
+          f"(depth tax=${deepWall / shallowWall}%.2fx) " +
+          f"expire=$expired files ${expireWall}%.2fs " +
+          f"scan_post=${postWall}%.2fs")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(pDir))
+      }
+    }
+
     if (args.contains("bloom")) {
       // Bloom-filter point lookup at scale: 6M rows, 32 UNSORTED files,
       // a high-cardinality string key (dictionary overflows to plain,
