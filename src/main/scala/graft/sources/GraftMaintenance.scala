@@ -401,6 +401,7 @@ object GraftMaintenance {
     // files no longer prove (same conservatism as compaction).
     val clustering = new Path(dir, Dsv2Parquet.ClusteringFileName)
     if (fs.exists(clustering)) fs.delete(clustering, false)
+    CommitRaceProbe.beforeRollbackPublish(path)
     CommitLog.commitUpdate(path, conf,
       operation = s"rollback to $version")(_ => Some(target)).get.version
   }
@@ -457,9 +458,11 @@ object CommitRaceProbe {
   @volatile var beforeCompactionPublish: String => Unit = _ => ()
   @volatile var beforeDeltaPublish: String => Unit = _ => ()
   @volatile var beforeEqPublish: String => Unit = _ => ()
+  @volatile var beforeRollbackPublish: String => Unit = _ => ()
   def reset(): Unit = {
     beforeCompactionPublish = _ => ()
     beforeDeltaPublish = _ => ()
     beforeEqPublish = _ => ()
+    beforeRollbackPublish = _ => ()
   }
 }

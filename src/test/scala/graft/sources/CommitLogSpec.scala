@@ -500,6 +500,36 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("rollback racing a concurrent append: last write wins, by design") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.commit.log'='true')")            // v1
+      spark.range(10).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()                         // v2
+      spark.range(10, 20).select(col("id").as("k")).coalesce(1)
+        .writeTo(s"$cat.db.t").append()                         // v3
+      // an append wins a version INSIDE the rollback's publish window:
+      // the rollback must RETRY (CAS loss) and still set the table to
+      // the target — "set the table to version N" means exactly that
+      CommitRaceProbe.beforeRollbackPublish = { _ =>
+        CommitRaceProbe.beforeRollbackPublish = _ => () // one-shot
+        spark.range(20, 30).select(col("id").as("k")).coalesce(1)
+          .writeTo(s"$cat.db.t").append()               // v4 (racer)
+      }
+      try {
+        val v = spark.sql(
+          s"CALL $cat.system.rollback_to_version('db.t', 2)").collect()
+        assert(v.head.getLong(0) == 5L, v.mkString)     // v5, after retry
+      } finally CommitRaceProbe.reset()
+      // current state IS version 2's; the raced append is rolled over…
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long]
+        .collect().toSet == (0L until 10L).toSet)
+      // …but not lost: its version remains readable until expiry
+      assert(spark.sql(s"SELECT k FROM $cat.db.t VERSION AS OF 4")
+        .as[Long].collect().toSet == (0L until 30L).toSet)
+    }
+  }
+
   test("remove_orphan_files deletes only unreferenced, age-gated files") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) " +
