@@ -693,7 +693,10 @@ private[sources] case class GraftSnapshotsProcedure(root: String)
             .map(org.apache.spark.unsafe.types.UTF8String.fromString)
             .orNull,
           s.meta.get("ts").flatMap(_.toLongOption)
-            .map(java.lang.Long.valueOf).orNull))
+            .map(java.lang.Long.valueOf).orNull,
+          s.meta.get("schema")
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+            .orNull))
     }
     java.util.Collections.singletonList(
       new org.apache.spark.sql.connector.read.LocalScan {
@@ -707,6 +710,8 @@ private[sources] case class GraftSnapshotsProcedure(root: String)
           StructField("operation", org.apache.spark.sql.types.StringType,
             nullable = true),
           StructField("ts_millis", org.apache.spark.sql.types.LongType,
+            nullable = true),
+          StructField("schema", org.apache.spark.sql.types.StringType,
             nullable = true)))
       }: org.apache.spark.sql.connector.read.Scan).iterator()
   }

@@ -444,6 +444,11 @@ class CommitLogSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(4)))
       assert(hist.toSeq == Seq((1L, "enable"), (2L, "append"),
         (3L, "alter schema"), (4L, "append")), hist.mkString)
+      // …and the history lists each version's recorded schema
+      val schemas = spark.sql(s"CALL $cat.system.snapshots('db.t')")
+        .collect().map(_.getString(6))
+      assert(schemas(1) == "k BIGINT" && schemas(3).contains("v BIGINT"),
+        schemas.mkString("|"))
       // …whose pinned read already serves the widened schema
       assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 3")
         .columns.toSeq == Seq("k", "v"))
