@@ -436,14 +436,20 @@ object GraftMaintenance {
     var n = 0
     fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
-      val tableShaped =
+      val tableShaped = st.isFile && (
         (name.endsWith(".parquet") && !name.startsWith("_") &&
           !name.startsWith(".")) ||
         (name.startsWith(Dsv2Parquet.DvPrefix) && name.endsWith(".bin")) ||
-        (name.startsWith(Dsv2Equality.EqPrefix) && name.endsWith(".bin"))
-      if (st.isFile && tableShaped && !referenced.contains(name) &&
+        (name.startsWith(Dsv2Equality.EqPrefix) && name.endsWith(".bin")))
+      // crashed writers' debris: an abandoned staging dir (the committer
+      // deletes its own on both commit and abort) or a manifest temp
+      // whose publisher died between write and link
+      val debris =
+        (st.isDirectory && name.startsWith("_staging-")) ||
+        (st.isFile && name.startsWith("._manifest-tmp-"))
+      if ((tableShaped && !referenced.contains(name) || debris) &&
           st.getModificationTime <= cutoff &&
-          fs.delete(st.getPath, false)) n += 1
+          fs.delete(st.getPath, st.isDirectory)) n += 1
     }
     n
   }

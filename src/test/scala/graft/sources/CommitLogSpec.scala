@@ -548,18 +548,26 @@ class CommitLogSpec extends SparkSpec {
         s"${Dsv2Parquet.DvPrefix}stray.parquet-x.bin")
       val strayEq = new java.io.File(p, s"${Dsv2Equality.EqPrefix}stray.bin")
       val marker = new java.io.File(p, "_clustering_unrelated")
-      Seq(strayData, strayDv, strayEq, marker).foreach { f =>
+      val strayTmp = new java.io.File(p, "._manifest-tmp-deadbeef")
+      Seq(strayData, strayDv, strayEq, marker, strayTmp).foreach { f =>
         val w = new java.io.FileWriter(f); w.write("x"); w.close()
       }
+      val strayStaging = new java.io.File(p, "_staging-deadquery")
+      strayStaging.mkdir()
+      val w2 = new java.io.FileWriter(
+        new java.io.File(strayStaging, "part-0.parquet"))
+      w2.write("x"); w2.close()
       // age guard: nothing is old enough yet
       assert(spark.sql(
         s"CALL $cat.system.remove_orphan_files('db.t', ${86400L * 1000})")
         .collect().head.getInt(0) == 0)
       assert(strayData.exists() && strayDv.exists() && strayEq.exists())
-      // no guard: exactly the three table-shaped strays go
+      // no guard: the three table-shaped strays + two writer debris go
       assert(spark.sql(s"CALL $cat.system.remove_orphan_files('db.t', 0)")
-        .collect().head.getInt(0) == 3)
+        .collect().head.getInt(0) == 5)
       assert(!strayData.exists() && !strayDv.exists() && !strayEq.exists())
+      assert(!strayTmp.exists() && !strayStaging.exists(),
+        "crashed-writer debris must be reclaimed")
       assert(marker.exists(), "non-table-shaped file must survive")
       // referenced data + manifests untouched; the table still reads
       assert(parquetFilesOnDisk(p).size == 1)
