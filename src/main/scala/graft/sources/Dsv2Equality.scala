@@ -172,6 +172,16 @@ object Dsv2Equality {
     eq
   }
 
+  /** The snapshot's equality sidecars that still delete anything —
+   * those targeting at least one of its live data files. Sidecars all
+   * of whose targets were retired (overwrite/delete/stream-truncate)
+   * are inert: readers skip them, row-level ops need not refuse over
+   * them, and a new repair need not key-match them. */
+  def liveSidecars(dir: Path, snap: CommitLog.Snapshot,
+      conf: Configuration): Array[EqDelete] =
+    snap.eqFiles.toArray.sorted.map(read(dir, _, conf))
+      .filter(_.targets.exists(snap.dataFiles.contains))
+
   /** The scan-side bundle for one snapshot: the (single, enforced) key
    * tuple's fields resolved against the table schema, and one shared
    * [[KeyFilter]] per sidecar with its target set — a reader of file F
@@ -183,7 +193,13 @@ object Dsv2Equality {
     val eqNames = snap.map(_.eqFiles).getOrElse(Set.empty)
     if (eqNames.isEmpty) return None
     val dir = new Path(path)
-    val eqs = eqNames.toArray.sorted.map(read(dir, _, conf))
+    // a sidecar none of whose targets is a live data file of THIS
+    // snapshot deletes nothing here — skip it, and when every sidecar
+    // is dead keep the scan on the vectorized zero-probe path (the
+    // retirement commits prune these, but a manifest published before
+    // that pruning existed may still carry them)
+    val eqs = liveSidecars(dir, snap.get, conf)
+    if (eqs.isEmpty) return None
     val keyCols = eqs.head.keyCols
     require(eqs.forall(_.keyCols.sameElements(keyCols)),
       s"graft-eq: sidecars of $path disagree on key columns")
@@ -229,9 +245,10 @@ object EqualityRepair {
     }
     val base = CommitLog.latest(path, conf).get
     // one key tuple per table: a second repair must agree with the
-    // sidecars already live (compaction retires them)
-    base.eqFiles.headOption.foreach { n =>
-      val prev = Dsv2Equality.read(new Path(path), n, conf)
+    // sidecars still LIVE (compaction retires them; sidecars whose
+    // targets were all retired are inert and don't constrain the key)
+    Dsv2Equality.liveSidecars(new Path(path), base, conf)
+        .headOption.foreach { prev =>
       require(prev.keyCols.sameElements(kc),
         s"graft-eq: table already carries equality deletes keyed by " +
           s"${prev.keyCols.mkString(",")}; fold them (compact_table) " +

@@ -115,9 +115,11 @@ private[sources] case class GraftParquetTable(path: String,
       s"graft-parquet: cannot mutate $path pinned at VERSION AS OF " +
         s"${versionAsOf.get}")
     // live equality deletes would be invisible to the rewrite scans'
-    // position bookkeeping — fold them into files first
-    require(CommitLog.latest(path, Dsv2Parquet.readConf)
-        .forall(_.eqFiles.isEmpty),
+    // position bookkeeping — fold them into files first (sidecars all
+    // of whose targets were retired are inert and don't block)
+    require(CommitLog.latest(path, Dsv2Parquet.readConf).forall(s =>
+        Dsv2Equality.liveSidecars(new Path(path), s,
+          Dsv2Parquet.readConf).isEmpty),
       s"graft-parquet: $path carries live equality deletes — fold them " +
         "first (CALL <cat>.system.compact_table) before row-level " +
         "operations")
@@ -193,9 +195,17 @@ private[sources] case class GraftParquetTable(path: String,
             s"graft-parquet: metadata delete no longer file-aligned " +
               s"(${filters.mkString(", ")}) — a file changed mid-commit"))
           ._1.map(_.getName).toSet
-        Some(cur.copy(dataFiles = cur.dataFiles -- removed,
+        val remaining = cur.dataFiles -- removed
+        Some(cur.copy(dataFiles = remaining,
           dvFiles = cur.dvFiles.filterNot(v =>
-            Dsv2Parquet.dvTarget(v).exists(removed.contains))))
+            Dsv2Parquet.dvTarget(v).exists(removed.contains)),
+          // an equality sidecar whose targets are ALL retired is dead
+          // weight: it would pin the row-path probe forever (no live
+          // target left for compact_table to fold) and wedge row-level
+          // ops behind the fold-first guard
+          eqFiles = cur.eqFiles.filter(n =>
+            Dsv2Equality.read(new Path(path), n, Dsv2Parquet.readConf)
+              .targets.exists(remaining.contains))))
       }
     } else {
       drop.foreach(f => fs.delete(f, false))

@@ -247,13 +247,23 @@ private[sources] case class GraftParquetBatchWrite(path: String,
               ._1.map(_.getName).toSet
           else Set.empty[String]
         removedCount = removedNames.size
+        val remaining = cur.dataFiles -- removedNames
         Some(cur.copy(
-          dataFiles = cur.dataFiles -- removedNames ++ stagedNames,
+          dataFiles = remaining ++ stagedNames,
           dvFiles = cur.dvFiles.filterNot(v =>
             Dsv2Parquet.dvTarget(v).exists(removedNames.contains)),
           // a truncate retires every file an equality delete could
-          // target — the sidecars are dead weight after it
-          eqFiles = if (truncateFirst) Set.empty else cur.eqFiles))
+          // target, and an overwrite may retire a sidecar's LAST live
+          // target — either way the orphaned sidecar is dead weight
+          // that would pin the row-path probe forever (no live target
+          // left for compact_table to fold) and wedge row-level ops
+          // behind the fold-first guard
+          eqFiles =
+            if (truncateFirst) Set.empty
+            else if (removedNames.isEmpty) cur.eqFiles
+            else cur.eqFiles.filter(n =>
+              Dsv2Equality.read(new Path(path), n, conf)
+                .targets.exists(remaining.contains))))
       }
       fs.delete(new Path(stagingDir), true)
       maintainClustering(fs, stagedNames)
@@ -481,7 +491,13 @@ private[sources] case class GraftParquetStreamingWrite(path: String,
           removed = retired.size
           Some(cur.copy(dataFiles = dstNames,
             dvFiles = cur.dvFiles.filterNot(v =>
-              Dsv2Parquet.dvTarget(v).exists(retired.contains))))
+              Dsv2Parquet.dvTarget(v).exists(retired.contains)),
+            // every file an equality delete could target is retired —
+            // carrying the sidecars forward would force the row-path
+            // probe forever (compact_table can't fold targets that no
+            // longer exist) and wedge row-level ops behind the
+            // fold-first guard
+            eqFiles = Set.empty))
         } else Some(cur.copy(dataFiles = cur.dataFiles ++ dstNames))
       }
       if (truncateFirst) Dsv2WriteProbe.forPath(path).lastTruncated.set(removed)

@@ -280,6 +280,137 @@ class Dsv2EqualitySpec extends SparkSpec {
     }
   }
 
+  test("retiring a sidecar's LAST target prunes it from the manifest") {
+    withTmp { tmp =>
+      val cat = s"geqr_${java.lang.Long.toHexString(System.nanoTime())}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+      try {
+        val p = s"$tmp/t"
+        // range → coalesce(2) keeps halves contiguous: file stats make
+        // `k >= 500` / `k < 500` provable metadata deletes
+        spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+          .coalesce(2).write.format(fmt)
+          .option(Dsv2Parquet.SchemaOption, "k BIGINT, v BIGINT")
+          .mode("append").save(p)
+        CommitLog.enable(p, conf)
+        EqualityRepair.commit(spark, p, Seq("k"), Seq(3L, 700L).toDF("k"),
+          spark.emptyDataFrame.selectExpr())
+        assert(CommitLog.latest(p, conf).get.eqFiles.size == 1)
+        // overwrite HALF the targets: the sidecar still guards the
+        // survivor (overwrite-by-filter is the batch path that can
+        // retire individual target files)
+        spark.range(500, 1000).select(col("id").as("k"),
+            (col("id") * 10).as("v"))
+          .writeTo(s"$cat.t").overwrite(col("k") >= 500)
+        assert(CommitLog.latest(p, conf).get.eqFiles.size == 1,
+          "a sidecar with a live target must survive a partial overwrite")
+        // 500 - {3} survivors + 500 overwrite rows (k=700 fresh → exempt)
+        val mid = spark.read.format(fmt).load(p)
+        assert(mid.count() == 999L)
+        assert(mid.filter(col("k") === 3L).count() == 0L)
+        assert(mid.filter(col("k") === 700L).count() == 1L)
+        // retire the LAST target: the sidecar is dead weight — pruned,
+        // so scans return to the vectorized path instead of wedging on
+        // a probe compact_table can never fold (its targets are gone)
+        spark.range(0, 500).select(col("id").as("k"), (col("id") * 10).as("v"))
+          .writeTo(s"$cat.t").overwrite(col("k") < 500)
+        val snap = CommitLog.latest(p, conf).get
+        assert(snap.eqFiles.isEmpty, s"orphaned sidecar must be pruned: $snap")
+        val t = spark.read.format(fmt).load(p)
+        assert(t.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+        assert(t.count() == 1000L)
+        assert(t.filter(col("k") === 3L).count() == 1L) // fresh row, exempt
+        // and the TRUNCATE face prunes through deleteWhere(AlwaysTrue)
+        EqualityRepair.commit(spark, p, Seq("k"), Seq(8L).toDF("k"),
+          spark.emptyDataFrame.selectExpr())
+        assert(CommitLog.latest(p, conf).get.eqFiles.nonEmpty)
+        spark.sql(s"TRUNCATE TABLE $cat.t")
+        val truncated = CommitLog.latest(p, conf).get
+        assert(truncated.dataFiles.isEmpty && truncated.eqFiles.isEmpty,
+          s"truncate must prune orphaned sidecars: $truncated")
+        // fully writable again: append, then a row-level DELETE (the
+        // fold-first guard must not trip over pruned/inert sidecars)
+        spark.range(5).select(col("id").as("k"), col("id").as("v"))
+          .writeTo(s"$cat.t").append()
+        spark.sql(s"DELETE FROM $cat.t WHERE k % 2 = 1")
+        assert(spark.read.format(fmt).load(p).count() == 3L)
+      } finally {
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      }
+    }
+  }
+
+  test("complete-mode epochs retire equality sidecars with their targets") {
+    withTmp { tmp =>
+      val p = mkTable(tmp, n = 100L)
+      EqualityRepair.commit(spark, p, Seq("k"), Seq(7L).toDF("k"),
+        spark.emptyDataFrame.selectExpr())
+      assert(CommitLog.latest(p, conf).get.eqFiles.size == 1)
+      // a complete-mode epoch replaces the WHOLE snapshot — every file
+      // the sidecar targets retires with it, so carrying the sidecar
+      // forward would pin the row-path probe forever
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL("k BIGINT, s STRING, v BIGINT")
+      val sw = GraftParquetStreamingWrite(p, schema, "spec-eqc",
+        truncateFirst = true)
+      val w = new GraftParquetDataWriter(s"$p/_staging-spec-eqc-e1",
+        schema, 0, 0L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(1L,
+        org.apache.spark.unsafe.types.UTF8String.fromString("x"), 2L))
+      sw.commit(1L, Array(w.commit()))
+      val snap = CommitLog.latest(p, conf).get
+      assert(snap.eqFiles.isEmpty,
+        s"complete-mode truncate must retire eq sidecars: $snap")
+      val t = spark.read.format(fmt).load(p)
+      assert(t.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(t.count() == 1L)
+      // pre-epoch history still carries the delete when time-traveled
+      assert(spark.read.format(fmt)
+        .option(Dsv2Parquet.VersionAsOfOption, "2").load(p)
+        .filter(col("k") === 7L).count() == 0L)
+    }
+  }
+
+  test("a legacy manifest's dead sidecar is inert on every surface") {
+    withTmp { tmp =>
+      val p = mkTable(tmp, n = 100L)
+      EqualityRepair.commit(spark, p, Seq("k"), Seq(7L).toDF("k"),
+        spark.emptyDataFrame.selectExpr())
+      // simulate a manifest published before orphan pruning existed:
+      // swap in a fresh file set while carrying the sidecar verbatim
+      val staging = s"$tmp/staged"
+      spark.range(3).select(col("id").as("k"), lit("z").as("s"),
+        col("id").as("v")).coalesce(1).write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT, s STRING, v BIGINT")
+        .mode("append").save(staging)
+      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+      val fresh = Dsv2Parquet.dataFiles(staging, conf).map { s =>
+        val dst = new org.apache.hadoop.fs.Path(p, s.getPath.getName)
+        require(fs.rename(s.getPath, dst), "stage rename failed")
+        dst.getName
+      }.toSet
+      CommitLog.commitUpdate(p, conf, operation = "legacy-swap")(cur =>
+        Some(cur.copy(dataFiles = fresh, dvFiles = Set.empty)))
+      val snap = CommitLog.latest(p, conf).get
+      assert(snap.eqFiles.size == 1 &&
+        !snap.eqFiles.exists(n => Dsv2Equality.read(
+          new org.apache.hadoop.fs.Path(p), n, conf)
+          .targets.exists(snap.dataFiles.contains)),
+        s"precondition: the sidecar must be dead in $snap")
+      // reads: vectorized, no phantom probe
+      val t = spark.read.format(fmt).load(p)
+      assert(t.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(t.count() == 3L)
+      // a NEW repair with a DIFFERENT key tuple: inert sidecars must
+      // not force key agreement (only live ones constrain)
+      EqualityRepair.commit(spark, p, Seq("s"), Seq("z").toDF("s"),
+        spark.emptyDataFrame.selectExpr())
+      assert(spark.read.format(fmt).load(p).count() == 0L)
+    }
+  }
+
   test("streamed micro-batches apply equality deletes") {
     withTmp { tmp =>
       val p = mkTable(tmp, n = 200L)
