@@ -59,6 +59,13 @@ private[sources] case class GraftRowLevelOperation(path: String,
   private[sources] val scannedFiles =
     new java.util.concurrent.atomic.AtomicReference[Array[String]](null)
 
+  /** DV sidecar names the scan's readers APPLIED (captured with the
+   * reader factory's listing) — at commit, a sidecar on a scanned file
+   * that is NOT in this set is a concurrent delta commit whose deletes
+   * this rewrite's output does not carry: publishing would lose them. */
+  private[sources] val scannedDvs =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](null)
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String = s"graft-replace-groups:$cmd"
@@ -181,11 +188,14 @@ private[sources] case class GraftReplaceScan(path: String,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // deletion vectors (if a mode-mixed table carries them) apply in
     // both readers — the rewrite must carry over LIVE rows only
-    GraftParquetReaderFactory(required, Array.empty[Filter],
-      dvMap = Dsv2Parquet.dvListing(path, Dsv2Parquet.readConf))
+    val dvMap = Dsv2Parquet.dvListing(path, Dsv2Parquet.readConf)
+    op.scannedDvs.set(dvMap.values.flatten
+      .map(s => new Path(s).getName).toSet)
+    GraftParquetReaderFactory(required, Array.empty[Filter], dvMap = dvMap)
+  }
 }
 
 /** The replace-commit: stage replacement files invisibly, verify, move
@@ -229,6 +239,7 @@ private[sources] case class GraftReplaceDataWrite(path: String,
       }
       val stagedNames = staged.map(_.getName).toSet
       val scannedSet = scanned.toSet
+      CommitRaceProbe.beforeReplacePublish(path)
       CommitLog.commitUpdate(path, conf, operation = "replace") { cur =>
         val gone = scannedSet.filterNot(cur.dataFiles.contains)
         if (gone.nonEmpty) throw new IllegalStateException(
@@ -236,6 +247,30 @@ private[sources] case class GraftReplaceDataWrite(path: String,
             s"file(s) no longer in version ${cur.version}: " +
             s"${gone.mkString(", ")}; aborting this operation (re-run " +
             "it against the current table)")
+        // the op REQUIRED live-eq-empty at build time, so any sidecar
+        // now targeting a scanned file is a concurrent equality-delete
+        // commit this rewrite's output does not carry — publishing
+        // would silently lose those deletes (the same guard compaction
+        // applies; the eq commit's own target check covers the
+        // opposite ordering)
+        val newEq = cur.eqFiles.filter(n =>
+          Dsv2Equality.read(target, n, conf).targets
+            .exists(scannedSet.contains))
+        if (newEq.nonEmpty) throw new IllegalStateException(
+          "graft-replace commit: concurrent equality-delete commit " +
+            s"targets scanned file(s): ${newEq.mkString(", ")}; " +
+            "aborting this operation — publishing would lose those " +
+            "deletes")
+        // likewise a DV sidecar the scan did NOT apply: a concurrent
+        // delta commit's deletes on rows this rewrite carried forward
+        val appliedDvs = Option(op.scannedDvs.get()).getOrElse(Set.empty)
+        val newDvs = cur.dvFiles.filter(v =>
+          Dsv2Parquet.dvTarget(v).exists(scannedSet.contains)) -- appliedDvs
+        if (newDvs.nonEmpty) throw new IllegalStateException(
+          "graft-replace commit: concurrent delta commit landed " +
+            s"deletion vector(s) on scanned file(s): " +
+            s"${newDvs.mkString(", ")}; aborting this operation — " +
+            "publishing would lose those deletes")
         Some(cur.copy(
           dataFiles = cur.dataFiles -- scannedSet ++ stagedNames,
           // a replaced file's deletion vectors die with it: the

@@ -465,10 +465,12 @@ object CommitRaceProbe {
   @volatile var beforeDeltaPublish: String => Unit = _ => ()
   @volatile var beforeEqPublish: String => Unit = _ => ()
   @volatile var beforeRollbackPublish: String => Unit = _ => ()
+  @volatile var beforeReplacePublish: String => Unit = _ => ()
   def reset(): Unit = {
     beforeCompactionPublish = _ => ()
     beforeDeltaPublish = _ => ()
     beforeEqPublish = _ => ()
     beforeRollbackPublish = _ => ()
+    beforeReplacePublish = _ => ()
   }
 }

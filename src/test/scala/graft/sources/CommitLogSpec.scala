@@ -373,6 +373,78 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("replace racing an equality repair: replace aborts, no lost deletes") {
+    withCatalog { cat =>
+      // copy-on-write: a DELETE rewrites the scanned files wholesale
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) TBLPROPERTIES " +
+        "('graft.commit.log'='true')")
+      val p = s"${root(cat)}/db/t"
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .coalesce(2).writeTo(s"$cat.db.t").append()
+      // an equality repair publishes INSIDE the replace's commit window
+      // — its deletes target the files the replace is about to retire,
+      // and the replace's output (scanned pre-repair) does not carry
+      // them: the replace must abort, never silently drop the repair
+      CommitRaceProbe.beforeReplacePublish = { _ =>
+        CommitRaceProbe.beforeReplacePublish = _ => () // one-shot
+        EqualityRepair.commit(spark, p, Seq("k"),
+          spark.range(5).select((col("id") * 10 + 5).as("k")),
+          spark.emptyDataFrame.selectExpr())
+      }
+      try {
+        assertCauseContains(intercept[Throwable] {
+          spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 3")
+        }, "concurrent equality-delete commit")
+      } finally CommitRaceProbe.reset()
+      // the repair's state stands; the aborted replace is invisible
+      val repaired = Set(5L, 15L, 25L, 35L, 45L)
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet ==
+        (0L until 100L).toSet -- repaired)
+      // fold the eq deletes, then the replace re-runs cleanly
+      assert(GraftMaintenance.compactDeletionVectors(spark, p) > 0)
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 3")
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet ==
+        (0L until 100L).filterNot(_ % 10 == 3).toSet -- repaired)
+    }
+  }
+
+  test("replace racing a delta's deletion vector: replace aborts") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) TBLPROPERTIES " +
+        "('graft.commit.log'='true')")
+      val p = s"${root(cat)}/db/t"
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .coalesce(2).writeTo(s"$cat.db.t").append()
+      // a delta-style commit lands a DV on a scanned file INSIDE the
+      // replace's publish window — deletes the replace's rewrite does
+      // not carry (its scan ran pre-DV): abort, never lose them
+      CommitRaceProbe.beforeReplacePublish = { _ =>
+        CommitRaceProbe.beforeReplacePublish = _ => () // one-shot
+        val fn = Dsv2Parquet.dataFiles(p, conf).head.getPath.getName
+        val dv = Dsv2Parquet.writeDvSidecar(
+          new org.apache.hadoop.fs.Path(p), fn, Array(0L, 1L), conf)
+        CommitLog.commitUpdate(p, conf, operation = "delta")(cur =>
+          Some(cur.copy(dvFiles = cur.dvFiles + dv))): Unit
+      }
+      try {
+        assertCauseContains(intercept[Throwable] {
+          spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 3")
+        }, "concurrent delta commit landed")
+      } finally CommitRaceProbe.reset()
+      // the DV's two rows are dead, the aborted band is still present
+      val afterAbort = spark.sql(s"SELECT k FROM $cat.db.t")
+        .as[Long].collect().toSet
+      assert(afterAbort.size == 98)
+      assert((3L until 100L by 10L).forall(afterAbort.contains),
+        "the aborted replace must leave its band untouched")
+      // re-run applies cleanly on top of the DV
+      spark.sql(s"DELETE FROM $cat.db.t WHERE k % 10 = 3")
+      val got = spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet
+      assert(got.size == 88)
+      assert((3L until 100L by 10L).forall(k => !got.contains(k)))
+    }
+  }
+
   test("minor compaction merges sidecars through the manifest") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) TBLPROPERTIES " +
