@@ -49,7 +49,15 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
    * Grows monotonically; never reordered. */
   private val files = mutable.ArrayBuffer.empty[(String, Array[(Long, Long)])]
   private val seen = mutable.HashSet.empty[String]
-  loadLog()
+
+  /** Has THIS query observed the table at least once? The first-ever
+   * discovery must deliver the table's current content wholesale —
+   * including files that once entered via a maintenance rewrite —
+   * while every later discovery skips maintenance-introduced files
+   * (their rows were already streamed from the files they replaced). */
+  private var initialized: Boolean = { loadLog(); seenLogExists }
+  private def seenLogExists: Boolean =
+    logPath.getFileSystem(conf).exists(logPath)
 
   private def rowGroupRanges(file: String): Array[(Long, Long)] = {
     val fs = new Path(file).getFileSystem(conf)
@@ -100,17 +108,64 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
     finally out.close()
   }
 
+  /** Files a PURE-REWRITE commit introduced on a commit-logged table:
+   * compaction/bin-pack/recluster rewrite live rows into fresh names,
+   * zero NEW rows by definition — a continuous reader must not
+   * re-deliver them (at fleet scale compaction runs constantly; a
+   * changefeed that re-streams the table per maintenance cycle is
+   * broken — the same reason Iceberg's streaming source skips replace
+   * snapshots). A skip is taken only when it is PROVABLY a
+   * re-delivery: the version pair must be consecutive (with
+   * intermediate manifests expired the added set can't be attributed)
+   * and every file the rewrite RETIRED must already be in this
+   * stream's seen-set (a file appended and compacted between two
+   * triggers was never delivered — its rows now live only in the
+   * rewrite's output, which must stream). When the proof fails, the
+   * conservative reading is "stream it": a duplicate beats a gap.
+   * Data-carrying commits (append, delta/eq inserts, stream epochs,
+   * overwrite, replace, rollback — whose re-added files may never have
+   * been delivered to THIS stream) are never skipped; `seen` alone
+   * dedups them. */
+  private def maintenanceIntroduced(): Set[String] = {
+    val dir = new Path(path)
+    val vs = CommitLog.versions(dir, conf)
+    if (vs.length < 2) return Set.empty
+    val seenNames: Set[String] = seen.map(f => new Path(f).getName).toSet
+    // walk versions in order, accumulating skips: a skipped rewrite
+    // output counts as delivered when a LATER rewrite retires it (its
+    // rows reached the stream through its ancestors)
+    var skipped = Set.empty[String]
+    vs.sliding(2).foreach {
+      case Array(prev, cur) if cur == prev + 1 =>
+        val c = CommitLog.read(dir, cur, conf)
+        val op = c.meta.getOrElse("operation", "")
+        if (op == "compact" || op == "binpack" || op == "recluster" ||
+            op == "compact-minor") {
+          val p0 = CommitLog.read(dir, prev, conf)
+          if ((p0.dataFiles -- c.dataFiles)
+              .forall(f => seenNames.contains(f) || skipped.contains(f)))
+            skipped ++= c.dataFiles -- p0.dataFiles
+        }
+      case _ => ()
+    }
+    skipped
+  }
+
   /** List the directory; append unseen files (name-sorted within one
    * discovery for determinism) and persist the order BEFORE exposing
    * them through an offset — a crash between persist and processing
    * replays identically. */
   private def discover(): Unit = {
+    val skip: Set[String] =
+      if (initialized) maintenanceIntroduced() else Set.empty
     val fresh = Dsv2Parquet.dataFiles(path, conf)
-      .map(_.getPath.toString).filterNot(seen).sorted
+      .map(_.getPath.toString).filterNot(seen)
+      .filterNot(f => skip.contains(new Path(f).getName)).sorted
     if (fresh.nonEmpty) {
       fresh.foreach(discoverFile)
       persistLog()
-    }
+    } else if (!initialized) persistLog() // mark first discovery done
+    initialized = true
   }
 
   private def totalRowGroups: Long = files.iterator.map(_._2.length.toLong).sum

@@ -143,6 +143,83 @@ class Dsv2StreamSpec extends SparkSpec {
     }
   }
 
+  test("compaction on a logged table never re-delivers streamed rows") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val conf = Dsv2Parquet.readConf
+      fixture(40).coalesce(2).write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT, i INT, s STRING")
+        .mode("append").save(p)
+      CommitLog.enable(p, conf)
+      val sink = s"dsv2_mstream_${java.lang.Long.toHexString(System.nanoTime())}"
+      val q = spark.readStream.format(fmt).load(p)
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == 40L)
+        // a delta-style DV lands, then compaction folds it: the
+        // rewrite's output must NOT re-stream (previously the whole
+        // table re-delivered after every maintenance cycle)
+        val fn = Dsv2Parquet.dataFiles(p, conf).head.getPath.getName
+        val dv = Dsv2Parquet.writeDvSidecar(
+          new org.apache.hadoop.fs.Path(p), fn, Array(0L, 1L), conf)
+        CommitLog.commitUpdate(p, conf, operation = "delta")(cur =>
+          Some(cur.copy(dvFiles = cur.dvFiles + dv))): Unit
+        assert(GraftMaintenance.compactDeletionVectors(spark, p) == 1)
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == 40L,
+          "compaction output must not re-deliver already-streamed rows")
+        // fresh data still streams
+        fixture(10).select((col("k") + 100).as("k"), col("i"), col("s"))
+          .coalesce(1).write.format(fmt).mode("append").save(p)
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == 50L)
+      } finally q.stop()
+      spark.catalog.dropTempView(sink)
+    }
+  }
+
+  test("rewrite skip is proof-gated: unseen-retired rewrites still stream") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val ckpt = s"$tmp/ckpt"
+      val conf = Dsv2Parquet.readConf
+      val schema = StructType.fromDDL("k BIGINT, i INT, s STRING")
+      fixture(20).coalesce(2).write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT, i INT, s STRING")
+        .mode("append").save(p)
+      CommitLog.enable(p, conf)
+      val s1 = new GraftParquetMicroBatchStream(p, schema, Array.empty,
+        ckpt, None)
+      val end1 = s1.latestOffset() // both files discovered (seen)
+      // compact: retired files are all seen → output provably skippable
+      val fn = Dsv2Parquet.dataFiles(p, conf).head.getPath.getName
+      val dv = Dsv2Parquet.writeDvSidecar(
+        new org.apache.hadoop.fs.Path(p), fn, Array(0L), conf)
+      CommitLog.commitUpdate(p, conf, operation = "delta")(cur =>
+        Some(cur.copy(dvFiles = cur.dvFiles + dv))): Unit
+      assert(GraftMaintenance.compactDeletionVectors(spark, p) == 1)
+      assert(s1.latestOffset() == end1, "skippable rewrite grew the offset")
+      // chain: bin-pack the SKIPPED output with the other seen file —
+      // retired = {skipped, seen}, proof passes transitively
+      assert(GraftMaintenance.compactSmallFiles(spark, p,
+        64L * 1024 * 1024) == 2)
+      assert(s1.latestOffset() == end1, "chained rewrite grew the offset")
+      // gap-proof: a file appended and packed away BETWEEN triggers was
+      // never delivered — the pack's output must stream (duplicate of
+      // the seen part beats a gap of the unseen part)
+      fixture(5).select((col("k") + 500).as("k"), col("i"), col("s"))
+        .coalesce(1).write.format(fmt).mode("append").save(p)
+      assert(GraftMaintenance.compactSmallFiles(spark, p,
+        64L * 1024 * 1024) == 2) // packs {skipped-pack, unseen-append}
+      val end2 = s1.latestOffset()
+      assert(end2.asInstanceOf[GraftStreamOffset].n >
+        end1.asInstanceOf[GraftStreamOffset].n,
+        "a rewrite retiring a never-delivered file must stream its output")
+    }
+  }
+
   test("streaming path prunes columns into the scan projection") {
     withTmp { tmp =>
       val p = s"$tmp/t"
