@@ -87,6 +87,39 @@ private[sources] object Dsv2Columnar {
     case _ => false
   }
 
+  /** Physical types the decoders can actually serve a Spark type
+   * from — the TYPE-drift guard's compatibility map (exactly what
+   * [[valuePutter]] and the dictionary decoder handle; anything else
+   * fails loudly with the column named instead of surfacing an opaque
+   * parquet internal error). */
+  def physicalCompatible(dt: DataType, pt: PrimitiveType): Boolean = {
+    import PrimitiveType.PrimitiveTypeName._
+    val name = pt.getPrimitiveTypeName
+    // a decimal-annotated column's raw values are UNSCALED — serving
+    // them under any non-decimal (or differently-scaled) reading is
+    // silent ×10^scale corruption, not a cast
+    val decScale: Option[Int] = pt.getLogicalTypeAnnotation match {
+      case d: org.apache.parquet.schema.LogicalTypeAnnotation
+          .DecimalLogicalTypeAnnotation => Some(d.getScale)
+      case _ => None
+    }
+    dt match {
+      case d: DecimalType =>
+        (name == INT32 || name == INT64 || name == BINARY ||
+          name == FIXED_LEN_BYTE_ARRAY) && decScale.contains(d.scale)
+      case LongType | TimestampType | TimestampNTZType =>
+        name == INT64 && decScale.isEmpty
+      case IntegerType | DateType | ShortType | ByteType =>
+        name == INT32 && decScale.isEmpty
+      case DoubleType => name == DOUBLE
+      case FloatType => name == FLOAT
+      case BooleanType => name == BOOLEAN
+      case StringType | BinaryType =>
+        (name == BINARY || name == FIXED_LEN_BYTE_ARRAY) && decScale.isEmpty
+      case _ => true // collections validated structurally by the casts
+    }
+  }
+
   /** The columnar decoder serves every type the row reader does — this
    * gate exists so an unforeseen type falls back to the row path
    * instead of failing, and because Spark requires the columnar
@@ -416,6 +449,20 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
           else if (!fileSchema.containsField(phys)) NullDecoder
           else {
             val fileType = proj.getType(Seq(phys): _*)
+            // TYPE drift guard (flat columns): a file storing a
+            // different physical type than the scan schema requires
+            // must fail with the column named — the putters are
+            // requested-type-driven and would otherwise surface an
+            // opaque parquet internal error (or garbage). Missing
+            // columns null-fill; changed types need a rewrite.
+            if (!dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[MapType]) {
+              val fpt = fileType.asPrimitiveType()
+              require(Dsv2Columnar.physicalCompatible(dt, fpt),
+                s"graft-parquet: column '$phys' of ${p.file} stores " +
+                  s"$fpt, but the scan requires $dt — TYPE drift across " +
+                  "a directory's files is not supported (missing columns " +
+                  "null-fill; changed types need a rewrite)")
+            }
             dt match {
               case ArrayType(elem, _) =>
                 new ListDecoder(store.getColumnReader(descs.next()),

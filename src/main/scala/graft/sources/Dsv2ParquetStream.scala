@@ -156,10 +156,17 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
    * them through an offset — a crash between persist and processing
    * replays identically. */
   private def discover(): Unit = {
+    // ORDER MATTERS: list first, THEN compute the skip-set. A rewrite
+    // publishing between the two steps then only makes the skip-set
+    // NEWER than the listing — every rewrite output the listing can
+    // contain has its version pair walked (the reverse order streams
+    // an output whose commit landed between skip computation and the
+    // listing). `skipped` accumulates retired outputs too, so a stale
+    // listing's already-replaced rewrite files stay filtered.
+    val listed = Dsv2Parquet.dataFiles(path, conf).map(_.getPath.toString)
     val skip: Set[String] =
       if (initialized) maintenanceIntroduced() else Set.empty
-    val fresh = Dsv2Parquet.dataFiles(path, conf)
-      .map(_.getPath.toString).filterNot(seen)
+    val fresh = listed.filterNot(seen)
       .filterNot(f => skip.contains(new Path(f).getName)).sorted
     if (fresh.nonEmpty) {
       fresh.foreach(discoverFile)

@@ -1674,6 +1674,82 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("streammaint")) {
+      // STREAMING × MAINTENANCE: a continuous reader on a commit-logged
+      // table must deliver each row exactly once while compaction
+      // cycles run underneath — at fleet scale compaction is constant,
+      // and a changefeed that re-streams the table per cycle multiplies
+      // its output by the cycle count. Measures delivered-row growth
+      // across repeated DV + compact cycles (must be zero) and that
+      // fresh appends still stream.
+      import graft.sources.{CommitLog, Dsv2Parquet, GraftMaintenance, GraftParquetProvider}
+      val fmt = classOf[GraftParquetProvider].getName
+      val pDir = "/tmp/graft-smoke-streammaint"
+      val ckpt = "/tmp/graft-smoke-streammaint-ckpt"
+      val sink = "smoke_streammaint"
+      try {
+        spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("rid", monotonically_increasing_id())
+          .coalesce(4)
+          .write.format(fmt)
+          .option(Dsv2Parquet.SchemaOption,
+            "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice " +
+              "DOUBLE, rid BIGINT")
+          .mode("append").save(pDir)
+        CommitLog.enable(pDir, Dsv2Parquet.readConf)
+        val n = spark.read.format(fmt).load(pDir).count()
+        val q = spark.readStream.format(fmt).load(pDir)
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt).start()
+        try {
+          q.processAllAvailable()
+          require(spark.table(sink).count() == n, "initial drain short")
+          val cycles = 10
+          val (_, maintWall) = timed {
+            (0 until cycles).foreach { c =>
+              val fn = Dsv2Parquet.dataFiles(pDir, Dsv2Parquet.readConf)
+                .head.getPath.getName
+              val dv = Dsv2Parquet.writeDvSidecar(
+                new org.apache.hadoop.fs.Path(pDir), fn,
+                Array(c.toLong), Dsv2Parquet.readConf)
+              CommitLog.commitUpdate(pDir, Dsv2Parquet.readConf,
+                operation = "delta")(cur =>
+                Some(cur.copy(dvFiles = cur.dvFiles + dv))): Unit
+              require(GraftMaintenance.compactDeletionVectors(spark, pDir)
+                >= 1, s"cycle $c compacted nothing")
+              q.processAllAvailable()
+            }
+          }
+          val afterMaint = spark.table(sink).count()
+          require(afterMaint == n,
+            s"maintenance re-delivered rows: $afterMaint vs $n " +
+              s"(pre-fix this grows ~25%% of the table per cycle)")
+          val fresh = 100000L
+          spark.range(fresh).select((col("id") + 900000000L).as("o_orderkey"),
+            col("id").as("o_custkey"),
+            lit(1.0).as("o_totalprice"),
+            (col("id") + 900000000L).as("rid"))
+            .coalesce(1).write.format(fmt).mode("append").save(pDir)
+          q.processAllAvailable()
+          val afterAppend = spark.table(sink).count()
+          require(afterAppend == n + fresh,
+            s"fresh append mis-delivered: $afterAppend vs ${n + fresh}")
+          println(f"[scale-smoke] streammaint rows=$n cycles=$cycles " +
+            f"redelivered=0 maint+drain=${maintWall}%.2fs " +
+            f"freshAppend=$fresh delivered=${afterAppend - n}")
+        } finally {
+          q.stop()
+          spark.catalog.dropTempView(sink): Unit
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(pDir)); rm(new java.io.File(ckpt))
+      }
+    }
+
     if (args.contains("binpack")) {
       // Small-file compaction: many tiny files are a per-scan task
       // tax (open + footer + schedule per file) that binpack folds
