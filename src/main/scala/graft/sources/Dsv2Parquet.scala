@@ -903,6 +903,25 @@ private[sources] class GraftParquetPartitionReader(p: GraftParquetPartition,
   private val physNames: Array[String] =
     required.fieldNames.map(Dsv2Parquet.physicalName)
 
+  // TYPE-drift guard (same stance as the columnar reader): a column
+  // this file stores under an incompatible physical type fails with
+  // the column named instead of a bare ClassCastException mid-decode —
+  // missing columns null-fill, changed types need a rewrite.
+  required.fields.zip(physNames).foreach { case (f, phys) =>
+    if (fileSchema.containsField(phys) &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]) {
+      val t = fileSchema.getType(Seq(phys): _*)
+      if (t.isPrimitive)
+        require(
+          Dsv2Columnar.physicalCompatible(f.dataType, t.asPrimitiveType()),
+          s"graft-parquet: column '$phys' of ${p.file} stores $t, but " +
+            s"the scan requires ${f.dataType} — TYPE drift across a " +
+            "directory's files is not supported (missing columns " +
+            "null-fill; changed types need a rewrite)")
+    }
+  }
+
   /** `_file` metadata fields: a per-partition constant, no bytes read. */
   private val fileConst: Array[UTF8String] =
     required.fieldNames.map(n =>

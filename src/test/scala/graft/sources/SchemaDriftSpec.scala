@@ -32,15 +32,17 @@ class SchemaDriftSpec extends SparkSpec {
       val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
         .flatMap(c => Option(c.getMessage)).mkString(" | ")
       assert(msgs.contains("TYPE drift") && msgs.contains("'d'"), msgs)
-      // row reader: same directory fails LOUDLY too (per-file
-      // projection materializes file-typed values; the conversion
-      // rejects them — never a silent mis-read)
-      intercept[Throwable] {
+      // row reader: the same named error (not a bare ClassCastException
+      // from deep inside record conversion)
+      val e2 = intercept[Throwable] {
         spark.read.format(fmt)
           .option(Dsv2Parquet.SchemaOption, "k BIGINT, d DECIMAL(12,2)")
           .option(Dsv2Columnar.VectorizedOption, "false")
           .load(p).collect()
-      }: Unit
+      }
+      val msgs2 = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+        .flatMap(c => Option(c.getMessage)).mkString(" | ")
+      assert(msgs2.contains("TYPE drift") && msgs2.contains("'d'"), msgs2)
     } finally {
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
