@@ -126,9 +126,8 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
    * overwrite, replace, rollback — whose re-added files may never have
    * been delivered to THIS stream) are never skipped; `seen` alone
    * dedups them. */
-  private def maintenanceIntroduced(): Set[String] = {
+  private def maintenanceIntroduced(vs: Array[Long]): Set[String] = {
     val dir = new Path(path)
-    val vs = CommitLog.versions(dir, conf)
     if (vs.length < 2) return Set.empty
     val seenNames: Set[String] = seen.map(f => new Path(f).getName).toSet
     // walk versions in order, accumulating skips: a skipped rewrite
@@ -156,16 +155,25 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
    * them through an offset — a crash between persist and processing
    * replays identically. */
   private def discover(): Unit = {
-    // ORDER MATTERS: list first, THEN compute the skip-set. A rewrite
-    // publishing between the two steps then only makes the skip-set
-    // NEWER than the listing — every rewrite output the listing can
-    // contain has its version pair walked (the reverse order streams
-    // an output whose commit landed between skip computation and the
-    // listing). `skipped` accumulates retired outputs too, so a stale
-    // listing's already-replaced rewrite files stay filtered.
-    val listed = Dsv2Parquet.dataFiles(path, conf).map(_.getPath.toString)
+    // ONE listStatus per trigger serves both views (same discipline as
+    // the batch scan's single planning listing), and ORDER MATTERS:
+    // the data-file view derives from a listing taken at-or-before the
+    // version set — a rewrite publishing mid-discovery only makes the
+    // skip-set NEWER than the listing — every rewrite output the
+    // listing can contain has its version pair walked (the reverse
+    // order streams an output whose commit landed between skip
+    // computation and the listing). `skipped` accumulates retired
+    // outputs too, so a stale listing's already-replaced rewrite files
+    // stay filtered.
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val st = fs.getFileStatus(dir)
+    val all = if (st.isDirectory) fs.listStatus(dir) else Array(st)
+    val listed = Dsv2Parquet.dataFilesFrom(all, dir, st.isDirectory,
+      conf, versionAsOf = None).map(_.getPath.toString)
+    val vs = all.flatMap(s => CommitLog.versionOf(s.getPath.getName)).sorted
     val skip: Set[String] =
-      if (initialized) maintenanceIntroduced() else Set.empty
+      if (initialized) maintenanceIntroduced(vs) else Set.empty
     val fresh = listed.filterNot(seen)
       .filterNot(f => skip.contains(new Path(f).getName)).sorted
     if (fresh.nonEmpty) {
