@@ -230,9 +230,10 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
    * iteration creates a catalog table (random copy-on-write /
    * merge-on-read, random commit-log-from-birth) and runs a random
    * program of append / row-level DELETE / MERGE / INSERT OVERWRITE /
-   * major+minor compaction / merge-mode switch / mid-life log enable /
-   * rollback_to_version / remove_orphan_files, comparing the FULL
-   * table contents with an in-memory Map after every step. On logged tables every published version's expected
+   * TRUNCATE / major+minor compaction / merge-mode switch / mid-life
+   * log enable / equality repair / rollback_to_version /
+   * remove_orphan_files / complete-mode streaming epoch, comparing the
+   * FULL table contents with an in-memory Map after every step. On logged tables every published version's expected
    * state is recorded and re-read via SQL `VERSION AS OF` at the end,
    * then expire_snapshots(1) must keep exactly the final state. The
    * randomized complement of CommitLogSpec's shape-targeted cases:
@@ -280,7 +281,7 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
             GraftMaintenance.compactDeletionVectors(spark, p): Unit
 
         (0 until 6).foreach { step =>
-          rnd.nextInt(if (logged) 11 else 8) match {
+          rnd.nextInt(if (logged) 13 else 9) match {
             case 0 | 1 => // append a fresh batch
               val rows = freshRows(50 + rnd.nextInt(200))
               df(rows).writeTo(s"$cat.db.t").append()
@@ -330,7 +331,12 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
               spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES " +
                 s"('${Dsv2Parquet.CommitLogProperty}'='true')")
               logged = true
-            case 8 => // equality repair: delete a band by KEY + insert
+            case 8 => // TRUNCATE TABLE: the deleteWhere(AlwaysTrue) face
+              // — logical retire on logged tables (and eq/DV sidecar
+              // pruning), physical delete otherwise
+              spark.sql(s"TRUNCATE TABLE $cat.db.t")
+              model.clear()
+            case 9 => // equality repair: delete a band by KEY + insert
               // fresh rows in one manifest commit (logged tables only)
               val m = 6 + rnd.nextInt(6)
               val r = rnd.nextInt(m)
@@ -340,7 +346,7 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
                 df(victims.map(k => (k, 0L))).select("k"), df(inserts))
               victims.foreach(model.remove)
               model ++= inserts
-            case 9 => // rollback to a recorded version: the model IS
+            case 10 => // rollback to a recorded version: the model IS
               // that version's recorded expected state (logged only)
               if (history.nonEmpty) {
                 val versions = history.keys.toSeq.sorted
@@ -351,10 +357,27 @@ class Dsv2FuzzRoundTripSpec extends SparkSpec {
                 model.clear()
                 model ++= history(target)
               }
-            case 10 => // orphan GC mid-program: must delete nothing any
+            case 11 => // orphan GC mid-program: must delete nothing any
               // published version references (step + end checks prove it)
               spark.sql(s"CALL $cat.system.remove_orphan_files('db.t', 0)")
                 .collect(): Unit
+            case 12 => // complete-mode streaming epoch: the published
+              // snapshot IS the epoch's rows — prior files (and any eq
+              // sidecars targeting them) retire logically (logged only)
+              val rows = freshRows(20 + rnd.nextInt(50))
+              val schema = org.apache.spark.sql.types.StructType.fromDDL(
+                "k BIGINT, v BIGINT")
+              val qid = s"fz$step"
+              val sw = GraftParquetStreamingWrite(p, schema, qid,
+                truncateFirst = true)
+              val w = new GraftParquetDataWriter(s"$p/_staging-$qid-e1",
+                schema, 0, 0L)
+              rows.foreach { case (k, v) =>
+                w.write(org.apache.spark.sql.catalyst.InternalRow(k, v))
+              }
+              sw.commit(1L, Array(w.commit()))
+              model.clear()
+              model ++= rows
           }
           checkpoint()
           val got = spark.sql(s"SELECT k, v FROM $cat.db.t").collect()
