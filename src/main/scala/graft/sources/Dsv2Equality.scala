@@ -188,7 +188,7 @@ object Dsv2Equality {
    * probes exactly the filters targeting F. None when the snapshot
    * carries no equality deletes. */
   def forSnapshot(path: String, snap: Option[CommitLog.Snapshot],
-      tableSchema: StructType, conf: Configuration)
+      tableSchema: => StructType, conf: Configuration)
       : Option[(Array[StructField], Array[(Set[String], KeyFilter)])] = {
     val eqNames = snap.map(_.eqFiles).getOrElse(Set.empty)
     if (eqNames.isEmpty) return None

@@ -544,8 +544,12 @@ private[sources] case class GraftParquetScan(path: String,
       case None => vs.lastOption.map(CommitLog.read(new Path(path), _, conf))
     }
     if (snap.forall(_.eqFiles.isEmpty)) None
+    // schema resolution PINNED to this scan's version (the latest
+    // manifest may hold a different — even empty — file set), and
+    // by-name: forSnapshot touches it only after at least one LIVE
+    // sidecar is found, which implies live target files with footers
     else Dsv2Equality.forSnapshot(path, snap,
-      Dsv2Parquet.footerSchema(path), conf)
+      Dsv2Parquet.footerSchema(path, versionAsOf), conf)
   }
   @transient private lazy val eqPresent: Boolean = eqInfo.nonEmpty
 
@@ -1676,7 +1680,21 @@ private[graft] object Dsv2Parquet {
   def footerSchema(path: String, versionAsOf: Option[Long]): StructType = {
     val conf = Dsv2Parquet.readConf
     val files = dataFiles(path, conf, versionAsOf)
-    require(files.nonEmpty, s"no parquet data files under $path")
+    if (files.isEmpty) {
+      // an EMPTIED table: the delete that dropped the last data file
+      // persisted the declared DDL precisely so the table doesn't
+      // vanish — the catalog already serves it; path reads must too
+      val sf = new Path(path, SchemaFileName)
+      val fs = sf.getFileSystem(conf)
+      require(fs.exists(sf), s"no parquet data files under $path")
+      val in = fs.open(sf)
+      val ddl = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      return StructType.fromDDL(ddl)
+    }
     fileFooters(files, conf).map { case (schema, _, _) =>
       sparkSchema(schema)
     }.reduce { (a, b) =>

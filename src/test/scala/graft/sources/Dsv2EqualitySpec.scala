@@ -373,6 +373,36 @@ class Dsv2EqualitySpec extends SparkSpec {
     }
   }
 
+  test("VERSION AS OF an eq-bearing version survives the table emptying") {
+    withTmp { tmp =>
+      val cat = s"gevt_${java.lang.Long.toHexString(System.nanoTime())}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", tmp)
+      try {
+        val p = mkTable(tmp, n = 100L)
+        EqualityRepair.commit(spark, p, Seq("k"), Seq(7L).toDF("k"),
+          spark.emptyDataFrame.selectExpr())
+        val vEq = CommitLog.latest(p, conf).get.version
+        // empty the table entirely — the LATEST manifest then has zero
+        // data files, and eq key-field resolution for a PINNED read
+        // must use the pinned version's footers, not the (empty)
+        // current set (found by the 30-seed sequence-fuzz soak:
+        // unpinned footerSchema threw 'no parquet data files')
+        spark.sql(s"TRUNCATE TABLE $cat.t")
+        assert(CommitLog.latest(p, conf).get.dataFiles.isEmpty)
+        assert(spark.read.format(fmt).load(p).count() == 0L)
+        val pinned = spark.read.format(fmt)
+          .option(Dsv2Parquet.VersionAsOfOption, vEq.toString).load(p)
+        assert(pinned.count() == 99L)
+        assert(pinned.filter(col("k") === 7L).count() == 0L,
+          "the pinned read must still apply the version's eq deletes")
+      } finally {
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      }
+    }
+  }
+
   test("a legacy manifest's dead sidecar is inert on every surface") {
     withTmp { tmp =>
       val p = mkTable(tmp, n = 100L)
