@@ -174,10 +174,19 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
     val vs = all.flatMap(s => CommitLog.versionOf(s.getPath.getName)).sorted
     val skip: Set[String] =
       if (initialized) maintenanceIntroduced(vs) else Set.empty
-    val fresh = listed.filterNot(seen)
-      .filterNot(f => skip.contains(new Path(f).getName)).sorted
-    if (fresh.nonEmpty) {
-      fresh.foreach(discoverFile)
+    val (skippedNow, fresh) = listed.filterNot(seen)
+      .partition(f => skip.contains(new Path(f).getName))
+    if (fresh.nonEmpty || skippedNow.nonEmpty) {
+      fresh.sorted.foreach(discoverFile)
+      // a SKIP is durable state: record the file as consumed with ZERO
+      // row groups (it occupies no offsets), so the decision survives
+      // a query restart and outlives the manifests that proved it —
+      // without this, expire_snapshots dropping the version pair (or a
+      // restart rebuilding `seen` from the log) re-delivers the output
+      skippedNow.sorted.foreach { f =>
+        files += f -> Array.empty[(Long, Long)]
+        seen += f
+      }
       persistLog()
     } else if (!initialized) persistLog() // mark first discovery done
     initialized = true

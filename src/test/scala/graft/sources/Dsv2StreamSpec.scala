@@ -220,6 +220,49 @@ class Dsv2StreamSpec extends SparkSpec {
     }
   }
 
+  test("rewrite skips are durable: survive expire_snapshots and restarts") {
+    withTmp { tmp =>
+      val p = s"$tmp/t"
+      val ckpt = s"$tmp/ckpt"
+      val conf = Dsv2Parquet.readConf
+      val schema = StructType.fromDDL("k BIGINT, i INT, s STRING")
+      fixture(20).coalesce(2).write.format(fmt)
+        .option(Dsv2Parquet.SchemaOption, "k BIGINT, i INT, s STRING")
+        .mode("append").save(p)
+      CommitLog.enable(p, conf)
+      val s1 = new GraftParquetMicroBatchStream(p, schema, Array.empty,
+        ckpt, None)
+      val end1 = s1.latestOffset()
+      // compact → output provably skippable; the skip is recorded in
+      // the persisted file-order log as a zero-row-group entry
+      val fn = Dsv2Parquet.dataFiles(p, conf).head.getPath.getName
+      val dv = Dsv2Parquet.writeDvSidecar(
+        new org.apache.hadoop.fs.Path(p), fn, Array(0L), conf)
+      CommitLog.commitUpdate(p, conf, operation = "delta")(cur =>
+        Some(cur.copy(dvFiles = cur.dvFiles + dv))): Unit
+      assert(GraftMaintenance.compactDeletionVectors(spark, p) == 1)
+      assert(s1.latestOffset() == end1)
+      // expire the history that PROVED the skip — the recorded skip
+      // must hold without it (re-proving is impossible once the
+      // version pair is gone; without the record this re-delivered)
+      GraftMaintenance.expireSnapshots(p, retainLast = 1): Unit
+      assert(s1.latestOffset() == end1,
+        "expiry must not resurrect a recorded skip")
+      // restart: a fresh instance rebuilds seen/skip state from the
+      // log alone and must not re-deliver either
+      val s2 = new GraftParquetMicroBatchStream(p, schema, Array.empty,
+        ckpt, None)
+      assert(s2.latestOffset() == end1,
+        "restart must not resurrect a recorded skip")
+      // fresh data still streams, exactly once
+      fixture(5).select((col("k") + 100).as("k"), col("i"), col("s"))
+        .coalesce(1).write.format(fmt).mode("append").save(p)
+      val end2 = s2.latestOffset()
+      assert(end2.asInstanceOf[GraftStreamOffset].n ==
+        end1.asInstanceOf[GraftStreamOffset].n + 1)
+    }
+  }
+
   test("streaming path prunes columns into the scan projection") {
     withTmp { tmp =>
       val p = s"$tmp/t"
