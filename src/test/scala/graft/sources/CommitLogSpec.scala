@@ -445,6 +445,55 @@ class CommitLogSpec extends SparkSpec {
     }
   }
 
+  test("concurrent SQL writers: every commit lands, none lost") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v BIGINT) TBLPROPERTIES " +
+        "('graft.merge.mode'='merge-on-read', 'graft.commit.log'='true')")
+      val p = s"${root(cat)}/db/t"
+      spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .coalesce(2).writeTo(s"$cat.db.t").append()
+      val baseVersions = CommitLog.versions(
+        new org.apache.hadoop.fs.Path(p), conf).length
+      // 4 appender threads × 3 disjoint batches + 4 deleter threads,
+      // all REAL SQL commits racing through the CAS retry loop —
+      // appends and delta deletes commute, so every one must land
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+        (0 until 4).map { tid =>
+          new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = (0 until 3).foreach { b =>
+              spark.range(100)
+                .select((col("id") + 10000L + tid * 1000L + b * 100L).as("k"),
+                  lit(1L).as("v"))
+                .coalesce(1).writeTo(s"$cat.db.t").append()
+            }
+          }
+        } ++ (0 until 4).map { r =>
+          new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              // bands scoped to the initial rows: concurrent appends
+              // never match, so the expected state is deterministic
+              spark.sql(s"DELETE FROM $cat.db.t WHERE k < 1000 AND " +
+                s"k % 29 = $r"): Unit
+            }
+          }
+        }
+      import scala.jdk.CollectionConverters._
+      val futures = pool.invokeAll(tasks.asJava)
+      pool.shutdown()
+      futures.asScala.foreach(_.get()) // propagate any thread's failure
+      val expected = (0L until 1000L).filterNot(_ % 29 < 4).toSet ++
+        (for (tid <- 0 until 4; b <- 0 until 3; i <- 0 until 100)
+          yield 10000L + tid * 1000L + b * 100L + i).toSet
+      assert(spark.sql(s"SELECT k FROM $cat.db.t").as[Long].collect().toSet
+        == expected, "a concurrent commit was lost")
+      // every commit published exactly one version — 12 appends + 4
+      // deltas on top of the base, no version skipped or stolen
+      assert(CommitLog.versions(new org.apache.hadoop.fs.Path(p), conf)
+        .length == baseVersions + 16)
+    }
+  }
+
   test("minor compaction merges sidecars through the manifest") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT) TBLPROPERTIES " +
