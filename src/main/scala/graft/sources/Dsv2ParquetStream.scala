@@ -126,15 +126,27 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
    * overwrite, replace, rollback — whose re-added files may never have
    * been delivered to THIS stream) are never skipped; `seen` alone
    * dedups them. */
+  /** Incremental walk state: versions at or below [[walkedThrough]]
+   * have already contributed to [[skippedAcc]] — each trigger walks
+   * only the NEW version pairs, so a long-lived table's trigger cost
+   * is O(new commits), not O(total history × files). A restart walks
+   * the surviving history once. */
+  private var walkedThrough: Long = 0L
+  private var skippedAcc: Set[String] = Set.empty
+
   private def maintenanceIntroduced(vs: Array[Long]): Set[String] = {
     val dir = new Path(path)
-    if (vs.length < 2) return Set.empty
+    if (vs.length < 2) return skippedAcc
+    val fresh = vs.filter(_ > walkedThrough)
+    if (fresh.isEmpty) return skippedAcc
+    // the pair (walkedThrough, firstFresh) is new too when adjacent
+    val startPrev = vs.filter(_ <= walkedThrough).lastOption
+    val walk = startPrev.toArray ++ fresh
     val seenNames: Set[String] = seen.map(f => new Path(f).getName).toSet
-    // walk versions in order, accumulating skips: a skipped rewrite
-    // output counts as delivered when a LATER rewrite retires it (its
-    // rows reached the stream through its ancestors)
-    var skipped = Set.empty[String]
-    vs.sliding(2).foreach {
+    // walk version pairs in order, accumulating skips: a skipped
+    // rewrite output counts as delivered when a LATER rewrite retires
+    // it (its rows reached the stream through its ancestors)
+    walk.sliding(2).foreach {
       case Array(prev, cur) if cur == prev + 1 =>
         val c = CommitLog.read(dir, cur, conf)
         val op = c.meta.getOrElse("operation", "")
@@ -142,12 +154,13 @@ private[sources] class GraftParquetMicroBatchStream(path: String,
             op == "compact-minor") {
           val p0 = CommitLog.read(dir, prev, conf)
           if ((p0.dataFiles -- c.dataFiles)
-              .forall(f => seenNames.contains(f) || skipped.contains(f)))
-            skipped ++= c.dataFiles -- p0.dataFiles
+              .forall(f => seenNames.contains(f) || skippedAcc.contains(f)))
+            skippedAcc ++= c.dataFiles -- p0.dataFiles
         }
       case _ => ()
     }
-    skipped
+    walkedThrough = vs.last
+    skippedAcc
   }
 
   /** List the directory; append unseen files (name-sorted within one
