@@ -211,17 +211,22 @@ private[sources] class GraftColumnarPartitionReader(p: GraftParquetPartition,
     required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     limit: Option[Int] = None,
-    dvSidecars: Array[String] = Array.empty)
+    dvSidecars: Array[String] = Array.empty,
+    extraDeletes: Array[Long] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
   import Dsv2Columnar.BatchSize
 
   private val conf = Dsv2Parquet.readConf
 
   /** This file's deletion vector (merge-on-read): union of its
-   * planning-time sidecars, sorted file-absolute positions the decode
-   * loop skips via run-aware decoder skip()s. */
-  private val dv: Array[Long] =
-    Dsv2Parquet.readDvUnion(dvSidecars, conf)
+   * planning-time sidecars — plus any SYNTHESIZED positions (equality
+   * deletes translated at range open) — sorted file-absolute positions
+   * the decode loop skips via run-aware decoder skip()s. */
+  private val dv: Array[Long] = {
+    val base = Dsv2Parquet.readDvUnion(dvSidecars, conf)
+    if (extraDeletes.isEmpty) base
+    else (base ++ extraDeletes).distinct.sorted
+  }
 
   /** Collection re-assembly reads the FULL triplet stream, so filtered
    * (page-index) reads engage only on all-flat projections — which is

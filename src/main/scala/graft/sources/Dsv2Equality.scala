@@ -29,17 +29,21 @@ import org.apache.spark.sql.types._
  *    driver) and are invisible until ONE CAS manifest publish commits
  *    them together with the staged insert files ([[EqualityRepair
  *    .commit]]).
- *  - Scans apply them as a per-row membership probe: a row of a
- *    TARGETED file whose canonical key is in the set is dead. The
- *    probe is bloom-gated (a bitset of key hashes in front of the
- *    exact hash set), so the common live row costs one hash + one bit
- *    test. Key columns are widened into the physical read when the
- *    projection lacks them and dropped again after the probe.
+ *  - VECTORIZED scans translate them to POSITION deletes at range
+ *    open: a narrow vectorized key pass (key columns + `_pos`) over
+ *    each TARGETED file probes every row's key — raw-long binary
+ *    search for the single-integral-key shape, bloom-gated canonical
+ *    probe otherwise — and the dead positions ride the columnar DV
+ *    skip, so the FULL projection decodes at full speed (eqdelete
+ *    smoke: read tax ≈ 1.0×). Untargeted files (rows inserted after
+ *    the repair) pay nothing. The row reader (fallback path) applies
+ *    the same probe per assembled row, with key columns widened into
+ *    the physical read and dropped after.
  *  - Equality deletes are TRANSIENT state: `compact_table` folds them
  *    into rewritten files and retires the sidecars from the manifest,
- *    returning scans to the vectorized zero-probe path. The read tax
- *    window is repair-to-next-maintenance, the same trade the
- *    reference accepts between repair and Cassandra compaction.
+ *    removing even the key pass. The window is
+ *    repair-to-next-maintenance, the same trade the reference accepts
+ *    between repair and Cassandra compaction.
  *
  * v1 boundaries (fail-fast, documented): commit-logged tables only
  * (the manifest IS what sequences deletes against inserts); one key
@@ -75,6 +79,29 @@ object Dsv2Equality {
       ((words(b >>> 6) >>> (b & 63)) & 1L) != 0L && set.contains(k)
     }
     def size: Int = set.size
+
+    /** Allocation-free probe table for the SINGLE-INTEGRAL-KEY case
+     * (by far the common repair shape): every canonical key parses
+     * back to one long → a sorted array binary-searched per row, no
+     * per-row string build. None when any key is multi-column or
+     * non-integral. */
+    @transient lazy val longTable: Option[Array[Long]] = buildLongTable()
+    private def buildLongTable(): Option[Array[Long]] = {
+      val out = new Array[Long](keys.length)
+      var i = 0
+      while (i < keys.length) {
+        val k = keys(i)
+        val cut = k.indexOf(':')
+        if (k.indexOf('\u0000') >= 0 || cut <= 0) return None
+        try out(i) = java.lang.Long.parseLong(k.substring(cut + 1))
+        catch { case _: NumberFormatException => return None }
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      Some(out)
+    }
+    def containsLong(table: Array[Long], v: Long): Boolean =
+      java.util.Arrays.binarySearch(table, v) >= 0
   }
 
   private[sources] def supportedKeyType(dt: DataType): Boolean = dt match {

@@ -527,9 +527,10 @@ private[sources] case class GraftParquetScan(path: String,
 
   /** Planning-time EQUALITY-DELETE snapshot ([[Dsv2Equality]]): the
    * key fields and one bloom-gated key filter per sidecar. Non-empty ⇒
-   * readers row-read with a per-row membership probe (key columns
-   * widened into the physical read) and the limit/row-count shortcuts
-   * are off — transient state compact_table folds away. */
+   * columnar readers synthesize position deletes from a narrow key
+   * pass at range open (the scan stays vectorized; the row-reader
+   * fallback probes per row) and the limit/row-count shortcuts are
+   * off — transient state compact_table folds away. */
   @transient private lazy val eqInfo: Option[(Array[StructField],
       Array[(Set[String], Dsv2Equality.KeyFilter)])] = {
     val conf = Dsv2Parquet.readConf
@@ -775,8 +776,9 @@ private[sources] case class GraftParquetReaderFactory(
     dvMap: Map[String, Array[String]] = Map.empty,
     /** EQUALITY-DELETE snapshot ([[Dsv2Equality]]): the table's key
      * fields and one shared bloom-gated filter per sidecar with its
-     * target file set. Non-empty forces the row reader with a per-row
-     * key probe (key columns widened into the physical read). */
+     * target file set. Columnar reads translate them to position
+     * deletes at range open ([[eqDeadPositions]]); the row reader
+     * probes per assembled row (key columns widened into the read). */
     eqKeyFields: Array[StructField] = Array.empty,
     eqFilters: Array[(Set[String], Dsv2Equality.KeyFilter)] = Array.empty)
     extends PartitionReaderFactory {
@@ -844,20 +846,100 @@ private[sources] case class GraftParquetReaderFactory(
    * the type surface this provider serves — see [[Dsv2Columnar]]).
    * The decision depends only on the schema, never the partition, as
    * Spark requires (all partitions of a scan must agree). Equality
-   * deletes force the row reader (the per-row key probe); they are
-   * transient — compact_table restores the vectorized path. */
+   * deletes do NOT force the row path: they are translated to
+   * position deletes at range open (see [[eqDeadPositions]]) and ride
+   * the columnar DV skip. */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    vectorize && Dsv2Columnar.supported(required) && eqFilters.isEmpty
+    vectorize && Dsv2Columnar.supported(required)
+
+  /** EQUALITY deletes → POSITION deletes, per range: row-read ONLY the
+   * key columns (+ `_pos`) of this range, probe each key against the
+   * filters targeting this file, and hand the dead rows' file-absolute
+   * positions to the columnar reader's DV skip. The scan stays
+   * vectorized for the FULL projection; untargeted files (rows
+   * inserted after the repair — the exemption that makes upsert work)
+   * pay nothing; targeted files pay one narrow key pass instead of a
+   * full-width row-path read. Transient either way — compact_table
+   * folds the sidecars and removes even the key pass. */
+  private def eqDeadPositions(r: GraftParquetPartition): Array[Long] = {
+    if (eqFilters.isEmpty) return Array.empty
+    val applicable = eqFilters.collect {
+      case (targets, f) if targets.contains(new Path(r.file).getName) => f
+    }
+    if (applicable.isEmpty) return Array.empty
+    val keySchema = StructType(eqKeyFields :+
+      StructField(Dsv2Parquet.PosMetaColumn,
+        org.apache.spark.sql.types.LongType))
+    val idx = eqKeyFields.indices.toArray
+    val types = eqKeyFields.map(_.dataType)
+    val posIdx = eqKeyFields.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // single-INTEGRAL-key fast path (the common repair shape): raw
+    // long probe against sorted tables — no per-row canonical string.
+    // Gated on the TABLE's key type: a string key's canonical form
+    // could parse as a number, so only integral columns take this path
+    val longTables: Array[Array[Long]] =
+      if (eqKeyFields.length == 1 && (eqKeyFields(0).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      })) applicable.flatMap(_.longTable)
+      else Array.empty
+    val fastLong = longTables.length == applicable.length &&
+      applicable.nonEmpty
+    // the key pass itself is VECTORIZED (key types are always
+    // columnar-supported: integral/string, plus the long `_pos`)
+    val rd = new GraftColumnarPartitionReader(r, keySchema)
+    try {
+      while (rd.next()) {
+        val it = rd.get().rowIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          if (fastLong) {
+            // null keys never match (the writer refuses null keys)
+            if (!row.isNullAt(0)) {
+              val v = types(0) match {
+                case org.apache.spark.sql.types.LongType => row.getLong(0)
+                case org.apache.spark.sql.types.IntegerType =>
+                  row.getInt(0).toLong
+                case org.apache.spark.sql.types.ShortType =>
+                  row.getShort(0).toLong
+                case _ => row.getByte(0).toLong
+              }
+              var i = 0
+              var hit = false
+              while (!hit && i < longTables.length) {
+                hit = java.util.Arrays.binarySearch(longTables(i), v) >= 0
+                i += 1
+              }
+              if (hit) out += row.getLong(posIdx)
+            }
+          } else {
+            val k = Dsv2Equality.canonicalOf(row, idx, types)
+            var i = 0
+            var hit = false
+            while (!hit && i < applicable.length) {
+              hit = applicable(i).contains(k); i += 1
+            }
+            if (hit) out += row.getLong(posIdx)
+          }
+        }
+      }
+    } finally rd.close()
+    out.toArray
+  }
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val rs = ranges(p)
-    if (rs.length == 1)
-      new GraftColumnarPartitionReader(rs(0), required, pushed, limit,
-        dvOf(rs(0)))
-    else new ChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](rs,
-      r => new GraftColumnarPartitionReader(r, required, pushed, limit,
-        dvOf(r)))
+    def mk(r: GraftParquetPartition) =
+      new GraftColumnarPartitionReader(r, required, pushed, limit,
+        dvOf(r), eqDeadPositions(r))
+    if (rs.length == 1) mk(rs(0))
+    else new ChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+      rs, mk)
   }
 }
 
