@@ -326,6 +326,20 @@ object EqualityRepair {
           "graft-eq commit: concurrent writer conflict — targeted " +
             s"file(s) no longer in version ${cur.version}: " +
             s"${gone.mkString(", ")}")
+        // re-prove the one-key-tuple invariant against CUR, not just
+        // the pre-job base (r20 advice): two concurrent FIRST repairs
+        // with different key tuples both passed the base check (no
+        // sidecars yet) — without this, both publish and every later
+        // scan fails the sidecars-agree require, including the
+        // compact_table fold needed to repair it
+        Dsv2Equality.liveSidecars(new Path(path), cur, conf)
+            .headOption.foreach { prev =>
+          if (!prev.keyCols.sameElements(kc)) throw new IllegalStateException(
+            "graft-eq commit: concurrent repair conflict — table now " +
+              s"carries equality deletes keyed by " +
+              s"${prev.keyCols.mkString(",")}, not ${kc.mkString(",")}; " +
+              "fold them (compact_table) before changing the key tuple")
+        }
         Some(cur.copy(dataFiles = cur.dataFiles ++ insertNames,
           eqFiles = cur.eqFiles ++ eqNames))
       }: Unit

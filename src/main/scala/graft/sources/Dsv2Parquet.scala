@@ -128,12 +128,25 @@ private[sources] case class GraftParquetTable(path: String,
       else GraftRowLevelOperation(path, schema, info.command())
   }
 
+  // `CommitLog.enabled` is a full directory listing, and Spark calls
+  // properties() repeatedly during analysis/DESCRIBE (r20 advice: large
+  // directories paid a listing RPC per call). The log is enable-only,
+  // so a POSITIVE answer is immutable and cached on the instance; a
+  // negative is re-checked, so a mid-life enable still surfaces even on
+  // a long-lived table object.
+  @transient private[this] var logEnabledSeen = false
+  private def logEnabled: Boolean = logEnabledSeen || {
+    val e = CommitLog.enabled(path, Dsv2Parquet.readConf)
+    if (e) logEnabledSeen = true
+    e
+  }
+
   override def properties(): util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
     if (mergeOnRead)
       m.put(Dsv2Parquet.MergeModeProperty, Dsv2Parquet.MergeOnRead)
     // manifest presence IS the property (no sidecar flag to drift)
-    if (CommitLog.enabled(path, Dsv2Parquet.readConf))
+    if (logEnabled)
       m.put(Dsv2Parquet.CommitLogProperty, "true")
     m
   }

@@ -401,6 +401,16 @@ object GraftMaintenance {
     // files no longer prove (same conservatism as compaction).
     val clustering = new Path(dir, Dsv2Parquet.ClusteringFileName)
     if (fs.exists(clustering)) fs.delete(clustering, false)
+    // Rollback restores DATA, not schema — deliberately (and pinned by
+    // the schema-evolution fuzz's model: "contents revert, schema
+    // stays current"). The new manifest is stamped with the CURRENT
+    // declared DDL, so after a post-target ALTER ADD COLUMN the
+    // rollback version serves the added column null-filled over the
+    // restored files, while `VERSION AS OF target` serves the as-of
+    // schema. The two reads differ BY DESIGN: rolling the declaration
+    // back under live readers/writers would turn a data-repair tool
+    // into a schema change, and ALTER is the explicit surface for
+    // that. (r20 advice noted the asymmetry; this documents it.)
     CommitRaceProbe.beforeRollbackPublish(path)
     CommitLog.commitUpdate(path, conf,
       operation = s"rollback to $version")(_ => Some(target)).get.version

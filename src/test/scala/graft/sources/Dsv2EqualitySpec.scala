@@ -171,6 +171,45 @@ class Dsv2EqualitySpec extends SparkSpec {
     }
   }
 
+  test("two concurrent FIRST repairs with different key tuples: the " +
+      "second aborts, the table never wedges") {
+    withTmp { tmp =>
+      val p = mkTable(tmp)
+      // repair A (keyed k) is about to publish; repair B (keyed s)
+      // lands fully INSIDE A's window. Both passed the pre-job base
+      // check (no sidecars existed yet) — without the in-closure
+      // re-proof both published, and every later scan (including the
+      // compact_table fold needed to repair it) failed the
+      // sidecars-agree require: a permanently wedged table (r20 advice)
+      CommitRaceProbe.beforeEqPublish = { _ =>
+        CommitRaceProbe.beforeEqPublish = _ => () // one-shot, no recursion
+        EqualityRepair.commit(spark, p, Seq("s"),
+          Seq("s1").toDF("s"), spark.emptyDataFrame.selectExpr())
+      }
+      try {
+        val e = intercept[IllegalStateException] {
+          EqualityRepair.commit(spark, p, Seq("k"),
+            Seq(5L).toDF("k"), spark.emptyDataFrame.selectExpr())
+        }
+        assert(e.getMessage.contains("concurrent repair conflict"),
+          e.getMessage)
+      } finally CommitRaceProbe.reset()
+      // B's repair stands alone: s1 rows gone, k=5 untouched, scans fine
+      val rows = spark.read.format(fmt).load(p).collect()
+      assert(!rows.exists(_.getString(1) == "s1"))
+      assert(rows.exists(_.getLong(0) == 5L))
+      // the fold still works — the table is not wedged
+      GraftMaintenance.compactDeletionVectors(spark, p): Unit
+      assert(CommitLog.latest(p, conf).get.eqFiles.isEmpty)
+      // and a follow-up repair with B's key tuple (now folded: any
+      // tuple) lands cleanly
+      EqualityRepair.commit(spark, p, Seq("k"),
+        Seq(5L).toDF("k"), spark.emptyDataFrame.selectExpr())
+      assert(spark.read.format(fmt).load(p)
+        .filter(col("k") === 5).count() == 0L)
+    }
+  }
+
   test("compact_small_files bin-packs, folding DVs and eq deletes in") {
     withTmp { tmp =>
       val p = s"$tmp/t"
