@@ -745,10 +745,16 @@ object Curation {
   def dsirScore(tf: DataFrame, target: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two: $buckets")
+    // both the model fit (collect) and the scoring pass consume `db`,
+    // and common subtrees are not deduped — unmaterialized, the tf
+    // relation would be re-read and re-aggregated twice (r21: measured
+    // ~35% of the wired query). ≤ `buckets` rows per document, so the
+    // checkpoint is slim by construction.
     val db = tf
       .withColumn("bucket", graft.functions.CmsFunctions.hash64(col("term"))
         .bitwiseAND(lit(buckets - 1L)))
       .groupBy("doc_id", "bucket").agg(sum("cnt").as("cnt"))
+      .localCheckpoint(eager = false)
     val fit = db.join(target, Seq("doc_id"))
       .groupBy("bucket").agg(
         sum("cnt").as("raw"),

@@ -242,28 +242,52 @@ object Multimodal {
    * regression, or an encode/decode asymmetry turns the oracle row red
    * — the boundary the stub stood in for, finally exercised by a real
    * codec. */
+  /** One PNG ImageReader per task, reused across rows (guide §4.5:
+   * heavyweight codec state initializes once per partition, not per
+   * row — `ImageIO.read` re-ran reader discovery and stream setup for
+   * every image, which dominated the decode of these small rasters;
+   * r21 measured the reuse at ~2× on mm_decode). Same JDK PNG codec,
+   * same decoded raster. */
+  private def pngReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+  private def readPng(reader: javax.imageio.ImageReader,
+      bytes: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes, off, len))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally iis.close()
+  }
+
+  /** Per-channel sums over the full raster via ONE bulk getRGB call
+   * (per-pixel getRGB pays a color-model conversion per call). */
+  private def rgbSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sr += (rgb >> 16) & 0xff
+      sg += (rgb >> 8) & 0xff
+      sb += rgb & 0xff
+      i += 1
+    }
+    (sr, sg, sb)
+  }
+
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // ImageIO plugin scanning happens once per partition, not per row
+      // the codec initializes once per partition, not per row
+      val reader = pngReader()
       it.map { row =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(row.media))
+        val img = readPng(reader, row.media, 0, row.media.length)
         require(img != null, s"doc ${row.doc_id}: payload is not a decodable image")
         val (w, h) = (img.getWidth, img.getHeight)
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xff
-            sg += (rgb >> 8) & 0xff
-            sb += rgb & 0xff
-            x += 1
-          }
-          y += 1
-        }
+        val (sr, sg, sb) = rgbSums(img)
         DecodedImage(row.doc_id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
       }
     }
@@ -494,39 +518,30 @@ object Multimodal {
   def decodeSampledFrames(media: Dataset[MediaRow],
       everyN: Int): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
-    media.flatMap { row =>
-      val buf = java.nio.ByteBuffer.wrap(row.media)
-      val frames = scala.collection.mutable.ArrayBuffer.empty[DecodedFrame]
-      var f = 0
-      while (buf.remaining() >= 4) {
-        val len = buf.getInt()
-        require(len >= 0 && len <= buf.remaining(),
-          s"doc ${row.doc_id}: corrupt frame index at frame $f")
-        if (f % everyN == 0) {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(
-              row.media, buf.position(), len))
-          require(img != null, s"doc ${row.doc_id}: frame $f not decodable")
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff
-              sg += (rgb >> 8) & 0xff
-              sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
+    media.mapPartitions { rows =>
+      // one reader per task, reused across every sampled frame of every
+      // row in the partition (guide §4.5 — was ImageIO.read per frame)
+      val reader = pngReader()
+      rows.flatMap { row =>
+        val buf = java.nio.ByteBuffer.wrap(row.media)
+        val frames = scala.collection.mutable.ArrayBuffer.empty[DecodedFrame]
+        var f = 0
+        while (buf.remaining() >= 4) {
+          val len = buf.getInt()
+          require(len >= 0 && len <= buf.remaining(),
+            s"doc ${row.doc_id}: corrupt frame index at frame $f")
+          if (f % everyN == 0) {
+            val img = readPng(reader, row.media, buf.position(), len)
+            require(img != null, s"doc ${row.doc_id}: frame $f not decodable")
+            val (sr, sg, sb) = rgbSums(img)
+            frames += DecodedFrame(row.doc_id, f.toLong,
+              img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
           }
-          frames += DecodedFrame(row.doc_id, f.toLong,
-            img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
+          buf.position(buf.position() + len)
+          f += 1
         }
-        buf.position(buf.position() + len)
-        f += 1
+        frames
       }
-      frames
     }
   }
 
@@ -573,9 +588,10 @@ object Multimodal {
   def resizeDecoded(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      // one reader per task, reused across rows (guide §4.5)
+      val reader = pngReader()
       it.map { row =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(row.media))
+        val img = readPng(reader, row.media, 0, row.media.length)
         require(img != null, s"doc ${row.doc_id}: payload is not a decodable image")
         val (w, h) = (img.getWidth, img.getHeight)
         var (sr, sg, sb) = (0L, 0L, 0L)

@@ -31,8 +31,22 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = java.nio.file.Paths.get("plans", tag)
     java.nio.file.Files.createDirectories(dir)
+    // extra plan targets beyond SparkEntry.queries: the r21 mm_* BEFORE
+    // shapes (decode over the in-line encode, the code path the fixture
+    // materialization replaced — still constructible from the builders)
+    val extra: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "mm_decode_inline_encode" -> ((s, d) =>
+        graft.operators.Multimodal.decodeImages(
+          graft.operators.Multimodal.pngMediaTable(s, d)).toDF()),
+      "mm_decode_wav_inline_encode" -> ((s, d) =>
+        graft.operators.Multimodal.decodeAudio(
+          graft.operators.Multimodal.wavMediaTable(s, d)).toDF()),
+      "mm_resize_decode_inline_encode" -> ((s, d) =>
+        graft.operators.Multimodal.resizeDecoded(
+          graft.operators.Multimodal.pngMediaTable(s, d)).toDF()))
     names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      val df = extra.getOrElse(n, SparkEntry.queries(n))(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       java.nio.file.Files.writeString(dir.resolve(s"${n}_$suffix.txt"), txt)
