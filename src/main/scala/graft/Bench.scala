@@ -196,6 +196,13 @@ object Bench {
         // JVM object identity of addReferenceObj arguments (centroid
         // matrices etc.) prints as ClassName@hex — session-unique
         .replaceAll("@[0-9a-f]{6,}", "@x")
+        // higher-order-function lambda variables are named from a
+        // GLOBAL session counter (`lambda x_9`), so the fingerprint
+        // depended on how many lambda-bearing plans the session had
+        // constructed before this one — r21 found text_quality's fp
+        // flip between identical plans was exactly this (normalized
+        // plan diff empty except x_9 vs x_3). Measurement fix, r21.
+        .replaceAll("lambda x_\\d+", "lambda x_N")
       val md = java.security.MessageDigest.getInstance("SHA-256")
       md.digest(norm.getBytes("UTF-8")).take(6)
         .map(b => f"$b%02x").mkString

@@ -504,17 +504,41 @@ object Dedup {
       tilesOf(docs(spark, dir).select("doc_id", "text"), tileLen)
     }
 
-  /** The span derivation over an already-materialized tile table. */
+  /** The span derivation over an already-materialized tile table.
+   *
+   * The keeper (lexicographic-min (doc_id, pos)) is computed as two
+   * stacked HASH aggregates instead of one `min(struct(doc_id, pos))`:
+   * a struct-typed agg buffer is not UnsafeRow-mutable, so the struct
+   * min forced SortAggregate — a full md5-string sort on BOTH sides of
+   * the exchange with interpreted struct comparisons (measured: the
+   * aggregate alone 0.63s over a 90k-row table whose bare scan is
+   * 0.14s). Per (h, doc_id) the min pos is a primitive min; per h the
+   * keeper doc is `min(doc_id)` and its pos is `min_by(mpos, doc_id)`
+   * — tie-free because (h, doc_id) is unique after the first
+   * aggregate, and both buffers are plain longs, so every stage stays
+   * a codegen'd HashAggregate (guide §2.3/§4: keep the hot path inside
+   * codegen). Same rows, bit-for-bit: n_occ = Σ per-doc counts, and
+   * (keep_doc_id, keep_pos) = lexicographic min exactly. At sf0.1 the
+   * wall is unchanged (0.75 vs 0.79s — the sub-second floor here is
+   * AQE stage-scheduling fixed cost, measured: the bare table scan is
+   * 0.14s and even the aggregate-only noop reads 0.63s in either
+   * form); the change is structural for scale — SortAggregate sorts
+   * every map task's tiles by the 32-char digest and again after the
+   * exchange, an O(tiles·log) corpus-wide sort that HashAggregate's
+   * partial aggregation simply never pays. */
   private def spansFromTiles(tiles: DataFrame): DataFrame = {
-    val repeated = tiles.groupBy("h")
-      .agg(count(lit(1)).as("n_occ"),
-        min(struct(col("doc_id"), col("pos"))).as("keep"))
+    val perDoc = tiles.groupBy("h", "doc_id")
+      .agg(count(lit(1)).as("c"), min(col("pos")).as("mpos"))
+    val repeated = perDoc.groupBy("h")
+      .agg(sum(col("c")).as("n_occ"),
+        min(col("doc_id")).as("keep_doc_id"),
+        min_by(col("mpos"), col("doc_id")).as("keep_pos"))
       .filter(col("n_occ") >= 2)
     tiles.join(repeated, Seq("h"))
-      .filter(!(col("doc_id") === col("keep.doc_id") &&
-        col("pos") === col("keep.pos")))
+      .filter(!(col("doc_id") === col("keep_doc_id") &&
+        col("pos") === col("keep_pos")))
       .select(col("doc_id"), col("pos"),
-        col("keep.doc_id").as("keep_doc_id"), col("keep.pos").as("keep_pos"),
+        col("keep_doc_id"), col("keep_pos"),
         col("n_occ"))
   }
 
@@ -564,7 +588,20 @@ object Dedup {
         coalesce(col("cuts"), expr("CAST(array() AS ARRAY<BIGINT>)")))
       .select(col("doc_id"),
         size(col("cuts")).cast("bigint").as("n_cut"),
-        expr(s"""concat(
+        // cut-free documents (spans are damage-proportional, so at a
+        // clean corpus that is nearly all of them) skip the tile
+        // re-slice entirely: with `cuts` empty the rebuild below
+        // reconstructs `text` byte-for-byte (every aligned tile kept
+        // in order + the sub-tile tail), so passing `text` through is
+        // identity, not an approximation. The rebuild branch
+        // otherwise allocates len/L substrings + an array_join per
+        // row — O(len) copies now paid only by documents that carry a
+        // cut (guide §1.2 per-task work). At sf0.1 the wall is flat
+        // (1.46 → 1.48s, noise: the fixture plants cuts in ~38% of
+        // docs and the line is stage-scheduling-bound); the saving is
+        // proportional to the clean fraction of corpus bytes.
+        when(size(col("cuts")) === 0, col("text"))
+          .otherwise(expr(s"""concat(
           CASE WHEN length(text) >= $L THEN
             array_join(transform(filter(sequence(1, length(text) - ${L - 1}, $L),
               p -> NOT array_contains(cuts, CAST(p AS BIGINT))),
@@ -572,7 +609,7 @@ object Dedup {
           ELSE '' END,
           substring(text, CASE WHEN length(text) >= $L
             THEN (((length(text) - $L) div $L) + 1) * $L + 1
-            ELSE 1 END))""").as("clean_text"))
+            ELSE 1 END))""")).as("clean_text"))
   }
 
   /** Wired apply query: the documents corpus with its non-keeper

@@ -1,21 +1,6 @@
 package graft.tools
-
-import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
-
-/** Scratch profiler for operator stages (builder-side tool; the
- * question rotates per round — r06: decimal-vs-long money sums; r07:
- * the defensive dropDuplicates cost; r10: q21 count_distinct vs
- * min/max multiplicity, measured 2.12s → 1.18s, recorded in
- * BASELINE.md). Round-15 question: the BPE encode kernel applies V'
- * literal replaces per word (allocating a fresh string each) where
- * subword_encode does O(len·maxLen) hash probes — how do the three
- * tokenizer rows compare at the bench SF, and is BPE's extended line
- * going to read as a regression when it lands? ANSWER (sf0.1, median
- * of 3 warmed): whitespace 0.38s, subword 0.56s, BPE 0.72s unmemoized
- * → 0.49s with the model-scoped word→pieces memo (the HF-tokenizers
- * cache; Zipfian corpora make the hit rate ~100%), i.e. BPE encode
- * lands at subword-kernel parity. */
+import org.apache.spark.sql.functions._
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -26,18 +11,34 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     def time(name: String)(df: => DataFrame): Unit = {
-      noop(df) // warmup
-      val ts = (1 to 3).map { _ =>
+      noop(df)
+      val ts = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); noop(df); (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"$name%-34s median=${ts(1)}%6.2fs  (${ts.map(t => f"$t%.2f").mkString(", ")})")
+      println(f"$name%-44s median=${ts(2)}%6.2fs  (${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
-    time("text_tokens (whitespace)")(TextAnalysis.textTokens(spark, dir))
-    time("text_tokens_subword (hash probes)")(TextAnalysis.textTokensSubword(spark, dir))
-    time("text_tokens_bpe (V' replaces)")(TextAnalysis.textTokensBpe(spark, dir))
+    val tiles = graft.operators.Dedup.tileHashTable(spark, dir)
+    time("spans OLD (min struct, sort agg)") {
+      val repeated = tiles.groupBy("h")
+        .agg(count(lit(1)).as("n_occ"), min(struct(col("doc_id"), col("pos"))).as("keep"))
+        .filter(col("n_occ") >= 2)
+      tiles.join(repeated, Seq("h"))
+        .filter(!(col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos")))
+        .select(col("doc_id"), col("pos"), col("keep.doc_id").as("keep_doc_id"),
+          col("keep.pos").as("keep_pos"), col("n_occ"))
+    }
+    time("spans NEW (stacked hash aggs)") {
+      val perDoc = tiles.groupBy("h", "doc_id").agg(count(lit(1)).as("c"), min(col("pos")).as("mpos"))
+      val repeated = perDoc.groupBy("h")
+        .agg(sum(col("c")).as("n_occ"), min(col("doc_id")).as("keep_doc_id"),
+          min_by(col("mpos"), col("doc_id")).as("keep_pos"))
+        .filter(col("n_occ") >= 2)
+      tiles.join(repeated, Seq("h"))
+        .filter(!(col("doc_id") === col("keep_doc_id") && col("pos") === col("keep_pos")))
+        .select(col("doc_id"), col("pos"), col("keep_doc_id"), col("keep_pos"), col("n_occ"))
+    }
     spark.stop()
   }
 }
