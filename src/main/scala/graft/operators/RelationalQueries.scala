@@ -839,8 +839,16 @@ object RelationalQueries {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
-      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      // explicit hints (r21): cust and supp are join OUTPUTS, so
+      // Catalyst sizes them by join-output estimate and falls back to
+      // SortMergeJoin for both — two extra exchanges + sorts for a
+      // one-bigint-column semi side and a two-column dim (guide §3.1:
+      // estimates are often wrong after joins/filters; hint when you
+      // know the side is small). Same broadcast-dims contract as
+      // q5/q9. Measured 1.13 → 0.95s (sf0.1, median of 5, in-session
+      // A/B); plan: SMJ LeftSemi + SMJ Inner → BroadcastHashJoins.
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         round(exactMoneySum(
@@ -1012,11 +1020,19 @@ object RelationalQueries {
       .join(broadcast(supEu.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(min(col("l_extendedprice")).as("cost"))
-      .localCheckpoint()
-    val minc = rsupply.groupBy(col("l_partkey").as("m_partkey"))
-      .agg(min(col("cost")).as("m_cost"))
+    // the "cheapest supplier per part" correlation as a min-over-window
+    // + filter instead of aggregate + self-join (r21): the self-join
+    // form re-aggregated rsupply and SortMergeJoined it back (3
+    // exchanges + 2 sorts, and rsupply had to be checkpointed because
+    // it fed both sides); the window form consumes rsupply ONCE — one
+    // exchange on l_partkey, no checkpoint, no join — and keeps every
+    // tied-at-min supplier exactly like the equality join did (guide
+    // §2.4: two operations keyed the same way share one partitioning).
+    // Measured 1.19 → 0.84s (sf0.1, median of 5, in-session A/B).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
     rsupply
-      .join(minc, col("l_partkey") === col("m_partkey") && col("cost") === col("m_cost"))
+      .withColumn("m_cost", min(col("cost")).over(w))
+      .filter(col("cost") === col("m_cost")).drop("m_cost")
       .join(broadcast(t(spark, dir, "part").filter(col("p_size") === 15)
         .select("p_partkey")), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supEu), col("l_suppkey") === col("s_suppkey"))

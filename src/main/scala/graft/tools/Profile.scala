@@ -1,6 +1,13 @@
-package graft.tools
+package graft.operators
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scratch profiler (builder-side; rotates per round). r21 question #6:
+ * q2's min-cost join — rsupply ⋈ (groupBy partkey min cost) runs as an
+ * SMJ with two exchanges; the min side is ~20k rows (broadcastable),
+ * or the whole self-join collapses into a min-over-window. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -19,25 +26,55 @@ object Profile {
       }.sorted
       println(f"$name%-44s median=${ts(2)}%6.2fs  (${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
-    val tiles = graft.operators.Dedup.tileHashTable(spark, dir)
-    time("spans OLD (min struct, sort agg)") {
-      val repeated = tiles.groupBy("h")
-        .agg(count(lit(1)).as("n_occ"), min(struct(col("doc_id"), col("pos"))).as("keep"))
-        .filter(col("n_occ") >= 2)
-      tiles.join(repeated, Seq("h"))
-        .filter(!(col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos")))
-        .select(col("doc_id"), col("pos"), col("keep.doc_id").as("keep_doc_id"),
-          col("keep.pos").as("keep_pos"), col("n_occ"))
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+
+    def supEu = t("supplier")
+      .join(t("nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t("region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    def rsupply = t("lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(supEu.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice")).as("cost"))
+      .localCheckpoint()
+    def finish(joined: DataFrame) = joined
+      .join(broadcast(t("part").filter(col("p_size") === 15)
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supEu), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("cost"))
+
+    time("q2 current (SMJ vs min agg)") {
+      val rs = rsupply
+      val minc = rs.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min(col("cost")).as("m_cost"))
+      finish(rs.join(minc,
+        col("l_partkey") === col("m_partkey") && col("cost") === col("m_cost")))
     }
-    time("spans NEW (stacked hash aggs)") {
-      val perDoc = tiles.groupBy("h", "doc_id").agg(count(lit(1)).as("c"), min(col("pos")).as("mpos"))
-      val repeated = perDoc.groupBy("h")
-        .agg(sum(col("c")).as("n_occ"), min(col("doc_id")).as("keep_doc_id"),
-          min_by(col("mpos"), col("doc_id")).as("keep_pos"))
-        .filter(col("n_occ") >= 2)
-      tiles.join(repeated, Seq("h"))
-        .filter(!(col("doc_id") === col("keep_doc_id") && col("pos") === col("keep_pos")))
-        .select(col("doc_id"), col("pos"), col("keep_doc_id"), col("keep_pos"), col("n_occ"))
+    time("q2 broadcast(minc)") {
+      val rs = rsupply
+      val minc = rs.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min(col("cost")).as("m_cost"))
+      finish(rs.join(broadcast(minc),
+        col("l_partkey") === col("m_partkey") && col("cost") === col("m_cost")))
+    }
+    time("q2 window min over partkey") {
+      val rs = rsupply
+      val w = Window.partitionBy("l_partkey")
+      finish(rs.withColumn("m_cost", min(col("cost")).over(w))
+        .filter(col("cost") === col("m_cost")).drop("m_cost"))
+    }
+    time("q2 window, no checkpoint") {
+      val rs = t("lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(supEu.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val w = Window.partitionBy("l_partkey")
+      finish(rs.withColumn("m_cost", min(col("cost")).over(w))
+        .filter(col("cost") === col("m_cost")).drop("m_cost"))
     }
     spark.stop()
   }
