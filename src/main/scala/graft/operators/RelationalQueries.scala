@@ -800,9 +800,15 @@ object RelationalQueries {
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      // broadcast hints (r21, same finding as q8): supp and cust are
+      // join OUTPUTS (dim ⋈ broadcast nation-pair), so Catalyst sizes
+      // them by join-output estimate and SortMergeJoined the cust side
+      // (an extra exchange + sort of the whole fact join on o_custkey).
+      // The two-nation filter makes both sides tiny dims; the l⋈orders
+      // SMJ is the one genuine fact-fact join and stays.
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
