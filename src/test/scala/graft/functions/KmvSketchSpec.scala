@@ -19,6 +19,18 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(est - 20000.0) / 20000.0 < 0.19, s"estimate $est")
   }
 
+  test("duplicate-insensitive: kmv(multiset) == kmv(distinct set)") {
+    // the property q_kmv_distinct's r21 rewrite rests on: pre-deduping
+    // the keys before the aggregate cannot change the sketch, because
+    // insert() keeps a SET of k-min hashes. Skewed duplication (value i
+    // appears i times) + beyond-k cardinality so the estimate path runs.
+    val kmv = udaf(new KmvDistinct(64))
+    val multi = (1 to 400).flatMap(i => Seq.fill(i)(i.toLong * 2654435761L)).toDF("v")
+    val dedup = (1 to 400).map(i => i.toLong * 2654435761L).toDF("v")
+    assert(multi.agg(kmv(col("v"))).head().getLong(0) ==
+      dedup.agg(kmv(col("v"))).head().getLong(0))
+  }
+
   test("mergeability: partitioned aggregation equals single-partition") {
     val kmv = udaf(new KmvDistinct(64))
     val df = (1 to 5000).map(i => (i % 1000).toLong).toDF("v")
