@@ -3,13 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler (builder-side; rotates per round). r21 question #8:
- * the reconcile core's full-outer join runs as SortMergeJoin (two
- * sorts). Spark 3.3+ supports full-outer shuffled-hash; is the
- * SHUFFLE_HASH hint a win at the bench shape, and does it hold for the
- * whole classify (diff expressions after the join)? SMJ spills
- * gracefully at scale, so only a decisive local win + a bounded build
- * side would justify switching. */
+/** Scratch profiler. r21 question #10b: in-session A/B of the decon
+ * dictionary memo — per-pass dictionary jobs + automaton rebuild
+ * (dictCacheKey=None) vs the memoized path the wired queries now use. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -28,14 +24,20 @@ object Profile {
       }.sorted
       println(f"$name%-44s median=${ts(2)}%6.2fs  (${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
-    val Trusted = graft.config.Settings(trustUniquePk = true)
-    time("recon_classify (SMJ, current)") {
-      graft.operators.ReconQueries.reconClassify(spark, dir)
+    def d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    time("exact_substring UNCACHED (key=None)") {
+      Curation.exactContamination(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))
     }
-    time("recon_classify with SHUFFLE_HASH session pref") {
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-      try graft.operators.ReconQueries.reconClassify(spark, dir)
-      finally spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+    time("exact_substring MEMOIZED (wired)") {
+      Curation.deconExactSubstring(spark, dir)
+    }
+    time("exact_tiled UNCACHED (key=None)") {
+      Curation.exactContaminationTiled(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))
+    }
+    time("exact_tiled MEMOIZED (wired)") {
+      Curation.deconExactTiled(spark, dir)
     }
     spark.stop()
   }

@@ -187,6 +187,26 @@ class CurationSpec extends SparkSpec {
     assert(tiled === Map(0L -> ((1L, 100L))))
   }
 
+  test("dictionary memo HIT reproduces the uncached decon result exactly") {
+    // the r21 memo path: first call with a cache key derives + stores,
+    // second call serves the memoized dictionary and shared broadcast
+    // automaton; both must equal the key-less (always-derive) result.
+    val dir = "/root/testdata/sf0.001"
+    def d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncached = rows(Curation.exactContamination(
+      d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0)))
+    val miss = rows(Curation.deconExactSubstring(spark, dir)) // fills the memo
+    val hit = rows(Curation.deconExactSubstring(spark, dir))  // serves it
+    assert(miss === uncached)
+    assert(hit === uncached)
+    val tiledUncached = rows(Curation.exactContaminationTiled(
+      d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0)))
+    assert(rows(Curation.deconExactTiled(spark, dir)) === tiledUncached)
+    assert(rows(Curation.deconExactTiled(spark, dir)) === tiledUncached)
+  }
+
   test("sharded automata reproduce the single-automaton decon result exactly") {
     // a benchmark big enough for several distinct tiles, candidates
     // carrying tiles from DIFFERENT shards of the dictionary
