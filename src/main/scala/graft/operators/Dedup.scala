@@ -110,7 +110,10 @@ object Dedup {
         .select(agg.toColumn)
         .select(posexplode(col("words")).as(Seq("idx", "word")))
     }
-    words.orderBy("idx").collect().map(_.getLong(1))
+    graft.sources.ModelCache.memo(
+      FixtureCache.dirStamp(s"$dir/documents.parquet") + "-bloomWords") {
+      words.orderBy("idx").collect().map(_.getLong(1))
+    }
   }
 
   /**

@@ -82,6 +82,38 @@ object ModelCache {
     spark.read.parquet(path)
   }
 
+  /** In-JVM memo for the COLLECTED driver-side model object derived
+   * from a published cache path (r21): the collect sites
+   * (`loadOrFit(...).collect().map(...)` — quantizer, codebooks,
+   * vocab, merges, classifier weights, bloom words) re-read the
+   * artifact parquet and rebuilt the model object on EVERY action —
+   * one driver-visible job per pass per model, while a real pipeline
+   * loads a model once per process. The cache path already IS the
+   * model identity (source content stamp + fit variant), so it keys
+   * the memo; `toModel` must be deterministic — the same contract
+   * fits already carry — making HIT and MISS bit-identical. */
+  private val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** The memo primitive: `load` must be deterministic and `key` must
+   * carry the model's full identity — callers use either the cache
+   * path (content stamp + fit variant) or a source content stamp + the
+   * model function's name (hyperparameters are JVM constants, so a
+   * changed constant implies a fresh JVM and an empty memo). */
+  def memo[T <: AnyRef](key: String)(load: => T): T =
+    modelMemo.computeIfAbsent(key, _ => load).asInstanceOf[T]
+
+  /** [[loadOrFit]] composed with a memoized driver-side collect. */
+  def loadOrFitModel[T <: AnyRef](spark: SparkSession, dataPath: String,
+      variant: String, root: String, tag: String,
+      singleFile: Boolean = true)(fit: => DataFrame)(
+      toModel: DataFrame => T): T = {
+    val path = cachePath(dataPath, variant, root)
+    memo(path) {
+      toModel(loadOrFit(spark, dataPath, variant, root, tag, singleFile)(fit))
+    }
+  }
+
   /** Delete orphaned `<target>.tmp-*` siblings left by a JVM that died
    * between writing its temp dir and the rename. Staleness is judged by
    * the NEWEST mtime anywhere under the tmp tree, not the top-level dir:
