@@ -299,17 +299,28 @@ object EqualityRepair {
           bTargets.value, it, Dsv2Parquet.readConf))
       }.collect()
 
-    // staged inserts through the ordinary writer, renamed in invisibly
+    // staged inserts through the ordinary writer, renamed in invisibly.
+    // The empty-insert guard is SCHEMA-based, not isEmpty (r21):
+    // isEmpty EXECUTED the whole insert subtree (base scan + semi
+    // join) once, and the write then executed it again — one full
+    // extra pass per commit. A pure-delete repair passes a
+    // zero-COLUMN frame (caught structurally, no job); a zero-ROW
+    // frame with columns writes nothing anyway because the task
+    // writer opens its file lazily on the first row
+    // (GraftParquetWriterFactory), so the rename loop is a no-op.
     val staging = s"$path/_staging-eq-${UUID.randomUUID()}"
     val insertNames: Set[String] =
-      if (inserts.isEmpty) Set.empty
+      if (inserts.schema.isEmpty) Set.empty
       else {
         inserts.select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
           .write.format(classOf[GraftParquetProvider].getName)
           .option(Dsv2Parquet.SchemaOption, tableSchema.toDDL)
           .mode("append").save(staging)
         val fs = new Path(path).getFileSystem(conf)
-        Dsv2Parquet.dataFiles(staging, conf).map { s =>
+        // a zero-row write never opens a file, so the staging dir may
+        // not even exist — nothing to rename in that case
+        if (!fs.exists(new Path(staging))) Set.empty[String]
+        else Dsv2Parquet.dataFiles(staging, conf).map { s =>
           val dst = new Path(path, s.getPath.getName)
           require(fs.rename(s.getPath, dst),
             s"graft-eq: rename ${s.getPath} -> $dst failed")

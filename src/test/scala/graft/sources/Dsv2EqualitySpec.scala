@@ -69,6 +69,24 @@ class Dsv2EqualitySpec extends SparkSpec {
     }
   }
 
+  test("zero-ROW insert frame with columns commits a pure-delete repair") {
+    // r21: the isEmpty pre-check (which executed the insert subtree
+    // once before the write executed it again) was replaced by a
+    // schema-based guard; a columned-but-empty insert frame must ride
+    // the lazy-file-open writer into a no-insert commit.
+    withTmp { tmp =>
+      val p = mkTable(tmp)
+      val before = spark.read.format(fmt).load(p).count()
+      EqualityRepair.commit(spark, p, Seq("k"),
+        Seq(7L).toDF("k"),
+        spark.read.format(fmt).load(p).limit(0)) // columns, zero rows
+      val snap = CommitLog.latest(p, Dsv2Parquet.readConf).get
+      assert(snap.eqFiles.nonEmpty)
+      assert(spark.read.format(fmt).load(p).count() == before - 1)
+      assert(spark.read.format(fmt).load(p).filter(col("k") === 7L).count() == 0L)
+    }
+  }
+
   test("projection WITHOUT the key columns still applies the deletes") {
     withTmp { tmp =>
       val p = mkTable(tmp)
