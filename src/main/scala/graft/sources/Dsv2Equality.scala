@@ -283,50 +283,90 @@ object EqualityRepair {
     }
     val targets = base.dataFiles
 
-    // canonical keys computed IN SPARK (CAST AS STRING, null keys
-    // refused at runtime), sidecars written from executors; only the
-    // O(#partitions) names return to the driver
+    // ONE tagged-union job writes BOTH file kinds (r22, guide §1.2 —
+    // the r21 ledger's #1 carry-over): the sidecar write and the insert
+    // staging used to run as two sequential jobs, so the commit paid
+    // two scheduling barriers and the cluster ran each half at half
+    // utilization. The union carries `_ek` (the canonical delete key,
+    // null on insert rows) beside the table columns; union preserves
+    // child partitions, so each task sees one side — but the writer
+    // below handles a mixed partition anyway. Delete keys are computed
+    // IN SPARK (CAST AS STRING, null keys refused at runtime) exactly
+    // as before; insert rows flow through the same
+    // GraftRowParquetWriterBuilder the DSv2 writer uses (same codec,
+    // same InternalRow write support), staged invisibly and renamed in
+    // under the single CAS manifest publish. Only O(#partitions) file
+    // names return to the driver.
+    //
+    // The empty-insert guard stays SCHEMA-based, not isEmpty (r21):
+    // isEmpty EXECUTED the whole insert subtree once. A pure-delete
+    // repair passes a zero-COLUMN frame (caught structurally, no job);
+    // a zero-ROW frame with columns opens no file (lazy first-row
+    // open), so nothing stages and nothing renames.
     val canon = Dsv2Equality.canonicalExpr(kc.toIndexedSeq)
     val bTargets = spark.sparkContext.broadcast(targets)
-    import spark.implicits._
     val slices = math.min(8, math.max(1,
       deleteKeys.rdd.getNumPartitions))
-    val eqNames: Array[String] = deleteKeys.select(canon.as("k"))
-      .repartition(slices).as[String]
-      .mapPartitions { it =>
-        if (it.isEmpty) Iterator.empty
-        else Iterator(Dsv2Equality.write(new Path(path), kc,
-          bTargets.value, it, Dsv2Parquet.readConf))
-      }.collect()
-
-    // staged inserts through the ordinary writer, renamed in invisibly.
-    // The empty-insert guard is SCHEMA-based, not isEmpty (r21):
-    // isEmpty EXECUTED the whole insert subtree (base scan + semi
-    // join) once, and the write then executed it again — one full
-    // extra pass per commit. A pure-delete repair passes a
-    // zero-COLUMN frame (caught structurally, no job); a zero-ROW
-    // frame with columns writes nothing anyway because the task
-    // writer opens its file lazily on the first row
-    // (GraftParquetWriterFactory), so the rename loop is a no-op.
     val staging = s"$path/_staging-eq-${UUID.randomUUID()}"
-    val insertNames: Set[String] =
-      if (inserts.schema.isEmpty) Set.empty
-      else {
-        inserts.select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
-          .write.format(classOf[GraftParquetProvider].getName)
-          .option(Dsv2Parquet.SchemaOption, tableSchema.toDDL)
-          .mode("append").save(staging)
-        val fs = new Path(path).getFileSystem(conf)
-        // a zero-row write never opens a file, so the staging dir may
-        // not even exist — nothing to rename in that case
-        if (!fs.exists(new Path(staging))) Set.empty[String]
-        else Dsv2Parquet.dataFiles(staging, conf).map { s =>
-          val dst = new Path(path, s.getPath.getName)
-          require(fs.rename(s.getPath, dst),
-            s"graft-eq: rename ${s.getPath} -> $dst failed")
-          dst.getName
-        }.toSet
-      }
+    val delSide = deleteKeys.select(
+      (canon.as("_ek") +: tableSchema.fields.toIndexedSeq.map(f =>
+        lit(null).cast(f.dataType).as(f.name))): _*)
+      .repartition(slices)
+    val tagged =
+      if (inserts.schema.isEmpty) delSide
+      else delSide.unionAll(inserts.select(
+        (lit(null).cast(StringType).as("_ek") +:
+          tableSchema.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType))): _*))
+    val writeSchema = tableSchema
+    val names: Array[(Boolean, String)] =
+      tagged.queryExecution.toRdd.mapPartitions { it =>
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+        val wConf = Dsv2Parquet.readConf
+        val proj = UnsafeProjection.create(
+          writeSchema.fields.zipWithIndex.map { case (f, i) =>
+            BoundReference(i + 1, f.dataType, nullable = true)
+          }.toIndexedSeq)
+        val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+        var file: Path = null
+        var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = null
+        it.foreach { row =>
+          if (!row.isNullAt(0)) keys += row.getUTF8String(0).toString
+          else {
+            if (writer == null) {
+              file = new Path(staging, s"part-${
+                org.apache.spark.TaskContext.getPartitionId()}-${
+                UUID.randomUUID()}.parquet")
+              writer = new GraftRowParquetWriterBuilder(
+                  org.apache.parquet.hadoop.util.HadoopOutputFile
+                    .fromPath(file, wConf), writeSchema)
+                .withConf(wConf)
+                .withCompressionCodec(
+                  org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+                .build()
+            }
+            writer.write(proj(row))
+          }
+        }
+        if (writer != null) writer.close()
+        val insertName = Option(file).map(f => (true, f.getName))
+        val eqName =
+          if (keys.isEmpty) None
+          else Some((false, Dsv2Equality.write(new Path(path), kc,
+            bTargets.value, keys.iterator, wConf)))
+        (insertName.iterator ++ eqName.iterator).toArray.iterator
+      }.collect()
+    val eqNames: Array[String] = names.collect { case (false, n) => n }
+    val insertNames: Set[String] = {
+      val staged = names.collect { case (true, n) => n }
+      val fs = new Path(path).getFileSystem(conf)
+      staged.map { n =>
+        val dst = new Path(path, n)
+        require(fs.rename(new Path(staging, n), dst),
+          s"graft-eq: rename $staging/$n -> $dst failed")
+        dst.getName
+      }.toSet
+    }
     try {
       CommitRaceProbe.beforeEqPublish(path)
       CommitLog.commitUpdate(path, conf, operation = "eq-repair") { cur =>

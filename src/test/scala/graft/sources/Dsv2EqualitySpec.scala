@@ -69,6 +69,48 @@ class Dsv2EqualitySpec extends SparkSpec {
     }
   }
 
+  test("eq commit runs sidecar write + insert staging as ONE job") {
+    // r22 (VERDICT #3): the delete-sidecar write and the insert staging
+    // used to run as two sequential jobs; the tagged-union writer fuses
+    // them. With AQE off (AQE materializes exchange stages as extra
+    // jobs, which would count scheduling structure, not actions) the
+    // whole commit must submit exactly one Spark job.
+    withTmp { tmp =>
+      val p = mkTable(tmp)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        EqualityRepair.commit(spark, p, Seq("k"),
+          Seq(3L, 77L, 500L).toDF("k"),
+          Seq((3L, "patched", 333L), (5000L, "new", 1L)).toDF("k", "s", "v"))
+        // listener delivery is async — settle before asserting
+        val deadline = System.nanoTime() + 5000000000L
+        while (jobs.get() < 1 && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        Thread.sleep(200)
+        assert(jobs.get() == 1,
+          s"eq commit submitted ${jobs.get()} jobs; the tagged-union " +
+            "writer must need exactly one")
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      // and the fused commit still repaired correctly
+      val got = spark.read.format(fmt).load(p)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(got.size == 1000 - 3 + 2)
+      assert(!got.contains(500L))
+      assert(got(3L) == ("patched", 333L) && got(5000L) == ("new", 1L))
+    }
+  }
+
   test("zero-ROW insert frame with columns commits a pure-delete repair") {
     // r21: the isEmpty pre-check (which executed the insert subtree
     // once before the write executed it again) was replaced by a
