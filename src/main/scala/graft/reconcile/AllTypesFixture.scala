@@ -74,8 +74,33 @@ object AllTypesFixture {
       "c_varchar" -> "VARCHAR",
       "c_varint" -> "VARINT"))
 
-  def base(spark: SparkSession): DataFrame = build(spark, mvSide = false)
-  def mv(spark: SparkSession): DataFrame = build(spark, mvSide = true)
+  /** Per-(SparkContext, side) localCheckpoint memo (r22, VERDICT #5):
+   * the 23-column build is pure `range()` arithmetic but its expression
+   * tree is large enough that every consumer paid ~0.28 s of derivation
+   * per action (×3 wired rows, measured r21). The fixture depends on
+   * NOTHING but this code — no source dir, no file — so within one JVM
+   * the derivation is bit-identical every time; a checkpoint keyed on
+   * the application id serves the same 2000 rows to every consumer
+   * while the DuckDB oracle still derives its side independently from
+   * `range()` (the design guarantee — no parquet fixture file — is
+   * untouched, and AllTypesFixtureSpec pins checkpoint ≡ fresh build).
+   * Keyed per application: a restarted context re-derives (checkpointed
+   * blocks die with their executors). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def memoized(spark: SparkSession, mvSide: Boolean): DataFrame =
+    memo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}-$mvSide",
+      _ => build(spark, mvSide).localCheckpoint())
+
+  def base(spark: SparkSession): DataFrame = memoized(spark, mvSide = false)
+  def mv(spark: SparkSession): DataFrame = memoized(spark, mvSide = true)
+
+  /** The raw derivation, memo-free — spec surface for the
+   * checkpoint ≡ build equivalence pin. */
+  private[graft] def derive(spark: SparkSession, mvSide: Boolean): DataFrame =
+    build(spark, mvSide)
 
   /** UUID-shaped canonical string from a numeric seed (SURVEY §1.2:
    * uuid/timeuuid carry no native Spark type — canonical string form). */

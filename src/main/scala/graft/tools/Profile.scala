@@ -39,6 +39,26 @@ object Profile {
     time("exact_tiled MEMOIZED (wired)") {
       Curation.deconExactTiled(spark, dir)
     }
+    // r22 question: the AllTypes classify over a per-JVM checkpointed
+    // fixture vs over the fresh range() derivation every action paid
+    // before (same reconcile, same 22-type matrix)
+    locally {
+      import graft.reconcile.{AllTypesFixture, MvReconciler}
+      import graft.config.Settings
+      val trusted = Settings(trustUniquePk = true)
+      def classify(b: org.apache.spark.sql.DataFrame,
+          m: org.apache.spark.sql.DataFrame) =
+        MvReconciler.reconcile(b, m,
+          AllTypesFixture.schema, AllTypesFixture.schema, trusted)
+          .select("id", "problem", "mismatch_col", "mismatch_base", "mismatch_mv")
+      time("alltypes classify DERIVE-PER-ACTION (old)") {
+        classify(AllTypesFixture.derive(spark, mvSide = false),
+          AllTypesFixture.derive(spark, mvSide = true))
+      }
+      time("alltypes classify FIXTURE MEMO (wired)") {
+        classify(AllTypesFixture.base(spark), AllTypesFixture.mv(spark))
+      }
+    }
     spark.stop()
   }
 }
