@@ -529,6 +529,18 @@ object Curation {
   private val acMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.broadcast.Broadcast[graft.functions.AhoCorasick]]()
 
+  /** Cold-cost instrumentation (r22, VERDICT #4): drop the collected
+   * dictionaries and destroy the memoized automaton broadcasts so the
+   * next decon pass re-derives, re-collects, re-compiles and
+   * re-broadcasts — `QueryTime --cold` calls this before each timed
+   * run to keep the amortized decon numbers honest. */
+  def clearDictMemo(): Unit = {
+    dictMemo.clear()
+    acMemo.values().forEach(b =>
+      try b.destroy() catch { case _: Throwable => () })
+    acMemo.clear()
+  }
+
   private def matchSnippets(candidates: DataFrame, snippets: DataFrame,
       maxAutomatonBytes: Long, maxDictBytes: Long,
       dictCacheKey: Option[String] = None): DataFrame = {
