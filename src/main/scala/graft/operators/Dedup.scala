@@ -549,16 +549,22 @@ object Dedup {
    * aggregate, and both buffers are plain longs, so every stage stays
    * a codegen'd HashAggregate (guide §2.3/§4: keep the hot path inside
    * codegen). Same rows, bit-for-bit: n_occ = Σ per-doc counts, and
-   * (keep_doc_id, keep_pos) = lexicographic min exactly. At sf0.1 the
-   * wall is unchanged (0.75 vs 0.79s — the sub-second floor here is
-   * AQE stage-scheduling fixed cost, measured: the bare table scan is
-   * 0.14s and even the aggregate-only noop reads 0.63s in either
-   * form); the change is structural for scale — SortAggregate sorts
-   * every map task's tiles by the 32-char digest and again after the
-   * exchange, an O(tiles·log) corpus-wide sort that HashAggregate's
-   * partial aggregation simply never pays. */
-  private def spansFromTiles(tiles: DataFrame): DataFrame = {
-    val perDoc = tiles.groupBy("h", "doc_id")
+   * (keep_doc_id, keep_pos) = lexicographic min exactly.
+   *
+   * r22 refinement (ScaleSmoke `r21ab`, measured at 40×): the r21
+   * stacked shape let each aggregate plan its own exchange — the tile
+   * stats crossed the network TWICE (by (h, doc_id), then by h), and
+   * at 40× replication that read 0.68–0.81× the OLD min(struct) form's
+   * wall at 1.5× its shuffle bytes. One explicit hash repartition on
+   * `h` now feeds BOTH aggregates (HashPartitioning(h) satisfies the
+   * (h, doc_id) clustering, and the second aggregate inherits it), so
+   * the raw tile triples cross the network once and no stage sorts:
+   * wall ties the min(struct) form in both repetition regimes
+   * (1.01×/1.00× at 40×, bytes 0.92×/0.99×) with the corpus-wide
+   * digest SortAggregate gone — the §2.4 shared-exchange trade q2
+   * already rides. */
+  private[graft] def spansFromTiles(tiles: DataFrame): DataFrame = {
+    val perDoc = tiles.repartition(col("h")).groupBy("h", "doc_id")
       .agg(count(lit(1)).as("c"), min(col("pos")).as("mpos"))
     val repeated = perDoc.groupBy("h")
       .agg(sum(col("c")).as("n_occ"),

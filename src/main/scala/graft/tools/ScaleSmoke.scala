@@ -1992,6 +1992,215 @@ object ScaleSmoke {
       }
     }
 
+    if (args.contains("r21ab")) {
+      // r22 (VERDICT #1): the r21 structural rewrites re-measured at
+      // replication scale with the OLD forms kept callable — plan
+      // evidence converted into wall + shuffle-bytes evidence. Each
+      // pair asserts result equality first, then reports best-of-2
+      // warmed walls and the shuffle bytes written per run (task-metric
+      // sum — the §2.3 "shuffle fewer bytes" claim measured directly).
+      import graft.operators.{Dedup, RelationalQueries}
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              shuffleBytes.addAndGet(
+                te.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+        })
+      def execute(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def measured(f: => Unit): (Double, Long) = {
+        Thread.sleep(200) // drain pending task-end events
+        shuffleBytes.set(0)
+        val t0 = System.nanoTime()
+        f
+        val s = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        (s, shuffleBytes.get)
+      }
+      def ab(name: String, oldDf: () => DataFrame, newDf: () => DataFrame,
+          sortCols: Seq[String]): Unit = {
+        val o = oldDf().orderBy(sortCols.map(col): _*).collect().toSeq
+        val nw = newDf().orderBy(sortCols.map(col): _*).collect().toSeq
+        assert(o == nw, s"$name: old/new results differ (${o.size} vs ${nw.size})")
+        execute(oldDf()); execute(newDf()) // warm untimed
+        def best2(f: () => DataFrame): (Double, Long) = {
+          val rs = (1 to 2).map(_ => measured(execute(f())))
+          rs.minBy(_._1)
+        }
+        val (os, ob) = best2(oldDf)
+        val (ns, nb) = best2(newDf)
+        println(f"[scale-smoke] R21AB $name factor=$factor " +
+          f"old=${os}%.2fs/${ob / 1024 / 1024}%dMiB-shuffled " +
+          f"new=${ns}%.2fs/${nb / 1024 / 1024}%dMiB-shuffled " +
+          f"(wall ${os / ns}%.2fx, bytes ${ob.toDouble / math.max(1, nb)}%.2fx)")
+      }
+
+      // -- q2: min-over-window (wired) vs aggregate + self-join (r20) --
+      // replicated facts, fixed dims (the `relational` smoke's regime)
+      val abDir = "/tmp/graft-smoke-r21ab"
+      def shift(df: DataFrame, key: String): DataFrame = df
+        .crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn(key, col(key) + col("_r") * 1000000000L)
+        .drop("_r").repartition(64)
+      shift(spark.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey")
+        .write.mode("overwrite").parquet(s"$abDir/lineitem.parquet")
+      Seq("supplier", "nation", "region", "part").foreach { n =>
+        spark.read.parquet(s"$dir/$n.parquet")
+          .write.mode("overwrite").parquet(s"$abDir/$n.parquet")
+      }
+      def t(n: String) = spark.read.parquet(s"$abDir/$n.parquet")
+      def q2Old(): DataFrame = {
+        val supEu = t("supplier")
+          .join(t("nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(t("region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val rsupply = t("lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice")
+          .join(broadcast(supEu.select("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("l_extendedprice")).as("cost"))
+          .localCheckpoint()
+        val minc = rsupply.groupBy(col("l_partkey").as("m_partkey"))
+          .agg(min(col("cost")).as("m_cost"))
+        rsupply
+          .join(minc, col("l_partkey") === col("m_partkey") &&
+            col("cost") === col("m_cost"))
+          .join(broadcast(t("part").filter(col("p_size") === 15)
+            .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supEu), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("cost"))
+      }
+      ab("q2_min_cost_supplier",
+        q2Old _, () => RelationalQueries.q2MinCostSupplier(spark, abDir),
+        Seq("p_partkey", "s_name"))
+
+      // -- kmv: pair-dedup before the sketch (wired) vs mixed
+      //    kmv+count_distinct aggregate (r20) — partkeys shifted per
+      //    replica so the distinct space grows with the corpus
+      val liRep = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_returnflag", "l_partkey")
+        .crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn("l_partkey", col("l_partkey") + col("_r") * 10000000L)
+        .drop("_r").repartition(64).localCheckpoint()
+      val kmv = udaf(new graft.functions.KmvDistinct(256),
+        org.apache.spark.sql.Encoders.scalaLong)
+      def kmvOld(): DataFrame = liRep
+        .filter(col("l_partkey").isNotNull)
+        .groupBy("l_returnflag")
+        .agg(kmv(col("l_partkey")).as("kmv_distinct"),
+          count_distinct(col("l_partkey")).as("exact_distinct"))
+      def kmvNew(): DataFrame = liRep
+        .filter(col("l_partkey").isNotNull)
+        .dropDuplicates("l_returnflag", "l_partkey")
+        .groupBy("l_returnflag")
+        .agg(kmv(col("l_partkey")).as("kmv_distinct"),
+          count(col("l_partkey")).as("exact_distinct"))
+      ab("q_kmv_distinct", kmvOld _, kmvNew _, Seq("l_returnflag"))
+
+      // -- substr-self keeper: stacked hash aggregates (wired, inside
+      //    Dedup.substrSelfSpans) vs min(struct) whose non-mutable
+      //    buffer forces SortAggregate (r20) — byte-identical replicas,
+      //    the worst-case repetition regime of the substrself smoke
+      val docsRep = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+        .crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn("doc_id", col("doc_id") + col("_r") * 10000000L)
+        .drop("_r").repartition(64).localCheckpoint()
+      // docsRep is already 64-way partitioned — no spread needed
+      val tiles = docsRep.filter(length(col("text")) >= 16)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 15, 16)," +
+            " s -> struct(CAST(s AS BIGINT) AS pos," +
+            " md5(substring(text, s, 16)) AS h))")).as("t"))
+        .select(col("doc_id"), col("t.pos").as("pos"), col("t.h").as("h"))
+        .localCheckpoint()
+      def substrOld(): DataFrame = {
+        val repeated = tiles.groupBy("h")
+          .agg(count(lit(1)).as("n_occ"),
+            min(struct(col("doc_id"), col("pos"))).as("keep"))
+          .filter(col("n_occ") >= 2)
+        tiles.join(repeated, Seq("h"))
+          .filter(!(col("doc_id") === col("keep.doc_id") &&
+            col("pos") === col("keep.pos")))
+          .select(col("doc_id"), col("pos"),
+            col("keep.doc_id").as("keep_doc_id"),
+            col("keep.pos").as("keep_pos"), col("n_occ"))
+      }
+      def substrNew(): DataFrame = Dedup.spansFromTiles(tiles)
+      ab("dedup_substr_self", substrOld _, substrNew _,
+        Seq("doc_id", "pos"))
+
+      // same pair at a LOW-repetition regime (each replica's tiles
+      // alignment-shifted by _r mod 16 chars, so only ~factor/16
+      // replicas share any tile — the realistic corpus shape, where
+      // tiles are mostly unique): the stacked-HashAgg form's extra
+      // (h, doc_id) partial rows vanish and what remains is the
+      // SortAggregate's per-task digest sort vs none
+      val docsShift = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+        .crossJoin(spark.range(factor).select(col("id").as("_r")))
+        .withColumn("text",
+          concat(expr("repeat(' ', CAST(pmod(_r, 16) AS INT))"), col("text")))
+        .withColumn("doc_id", col("doc_id") + col("_r") * 10000000L)
+        .drop("_r").repartition(64).localCheckpoint()
+      val tilesShift = docsShift.filter(length(col("text")) >= 16)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 15, 16)," +
+            " s -> struct(CAST(s AS BIGINT) AS pos," +
+            " md5(substring(text, s, 16)) AS h))")).as("t"))
+        .select(col("doc_id"), col("t.pos").as("pos"), col("t.h").as("h"))
+        .localCheckpoint()
+      def substrOldShift(): DataFrame = {
+        val repeated = tilesShift.groupBy("h")
+          .agg(count(lit(1)).as("n_occ"),
+            min(struct(col("doc_id"), col("pos"))).as("keep"))
+          .filter(col("n_occ") >= 2)
+        tilesShift.join(repeated, Seq("h"))
+          .filter(!(col("doc_id") === col("keep.doc_id") &&
+            col("pos") === col("keep.pos")))
+          .select(col("doc_id"), col("pos"),
+            col("keep.doc_id").as("keep_doc_id"),
+            col("keep.pos").as("keep_pos"), col("n_occ"))
+      }
+      ab("dedup_substr_self_lowrep", substrOldShift _,
+        () => Dedup.spansFromTiles(tilesShift), Seq("doc_id", "pos"))
+
+      // variant C: ONE exchange — repartition the raw tiles by h
+      // (HashPartitioning(h) satisfies the (h, doc_id) clustering, and
+      // the second aggregate reuses it), then the same stacked codegen
+      // HashAggregates. No digest sort anywhere, no second shuffle.
+      def substrC(ts: DataFrame)(): DataFrame = {
+        val perDoc = ts.repartition(col("h")).groupBy("h", "doc_id")
+          .agg(count(lit(1)).as("c"), min(col("pos")).as("mpos"))
+        val repeated = perDoc.groupBy("h")
+          .agg(sum(col("c")).as("n_occ"),
+            min(col("doc_id")).as("keep_doc_id"),
+            min_by(col("mpos"), col("doc_id")).as("keep_pos"))
+          .filter(col("n_occ") >= 2)
+        ts.join(repeated, Seq("h"))
+          .filter(!(col("doc_id") === col("keep_doc_id") &&
+            col("pos") === col("keep_pos")))
+          .select(col("doc_id"), col("pos"),
+            col("keep_doc_id"), col("keep_pos"), col("n_occ"))
+      }
+      ab("dedup_substr_self_C", substrOld _, substrC(tiles) _,
+        Seq("doc_id", "pos"))
+      ab("dedup_substr_self_C_lowrep", substrOldShift _, substrC(tilesShift) _,
+        Seq("doc_id", "pos"))
+      locally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(abDir))
+      }
+    }
+
     spark.stop()
   }
 }
