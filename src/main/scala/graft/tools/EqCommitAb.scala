@@ -115,12 +115,17 @@ object EqCommitAb {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
-    def once(variant: String): Double = {
+    // (commit wall, commit+downstream wall, files, sidecars): the
+    // downstream half catches any effect the commit's OUTPUT SHAPE
+    // (file count, sidecar count) has on the phases that read it —
+    // healed classify, compact fold, folded check, exactly
+    // recon_post_repair_eq's tail
+    def once(variant: String): (Double, Double, Int, Int) = {
       val (path, tmp, dk, ins, pk) = setup()
       val t0 = System.nanoTime()
       if (variant == "old") oldCommit(spark, path, pk, dk, ins)
       else EqualityRepair.commit(spark, path, pk, dk, ins)
-      val secs = (System.nanoTime() - t0) / 1e9
+      val commitSecs = (System.nanoTime() - t0) / 1e9
       val snap = CommitLog.latest(path, Dsv2Parquet.readConf).get
       require(snap.eqFiles.nonEmpty, s"$variant: no sidecars landed")
       // both variants must heal the table identically
@@ -130,16 +135,29 @@ object EqCommitAb {
         graft.config.Settings(trustUniquePk = true))
         .filter(col("problem") =!= "CONSISTENT").count()
       require(problems == 0L, s"$variant: $problems problems after repair")
+      graft.sources.GraftMaintenance.compactDeletionVectors(spark, path): Unit
+      val folded = graft.reconcile.MvReconciler.reconcile(
+        MvSyncDemo.baseDf(spark, dir), spark.read.format(fmt).load(path),
+        MvSyncDemo.baseSchema, MvSyncDemo.mvSchema,
+        graft.config.Settings(trustUniquePk = true))
+        .filter(col("problem") =!= "CONSISTENT").count()
+      require(folded == 0L, s"$variant: $folded problems after folding")
+      val fullSecs = (System.nanoTime() - t0) / 1e9
       rm(tmp)
-      secs
+      (commitSecs, fullSecs, snap.dataFiles.size, snap.eqFiles.size)
     }
     once("old"); once("new") // warm (JIT, codegen) untimed
     val results = (1 to reps).flatMap(_ =>
       Seq("old" -> once("old"), "new" -> once("new")))
     Seq("old", "new").foreach { v =>
-      val ts = results.collect { case (`v`, t) => t }.sorted
-      println(f"[eq-ab] $v%-4s commit median=${ts(ts.size / 2)}%.3fs " +
-        f"(${ts.map(t => f"$t%.3f").mkString(", ")})")
+      val rs = results.collect { case (`v`, r) => r }
+      val cs = rs.map(_._1).sorted
+      val fs = rs.map(_._2).sorted
+      println(f"[eq-ab] $v%-4s commit median=${cs(cs.size / 2)}%.3fs " +
+        f"commit+readback median=${fs(fs.size / 2)}%.3fs " +
+        f"files=${rs.map(_._3).distinct.mkString("/")} " +
+        f"sidecars=${rs.map(_._4).distinct.mkString("/")} " +
+        f"(commit: ${cs.map(t => f"$t%.3f").mkString(", ")})")
     }
     spark.stop()
   }
