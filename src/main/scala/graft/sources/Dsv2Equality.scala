@@ -319,6 +319,7 @@ object EqualityRepair {
           tableSchema.fields.toIndexedSeq.map(f =>
             col(f.name).cast(f.dataType))): _*))
     val writeSchema = tableSchema
+    try {
     val names: Array[(Boolean, String)] =
       tagged.queryExecution.toRdd.mapPartitions { it =>
         import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
@@ -330,25 +331,34 @@ object EqualityRepair {
         val keys = scala.collection.mutable.ArrayBuffer.empty[String]
         var file: Path = null
         var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = null
-        it.foreach { row =>
-          if (!row.isNullAt(0)) keys += row.getUTF8String(0).toString
-          else {
-            if (writer == null) {
-              file = new Path(staging, s"part-${
-                org.apache.spark.TaskContext.getPartitionId()}-${
-                UUID.randomUUID()}.parquet")
-              writer = new GraftRowParquetWriterBuilder(
-                  org.apache.parquet.hadoop.util.HadoopOutputFile
-                    .fromPath(file, wConf), writeSchema)
-                .withConf(wConf)
-                .withCompressionCodec(
-                  org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-                .build()
+        try {
+          it.foreach { row =>
+            if (!row.isNullAt(0)) keys += row.getUTF8String(0).toString
+            else {
+              if (writer == null) {
+                file = new Path(staging, s"part-${
+                  org.apache.spark.TaskContext.getPartitionId()}-${
+                  UUID.randomUUID()}.parquet")
+                writer = new GraftRowParquetWriterBuilder(
+                    org.apache.parquet.hadoop.util.HadoopOutputFile
+                      .fromPath(file, wConf), writeSchema)
+                  .withConf(wConf)
+                  .withCompressionCodec(
+                    org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+                  .build()
+              }
+              writer.write(proj(row))
             }
-            writer.write(proj(row))
           }
+          if (writer != null) { writer.close(); writer = null }
+        } catch { case e: Throwable =>
+          // failed attempt: close and drop its partial file so a retry
+          // never double-stages (the DSv2 writer's abort() discipline)
+          if (writer != null) writer.close()
+          if (file != null)
+            file.getFileSystem(wConf).delete(file, false): Unit
+          throw e
         }
-        if (writer != null) writer.close()
         val insertName = Option(file).map(f => (true, f.getName))
         val eqName =
           if (keys.isEmpty) None
@@ -367,7 +377,6 @@ object EqualityRepair {
         dst.getName
       }.toSet
     }
-    try {
       CommitRaceProbe.beforeEqPublish(path)
       CommitLog.commitUpdate(path, conf, operation = "eq-repair") { cur =>
         // a targeted file retired by a concurrent rewrite means its
