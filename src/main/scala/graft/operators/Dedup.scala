@@ -281,11 +281,27 @@ object Dedup {
 
   /** The MinHash+LSH pipeline over any `(doc_id, text)` frame —
    * exposed so scale smokes / callers with their own corpus reuse the
-   * exact wired plan. `materialize = false` skips the signature-table
-   * checkpoints (every consumer then recomputes the hash kernels from
-   * the text scan) — it exists so the scale smoke keeps the
-   * materialization trade measured per round; wired queries use the
-   * default. */
+   * exact wired plan. `materialize = true` checkpoints the signature
+   * tables (`d`, `banded`) so each is computed once; `false` lets every
+   * consumer recompute the hash kernels from the text scan. The smoke
+   * keeps the trade measured per round.
+   *
+   * Default history: r10 checkpointed both ("hash once"); r11 measured
+   * materialization 2.2× ahead at 40× (8.8 vs 19.5 s) and kept it. r22
+   * re-measured: the kernels got ~2× faster over r12–r21, and the r11
+   * ranking no longer reproduces — five warmed best-of-2 runs at 40×
+   * read materialized 9.6–14.6 s vs recompute 8.6–13.3 s (tie within
+   * host variance), and at the bench SF an interleaved 5-run A/B reads
+   * 0.46 vs 0.36 s for recompute. The default STAYS materialized on
+   * first-principles I/O math (guide §1.3): the recompute plan scans
+   * the corpus parquet EIGHT times (plan-verified), ~800 TB of source
+   * reads at target scale, vs one scan + signature traffic through
+   * block storage (~5 signature-sized passes) for the checkpoint form —
+   * and both smoke regimes sit in page cache, so the 40× tie cannot
+   * arbitrate real I/O. The 0.10 s sf0.1 delta is two small-corpus
+   * checkpoint jobs — a local-mode artifact, not a scale signal.
+   * Re-measured every `ScaleSmoke dedup` run; revisit only with an
+   * out-of-cache measurement. */
   def minhashLshPairs(corpus: DataFrame, materialize: Boolean = true): DataFrame = {
     def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
     // No size(sh)>0 filter (see `shingled`): posexplode drops empty band
@@ -293,17 +309,9 @@ object Dedup {
     // kernel serially below the spread repartition.
     // `d` feeds the banding AND both rerank re-attach joins, `banded`
     // feeds both sides of the bucket self-join, and Spark does not
-    // dedupe common subtrees — so unmaterialized, the shingle kernel
-    // runs four times and the minhash fold twice. r10 checkpointed both
-    // ("hash once", the signature table a real minhash index persists);
-    // r11 measured the trade FAIRLY (warmed, best-of-2 — the first
-    // post-JIT run reads ~2× slow, which fooled the first attempt at
-    // this comparison): a TIE at 10× the bench corpus (3.8s vs 3.9s)
-    // and a 2.2× WIN for materialization at 40× (8.8s vs 19.5s), where
-    // recompute-inside-join-branches dominates. The ~0.2s it costs at
-    // the sf0.1 bench (one-time materialization of a small corpus) is
-    // the documented price of the scale-correct default. Numbers in
-    // BASELINE.md; re-measured every ScaleSmoke dedup run.
+    // dedupe common subtrees — unmaterialized, the shingle kernel runs
+    // four times and the minhash fold twice (8 corpus scans in the
+    // physical plan).
     val d = mat(spread(corpus) // CPU-bound hashing scan
       .select(col("doc_id"), shingle_hashes(col("text"), 3).as("sh")))
     val banded = mat(d.select(col("doc_id"),

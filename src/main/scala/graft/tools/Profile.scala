@@ -39,6 +39,20 @@ object Profile {
     time("exact_tiled MEMOIZED (wired)") {
       Curation.deconExactTiled(spark, dir)
     }
+    // r22 question: minhash signature-table materialization vs kernel
+    // recompute at sf0.1 (the 40× smoke's r11 ranking inverted this
+    // round — recompute got ~2× faster since r11's record)
+    locally {
+      import graft.operators.Dedup
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      time("minhash pairs MATERIALIZED (wired default)") {
+        Dedup.minhashLshPairs(docs, materialize = true)
+      }
+      time("minhash pairs RECOMPUTE (materialize=false)") {
+        Dedup.minhashLshPairs(docs, materialize = false)
+      }
+    }
     // r22 question: the AllTypes classify over a per-JVM checkpointed
     // fixture vs over the fresh range() derivation every action paid
     // before (same reconcile, same 22-type matrix)

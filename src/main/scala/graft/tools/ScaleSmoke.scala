@@ -92,13 +92,17 @@ object ScaleSmoke {
         .drop("_r").repartition(64)
         .localCheckpoint() // don't re-replicate inside both timed runs
       val nDocs = rep.count()
-      // the materialized default ("hash once") vs kernel recompute,
+      // materialized signature tables ("hash once") vs kernel recompute,
       // measured FAIRLY: the first post-JIT run of either variant reads
       // ~2× slower than steady state (run order dominated the first r11
       // attempt at this comparison), so warm both plans once untimed,
       // then report each variant's best of 2 timed runs. r11 verdict:
-      // tie at 10×, materialization 2.2× ahead at 40× — the default.
-      Dedup.minhashLshPairs(rep).count()
+      // tie at 10×, materialization 2.2× ahead at 40×. r22 re-check:
+      // the kernels got ~2× faster since, and five 40× runs read a tie
+      // within host variance — but both smoke regimes sit in page
+      // cache, so the default STAYS materialized on first-principles
+      // source-I/O math (see minhashLshPairs' scaladoc).
+      Dedup.minhashLshPairs(rep, materialize = true).count()
       Dedup.minhashLshPairs(rep, materialize = false).count()
       def bestOf2(mat: Boolean): (Long, Double) = {
         val runs = (1 to 2).map(_ =>
@@ -109,7 +113,7 @@ object ScaleSmoke {
       val (nPairs2, pairSecs2) = bestOf2(mat = false)
       assert(nPairs2 == nPairs, s"materialized/raw pair mismatch: $nPairs vs $nPairs2")
       println(f"[scale-smoke] DEDUP docs=$nDocs lsh-pairs=$nPairs " +
-        f"pairs+rerank=${pairSecs}%.1fs materialized-default " +
+        f"pairs+rerank=${pairSecs}%.1fs materialized " +
         f"vs ${pairSecs2}%.1fs recompute (best of 2 each, warmed)")
       val (nClusters, ccSecs) = timed(
         Dedup.connectedComponents(
